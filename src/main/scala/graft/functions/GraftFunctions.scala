@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.Encoders
+
+/** Column-level building blocks for the engine's query inventory.
+  *
+  * Everything here composes codegen'd Catalyst built-ins (SURVEY.md §2
+  * E20-E26, X1-X4); no Scala UDF sits on a hot path. The only UDAF in
+  * the system is [[GeoMean]] (E14).
+  *
+  * Portability rule: any function that must be reproduced by the DuckDB
+  * oracle uses only operations with identical semantics in both engines
+  * (md5, integer arithmetic, sequential double folds).
+  */
+object GraftFunctions {
+
+  /** Portable deterministic 60-bit hash: first 15 hex chars of md5.
+    * DuckDB equivalent: `('0x' || substr(md5(s), 1, 15))::BIGINT`.
+    */
+  def hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** MinHash permutation: (a * (h mod P) + b) mod P over the Mersenne
+    * prime 2^31-1; products stay < 2^62 so 64-bit wrap never occurs —
+    * identical in Spark and DuckDB.
+    */
+  val MinhashP = 2147483647L
+  def permHash(h: Column, a: Long, b: Long): Column =
+    (lit(a) * (h % MinhashP) + lit(b)) % MinhashP
+
+  /** Deterministic permutation coefficients (i = 0..n-1). */
+  def permCoeffs(n: Int): Seq[(Long, Long)] =
+    (0 until n).map { i => (1103515245L * (i + 1) % MinhashP, 12345L * (i + 7) % MinhashP) }
+
+  /** Word k-shingles of a text column: array of the n-k+1 space-joined
+    * k-grams (empty when the text has fewer than k tokens). DuckDB
+    * mirror: `list_transform(range(len(toks)-k+1), i ->
+    * array_to_string(toks[i+1:i+k], ' '))`.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Sequential left-to-right double dot product of two float vectors.
+    * Bitwise-deterministic: both Spark `aggregate` and DuckDB `list_sum`
+    * fold left-to-right over the same widened doubles.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Rule-based language ID over text — same CASE cascade the oracle SQL
+    * replicates (X4). Tuned for the corpus vocabulary, deterministic.
+    */
+  def langId(text: Column): Column = {
+    val toks = split(text, " ")
+    val n = size(toks).cast("double")
+    def ratio(word: String): Column =
+      size(filter(toks, t => t === word)).cast("double") / n
+    when(ratio("the") + ratio("a") > 0.08, "en")
+      .when(ratio("data") + ratio("query") > 0.10, "es")
+      .when(ratio("table") + ratio("row") > 0.10, "de")
+      .otherwise("other")
+  }
+
+  /** Quality score: blend of length, punctuation ratio, stopword ratio,
+    * mean token length (X4) — pure arithmetic, oracle-replicable.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = split(text, " ")
+    val nTok = size(toks).cast("double")
+    val nChar = length(text).cast("double")
+    val stop = size(filter(toks, t => t.isin("the", "a", "of", "and"))).cast("double")
+    val meanTokLen = (nChar - (nTok - 1)) / nTok
+    floor((least(nTok / lit(100.0), lit(1.0)) * lit(0.4)
+        + (lit(1.0) - stop / nTok) * lit(0.3)
+        + least(meanTokLen / lit(8.0), lit(1.0)) * lit(0.3)) * 10000 + lit(0.5)) / 10000.0
+  }
+
+  /** Register SQL-facing helper functions (used by spark.sql queries and
+    * available to library users).
+    */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("geo_mean", udaf(GeoMean))
+    spark.udf.register("script_type",
+      (s: Array[Byte]) => graft.codec.ScriptCodec.scriptType(s))
+    spark.udf.register("decompress_amount",
+      (x: Long) => graft.codec.AmountCodec.decompress(x))
+  }
+}
+
+/** Geometric mean UDAF (E14): exp(mean(ln x)) with a (sumLog, n) buffer.
+  * Oracle: `exp(avg(ln(x)))`.
+  */
+object GeoMean extends Aggregator[Double, (Double, Long), Double] {
+  override def zero: (Double, Long) = (0.0, 0L)
+  override def reduce(b: (Double, Long), x: Double): (Double, Long) =
+    if (x > 0) (b._1 + math.log(x), b._2 + 1) else b
+  override def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+    (a._1 + b._1, a._2 + b._2)
+  override def finish(b: (Double, Long)): Double =
+    if (b._2 == 0) 0.0 else math.exp(b._1 / b._2)
+  override def bufferEncoder: Encoder[(Double, Long)] =
+    Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}

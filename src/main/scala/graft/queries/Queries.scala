@@ -3,31 +3,83 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The declared query inventory (SURVEY.md §2 rows Q/E/S/X), one named
+/** The declared query inventory (SURVEY.md §2 rows Q/E/S/X): one named
   * DataFrame program per operator, each paired (in [[oracle]]) with an
   * ANSI-SQL rendering the driver runs in DuckDB over the same parquet
-  * tables.
+  * tables. Queries without an oracle entry are the declared
+  * non-SQL-expressible ops (HLL sketch, LSH banding join, ANN) — the
+  * driver records a rows-only check for those and ScalaTest covers their
+  * semantics instead.
   *
-  * Discipline for oracle parity (SURVEY.md §5.3):
+  * Oracle-parity discipline (SURVEY.md §5.3):
   *  - every computed column aliased identically on both sides;
-  *  - doubles aggregated then `round(..., 2)` (sum order noise is ~1e-9
-  *    relative — far below the rounding grain);
-  *  - timestamps never output raw: converted to epoch millis / dates;
-  *  - ORDER BY always deterministic (unique key tie-break) and nullable
-  *    sort keys avoided.
+  *  - doubles aggregated then rounded (2dp money, 4-6dp unit-scale);
+  *  - sums of integers wrapped in CAST(... AS BIGINT) (DuckDB sums
+  *    integers into HUGEINT);
+  *  - timestamps only ever output as epoch millis or DATE;
+  *  - deterministic ORDER BY with unique tie-break, no nullable keys;
+  *  - float vectors widened element-wise to double, folded
+  *    left-to-right (bitwise-identical in both engines).
   */
 object Queries {
 
-  /** Read one corpus table. Filters/pruning push into this scan. */
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  val TableNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  // ---------------------------------------------------------------- helpers
+  /** Read one corpus table. Filters/pruning push into this scan.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    * map to TimestampType; read it as raw nanos
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild the (µs)
+    * timestamp — the corpus has no sub-µs components, so this is
+    * lossless and matches DuckDB's value exactly.
+    */
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else s.read.parquet(s"$dir/$name.parquet")
+
+  /** Determinism helpers. `round()` implementations diverge between
+    * engines exactly at .005-grid rationals (systematic for products and
+    * averages of 2-decimal money), so:
+    *  - [[fround]]: half-up rounding as explicit floor arithmetic —
+    *    bitwise-deterministic whenever both engines hold the identical
+    *    double (true for any per-row expression and for frame-ordered
+    *    window aggregates);
+    *  - [[cents]]/[[sumMoney4]]/[[avgMoney]]: sums/averages of
+    *    discrete-decimal money go through exact integer units, making
+    *    the aggregate order-independent — a plain double sum can differ
+    *    by an ulp between engines (different add order) and flip a
+    *    rounding boundary.
+    * Plain round() stays only where the value grid cannot sit on a
+    * rounding boundary (e.g. 2dp-rational sums rounded to 2dp).
+    */
+  def fround(c: Column, n: Int): Column = {
+    val f = math.pow(10, n)
+    floor(c * f + lit(0.5)) / f
+  }
+  def half2(c: Column): Column = fround(c, 2)
+  def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
+  /** Exact sum at 4-decimal resolution (integer ten-thousandths). */
+  def sumMoney4(c: Column): Column =
+    sum(floor(c * 10000 + lit(0.5)).cast("long")) / 10000.0
+  /** Exact 2-decimal average: integer-cent sum, then half-up at cents. */
+  def avgMoney(c: Column): Column =
+    floor(sum(cents(c)) / count(lit(1)) + lit(0.5)) / 100.0
+
+  /** Register every corpus table as a temp view and run shared SQL text
+    * (used for the queries whose Spark and DuckDB form is the same).
+    */
+  def withViews(s: SparkSession, dir: String)(sql: String): DataFrame = {
+    TableNames.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sql)
+  }
+
   private def round2(c: Column): Column = round(c, 2)
 
-  // ---------------------------------------------------------------- queries
-
-  /** Flagship: revenue by nation (joins E5/E10 + agg E11). */
+  /** Flagship: revenue by nation (E5 joins + E10 broadcast + E11 agg). */
   def flagship(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val o = t(s, dir, "orders")
@@ -38,7 +90,7 @@ object Queries {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(n("n_name").as("nation"))
       .agg(
-        round2(sum(li("l_extendedprice") * (lit(1.0) - li("l_discount")))).as("revenue"),
+        sumMoney4(li("l_extendedprice") * (lit(1.0) - li("l_discount"))).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("nation"))
   }
@@ -50,25 +102,371 @@ object Queries {
       .agg(
         round2(sum(col("l_quantity"))).as("sum_qty"),
         round2(sum(col("l_extendedprice"))).as("sum_base_price"),
-        round2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
-        round2(avg(col("l_quantity"))).as("avg_qty"),
+        sumMoney4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        avgMoney(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  // ------------------------------------------------------------------ map
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (q1Agg _)
+    "q0_flagship" -> (flagship _),
+    "q1_agg" -> (q1Agg _),
+    "q_topk" -> (QueriesRel.topk _),
+    "q_filter_pred" -> (QueriesRel.filterPred _),
+    "q_point_lookup" -> (QueriesRel.pointLookup _),
+    "q_join_inner" -> (QueriesRel.joinInner _),
+    "q_join_left" -> (QueriesRel.joinLeft _),
+    "q_join_full" -> (QueriesRel.joinFull _),
+    "q_join_semi" -> (QueriesRel.joinSemi _),
+    "q_join_anti" -> (QueriesRel.joinAnti _),
+    "q_join_theta" -> (QueriesRel.joinTheta _),
+    "q_join_range" -> (QueriesRel.joinRange _),
+    "q_join_broadcast" -> (QueriesRel.joinBroadcast _),
+    "q_agg_distinct" -> (QueriesRel.aggDistinct _),
+    "q_agg_approx_distinct" -> (QueriesRel.aggApproxDistinct _),
+    "q_rollup" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.rollupSql)),
+    "q_cube" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.cubeSql)),
+    "q_grouping_sets" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.groupingSetsSql)),
+    "q_udaf_geomean" -> (QueriesRel.udafGeomean _),
+    "q_window_rank" -> (QueriesRel.windowRank _),
+    "q_window_lag" -> (QueriesRel.windowLag _),
+    "q_window_frame" -> (QueriesRel.windowFrame _),
+    "q_union_all" -> (QueriesRel.unionAll _),
+    "q_intersect" -> (QueriesRel.intersectKeys _),
+    "q_except" -> (QueriesRel.exceptKeys _),
+    "q_string_funcs" -> (QueriesScalar.stringFuncs _),
+    "q_hex_funcs" -> (QueriesScalar.hexFuncs _),
+    "q_date_funcs" -> (QueriesScalar.dateFuncs _),
+    "q_math_funcs" -> (QueriesScalar.mathFuncs _),
+    "q_array_funcs" -> (QueriesScalar.arrayFuncs _),
+    "q_explode" -> (QueriesScalar.explodeTokens _),
+    "q_json_funcs" -> (QueriesScalar.jsonFuncs _),
+    "s_tumbling" -> (QueriesScalar.streamTumbling _),
+    "s_session" -> (QueriesScalar.streamSession _),
+    "s_dedup_latest" -> (QueriesScalar.streamDedup _),
+    "x_exact_dedup" -> (QueriesLLM.exactDedup _),
+    "x_dedup_stats" -> (QueriesLLM.dedupStats _),
+    "x_minhash_sig" -> (QueriesLLM.minhashSig _),
+    "x_minhash_lsh" -> (QueriesLLM.minhashLshPairs _),
+    "x_ngram_jaccard" -> (QueriesLLM.ngramJaccard _),
+    "x_simhash" -> (QueriesLLM.simhash _),
+    "x_cosine_topk" -> (QueriesLLM.cosineTopk _),
+    "x_ann_lsh" -> (QueriesLLM.annLsh _),
+    "x_lang_id" -> (QueriesLLM.langIdQuery _),
+    "x_quality" -> (QueriesLLM.qualityQuery _),
+    "x_token_count" -> (QueriesLLM.tokenCount _),
+    "x_fingerprint" -> (QueriesLLM.fingerprint _),
+    "x_multimodal_meta" -> (QueriesLLM.multimodalMeta _)
   )
 
+  // --------------------------------------------------------------- oracle
+
   val oracle: Map[String, String] = Map(
+    "q0_flagship" ->
+      """SELECT n_name AS nation,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY nation""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_disc_price,
+        |  floor(CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) / count(*) + 0.5) / 100.0 AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_filter_pred" ->
+      """SELECT p_partkey, p_name, p_size, round(p_retailprice, 2) AS price
+        |FROM part
+        |WHERE (p_size BETWEEN 10 AND 30 AND p_name LIKE '%er%')
+        |   OR (p_retailprice > 1500 AND NOT p_brand LIKE '%3%')
+        |ORDER BY p_partkey""".stripMargin,
+    "q_point_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, round(l_extendedprice, 2) AS price
+        |FROM lineitem WHERE l_orderkey = 1 ORDER BY l_linenumber""".stripMargin,
+    "q_join_inner" ->
+      """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0), 2) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_join_full" ->
+      """SELECT coalesce(nk_c, nk_s) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nk_c, count(*) AS n_cust FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN
+        |  (SELECT s_nationkey AS nk_s, count(*) AS n_supp FROM supplier GROUP BY 1) s
+        |ON nk_c = nk_s ORDER BY nationkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_theta" ->
+      """SELECT n1.n_regionkey AS regionkey, count(*) AS n_pairs
+        |FROM nation n1 JOIN nation n2
+        |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_name < n2.n_name
+        |GROUP BY 1 ORDER BY regionkey""".stripMargin,
+    "q_join_range" ->
+      """SELECT tier, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |JOIN (VALUES ('t1_low', 0.0, 50000.0), ('t2_mid', 50000.0, 150000.0),
+        |             ('t3_high', 150000.0, 300000.0), ('t4_top', 300000.0, 1000000000.0))
+        |  AS tiers(tier, lo, hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY tier ORDER BY tier""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  floor(CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) / count(*) + 0.5) / 100.0 AS avg_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
+        |  count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_rollup" -> QueriesRel.rollupSql,
+    "q_cube" -> QueriesRel.cubeSql,
+    "q_grouping_sets" -> QueriesRel.groupingSetsSql,
+    "q_udaf_geomean" ->
+      """SELECT o_orderstatus AS status, round(exp(avg(ln(o_totalprice))), 2) AS geo_price,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn, rk, drk, round(o_totalprice, 2) AS price
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
+        |      FROM orders
+        |      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(coalesce(date_diff('day', prev_date, o_orderdate), -1) AS INTEGER) AS gap_days,
+        |  next_key
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |        lag(o_orderdate) OVER w AS prev_date,
+        |        coalesce(lead(o_orderkey) OVER w, -1) AS next_key
+        |      FROM orders
+        |      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) t
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+        |  floor(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100.0 AS moving_avg3
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_union_all" ->
+      """SELECT src, nationkey, count(*) AS n FROM (
+        |  SELECT 'cust' AS src, CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT 'supp' AS src, CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier) u
+        |GROUP BY src, nationkey ORDER BY src, nationkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+        |INTERSECT
+        |SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q_except" ->
+      """SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+        |EXCEPT
+        |SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS uname, substr(c_name, 1, 9) AS prefix,
+        |  CAST(length(c_name) AS INTEGER) AS name_len,
+        |  concat(c_mktsegment, '-', c_name) AS tagged,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |  trim(c_name, 'C') AS trimmed
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_hex_funcs" ->
+      """SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256,
+        |  hex(c_custkey) AS key_hex, reverse(c_name) AS rev_name,
+        |  CAST(octet_length(unhex(md5(c_name))) AS INTEGER) AS md5_bytes
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |  day(o_orderdate) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(date_diff('day', DATE '2024-01-01', o_orderdate) AS INTEGER) AS days_since,
+        |  epoch_ms(o_orderdate) AS epoch_ms
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  floor(l_extendedprice * l_discount * 100 + 0.5) / 100.0 AS disc_amt,
+        |  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+        |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+        |  round(pow(l_discount, 2), 6) AS disc_sq,
+        |  round(ln(l_extendedprice), 6) AS ln_price,
+        |  abs(l_quantity - 25.0) AS dev,
+        |  l_orderkey % 7 AS mod7,
+        |  l_orderkey // 4 AS key_shr2,
+        |  (l_orderkey % 2) <> 0 AS key_odd
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+        |  floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS first_elem,
+        |  floor(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS self_dot,
+        |  floor(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000000 + 0.5) / 1000000.0 AS l2norm,
+        |  floor(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS elem_sum
+        |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY vec_id""".stripMargin,
+    "q_explode" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token ORDER BY n DESC, token LIMIT 40""".stripMargin,
+    "q_json_funcs" ->
+      """SELECT event_type, count(*) AS n,
+        |  floor(avg(CAST(props->>'$.k' AS BIGINT)) * 100 + 0.5) / 100.0 AS avg_k,
+        |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+        |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s_tumbling" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_start_ms, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start_ms, event_type""".stripMargin,
+    "s_session" ->
+      """WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id % 10 = 0),
+        |m AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts, value,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM m)
+        |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
+        |  count(*) AS n_events, round(sum(value), 2) AS session_value
+        |FROM g GROUP BY user_id, grp ORDER BY user_id, session_start_ms""".stripMargin,
+    "s_dedup_latest" ->
+      """SELECT user_id, event_type, event_id AS latest_event_id, epoch_ms(ts) AS ts_ms
+        |FROM (SELECT user_id, event_type, event_id, ts,
+        |        row_number() OVER (PARTITION BY user_id, event_type
+        |          ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "x_exact_dedup" ->
+      """SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_md5""".stripMargin,
+    "x_dedup_stats" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique_texts,
+        |  count(*) - count(DISTINCT md5(text)) AS n_dups
+        |FROM documents""".stripMargin,
+    "x_minhash_sig" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE doc_id % 50 = 0),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 2),
+        |         i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM d),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h64 FROM sh),
+        |p AS (SELECT CAST(i AS INTEGER) AS perm_id,
+        |        (1103515245 * (CAST(i AS BIGINT) + 1)) % 2147483647 AS a,
+        |        (12345 * (CAST(i AS BIGINT) + 7)) % 2147483647 AS b
+        |      FROM range(16) t(i))
+        |SELECT doc_id, perm_id, min((a * (h64 % 2147483647) + b) % 2147483647) AS sig
+        |FROM h, p GROUP BY doc_id, perm_id ORDER BY doc_id, perm_id""".stripMargin,
+    "x_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(range(len(string_split(text, ' ')) - 2),
+        |    i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' '))) AS sh
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |pairs AS (SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS n_common,
+        |    len(list_distinct(list_concat(a.sh, b.sh))) AS n_union
+        |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT source, doc_a, doc_b,
+        |  floor(CAST(n_common AS DOUBLE) / n_union * 10000 + 0.5) / 10000.0 AS jaccard
+        |FROM pairs
+        |WHERE n_common > 0 AND floor(CAST(n_common AS DOUBLE) / n_union * 10000 + 0.5) / 10000.0 >= 0.05
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "x_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents WHERE doc_id % 25 = 0),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h64 FROM tok),
+        |bits AS (SELECT doc_id, CAST(b AS INTEGER) AS bit_pos,
+        |    CAST(sum(((h64 >> CAST(b AS INTEGER)) % 2) * 2 - 1) AS BIGINT) AS balance
+        |  FROM h, range(48) t(b) GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  string_agg(CASE WHEN balance > 0 THEN '1' ELSE '0' END, '' ORDER BY bit_pos) AS simhash_bits
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id AS cand_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+        |sims AS (SELECT query_id, cand_id,
+        |    list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])) /
+        |    (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(cv, x -> x * x)))) AS sim
+        |  FROM q, c WHERE query_id <> cand_id),
+        |ranked AS (SELECT query_id, cand_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rnk
+        |  FROM sims)
+        |SELECT query_id, cand_id, rnk, floor(sim * 10000 + 0.5) / 10000.0 AS cos_sim
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    "x_lang_id" ->
+      """WITH r AS (SELECT lang,
+        |    len(list_filter(string_split(text, ' '), tk -> tk = 'the')) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS r_the,
+        |    len(list_filter(string_split(text, ' '), tk -> tk = 'a')) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS r_a,
+        |    len(list_filter(string_split(text, ' '), tk -> tk = 'data')) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS r_data,
+        |    len(list_filter(string_split(text, ' '), tk -> tk = 'query')) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS r_query,
+        |    len(list_filter(string_split(text, ' '), tk -> tk = 'table')) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS r_table,
+        |    len(list_filter(string_split(text, ' '), tk -> tk = 'row')) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS r_row
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN r_the + r_a > 0.08 THEN 'en'
+        |       WHEN r_data + r_query > 0.10 THEN 'es'
+        |       WHEN r_table + r_row > 0.10 THEN 'de'
+        |       ELSE 'other' END AS predicted,
+        |  count(*) AS n
+        |FROM r GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+    "x_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars_actual,
+        |  floor((least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
+        |    + (1.0 - len(list_filter(string_split(text, ' '),
+        |        tk -> tk = 'the' OR tk = 'a' OR tk = 'of' OR tk = 'and'))
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
+        |    + least(((length(text) - (len(string_split(text, ' ')) - 1))
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0) * 0.3) * 10000 + 0.5) / 10000.0 AS quality
+        |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin,
+    "x_token_count" ->
+      """SELECT source,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS re_tokens,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "x_fingerprint" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE doc_id % 20 = 0),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 4),
+        |         i -> array_to_string(toks[i+1:i+5], ' '))) AS sh FROM d),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h64 FROM sh)
+        |SELECT doc_id, min(h64) AS fp_min, max(h64) AS fp_max,
+        |  count(DISTINCT h64) AS n_shingles
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        |  substr(hex(CAST(text AS BLOB)), 1, 16) AS magic_hex,
+        |  substr(md5(text), 1, 16) AS content_hash
+        |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** LLM-data-pipeline operators (SURVEY.md §2.11 X1-X4 + the extended
+  * training-data surface): exact/near dedup, similarity search, text
+  * analysis, fingerprinting, multimodal plumbing.
+  *
+  * Portability: hashes are `hash64` (md5-derived, identical in DuckDB);
+  * all floating aggregations are sequential left-to-right double folds
+  * (bitwise-identical in DuckDB's list_sum) or rounded sums.
+  */
+object QueriesLLM {
+  import Queries.t
+  import graft.functions.GraftFunctions._
+
+  /** X1: exact duplicate groups by content hash. */
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("text_md5"))
+
+  /** X1 variant: dedup keeping first doc per content hash, global counts. */
+  def dedupStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique_texts"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"))
+
+  /** X2: MinHash signatures (16 permutations over 3-shingles) for a doc
+    * sample — the core of near-dup detection, exactly oracle-checkable.
+    */
+  def minhashSig(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perms = permCoeffs(16).zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }.toDF("perm_id", "a", "b")
+    t(s, dir, "documents")
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+      .select(col("doc_id"), hash64(col("sh")).as("h"))
+      .crossJoin(broadcast(perms))
+      .groupBy(col("doc_id"), col("perm_id"))
+      .agg(min((col("a") * (col("h") % MinhashP) + col("b")) % MinhashP).as("sig"))
+      .orderBy(col("doc_id"), col("perm_id"))
+  }
+
+  /** X2: full MinHash-LSH near-dup candidates: 16-perm signatures, 4
+    * bands x 4 rows; pairs sharing a band, similarity estimated as the
+    * fraction of agreeing signature components. Spark-side only (the
+    * banding join is the non-SQL-expressible part → rows-only check);
+    * LshSpec asserts candidates ⊇ true high-Jaccard pairs.
+    */
+  def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perms = permCoeffs(16).zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }.toDF("perm_id", "a", "b")
+    val sigs = t(s, dir, "documents")
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+      .select(col("doc_id"), hash64(col("sh")).as("h"))
+      .crossJoin(broadcast(perms))
+      .groupBy(col("doc_id"), col("perm_id"))
+      .agg(min((col("a") * (col("h") % MinhashP) + col("b")) % MinhashP).as("sig"))
+    // band key = concatenation of the band's 4 sig values in perm order
+    val bandKeys = sigs
+      .withColumn("band", (col("perm_id") / 4).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(concat_ws("_",
+        transform(array_sort(collect_list(struct(col("perm_id"), col("sig")))),
+          x => x.getField("sig").cast("string"))).as("band_key"))
+    val cands = bandKeys.as("x").join(bandKeys.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sigA = sigs.select(col("doc_id").as("doc_a"), col("perm_id"), col("sig").as("sig_a"))
+    val sigB = sigs.select(col("doc_id").as("doc_b"), col("perm_id"), col("sig").as("sig_b"))
+    cands.join(sigA, "doc_a").join(sigB, Seq("doc_b", "perm_id"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg((sum(when(col("sig_a") === col("sig_b"), 1).otherwise(0)) / 16.0).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** X2: exact n-gram Jaccard over sampled same-source pairs — the
+    * ground truth MinHash approximates; exact set arithmetic.
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("source"),
+        array_distinct(shingles(col("text"), 3)).as("sh"))
+    val a = d.select(col("doc_id").as("doc_a"), col("source"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("source"), col("sh").as("sh_b"))
+    a.join(b, Seq("source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("source"), col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_common"),
+        size(array_union(col("sh_a"), col("sh_b"))).as("n_union"))
+      .filter(col("n_common") > 0)
+      .select(col("source"), col("doc_a"), col("doc_b"),
+        Queries.fround(col("n_common").cast("double") / col("n_union"), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.05)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** X2: SimHash — 48-bit signature rendered as a bit string (portable:
+    * string_agg of per-bit majorities in the oracle).
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), hash64(col("tok")).as("h"))
+    toks
+      .select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, 47), b -> shiftright(h, b) % 2)"))
+          .as(Seq("bit_pos", "bit")))
+      .groupBy(col("doc_id"), col("bit_pos"))
+      .agg(sum(col("bit") * 2 - 1).as("balance"))
+      .groupBy(col("doc_id"))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("bit_pos"), col("balance")))),
+        x => when(x.getField("balance") > 0, "1").otherwise("0"))).as("simhash_bits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X3: brute-force exact cosine top-k (k=3) — the contract the ANN
+    * variant is measured against. Sequential double folds keep Spark and
+    * DuckDB bitwise-identical, so rank order matches exactly.
+    */
+  def cosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    q.crossJoin(c)
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("cand_id"), col("rnk"), Queries.fround(col("sim"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** X3 scale path: sign-LSH bucketed ANN — hyperplane sign bits from
+    * deterministic pseudo-hyperplanes; candidates restricted to the
+    * query's bucket (plus Hamming-1 probes). Rows-only check; AnnSpec
+    * measures recall vs [[cosineTopk]].
+    */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    // 8 deterministic hyperplanes: element j of plane p = sin(1 + p*64 + j)
+    def planeSig(v: Column): Column =
+      concat_ws("", (0 until 8).map { p =>
+        val proj = aggregate(
+          zip_with(v, sequence(lit(p * 64 + 1), lit(p * 64 + 64)),
+            (x, j) => x.cast("double") * sin(j.cast("double"))),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, "1").otherwise("0")
+      }: _*)
+    val sigs = e.select(col("vec_id"), col("embedding"), planeSig(col("embedding")).as("bucket"))
+    val q = sigs.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
+    val c = sigs.select(col("vec_id").as("cand_id"), col("embedding").as("cv"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    q.join(c, "bucket") // co-bucket candidates only: the pruned search
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), cosine(col("qv"), col("cv")).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("cand_id"), col("rnk"), Queries.fround(col("sim"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** X4: rule-based language ID vs the labeled lang column. */
+  def langIdQuery(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), langId(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+
+  /** X4: quality scoring per document (sampled). */
+  def qualityQuery(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        length(col("text")).as("n_chars_actual"),
+        qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** X4: token counting — whitespace and BPE-ish regex tokenizations. */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        sum(size(split(col("text"), " "))).as("ws_tokens"),
+        sum(size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))).as("re_tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+
+  /** X4: document fingerprinting — min/max hash over 5-gram shingles
+    * (winnowing-style rolling fingerprint).
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), explode(shingles(col("text"), 5)).as("sh"))
+      .select(col("doc_id"), hash64(col("sh")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("h")).as("fp_min"), max(col("h")).as("fp_max"),
+        countDistinct(col("h")).as("n_shingles"))
+      .orderBy(col("doc_id"))
+
+  /** Multimodal plumbing: treat content as an opaque binary column with
+    * typed metadata — here materialized deterministically from text (the
+    * container lacks media codecs; the binary-column pipeline is real,
+    * the decode itself is stubbed in [[graft.multimodal.Multimodal]]).
+    */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .select(col("doc_id"),
+        length(col("content")).as("n_bytes"),
+        substring(hex(col("content")), 1, 16).as("magic_hex"),
+        substring(md5(col("content")), 1, 16).as("content_hash"))
+      .orderBy(col("doc_id"))
+}

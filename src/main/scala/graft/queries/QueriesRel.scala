@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator inventory (SURVEY.md §2.3-2.8): limits, predicates,
+  * every join shape, aggregation variants, window functions, set ops.
+  * Each function is paired with DuckDB oracle SQL in [[Queries.oracle]].
+  */
+object QueriesRel {
+  import Queries.t
+
+  /** E3: top-k = orderBy + limit → TakeOrderedAndProject (no full sort). */
+  def topk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** E4: range / IN / LIKE / boolean-connective predicates, pushed to scan. */
+  def filterPred(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(
+        (col("p_size").between(10, 30) && col("p_name").like("%er%")) ||
+          (col("p_retailprice") > 1500.0 && !col("p_brand").like("%3%")))
+      .select(col("p_partkey"), col("p_name"), col("p_size"), round(col("p_retailprice"), 2).as("price"))
+      .orderBy(col("p_partkey"))
+
+  /** Q3/Q4/Q2 shape: point-lookup + projection + order (the README query
+    * pattern, over the corpus instead of the UTXO table).
+    */
+  def pointLookup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") === 1L)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .orderBy(col("l_linenumber"))
+
+  /** E5: inner equi-join + aggregation (shuffle join on the fact side). */
+  def joinInner(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("p_brand"))
+
+  /** E6: left outer join — customers keep rows with zero orders. */
+  def joinLeft(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total"))
+      .orderBy(col("c_custkey"))
+
+  /** E6: full outer join of two aggregates on nationkey. */
+  def joinFull(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk_c"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sup = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk_s"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(sup, col("nk_c") === col("nk_s"), "full_outer")
+      .select(
+        coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** E7: left semi (EXISTS). */
+  def joinSemi(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** E7: left anti (NOT EXISTS). */
+  def joinAnti(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** E8: theta join — nation pairs within a region (non-equi conjunct). */
+  def joinTheta(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "nation").select(col("n_regionkey").as("rk1"), col("n_name").as("name1"))
+    val n2 = t(s, dir, "nation").select(col("n_regionkey").as("rk2"), col("n_name").as("name2"))
+    n1.join(n2, col("rk1") === col("rk2") && col("name1") < col("name2"))
+      .groupBy(col("rk1").as("regionkey"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("regionkey"))
+  }
+
+  /** E9: range/interval join against a tiny tier dimension (broadcast
+    * nested-loop — the correct physical plan for a 4-row dim).
+    */
+  def joinRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tiers = Seq(
+      ("t1_low", 0.0, 50000.0), ("t2_mid", 50000.0, 150000.0),
+      ("t3_high", 150000.0, 300000.0), ("t4_top", 300000.0, 1e9))
+      .toDF("tier", "lo", "hi")
+    t(s, dir, "orders")
+      .join(broadcast(tiers), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("tier"))
+  }
+
+  /** E10: explicit broadcast-hash join of dimension chain. */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), Queries.avgMoney(col("c_acctbal")).as("avg_bal"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** E12: exact distinct counts (shuffle-dedup partial aggregation). */
+  def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** E12: HLL++ approximate distinct — no exact oracle (rows-only check). */
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_nd_part"))
+      .orderBy(col("l_returnflag"))
+
+  // E13 rollup/cube/grouping-sets run the same SQL text in Spark and
+  // DuckDB (see Queries.sharedSql) — Expand-based plans in Spark.
+  val rollupSql: String =
+    """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+      |  count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  val cubeSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  val groupingSetsSql: String =
+    """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+      |  count(*) AS n_docs, sum(n_chars) AS total_chars
+      |FROM documents
+      |GROUP BY GROUPING SETS ((lang, source), (lang), ())
+      |ORDER BY lang, source""".stripMargin
+
+  /** E14: the system's one UDAF — geometric mean (Aggregator). */
+  def udafGeomean(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "orders").createOrReplaceTempView("orders_udaf")
+    s.sql(
+      """SELECT o_orderstatus AS status, round(geo_mean(o_totalprice), 2) AS geo_price,
+        |  count(*) AS n
+        |FROM orders_udaf GROUP BY o_orderstatus ORDER BY status""".stripMargin)
+  }
+
+  /** E15: ranking window functions, deterministic tie-break. */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rk", rank().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("rk"), col("drk"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** E16: analytic lag/lead — days between consecutive orders. */
+  def windowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("next_key", coalesce(lead(col("o_orderkey"), 1).over(w), lit(-1L)))
+      .select(col("o_custkey"), col("o_orderkey"),
+        coalesce(datediff(col("o_orderdate"), col("prev_date")), lit(-1)).as("gap_days"),
+        col("next_key"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** E17: frame-spec aggregates — running sum + moving average. */
+  def windowFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("running_total",
+        round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .withColumn("moving_avg3",
+        Queries.half2(avg(col("o_totalprice")).over(w.rowsBetween(-2, 0))))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_total"), col("moving_avg3"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** E18: UNION ALL then aggregate over the union. */
+  def unionAll(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(lit("cust").as("src"), col("c_nationkey").cast("int").as("nationkey"))
+    val sup = t(s, dir, "supplier").select(lit("supp").as("src"), col("s_nationkey").cast("int").as("nationkey"))
+    c.union(sup)
+      .groupBy(col("src"), col("nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("src"), col("nationkey"))
+  }
+
+  /** E19: INTERSECT — nations having both customers and suppliers. */
+  def intersectKeys(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  /** E19: EXCEPT — nations with customers but no suppliers. */
+  def exceptKeys(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+      .except(t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey")))
+      .orderBy(col("nationkey"))
+}

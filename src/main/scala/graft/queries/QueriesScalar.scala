@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Scalar-function families (SURVEY.md §2.9 E20-E25) and the
+  * batch-expressible analogues of the streaming queries (§2.10) whose
+  * semantics a SQL oracle can check (the true streaming path is covered
+  * by StreamingSpec against these same frames).
+  */
+object QueriesScalar {
+  import Queries.t
+
+  /** E20: string functions. */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        substring(col("c_name"), 1, 9).as("prefix"),
+        length(col("c_name")).as("name_len"),
+        concat(col("c_mktsegment"), lit("-"), col("c_name")).as("tagged"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        trim(col("c_name"), "C").as("trimmed"))
+      .orderBy(col("c_custkey"))
+
+  /** E21: binary/hex functions (covers the README `from_hex` pattern). */
+  def hexFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        md5(col("c_name")).as("name_md5"),
+        sha2(col("c_name"), 256).as("name_sha256"),
+        hex(col("c_custkey")).as("key_hex"),
+        reverse(col("c_name")).as("rev_name"),
+        length(unhex(md5(col("c_name")))).as("md5_bytes"))
+      .orderBy(col("c_custkey"))
+
+  /** E22: date/time functions — timestamps only ever output as
+    * epoch-millis or DATE (oracle-parity discipline).
+    */
+  def dateFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        datediff(col("o_orderdate"), to_date(lit("2024-01-01"))).as("days_since"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("epoch_ms"))
+      .orderBy(col("o_orderkey"))
+
+  /** E23: math functions incl. the C2 bit-unpack shape (shiftright). */
+  def mathFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        Queries.fround(col("l_extendedprice") * col("l_discount"), 2).as("disc_amt"),
+        floor(col("l_quantity")).as("qty_floor"),
+        ceil(col("l_quantity")).as("qty_ceil"),
+        round(pow(col("l_discount"), 2), 6).as("disc_sq"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        abs(col("l_quantity") - 25.0).as("dev"),
+        (col("l_orderkey") % 7).as("mod7"),
+        shiftright(col("l_orderkey"), 2).as("key_shr2"),
+        (col("l_orderkey").bitwiseAND(1) =!= 0).as("key_odd"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** E24: array functions over embeddings (sequential double folds —
+    * bitwise-reproducible in the oracle).
+    */
+  def arrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.{dot, norm}
+    t(s, dir, "embeddings")
+      .filter(col("vec_id") % 10 === 0)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        Queries.fround(element_at(col("embedding"), 1).cast("double"), 6).as("first_elem"),
+        Queries.fround(dot(col("embedding"), col("embedding")), 6).as("self_dot"),
+        Queries.fround(norm(col("embedding")), 6).as("l2norm"),
+        Queries.fround(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double")), 6).as("elem_sum"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** E24: explode (generator/UDTF surface) — token frequencies. */
+  def explodeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(40)
+
+  /** E25: JSON functions over events.props. */
+  def jsonFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), Queries.half2(avg(col("k"))).as("avg_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** S1 batch analogue: tumbling 1-hour windows via `window()` (the same
+    * expression the streaming path uses), keyed output as epoch millis.
+    */
+  def streamTumbling(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(unix_millis(col("w.start")).as("hour_start_ms"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("hour_start_ms"), col("event_type"))
+
+  /** S2 batch analogue: session windows (10-minute gap) per user via
+    * `session_window()`; oracle reproduces with gaps-and-islands SQL.
+    */
+  def streamSession(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("user_id") % 10 === 0)
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"), unix_millis(col("w.start")).as("session_start_ms"),
+        col("n_events"), col("session_value"))
+      .orderBy(col("user_id"), col("session_start_ms"))
+
+  /** S4 batch analogue: keep latest event per (user, type) — stateful
+    * dedup semantics expressed as a ranking window.
+    */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id").as("latest_event_id"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+}

@@ -1,0 +1,125 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, File, FileInputStream}
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.codec.{ByteReader, SnapshotCodec}
+
+/** DataSource V2 provider for Bitcoin Core `dumptxoutset` v2 snapshots
+  * (SURVEY.md §2.1 R1): `spark.read.format("utxo").load(path)`.
+  *
+  * The stream is run-length + varint delimited with carried txid-group
+  * state, so a single snapshot is not splittable
+  * (`/root/reference/src/main.rs:221-230`, SURVEY.md §1.3): each file
+  * becomes exactly one InputPartition; parallelism comes from multiple
+  * snapshot files and from `repartition` downstream of the narrow decode
+  * (the same shape the reference's single-threaded scan has, but with
+  * every later stage distributed).
+  *
+  * Column pruning is pushed into the reader: the decode must still walk
+  * every byte (stream format), but unneeded output columns — notably the
+  * txid hex render, the most expensive projection — are never
+  * materialized.
+  */
+class UtxoDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "utxo"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = UtxoTable.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("utxo source requires a path"))
+    new UtxoTable(path)
+  }
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object UtxoTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("txid", StringType, nullable = false),
+    StructField("vout", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("coinbase", BooleanType, nullable = false),
+    StructField("amount", LongType, nullable = false),
+    StructField("script", BinaryType, nullable = false)))
+
+  /** A path may be one snapshot file or a directory of snapshots. */
+  def expand(path: String): Seq[String] = {
+    val f = new File(path)
+    if (f.isDirectory)
+      f.listFiles().filter(_.isFile).map(_.getAbsolutePath).sorted.toSeq
+    else Seq(f.getAbsolutePath)
+  }
+}
+
+class UtxoTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"utxo(`$path`)"
+  override def schema(): StructType = UtxoTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new UtxoScanBuilder(path)
+}
+
+class UtxoScanBuilder(path: String) extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = UtxoTable.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
+  override def build(): Scan = new UtxoScan(path, required)
+}
+
+class UtxoScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"UtxoScan(path=$path, columns=${required.fieldNames.mkString(",")})"
+  override def planInputPartitions(): Array[InputPartition] =
+    UtxoTable.expand(path).map(p => UtxoInputPartition(p): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new UtxoReaderFactory(required.fieldNames)
+}
+
+case class UtxoInputPartition(file: String) extends InputPartition
+
+class UtxoReaderFactory(columns: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new UtxoPartitionReader(partition.asInstanceOf[UtxoInputPartition].file, columns)
+}
+
+/** Streaming one-pass decode of a snapshot file into InternalRows. */
+class UtxoPartitionReader(file: String, columns: Array[String])
+    extends PartitionReader[InternalRow] {
+
+  private val in = new BufferedInputStream(new FileInputStream(file), 1 << 20)
+  private val reader = new ByteReader(in)
+  private val header = SnapshotCodec.readHeader(reader)
+  private val coins = SnapshotCodec.coins(reader, header)
+
+  // pruned projection: precompute the per-column writers once
+  private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(columns.length)
+  private val setters: Array[graft.codec.Coin => Any] = columns.map {
+    case "txid" => (c: graft.codec.Coin) => UTF8String.fromString(c.txid)
+    case "vout" => (c: graft.codec.Coin) => c.vout
+    case "height" => (c: graft.codec.Coin) => c.height
+    case "coinbase" => (c: graft.codec.Coin) => c.coinbase
+    case "amount" => (c: graft.codec.Coin) => c.amount
+    case "script" => (c: graft.codec.Coin) => c.script
+    case other => throw new IllegalArgumentException(s"unknown column $other")
+  }
+
+  override def next(): Boolean = coins.hasNext && {
+    val c = coins.next()
+    var i = 0
+    while (i < setters.length) { row.update(i, setters(i)(c)); i += 1 }
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}

@@ -1,0 +1,129 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.codec._
+
+class UtxoSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("utxo-source-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val tmp = Files.createTempDirectory("utxo-spec").toFile
+  private val knownScript = ScriptCodec.decompress(0, Array.tabulate[Byte](20)(i => (i + 1).toByte))
+  private val knownHex = Hex.encode(knownScript)
+
+  /** Snapshot: 3 coins with a known P2PKH script at heights 30/10/20 in
+    * distinct txid groups, plus 2000 synthetic noise coins.
+    */
+  private def writeFixture(): String = {
+    val noise = SnapshotGen.synthetic(2000, seed = 99L)
+    val marked = Seq(
+      SnapshotGen.Group("11" * 32, Seq(SnapshotGen.GenCoin(0, 30, coinbase = false, 5000, knownScript))),
+      SnapshotGen.Group("22" * 32, Seq(SnapshotGen.GenCoin(1, 10, coinbase = true, 7000, knownScript))),
+      SnapshotGen.Group("33" * 32, Seq(SnapshotGen.GenCoin(2, 20, coinbase = false, 9000, knownScript))))
+    val f = new java.io.File(tmp, "fixture.bin")
+    val out = new BufferedOutputStream(new FileOutputStream(f))
+    try SnapshotGen.write(out, marked ++ noise, blockHashHex = "cd" * 32)
+    finally out.close()
+    f.getAbsolutePath
+  }
+
+  private lazy val fixturePath = writeFixture()
+
+  test("utxo source reads a snapshot end-to-end with correct rows") {
+    val df = spark.read.format("utxo").load(fixturePath)
+    assert(df.schema == UtxoTable.Schema)
+    assert(df.count() == 2003)
+    val marked = df.filter(col("script") === lit(knownScript)).orderBy("height")
+      .collect()
+    assert(marked.map(_.getLong(2)).toSeq == Seq(10L, 20L, 30L))
+    assert(marked.map(_.getString(0)).toSeq == Seq("22" * 32, "33" * 32, "11" * 32))
+    assert(marked.map(_.getLong(1)).toSeq == Seq(1L, 2L, 0L))
+    assert(marked.map(_.getBoolean(3)).toSeq == Seq(true, false, false))
+    assert(marked.map(_.getLong(4)).toSeq == Seq(7000L, 9000L, 5000L))
+  }
+
+  test("utxo source matches the direct codec decode exactly") {
+    val viaSpark = spark.read.format("utxo").load(fixturePath)
+      .orderBy("txid", "vout")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4), Hex.encode(r.getAs[Array[Byte]](5))))
+    val direct = {
+      val in = new java.io.BufferedInputStream(new java.io.FileInputStream(fixturePath))
+      try SnapshotCodec.decode(in)._2
+        .map(c => (c.txid, c.vout, c.height, c.coinbase, c.amount, Hex.encode(c.script)))
+        .toVector.sortBy(t => (t._1, t._2))
+      finally in.close()
+    }
+    assert(viaSpark.toVector == direct)
+  }
+
+  test("column pruning reaches the reader (pruned scan description)") {
+    val df = spark.read.format("utxo").load(fixturePath).select("height", "amount")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("UtxoScan"))
+    assert(df.agg(max("height")).collect()(0).getLong(0) > 0)
+    // pruned description advertises only the requested columns
+    assert(plan.contains("columns=height,amount") || !plan.contains("txid"))
+  }
+
+  test("convert writes script-clustered zstd parquet answering the README query") {
+    val outDir = new java.io.File(tmp, "converted").getAbsolutePath
+    UtxoConvert.convert(spark, fixturePath, outDir, partitions = 4)
+    val back = spark.read.parquet(outDir)
+    assert(back.count() == 2003)
+
+    // the reference README query shape (Q3+Q4+Q2) over the known script
+    val res = back
+      .filter(col("script") === unhex(lit(knownHex)))
+      .select("txid", "vout", "amount", "height")
+      .orderBy("height")
+      .collect()
+    assert(res.map(_.getLong(3)).toSeq == Seq(10L, 20L, 30L))
+    assert(res.map(_.getLong(2)).toSeq == Seq(7000L, 9000L, 5000L))
+
+    // layout: zstd codec + statistics on script present in the footer
+    import scala.jdk.CollectionConverters._
+    val part = new java.io.File(outDir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      assert(blocks.nonEmpty)
+      val cols = blocks.head.getColumns.asScala
+      assert(cols.forall(_.getCodec.toString == "ZSTD"))
+      val script = cols.find(_.getPath.toDotString == "script").get
+      assert(script.getStatistics != null && !script.getStatistics.isEmpty)
+    } finally reader.close()
+
+    // rows are sorted by script within each output file (R4 semantics)
+    import spark.implicits._
+    val unsortedFiles = spark.read.parquet(outDir)
+      .select(input_file_name().as("f"), hex(col("script")).as("s"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (_, it) =>
+        val scripts = it.map(_._2).toVector
+        scripts == scripts.sorted
+      }
+      .collect()
+    assert(unsortedFiles.forall(identity))
+  }
+}
