@@ -1,24 +1,81 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline queries on
+  * `SPARK_GRAFT_SF_DIR`, prints exactly one JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Methodology:
+  *  - a warmup action first (JVM/codegen/Hadoop init cost tens of
+  *    seconds and would otherwise be billed to the first query);
+  *  - each query materialized through the `noop` sink (forces full
+  *    computation of every column — `count()` would let Catalyst prune
+  *    the very work being measured);
+  *  - plus a UTXO convert benchmark (the reference's headline metric,
+  *    ~507K rows/s single-threaded): synthetic 2M-coin snapshot →
+  *    decode → repartition → sort-within-partitions → zstd parquet.
+  */
 object Bench {
+
+  /** Representative heavy queries across the operator inventory. */
+  private val headline = Seq(
+    "q0_flagship", "q1_agg", "q_join_inner", "q_join_left",
+    "q_agg_distinct", "q_rollup", "q_window_rank", "q_window_frame",
+    "q_explode", "s_tumbling", "s_session",
+    "x_exact_dedup", "x_minhash_lsh", "x_simhash", "x_cosine_topk")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def runNoop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // warmup: touch every table + codegen/agg/join machinery once
+    try runNoop(SparkEntry.queries("q0_flagship")(spark, sfDir)) catch { case _: Throwable => () }
+
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try runNoop(fn(spark, sfDir))
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // convert benchmark: 2M synthetic coins through the full pipeline
+    val convert = try {
+      val snap = new java.io.File("/tmp/graft_bench_snap.bin")
+      if (!snap.exists() || snap.length() == 0) {
+        val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(snap), 1 << 20)
+        try graft.codec.SnapshotGen.writeSynthetic(out, 2000000, seed = 42L)
+        finally out.close()
+      }
+      val t0 = System.nanoTime()
+      graft.sources.UtxoConvert.convert(spark, snap.getAbsolutePath,
+        "/tmp/graft_bench_convert_out", partitions = cpus.toInt)
+      val sec = (System.nanoTime() - t0) / 1e9
+      Seq("utxo_convert_2m" -> sec)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] utxo_convert failed: ${e.getMessage}"); Seq.empty
+    }
+
+    val all = results ++ convert
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = all.map(_._2).sum
+    val rowsPerSec = convert.headOption.map(c => (2000000 / c._2).toLong).getOrElse(0L)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","convert_rows_per_s":$rowsPerSec}""")
     spark.stop()
   }
 }

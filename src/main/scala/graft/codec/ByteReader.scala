@@ -34,6 +34,21 @@ final class ByteReader(in: InputStream) {
     buf
   }
 
+  def skipFully(n: Long): Unit = {
+    var left = n
+    while (left > 0) {
+      val k = in.skip(left)
+      if (k <= 0) { // skip() may return 0 on buffered boundaries; fall back
+        if (in.read() < 0) throw new EOFException(s"unexpected EOF after $count bytes (skipping)")
+        left -= 1
+        count += 1
+      } else {
+        left -= k
+        count += k
+      }
+    }
+  }
+
   def readU16LE(): Int = {
     val a = readByte(); val b = readByte()
     a | (b << 8)

@@ -45,8 +45,14 @@ object SnapshotCodec {
     * the compressed coin (code varint, amount varint, script).
     */
   def coins(r: ByteReader, header: SnapshotHeader): Iterator[Coin] =
+    coins(r, header.numUtxos)
+
+  /** Range variant: read exactly `total` coins starting at a txid-group
+    * boundary (used by indexed parallel scans, [[SnapshotIndexer]]).
+    */
+  def coins(r: ByteReader, total: Long): Iterator[Coin] =
     new Iterator[Coin] {
-      private var remaining = header.numUtxos
+      private var remaining = total
       private var coinsLeftInGroup = 0L
       private var txidHex: String = null
 

@@ -43,6 +43,55 @@ object SnapshotGen {
     numUtxos
   }
 
+  /** Streaming variant of [[synthetic]]+[[write]]: generates and writes
+    * `n` coins without materializing the group list (used by the convert
+    * benchmark at millions of rows). Returns bytes of the body written.
+    */
+  def writeSynthetic(out: OutputStream, n: Int, seed: Long = 42L,
+      blockHashHex: String = "00" * 32): Long = {
+    val rnd = new scala.util.Random(seed)
+    // header with exact count
+    out.write(SnapshotCodec.magicBytes)
+    out.write(Array[Byte](2, 0))
+    var i = 0
+    while (i < 4) { out.write(((MainnetMagic >>> (8 * i)) & 0xff).toInt); i += 1 }
+    out.write(TxidHex.parse(blockHashHex))
+    i = 0
+    while (i < 8) { out.write(((n.toLong >>> (8 * i)) & 0xff).toInt); i += 1 }
+    var made = 0
+    while (made < n) {
+      val txid = new Array[Byte](32); rnd.nextBytes(txid)
+      val k = math.min(n - made, 1 + rnd.nextInt(3))
+      out.write(txid)
+      out.write(Varint.writeCompactSize(k.toLong))
+      var j = 0
+      while (j < k) {
+        val script = rnd.nextInt(10) match {
+          case 0 | 1 | 2 => ScriptCodec.decompress(0, Array.fill(20)(rnd.nextInt(256).toByte))
+          case 3 | 4     => ScriptCodec.decompress(1, Array.fill(20)(rnd.nextInt(256).toByte))
+          case 5         => Array[Byte](0, 20) ++ Array.fill(20)(rnd.nextInt(256).toByte)
+          case 6         => Array[Byte](0x51, 32) ++ Array.fill(32)(rnd.nextInt(256).toByte)
+          case 7         => Array[Byte](0x6a.toByte, 8) ++ Array.fill(8)(rnd.nextInt(256).toByte)
+          case _         => ScriptCodec.decompress(2 + rnd.nextInt(2), Array.fill(32)(rnd.nextInt(256).toByte))
+        }
+        val amount = rnd.nextInt(5) match {
+          case 0 => 0L
+          case 1 => 546L
+          case 2 => math.abs(rnd.nextLong()) % 2100000000000000L
+          case 3 => math.pow(10, rnd.nextInt(12)).toLong
+          case _ => 1L + rnd.nextInt(100000000)
+        }
+        out.write(Varint.writeCompactSize(j.toLong))
+        out.write(Varint.writeCoreVarint((rnd.nextInt(900000).toLong << 1) | (if (rnd.nextInt(50) == 0) 1L else 0L)))
+        out.write(Varint.writeCoreVarint(AmountCodec.compress(amount)))
+        out.write(ScriptCodec.compressForFixture(script))
+        j += 1
+      }
+      made += k
+    }
+    n.toLong
+  }
+
   /** Deterministic pseudo-random snapshot of `n` coins (seeded), covering
     * all script classes and amount shapes; used by the convert benchmark.
     */

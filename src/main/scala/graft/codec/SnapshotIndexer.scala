@@ -1,0 +1,69 @@
+package graft.codec
+
+import java.io.{BufferedInputStream, FileInputStream}
+
+/** Two-pass parallel-scan support for the (otherwise unsplittable)
+  * snapshot stream: pass 1 skip-parses the varint structure — no coin
+  * materialization, no script decompression, no hex — recording clean
+  * split points at txid-group boundaries; pass 2 (the DSv2 partitions)
+  * decodes each [offset, nCoins) range independently and in parallel.
+  *
+  * This replaces the single-reader + full-data `repartition` shuffle
+  * with zero shuffled bytes: at 100 TB the shuffle IS the convert cost,
+  * so indexing (a single cheap sequential pass over compressed-size
+  * varints) wins by orders of magnitude. Split state is trivially clean
+  * at group boundaries (`coins_per_hash_left == 0`, the same run-length
+  * state machine as `/root/reference/src/main.rs:221-230`).
+  */
+object SnapshotIndexer {
+
+  /** One independently-decodable range: byte offset of a txid-group
+    * start and the number of coins until the next split (or EOF).
+    */
+  final case class Split(offset: Long, nCoins: Long)
+
+  /** Skip one coin's body (vout already consumed by caller? no — this
+    * skips vout + code + amount + script). Varints must be walked
+    * byte-by-byte; script payloads are skipped in bulk.
+    */
+  private def skipCoin(r: ByteReader): Unit = {
+    Varint.readCompactSize(r) // vout
+    Varint.readCoreVarint(r) // height/coinbase code
+    Varint.readCoreVarint(r) // compressed amount
+    val len = Varint.readCoreVarint(r)
+    if (len < ScriptCodec.SpecialScripts) {
+      r.skipFully(if (len <= 1) 20 else 32)
+    } else {
+      r.skipFully((len - ScriptCodec.SpecialScripts).toInt)
+    }
+  }
+
+  /** Index a snapshot file into splits of ~`coinsPerSplit` coins. */
+  def index(file: String, coinsPerSplit: Long = 64L * 1024): (SnapshotHeader, Seq[Split]) = {
+    val in = new BufferedInputStream(new FileInputStream(file), 1 << 20)
+    try {
+      val r = new ByteReader(in)
+      val header = SnapshotCodec.readHeader(r)
+      val splits = Vector.newBuilder[Split]
+      var splitStart = r.bytesRead
+      var splitCoins = 0L
+      var remaining = header.numUtxos
+      while (remaining > 0) {
+        // group boundary: candidate split point
+        if (splitCoins >= coinsPerSplit) {
+          splits += Split(splitStart, splitCoins)
+          splitStart = r.bytesRead
+          splitCoins = 0L
+        }
+        r.skipFully(32) // txid
+        var inGroup = Varint.readCompactSize(r)
+        require(inGroup > 0, "empty txid coin group")
+        remaining -= inGroup
+        splitCoins += inGroup
+        while (inGroup > 0) { skipCoin(r); inGroup -= 1 }
+      }
+      if (splitCoins > 0) splits += Split(splitStart, splitCoins)
+      (header, splits.result())
+    } finally in.close()
+  }
+}

@@ -157,7 +157,10 @@ object Queries {
     "x_quality" -> (QueriesLLM.qualityQuery _),
     "x_token_count" -> (QueriesLLM.tokenCount _),
     "x_fingerprint" -> (QueriesLLM.fingerprint _),
-    "x_multimodal_meta" -> (QueriesLLM.multimodalMeta _)
+    "x_multimodal_meta" -> (QueriesLLM.multimodalMeta _),
+    "x_multimodal_features" -> ((s: SparkSession, dir: String) =>
+      graft.multimodal.Multimodal.extractFeatures(s,
+        graft.multimodal.Multimodal.mediaFromDocuments(s, dir)).orderBy("media_id"))
   )
 
   // --------------------------------------------------------------- oracle

@@ -34,13 +34,21 @@ object UtxoConvert {
 
   def convert(spark: SparkSession, input: String, output: String,
       partitions: Int = 0, rangePartition: Boolean = false,
-      blockSizeBytes: Long = 16L * 1024 * 1024): Unit = {
+      blockSizeBytes: Long = 16L * 1024 * 1024,
+      zstdLevel: Int = 1): Unit = {
     val n = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
+    // level 1 keeps the convert CPU-bound on decode, not the codec;
+    // within a few % of level-3 size on script-sorted data
+    spark.sparkContext.hadoopConfiguration
+      .setInt("parquet.compression.codec.zstd.level", zstdLevel)
     val df = load(spark, input)
+    // indexed scans (source default) already plan ~64Ki-coin partitions:
+    // write straight from them — zero shuffled bytes. Shuffle only when
+    // global script clustering is requested.
     val shaped =
       if (rangePartition) df.repartitionByRange(n, col("script"))
-      else df.repartition(n)
+      else df
     shaped
       .sortWithinPartitions("script")
       .write

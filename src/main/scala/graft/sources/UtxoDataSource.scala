@@ -12,23 +12,26 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.codec.{ByteReader, SnapshotCodec}
+import graft.codec.{ByteReader, SnapshotCodec, SnapshotIndexer}
 
 /** DataSource V2 provider for Bitcoin Core `dumptxoutset` v2 snapshots
   * (SURVEY.md §2.1 R1): `spark.read.format("utxo").load(path)`.
   *
   * The stream is run-length + varint delimited with carried txid-group
-  * state, so a single snapshot is not splittable
-  * (`/root/reference/src/main.rs:221-230`, SURVEY.md §1.3): each file
-  * becomes exactly one InputPartition; parallelism comes from multiple
-  * snapshot files and from `repartition` downstream of the narrow decode
-  * (the same shape the reference's single-threaded scan has, but with
-  * every later stage distributed).
+  * state (`/root/reference/src/main.rs:221-230`, SURVEY.md §1.3), so a
+  * snapshot cannot be split at arbitrary byte offsets. Parallelism
+  * strategy, in order:
+  *  - **indexed two-pass scan (default)**: a fast skip-parse pass
+  *    ([[SnapshotIndexer]]) finds txid-group boundaries and plans one
+  *    InputPartition per ~`coinsPerSplit` coins — N parallel decoders,
+  *    zero shuffle;
+  *  - `option("index", "false")`: one partition per snapshot file
+  *    (multi-file directories still parallelize per-file);
+  *    downstream `repartition` then distributes.
   *
-  * Column pruning is pushed into the reader: the decode must still walk
-  * every byte (stream format), but unneeded output columns — notably the
-  * txid hex render, the most expensive projection — are never
-  * materialized.
+  * Column pruning is pushed into the reader: decode still walks every
+  * byte (stream format), but unneeded output columns — notably the txid
+  * hex render — are never materialized.
   */
 class UtxoDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "utxo"
@@ -65,41 +68,64 @@ class UtxoTable(path: String) extends Table with SupportsRead {
   override def schema(): StructType = UtxoTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new UtxoScanBuilder(path)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val indexed = options.getBoolean("index", true)
+    val coinsPerSplit = options.getLong("coinsPerSplit", 64L * 1024)
+    new UtxoScanBuilder(path, indexed, coinsPerSplit)
+  }
 }
 
-class UtxoScanBuilder(path: String) extends ScanBuilder with SupportsPushDownRequiredColumns {
+class UtxoScanBuilder(path: String, indexed: Boolean, coinsPerSplit: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = UtxoTable.Schema
   override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
-  override def build(): Scan = new UtxoScan(path, required)
+  override def build(): Scan = new UtxoScan(path, required, indexed, coinsPerSplit)
 }
 
-class UtxoScan(path: String, required: StructType) extends Scan with Batch {
+class UtxoScan(path: String, required: StructType, indexed: Boolean, coinsPerSplit: Long)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"UtxoScan(path=$path, columns=${required.fieldNames.mkString(",")})"
+  override def description(): String =
+    s"UtxoScan(path=$path, indexed=$indexed, columns=${required.fieldNames.mkString(",")})"
   override def planInputPartitions(): Array[InputPartition] =
-    UtxoTable.expand(path).map(p => UtxoInputPartition(p): InputPartition).toArray
+    UtxoTable.expand(path).flatMap { file =>
+      if (indexed) {
+        val (_, splits) = SnapshotIndexer.index(file, coinsPerSplit)
+        splits.map(s => UtxoInputPartition(file, s.offset, s.nCoins): InputPartition)
+      } else {
+        Seq(UtxoInputPartition(file, -1L, -1L): InputPartition)
+      }
+    }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new UtxoReaderFactory(required.fieldNames)
 }
 
-case class UtxoInputPartition(file: String) extends InputPartition
+/** offset = -1 → whole file (parse header); else a group-aligned range. */
+case class UtxoInputPartition(file: String, offset: Long, nCoins: Long) extends InputPartition
 
 class UtxoReaderFactory(columns: Array[String]) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new UtxoPartitionReader(partition.asInstanceOf[UtxoInputPartition].file, columns)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[UtxoInputPartition]
+    new UtxoPartitionReader(p.file, p.offset, p.nCoins, columns)
+  }
 }
 
-/** Streaming one-pass decode of a snapshot file into InternalRows. */
-class UtxoPartitionReader(file: String, columns: Array[String])
+/** Streaming one-pass decode of a snapshot range into InternalRows. */
+class UtxoPartitionReader(file: String, offset: Long, nCoins: Long, columns: Array[String])
     extends PartitionReader[InternalRow] {
 
-  private val in = new BufferedInputStream(new FileInputStream(file), 1 << 20)
+  private val fis = new FileInputStream(file)
+  private val in = new BufferedInputStream(fis, 1 << 20)
   private val reader = new ByteReader(in)
-  private val header = SnapshotCodec.readHeader(reader)
-  private val coins = SnapshotCodec.coins(reader, header)
+  private val coins: Iterator[graft.codec.Coin] =
+    if (offset < 0) {
+      val header = SnapshotCodec.readHeader(reader)
+      SnapshotCodec.coins(reader, header.numUtxos)
+    } else {
+      fis.getChannel.position(offset)
+      SnapshotCodec.coins(reader, nCoins)
+    }
 
   // pruned projection: precompute the per-column writers once
   private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(columns.length)

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.10 S1-S5) over the events
+  * schema. Each transform takes a streaming DataFrame (from
+  * [[readEventsStream]]) and is the exact streaming counterpart of the
+  * batch analogue in QueriesScalar — StreamingSpec drives both over the
+  * same data and asserts equality.
+  *
+  * Design-for-scale notes: all aggregations are keyed so state
+  * partitions by (window/session, key) and scales horizontally; every
+  * query carries a watermark so state is bounded and late data has
+  * defined semantics.
+  */
+object StreamingQueries {
+
+  /** File-based streaming source over the corpus events table. The raw
+    * parquet carries TIMESTAMP(NANOS) (read as long, see Queries.t);
+    * schema must be explicit for streaming reads.
+    */
+  val EventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos (legacy nanosAsLong)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** `eventsDir` must be a DIRECTORY of events parquet files (Spark's
+    * file streaming source watches directories, not single files) —
+    * new files appearing there flow through incrementally.
+    */
+  def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(EventsRawSchema)
+      .parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** S1: tumbling 1-hour window counts/sums with a 2-hour watermark. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(unix_millis(col("w.start")).as("hour_start_ms"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** S1b: sliding windows (1 hour, sliding 30 minutes). */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("w.start")).as("win_start_ms"), col("event_type"), col("n"))
+
+  /** S2: session windows, 10-minute gap, keyed by user. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"), unix_millis(col("w.start")).as("session_start_ms"),
+        col("n_events"), col("session_value"))
+
+  /** S3+S4: watermarked stateful dedup on event_id. */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** S5: arbitrary stateful processing — running per-user event count
+    * and cumulative value via flatMapGroupsWithState.
+    */
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  def runningPerUser(spark: SparkSession, events: DataFrame): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          it.foreach { e => n += 1; tot += e.value }
+          val next = UserRunning(uid, n, tot)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  /** Run any of the above to completion against a finite file source and
+    * return the materialized result (used by tests and demos; a real
+    * deployment would `.writeStream.format(...)` instead).
+    */
+  def runToBatch(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+    val q = streamed.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
+  /** Append-mode variant (dedup and flatMapGroups need append/update). */
+  def runToBatchAppend(spark: SparkSession, streamed: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append()): DataFrame = {
+    val q = streamed.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+}

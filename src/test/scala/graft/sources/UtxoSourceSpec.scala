@@ -72,6 +72,20 @@ class UtxoSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSpark.toVector == direct)
   }
 
+  test("indexed scan splits at group boundaries losslessly") {
+    // tiny splits force many boundaries; decode must equal whole-file read
+    val indexed = spark.read.format("utxo")
+      .option("coinsPerSplit", "100")
+      .load(fixturePath)
+    assert(indexed.rdd.getNumPartitions > 10)
+    val whole = spark.read.format("utxo").option("index", "false").load(fixturePath)
+    assert(whole.rdd.getNumPartitions == 1)
+    assert(indexed.count() == 2003)
+    val a = indexed.orderBy("txid", "vout").collect().map(_.toString).toSeq
+    val b = whole.orderBy("txid", "vout").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("column pruning reaches the reader (pruned scan description)") {
     val df = spark.read.format("utxo").load(fixturePath).select("height", "amount")
     val plan = df.queryExecution.executedPlan.toString

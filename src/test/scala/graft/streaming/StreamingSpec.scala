@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** S1-S5: streaming results must equal their batch analogues over the
+  * same finite input (SURVEY.md §5 strategy: deterministic checks via
+  * memory sink vs batch-mode equivalents).
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Streaming file sources watch directories: stage the single events
+    * parquet into a temp dir once.
+    */
+  private lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("streaming-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("S1 tumbling window: streaming == batch") {
+    val streamed = StreamingQueries.runToBatch(spark,
+      StreamingQueries.tumbling(StreamingQueries.readEventsStream(spark, eventsDir)), "s1_out")
+    val batch = graft.queries.QueriesScalar.streamTumbling(spark, dir)
+      .select("hour_start_ms", "event_type", "n", "total_value")
+    assert(sortedRows(streamed) == sortedRows(batch))
+  }
+
+  test("S1b sliding window: each event lands in exactly two 1h/30m windows") {
+    val streamed = StreamingQueries.runToBatch(spark,
+      StreamingQueries.sliding(StreamingQueries.readEventsStream(spark, eventsDir)), "s1b_out")
+    val totalEvents = graft.queries.Queries.t(spark, dir, "events").count()
+    val sumN = streamed.agg(sum("n")).collect()(0).getLong(0)
+    assert(sumN == 2 * totalEvents)
+  }
+
+  test("S2 session windows: streaming == batch session_window") {
+    val streamed = StreamingQueries.runToBatch(spark,
+      StreamingQueries.sessions(StreamingQueries.readEventsStream(spark, eventsDir)), "s2_out")
+      .filter(col("user_id") % 10 === 0)
+    val batch = graft.queries.QueriesScalar.streamSession(spark, dir)
+      .select("user_id", "session_start_ms", "n_events", "session_value")
+    assert(sortedRows(streamed) == sortedRows(batch))
+  }
+
+  test("S3/S4 watermarked dedup keeps one row per event_id") {
+    val streamed = StreamingQueries.runToBatchAppend(spark,
+      StreamingQueries.dedup(StreamingQueries.readEventsStream(spark, eventsDir)), "s4_out")
+    val total = graft.queries.Queries.t(spark, dir, "events")
+    assert(streamed.count() == total.select("event_id").distinct().count())
+  }
+
+  test("S5 flatMapGroupsWithState: final per-user totals == batch groupBy") {
+    val events = StreamingQueries.readEventsStream(spark, eventsDir)
+    val streamed = StreamingQueries.runToBatchAppend(spark,
+      StreamingQueries.runningPerUser(spark, events).toDF(),
+      "s5_out", org.apache.spark.sql.streaming.OutputMode.Update())
+    // last update per user is the final running state
+    val finalPerUser = streamed
+      .groupBy("user_id").agg(max("n_events").as("n_events"))
+    val batch = graft.queries.Queries.t(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    assert(sortedRows(finalPerUser) == sortedRows(batch))
+  }
+}
