@@ -53,7 +53,9 @@ object Bench {
       }
     }
 
-    // convert benchmark: 2M synthetic coins through the full pipeline
+    // convert benchmark: 2M synthetic coins through the full pipeline,
+    // then the reference's headline address point-lookup on the output
+    // (README.md:105-107 class: must engage row-group/page skipping)
     val convert = try {
       val snap = new java.io.File("/tmp/graft_bench_snap.bin")
       if (!snap.exists() || snap.length() == 0) {
@@ -64,8 +66,37 @@ object Bench {
       val t0 = System.nanoTime()
       graft.sources.UtxoConvert.convert(spark, snap.getAbsolutePath,
         "/tmp/graft_bench_convert_out", partitions = cpus.toInt)
-      val sec = (System.nanoTime() - t0) / 1e9
-      Seq("utxo_convert_2m" -> sec)
+      val convertSec = (System.nanoTime() - t0) / 1e9
+
+      // globally script-clustered variant: pays one range shuffle at
+      // convert, buys single-file point lookups (the 100 TB layout)
+      val t2 = System.nanoTime()
+      graft.sources.UtxoConvert.convert(spark, snap.getAbsolutePath,
+        "/tmp/graft_bench_convert_clustered", partitions = cpus.toInt,
+        rangePartition = true)
+      val convertClusteredSec = (System.nanoTime() - t2) / 1e9
+
+      // lookups measured after BOTH converts: timing them in the shadow
+      // of 125 MB of dirty page writeback charges the write's IO to the
+      // read (observed 0.95s -> 12s on this host)
+      import org.apache.spark.sql.functions.{col, unhex, lit}
+      val parq = spark.read.parquet("/tmp/graft_bench_convert_out")
+      val someScript = parq.select(org.apache.spark.sql.functions.hex(col("script")))
+        .limit(1).collect()(0).getString(0)
+      def lookup(path: String): Double = {
+        val t = System.nanoTime()
+        spark.read.parquet(path)
+          .filter(col("script") === unhex(lit(someScript)))
+          .select("txid", "vout", "amount", "height")
+          .orderBy("height")
+          .collect()
+        (System.nanoTime() - t) / 1e9
+      }
+      val lookupSec = lookup("/tmp/graft_bench_convert_out")
+      val lookupClusteredSec = lookup("/tmp/graft_bench_convert_clustered")
+      Seq("utxo_convert_2m" -> convertSec, "utxo_point_lookup" -> lookupSec,
+        "utxo_convert_2m_clustered" -> convertClusteredSec,
+        "utxo_point_lookup_clustered" -> lookupClusteredSec)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] utxo_convert failed: ${e.getMessage}"); Seq.empty
     }

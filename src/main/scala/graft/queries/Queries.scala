@@ -142,6 +142,7 @@ object Queries {
     "q_array_funcs" -> (QueriesScalar.arrayFuncs _),
     "q_explode" -> (QueriesScalar.explodeTokens _),
     "q_json_funcs" -> (QueriesScalar.jsonFuncs _),
+    "q_csv_json_scan" -> (QueriesScalar.csvJsonScan _),
     "s_tumbling" -> (QueriesScalar.streamTumbling _),
     "s_session" -> (QueriesScalar.streamSession _),
     "s_dedup_latest" -> (QueriesScalar.streamDedup _),
@@ -160,7 +161,9 @@ object Queries {
     "x_multimodal_meta" -> (QueriesLLM.multimodalMeta _),
     "x_multimodal_features" -> ((s: SparkSession, dir: String) =>
       graft.multimodal.Multimodal.extractFeatures(s,
-        graft.multimodal.Multimodal.mediaFromDocuments(s, dir)).orderBy("media_id"))
+        graft.multimodal.Multimodal.mediaFromDocuments(s, dir)).orderBy("media_id")),
+    "utxo_e2e_point_lookup" -> (QueriesUtxo.e2ePointLookup _),
+    "utxo_e2e_script_types" -> (QueriesUtxo.e2eScriptTypes _)
   )
 
   // --------------------------------------------------------------- oracle
@@ -335,6 +338,10 @@ object Queries {
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY n DESC, token LIMIT 40""".stripMargin,
+    "q_csv_json_scan" ->
+      """SELECT CAST(n_nationkey AS INTEGER) AS nationkey, n_name,
+        |  CAST(n_regionkey AS INTEGER) AS regionkey
+        |FROM nation ORDER BY nationkey""".stripMargin,
     "q_json_funcs" ->
       """SELECT event_type, count(*) AS n,
         |  floor(avg(CAST(props->>'$.k' AS BIGINT)) * 100 + 0.5) / 100.0 AS avg_k,

@@ -56,32 +56,37 @@ object QueriesLLM {
     * LshSpec asserts candidates ⊇ true high-Jaccard pairs.
     */
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val perms = permCoeffs(16).zipWithIndex
-      .map { case ((a, b), i) => (i, a, b) }.toDF("perm_id", "a", "b")
-    val sigs = t(s, dir, "documents")
+    // one 16-element signature array per doc: all 16 permutation minima
+    // in a single map-side-combinable aggregation pass over the shingle
+    // hashes (a perms crossJoin would multiply the shuffle by 16).
+    // Cached: the band explode and both pair sides reuse it — at cluster
+    // scale this materialization is what you'd checkpoint.
+    val minExprs = permCoeffs(16).map { case (a, b) =>
+      min((lit(a) * (col("h") % MinhashP) + lit(b)) % MinhashP)
+    }
+    val sigArr = t(s, dir, "documents")
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
       .select(col("doc_id"), hash64(col("sh")).as("h"))
-      .crossJoin(broadcast(perms))
-      .groupBy(col("doc_id"), col("perm_id"))
-      .agg(min((col("a") * (col("h") % MinhashP) + col("b")) % MinhashP).as("sig"))
-    // band key = concatenation of the band's 4 sig values in perm order
-    val bandKeys = sigs
-      .withColumn("band", (col("perm_id") / 4).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(concat_ws("_",
-        transform(array_sort(collect_list(struct(col("perm_id"), col("sig")))),
-          x => x.getField("sig").cast("string"))).as("band_key"))
-    val cands = bandKeys.as("x").join(bandKeys.as("y"),
+      .groupBy(col("doc_id"))
+      .agg(array(minExprs: _*).as("sigs"))
+      .cache()
+    // 4 bands x 4 rows: band key = the band's slice rendered as a string
+    val banded = sigArr.select(col("doc_id"), col("sigs"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_key",
+        concat_ws("_", transform(slice(col("sigs"), col("band") * 4 + 1, lit(4)),
+          v => v.cast("string"))))
+      .select(col("doc_id"), col("sigs"), col("band"), col("band_key"))
+    val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val sigA = sigs.select(col("doc_id").as("doc_a"), col("perm_id"), col("sig").as("sig_a"))
-    val sigB = sigs.select(col("doc_id").as("doc_b"), col("perm_id"), col("sig").as("sig_b"))
-    cands.join(sigA, "doc_a").join(sigB, Seq("doc_b", "perm_id"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg((sum(when(col("sig_a") === col("sig_b"), 1).otherwise(0)) / 16.0).as("est_jaccard"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sigs").as("sigs_a"), col("y.sigs").as("sigs_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sigs_a"), col("sigs_b"), (x, y) => x === y), b => b))
+          / 16.0).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }

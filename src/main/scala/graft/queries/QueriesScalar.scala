@@ -95,6 +95,26 @@ object QueriesScalar {
       .orderBy(col("n").desc, col("token"))
       .limit(40)
 
+  /** E2: CSV + JSON secondary ingest formats — round-trip the nation
+    * table through both and join them back; the oracle reads the
+    * original parquet (values must survive both formats exactly).
+    */
+  def csvJsonScan(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "nation")
+    val csvPath = "/tmp/graft_nation_csv"
+    val jsonPath = "/tmp/graft_nation_json"
+    base.write.mode("overwrite").option("header", "true").csv(csvPath)
+    base.write.mode("overwrite").json(jsonPath)
+    val fromCsv = s.read.option("header", "true").option("inferSchema", "true").csv(csvPath)
+      .select(col("n_nationkey").cast("int").as("nationkey"), col("n_name").as("name_csv"))
+    val fromJson = s.read.json(jsonPath)
+      .select(col("n_nationkey").cast("int").as("nationkey"), col("n_name").as("name_json"),
+        col("n_regionkey").cast("int").as("regionkey"))
+    fromCsv.join(fromJson, "nationkey")
+      .select(col("nationkey"), col("name_csv").as("n_name"), col("regionkey"))
+      .orderBy(col("nationkey"))
+  }
+
   /** E25: JSON functions over events.props. */
   def jsonFuncs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")

@@ -81,9 +81,11 @@ class UtxoSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val whole = spark.read.format("utxo").option("index", "false").load(fixturePath)
     assert(whole.rdd.getNumPartitions == 1)
     assert(indexed.count() == 2003)
-    val a = indexed.orderBy("txid", "vout").collect().map(_.toString).toSeq
-    val b = whole.orderBy("txid", "vout").collect().map(_.toString).toSeq
-    assert(a == b)
+    def render(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("txid", "vout").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4),
+          Hex.encode(r.getAs[Array[Byte]](5))).toString).toSeq
+    assert(render(indexed) == render(whole))
   }
 
   test("column pruning reaches the reader (pruned scan description)") {
