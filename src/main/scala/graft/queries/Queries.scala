@@ -158,6 +158,7 @@ object Queries {
     "x_quality" -> (QueriesLLM.qualityQuery _),
     "x_token_count" -> (QueriesLLM.tokenCount _),
     "x_fingerprint" -> (QueriesLLM.fingerprint _),
+    "x_tfidf" -> (QueriesLLM.tfidf _),
     "x_multimodal_meta" -> (QueriesLLM.multimodalMeta _),
     "x_multimodal_features" -> ((s: SparkSession, dir: String) =>
       graft.multimodal.Multimodal.extractFeatures(s,
@@ -472,6 +473,22 @@ object Queries {
         |SELECT doc_id, min(h64) AS fp_min, max(h64) AS fp_max,
         |  count(DISTINCT h64) AS n_shingles
         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.token,
+        |    floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1000000 + 0.5) / 1000000.0 AS tfidf
+        |  FROM tf JOIN df USING (token) CROSS JOIN n
+        |  WHERE tf.doc_id % 25 = 0),
+        |ranked AS (SELECT doc_id, token, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, token, rnk, tfidf FROM ranked
+        |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
     "x_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,

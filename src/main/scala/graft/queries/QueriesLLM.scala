@@ -227,6 +227,32 @@ object QueriesLLM {
         countDistinct(col("h")).as("n_shingles"))
       .orderBy(col("doc_id"))
 
+  /** X4: tf-idf — term frequency per (doc, token) joined with document
+    * frequency (E5+E11 composition). Deterministic: tf and df are
+    * integers; idf = ln(N/df) on identical doubles; floor-rounded.
+    * Top-5 terms per sampled doc by (tfidf desc, token).
+    */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.count() // tiny scalar; at scale use a broadcast subquery
+    val tokens = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = tokens.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tokens.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    tf.join(df_, "token")
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), col("token"),
+        Queries.fround(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6).as("tfidf"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("token"), col("rnk"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   /** Multimodal plumbing: treat content as an opaque binary column with
     * typed metadata — here materialized deterministically from text (the
     * container lacks media codecs; the binary-column pipeline is real,
