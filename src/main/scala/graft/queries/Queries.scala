@@ -154,6 +154,7 @@ object Queries {
     "x_simhash" -> (QueriesLLM.simhash _),
     "x_cosine_topk" -> (QueriesLLM.cosineTopk _),
     "x_ann_lsh" -> (QueriesLLM.annLsh _),
+    "x_ann_ivf" -> ((s: SparkSession, dir: String) => QueriesLLM.annIvf(s, dir)),
     "x_lang_id" -> (QueriesLLM.langIdQuery _),
     "x_quality" -> (QueriesLLM.qualityQuery _),
     "x_token_count" -> (QueriesLLM.tokenCount _),

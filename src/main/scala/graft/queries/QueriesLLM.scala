@@ -186,6 +186,51 @@ object QueriesLLM {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** X3 scale path #2: IVF (inverted-file) ANN — coarse-quantize the
+    * corpus with KMeans (seeded, deterministic), probe the `nprobe`
+    * nearest cells per query, exact cosine inside probed cells only.
+    * At 100 TB: centroids broadcast, cell assignment is one narrow map,
+    * search shuffles only the probed fraction (~nprobe/k of the data).
+    * Rows-only check; IvfSpec measures recall vs [[cosineTopk]].
+    */
+  def annIvf(s: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vectors, Vector => MlVector}
+    val e = t(s, dir, "embeddings")
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val feat = e.withColumn("features", toVec(col("embedding"))).cache()
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features").fit(feat)
+    val assigned = model.transform(feat)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (v: MlVector, i) => (i, v.toArray) }
+      .toSeq.toDF("cell", "centroid")
+    // probe list: nprobe nearest cells per query vector
+    val qs = assigned.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))
+    val probes = qs.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cell"),
+        aggregate(zip_with(col("qv"), col("centroid"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (acc, v) => acc + v).as("d2"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    probes.join(assigned.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cv"), col("cell")), "cell")
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), cosine(col("qv"), col("cv")).as("sim"))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("cand_id"), col("rnk"), Queries.fround(col("sim"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** X4: rule-based language ID vs the labeled lang column. */
   def langIdQuery(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

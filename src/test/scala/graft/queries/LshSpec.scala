@@ -63,6 +63,19 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ann.nonEmpty)
   }
 
+  test("IVF ANN: probed-cell search recalls most of brute-force top-3") {
+    val exact = QueriesLLM.cosineTopk(spark, dir)
+      .select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = QueriesLLM.annIvf(spark, dir)
+      .select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // nprobe/k = 4/16 of cells searched; random near-orthogonal 64-dim
+    // embeddings make this a hard case, so pin a floor not a boast
+    assert(recall >= 0.2, s"IVF recall $recall below floor")
+  }
+
   test("simhash near-dup property: identical docs get identical signatures") {
     val sigs = QueriesLLM.simhash(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
