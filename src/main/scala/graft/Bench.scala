@@ -47,9 +47,13 @@ object Bench {
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
-        try runNoop(fn(spark, sfDir))
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        name -> (System.nanoTime() - t0) / 1e9
+        try {
+          runNoop(fn(spark, sfDir))
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          name -> -1.0 // machine-readable failure marker, excluded from total
+        }
       }
     }
 
@@ -59,9 +63,13 @@ object Bench {
     val convert = try {
       val snap = new java.io.File("/tmp/graft_bench_snap.bin")
       if (!snap.exists() || snap.length() == 0) {
-        val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(snap), 1 << 20)
+        // write-to-temp + atomic rename: a crashed prior run must not
+        // leave a truncated file that passes the cache check forever
+        val tmp = new java.io.File(snap.getPath + ".tmp")
+        val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp), 1 << 20)
         try graft.codec.SnapshotGen.writeSynthetic(out, 2000000, seed = 42L)
         finally out.close()
+        if (!tmp.renameTo(snap)) throw new java.io.IOException(s"rename $tmp -> $snap failed")
       }
       val t0 = System.nanoTime()
       graft.sources.UtxoConvert.convert(spark, snap.getAbsolutePath,
@@ -104,7 +112,7 @@ object Bench {
     val all = results ++ convert
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = all.map(_._2).sum
+    val total = all.map(_._2).filter(_ >= 0).sum
     val rowsPerSec = convert.headOption.map(c => (2000000 / c._2).toLong).getOrElse(0L)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","convert_rows_per_s":$rowsPerSec}""")
     spark.stop()

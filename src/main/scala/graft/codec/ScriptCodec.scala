@@ -17,6 +17,13 @@ object ScriptCodec {
   private val OP_EQUALVERIFY = 0x88.toByte
   private val OP_CHECKSIG = 0xac.toByte
 
+  /** Bitcoin Core MAX_SCRIPT_SIZE: scripts above this are replaced by a
+    * lone OP_RETURN and their bytes skipped — the same special case
+    * Core's `CScriptCompressor::Unser` applies, so oversized
+    * (unspendable) on-chain outputs convert instead of crashing.
+    */
+  val MaxScriptSize = 10000L
+
   /** Read one (possibly compressed) script from the stream. */
   def decode(r: ByteReader): Array[Byte] = {
     val len = Varint.readCoreVarint(r)
@@ -26,8 +33,10 @@ object ScriptCodec {
       decompress(scriptType, r.readFully(payloadSize))
     } else {
       val size = len - SpecialScripts
-      require(size <= 10000, s"unreasonable script length $size") // MAX_SCRIPT_SIZE
-      r.readFully(size.toInt)
+      if (size > MaxScriptSize) {
+        r.skipFully(size)
+        Array(0x6a.toByte) // OP_RETURN, per Core's compressor
+      } else r.readFully(size.toInt)
     }
   }
 

@@ -49,8 +49,10 @@ object SnapshotCodec {
 
   /** Range variant: read exactly `total` coins starting at a txid-group
     * boundary (used by indexed parallel scans, [[SnapshotIndexer]]).
+    * With `renderTxid = false` (pruned scans) the per-group hex render
+    * is skipped entirely and `Coin.txid` is null.
     */
-  def coins(r: ByteReader, total: Long): Iterator[Coin] =
+  def coins(r: ByteReader, total: Long, renderTxid: Boolean = true): Iterator[Coin] =
     new Iterator[Coin] {
       private var remaining = total
       private var coinsLeftInGroup = 0L
@@ -62,7 +64,7 @@ object SnapshotCodec {
         if (remaining <= 0) throw new NoSuchElementException
         if (coinsLeftInGroup == 0) {
           val rawTxid = r.readFully(32)
-          txidHex = TxidHex.render(rawTxid)
+          txidHex = if (renderTxid) TxidHex.render(rawTxid) else null
           coinsLeftInGroup = Varint.readCompactSize(r)
           require(coinsLeftInGroup > 0, "empty txid coin group")
         }

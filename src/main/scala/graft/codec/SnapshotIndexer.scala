@@ -34,7 +34,9 @@ object SnapshotIndexer {
     if (len < ScriptCodec.SpecialScripts) {
       r.skipFully(if (len <= 1) 20 else 32)
     } else {
-      r.skipFully((len - ScriptCodec.SpecialScripts).toInt)
+      // Long-safe skip: matches decode(), incl. the oversized-script
+      // OP_RETURN case, which consumes the same byte count
+      r.skipFully(len - ScriptCodec.SpecialScripts)
     }
   }
 

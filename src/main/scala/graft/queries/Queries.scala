@@ -34,12 +34,16 @@ object Queries {
     * timestamp — the corpus has no sub-µs components, so this is
     * lossless and matches DuckDB's value exactly.
     */
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // oracle parity requires UTC regardless of how the caller built the
+    // session (NTZ→LTZ casts and epoch renders are TZ-sensitive)
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else s.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Determinism helpers. `round()` implementations diverge between
     * engines exactly at .005-grid rationals (systematic for products and

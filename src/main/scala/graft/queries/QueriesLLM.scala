@@ -155,10 +155,11 @@ object QueriesLLM {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** X3 scale path: sign-LSH bucketed ANN — hyperplane sign bits from
-    * deterministic pseudo-hyperplanes; candidates restricted to the
-    * query's bucket (plus Hamming-1 probes). Rows-only check; AnnSpec
-    * measures recall vs [[cosineTopk]].
+  /** X3 scale path #1: sign-LSH bucketed ANN — hyperplane sign bits
+    * from deterministic pseudo-hyperplanes; candidates restricted to
+    * the query's exact bucket (single-probe; multi-probe would widen
+    * recall at candidate-count cost). Rows-only check; LshSpec measures
+    * recall vs [[cosineTopk]].
     */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")

@@ -36,10 +36,12 @@ object QueriesUtxo {
         SnapshotGen.Group("11" * 32, Seq(SnapshotGen.GenCoin(0, 30, coinbase = false, 5000, knownScript))),
         SnapshotGen.Group("22" * 32, Seq(SnapshotGen.GenCoin(1, 10, coinbase = true, 7000, knownScript))),
         SnapshotGen.Group("33" * 32, Seq(SnapshotGen.GenCoin(2, 20, coinbase = false, 9000, knownScript))))
-      val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(snap), 1 << 20)
+      val tmp = new File(SnapPath + ".tmp")
+      val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp), 1 << 20)
       try SnapshotGen.write(out, marked ++ SnapshotGen.synthetic(NCoins, seed = 1234L))
       finally out.close()
-      UtxoConvert.convert(s, SnapPath, ParquetPath)
+      if (!tmp.renameTo(snap)) throw new java.io.IOException(s"rename $tmp -> $snap failed")
+      UtxoConvert.convert(s, SnapPath, ParquetPath) // _SUCCESS is the convert's own commit marker
     }
     ParquetPath
   }

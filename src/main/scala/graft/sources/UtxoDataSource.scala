@@ -118,13 +118,14 @@ class UtxoPartitionReader(file: String, offset: Long, nCoins: Long, columns: Arr
   private val fis = new FileInputStream(file)
   private val in = new BufferedInputStream(fis, 1 << 20)
   private val reader = new ByteReader(in)
+  private val renderTxid = columns.contains("txid")
   private val coins: Iterator[graft.codec.Coin] =
     if (offset < 0) {
       val header = SnapshotCodec.readHeader(reader)
-      SnapshotCodec.coins(reader, header.numUtxos)
+      SnapshotCodec.coins(reader, header.numUtxos, renderTxid)
     } else {
       fis.getChannel.position(offset)
-      SnapshotCodec.coins(reader, nCoins)
+      SnapshotCodec.coins(reader, nCoins, renderTxid)
     }
 
   // pruned projection: precompute the per-column writers once

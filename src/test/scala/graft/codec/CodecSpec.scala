@@ -161,6 +161,14 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("oversized raw script decodes to OP_RETURN with bytes skipped (Core semantics)") {
+    val big = 20000L
+    val wire = Varint.writeCoreVarint(big + 6) ++ Array.fill[Byte](big.toInt)(0x42)
+    val r = reader(wire ++ Array[Byte](0x07)) // trailing byte proves position
+    assert(ScriptCodec.decode(r).toSeq == Seq(0x6a.toByte))
+    assert(r.readByte() == 0x07)
+  }
+
   // --- txid hex --------------------------------------------------------
 
   test("txid render reverses bytes and lowercases") {

@@ -23,7 +23,10 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("MinHash-LSH candidates include every truly-high-Jaccard pair") {
     import graft.functions.GraftFunctions._
-    // ground truth: exact Jaccard >= 0.7 over ALL pairs (same shingles)
+    // ground truth threshold 0.85: at j=0.85 the 16-perm agreement
+    // estimate dips below the query's 0.5 cutoff with P ~ 1e-4, so the
+    // superset assertion is stable; at 0.7 estimate noise (sd ~ 0.11)
+    // would make it flaky even when banding found the candidate
     val d = Queries.t(spark, dir, "documents")
       .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
     val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
@@ -33,7 +36,7 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("j"))
-      .filter(col("j") >= 0.7)
+      .filter(col("j") >= 0.85)
       .select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
