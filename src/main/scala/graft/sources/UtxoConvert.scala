@@ -32,6 +32,44 @@ object UtxoConvert {
   def load(spark: SparkSession, input: String): DataFrame =
     spark.read.format("utxo").load(input)
 
+  /** Unsigned-lexicographic byte compare (parquet/Spark binary order). */
+  private def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Approximate script-range bounds from a cheap driver-side sample:
+    * decode ~`perSplit` coins at the head of every k-th indexed split
+    * instead of `repartitionByRange`'s full second decode of the whole
+    * snapshot (at 100 TB the sampling pass would cost as much as the
+    * convert itself). Returns n-1 sorted cut points.
+    */
+  def sampleScriptBounds(input: String, n: Int, perSplit: Int = 512): Array[Array[Byte]] = {
+    val files = UtxoTable.expand(input)
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    files.foreach { file =>
+      val (_, splits) = graft.codec.SnapshotIndexer.index(file)
+      val step = math.max(1, splits.size / 32)
+      splits.indices.by(step).foreach { i =>
+        val fis = new java.io.FileInputStream(file)
+        try {
+          fis.getChannel.position(splits(i).offset)
+          val r = new graft.codec.ByteReader(new java.io.BufferedInputStream(fis, 1 << 16))
+          val it = graft.codec.SnapshotCodec.coins(r, math.min(perSplit.toLong, splits(i).nCoins), renderTxid = false)
+          it.foreach(c => samples += c.script)
+        } finally fis.close()
+      }
+    }
+    val sorted = samples.sortWith(compareBytes(_, _) < 0)
+    (1 until n).map(i => sorted((i.toLong * sorted.size / n).toInt min (sorted.size - 1))).toArray
+  }
+
   def convert(spark: SparkSession, input: String, output: String,
       partitions: Int = 0, rangePartition: Boolean = false,
       blockSizeBytes: Long = 16L * 1024 * 1024,
@@ -44,11 +82,51 @@ object UtxoConvert {
       .setInt("parquet.compression.codec.zstd.level", zstdLevel)
     val df = load(spark, input)
     // indexed scans (source default) already plan ~64Ki-coin partitions:
-    // write straight from them — zero shuffled bytes. Shuffle only when
-    // global script clustering is requested.
+    // write straight from them — zero shuffled bytes. Global script
+    // clustering, when requested, shuffles ONCE on a bucket id computed
+    // against driver-sampled range bounds (repartitionByRange would
+    // re-decode the entire snapshot just to sample).
     val shaped =
-      if (rangePartition) df.repartitionByRange(n, col("script"))
-      else df
+      if (rangePartition) {
+        val bounds = sampleScriptBounds(input, n)
+        // repartition(n, c) routes by pmod(murmur3(c), n): choose one
+        // token per bucket whose hash lands on exactly that partition,
+        // so bucket i → partition i and per-file script ranges stay
+        // DISJOINT (plain bucket ids would hash-collide buckets into
+        // shared files)
+        val tokens = new Array[Int](n)
+        val found = new Array[Boolean](n)
+        var t = 0
+        var remaining = n
+        while (remaining > 0) {
+          val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(t, 42)
+          val p = ((h % n) + n) % n
+          if (!found(p)) { found(p) = true; tokens(p) = t; remaining -= 1 }
+          t += 1
+        }
+        val routeOf = udf { (script: Array[Byte]) =>
+          // self-contained closure (no module capture): binary search
+          // for the first bound > script, unsigned-lex compare
+          def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+            var i = 0
+            val m = math.min(a.length, b.length)
+            while (i < m) {
+              val c = (a(i) & 0xff) - (b(i) & 0xff)
+              if (c != 0) return c
+              i += 1
+            }
+            a.length - b.length
+          }
+          var lo = 0
+          var hi = bounds.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (cmp(bounds(mid), script) <= 0) lo = mid + 1 else hi = mid
+          }
+          tokens(lo)
+        }
+        df.repartition(n, routeOf(col("script")))
+      } else df
     shaped
       .sortWithinPartitions("script")
       .write

@@ -88,6 +88,25 @@ class UtxoSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(render(indexed) == render(whole))
   }
 
+  test("range-partitioned convert globally clusters scripts across files") {
+    val outDir = new java.io.File(tmp, "clustered").getAbsolutePath
+    UtxoConvert.convert(spark, fixturePath, outDir, partitions = 4, rangePartition = true)
+    val back = spark.read.parquet(outDir)
+    assert(back.count() == 2003)
+    // disjoint per-file script ranges: collect per-file min/max, check
+    // no overlaps (each range maps to exactly one file)
+    import spark.implicits._
+    val ranges = back
+      .select(input_file_name().as("f"), hex(col("script")).as("s"))
+      .groupBy("f").agg(min("s").as("lo"), max("s").as("hi"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"file ranges overlap: $hi1 vs $lo2")
+      case _ => ()
+    }
+  }
+
   test("column pruning reaches the reader (pruned scan description)") {
     val df = spark.read.format("utxo").load(fixturePath).select("height", "amount")
     val plan = df.queryExecution.executedPlan.toString
