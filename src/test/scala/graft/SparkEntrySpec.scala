@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Guards on the driver contract itself: entry() smoke, map/oracle key
+  * alignment, and per-query determinism (the hash gate assumes a query
+  * returns identical values on every run).
+  */
+class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("entry-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("entry() returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle entries without a query: $missing")
+  }
+
+  test("declared rows-only queries are the documented set") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val expected = Set("q_agg_approx_distinct", "x_minhash_lsh", "x_ann_lsh",
+      "x_ann_ivf", "x_multimodal_features", "utxo_e2e_point_lookup",
+      "utxo_e2e_script_types")
+    assert(rowsOnly == expected, s"rows-only drift: $rowsOnly")
+  }
+
+  test("oracle'd queries are run-to-run deterministic (hash-gate prerequisite)") {
+    val dir = "/root/testdata/sf0.001"
+    // representative slice across aggregation/window/float/hash paths
+    val names = Seq("q1_agg", "q_window_frame", "x_cosine_topk", "x_minhash_sig",
+      "x_quality", "q_udaf_geomean", "s_session")
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      val a = fn(spark, dir).collect().map(_.toString).toSeq
+      val b = fn(spark, dir).collect().map(_.toString).toSeq
+      assert(a == b, s"$n not deterministic across runs")
+    }
+  }
+}

@@ -88,6 +88,26 @@ class UtxoSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(render(indexed) == render(whole))
   }
 
+  test("directory of snapshots reads all files; empty snapshot reads zero rows") {
+    val dir = new java.io.File(tmp, "multi")
+    dir.mkdirs()
+    def writeSnap(name: String, n: Int, seed: Long): Unit = {
+      val out = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(new java.io.File(dir, name)))
+      try SnapshotGen.write(out, SnapshotGen.synthetic(n, seed))
+      finally out.close()
+    }
+    writeSnap("a.bin", 500, 1L)
+    writeSnap("b.bin", 700, 2L)
+    val df = spark.read.format("utxo").load(dir.getAbsolutePath)
+    assert(df.count() == 1200)
+
+    val empty = new java.io.File(tmp, "empty.bin")
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(empty))
+    try SnapshotGen.write(out, Seq.empty) finally out.close()
+    assert(spark.read.format("utxo").load(empty.getAbsolutePath).count() == 0)
+  }
+
   test("range-partitioned convert globally clusters scripts across files") {
     val outDir = new java.io.File(tmp, "clustered").getAbsolutePath
     UtxoConvert.convert(spark, fixturePath, outDir, partitions = 4, rangePartition = true)
