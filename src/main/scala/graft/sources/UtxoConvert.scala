@@ -70,10 +70,15 @@ object UtxoConvert {
     (1 until n).map(i => sorted((i.toLong * sorted.size / n).toInt min (sorted.size - 1))).toArray
   }
 
+  /** Observability summary of one conversion (SURVEY.md §2 R3 + C7:
+    * the reference logs row progress and tracks running max height).
+    */
+  final case class ConvertStats(rows: Long, maxHeight: Long)
+
   def convert(spark: SparkSession, input: String, output: String,
       partitions: Int = 0, rangePartition: Boolean = false,
       blockSizeBytes: Long = 16L * 1024 * 1024,
-      zstdLevel: Int = 1): Unit = {
+      zstdLevel: Int = 1): ConvertStats = {
     val n = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
     // level 1 keeps the convert CPU-bound on decode, not the codec;
@@ -127,7 +132,12 @@ object UtxoConvert {
         }
         df.repartition(n, routeOf(col("script")))
       } else df
+    // R3/C7: observed metrics ride the job for free (no extra pass) —
+    // the Spark-native form of the reference's progress log + running
+    // max(height) (`/root/reference/src/main.rs:229,269-273`)
+    val obs = org.apache.spark.sql.Observation()
     shaped
+      .observe(obs, count(lit(1)).as("rows"), max(col("height")).as("max_height"))
       .sortWithinPartitions("script")
       .write
       .mode(SaveMode.Overwrite)
@@ -135,6 +145,12 @@ object UtxoConvert {
       .option("parquet.block.size", blockSizeBytes.toString)
       .option("parquet.page.size", (64 * 1024).toString)
       .parquet(output)
+    val m = obs.get
+    def longOf(k: String): Long =
+      m.get(k).collect { case v: java.lang.Number => v.longValue() }.getOrElse(0L)
+    val stats = ConvertStats(longOf("rows"), longOf("max_height"))
+    println(s"[utxo-convert] rows=${stats.rows} max_height=${stats.maxHeight} -> $output")
+    stats
   }
 
   /** CLI parity with the reference binary (`-i snapshot -o parquet`). */

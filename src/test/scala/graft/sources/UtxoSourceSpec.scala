@@ -138,7 +138,10 @@ class UtxoSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("convert writes script-clustered zstd parquet answering the README query") {
     val outDir = new java.io.File(tmp, "converted").getAbsolutePath
-    UtxoConvert.convert(spark, fixturePath, outDir, partitions = 4)
+    val stats = UtxoConvert.convert(spark, fixturePath, outDir, partitions = 4)
+    // R3/C7 observed metrics: row count and running max(height) ride the job
+    assert(stats.rows == 2003)
+    assert(stats.maxHeight >= 30)
     val back = spark.read.parquet(outDir)
     assert(back.count() == 2003)
 
