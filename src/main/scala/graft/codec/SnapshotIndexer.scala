@@ -40,8 +40,22 @@ object SnapshotIndexer {
     }
   }
 
-  /** Index a snapshot file into splits of ~`coinsPerSplit` coins. */
+  // JVM-local memo: the driver indexes the same immutable snapshot for
+  // sampling, planning, and re-reads; key includes size+mtime so a
+  // replaced file re-indexes. Entries are tiny (offsets only).
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long), (SnapshotHeader, Seq[Split])]()
+
+  /** Index a snapshot file into splits of ~`coinsPerSplit` coins
+    * (memoized per file identity).
+    */
   def index(file: String, coinsPerSplit: Long = 64L * 1024): (SnapshotHeader, Seq[Split]) = {
+    val f = new java.io.File(file)
+    memo.computeIfAbsent((file, f.length(), f.lastModified(), coinsPerSplit),
+      _ => indexUncached(file, coinsPerSplit))
+  }
+
+  private def indexUncached(file: String, coinsPerSplit: Long): (SnapshotHeader, Seq[Split]) = {
     val in = new BufferedInputStream(new FileInputStream(file), 1 << 20)
     try {
       val r = new ByteReader(in)
