@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, hex, lit, unhex}
 
 /** Benchmark main (driver contract): runs the headline queries on
   * `SPARK_GRAFT_SF_DIR`, prints exactly one JSON line
@@ -37,6 +38,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // a renamed inventory query must fail loudly, not silently drop
+    // from the benchmark
+    val unknown = headline.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"headline queries missing from inventory: $unknown")
 
     def runNoop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -87,9 +93,8 @@ object Bench {
       // lookups measured after BOTH converts: timing them in the shadow
       // of 125 MB of dirty page writeback charges the write's IO to the
       // read (observed 0.95s -> 12s on this host)
-      import org.apache.spark.sql.functions.{col, unhex, lit}
       val parq = spark.read.parquet("/tmp/graft_bench_convert_out")
-      val someScript = parq.select(org.apache.spark.sql.functions.hex(col("script")))
+      val someScript = parq.select(hex(col("script")))
         .limit(1).collect()(0).getString(0)
       def lookup(path: String): Double = {
         val t = System.nanoTime()

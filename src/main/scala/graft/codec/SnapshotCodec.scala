@@ -108,6 +108,23 @@ object TxidHex {
   def parse(hex64: String): Array[Byte] = Hex.decode(hex64).reverse
 }
 
+/** Unsigned-lexicographic byte ordering (parquet/Spark binary order).
+  * A serializable function object so Spark closures can use it without
+  * capturing an enclosing scope.
+  */
+object UnsignedBytes extends ((Array[Byte], Array[Byte]) => Int) with Serializable {
+  override def apply(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+}
+
 object Hex {
   private[codec] val digits = "0123456789abcdef".toCharArray
 

@@ -17,11 +17,8 @@ object SnapshotGen {
   final case class Group(txidHex: String, coins: Seq[GenCoin])
   final case class GenCoin(vout: Long, height: Long, coinbase: Boolean, amount: Long, script: Array[Byte])
 
-  def write(out: OutputStream, groups: Seq[Group],
-            blockHashHex: String = "00" * 32,
-            networkMagic: Long = MainnetMagic,
-            version: Int = 2): Long = {
-    val numUtxos = groups.map(_.coins.size.toLong).sum
+  private def writeHeader(out: OutputStream, version: Int, networkMagic: Long,
+      blockHashHex: String, numUtxos: Long): Unit = {
     out.write(SnapshotCodec.magicBytes)
     out.write(Array(version.toByte, (version >>> 8).toByte))
     var i = 0
@@ -29,6 +26,14 @@ object SnapshotGen {
     out.write(TxidHex.parse(blockHashHex))
     i = 0
     while (i < 8) { out.write(((numUtxos >>> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+
+  def write(out: OutputStream, groups: Seq[Group],
+            blockHashHex: String = "00" * 32,
+            networkMagic: Long = MainnetMagic,
+            version: Int = 2): Long = {
+    val numUtxos = groups.map(_.coins.size.toLong).sum
+    writeHeader(out, version, networkMagic, blockHashHex, numUtxos)
     groups.foreach { g =>
       require(g.coins.nonEmpty, "txid group must have at least one coin")
       out.write(TxidHex.parse(g.txidHex))
@@ -50,14 +55,7 @@ object SnapshotGen {
   def writeSynthetic(out: OutputStream, n: Int, seed: Long = 42L,
       blockHashHex: String = "00" * 32): Long = {
     val rnd = new scala.util.Random(seed)
-    // header with exact count
-    out.write(SnapshotCodec.magicBytes)
-    out.write(Array[Byte](2, 0))
-    var i = 0
-    while (i < 4) { out.write(((MainnetMagic >>> (8 * i)) & 0xff).toInt); i += 1 }
-    out.write(TxidHex.parse(blockHashHex))
-    i = 0
-    while (i < 8) { out.write(((n.toLong >>> (8 * i)) & 0xff).toInt); i += 1 }
+    writeHeader(out, 2, MainnetMagic, blockHashHex, n.toLong)
     var made = 0
     while (made < n) {
       val txid = new Array[Byte](32); rnd.nextBytes(txid)

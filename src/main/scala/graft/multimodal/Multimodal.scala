@@ -73,16 +73,17 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "kind", "content", "source").as[MediaRow]
       .mapPartitions { rows =>
+        val md5 = java.security.MessageDigest.getInstance("MD5") // one per partition, not per row
         rows.map { r =>
           val (w, h, dur, ch) = stubDecode(r.content, r.kind)
           val frames = if (dur == 0) 1 else (1 + dur / frameEveryMs).toInt
+          md5.reset()
           MediaFeatures(
             media_id = r.media_id,
             kind = r.kind,
             n_bytes = r.content.length,
             width = w, height = h, duration_ms = dur, channels = ch,
-            content_hash = graft.codec.Hex.encode(
-              java.security.MessageDigest.getInstance("MD5").digest(r.content)),
+            content_hash = graft.codec.Hex.encode(md5.digest(r.content)),
             n_frames_sampled = frames)
         }
       }

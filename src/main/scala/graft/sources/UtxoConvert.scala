@@ -32,18 +32,6 @@ object UtxoConvert {
   def load(spark: SparkSession, input: String): DataFrame =
     spark.read.format("utxo").load(input)
 
-  /** Unsigned-lexicographic byte compare (parquet/Spark binary order). */
-  private def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val c = (a(i) & 0xff) - (b(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    a.length - b.length
-  }
-
   /** Approximate script-range bounds from a cheap driver-side sample:
     * decode ~`perSplit` coins at the head of every k-th indexed split
     * instead of `repartitionByRange`'s full second decode of the whole
@@ -66,7 +54,7 @@ object UtxoConvert {
         } finally fis.close()
       }
     }
-    val sorted = samples.sortWith(compareBytes(_, _) < 0)
+    val sorted = samples.sortWith(graft.codec.UnsignedBytes(_, _) < 0)
     (1 until n).map(i => sorted((i.toLong * sorted.size / n).toInt min (sorted.size - 1))).toArray
   }
 
@@ -109,19 +97,9 @@ object UtxoConvert {
           if (!found(p)) { found(p) = true; tokens(p) = t; remaining -= 1 }
           t += 1
         }
+        val cmp = graft.codec.UnsignedBytes // serializable function object
         val routeOf = udf { (script: Array[Byte]) =>
-          // self-contained closure (no module capture): binary search
-          // for the first bound > script, unsigned-lex compare
-          def cmp(a: Array[Byte], b: Array[Byte]): Int = {
-            var i = 0
-            val m = math.min(a.length, b.length)
-            while (i < m) {
-              val c = (a(i) & 0xff) - (b(i) & 0xff)
-              if (c != 0) return c
-              i += 1
-            }
-            a.length - b.length
-          }
+          // binary search for the first bound > script
           var lo = 0
           var hi = bounds.length
           while (lo < hi) {

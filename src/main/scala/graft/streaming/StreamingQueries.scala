@@ -99,22 +99,12 @@ object StreamingQueries {
 
   /** Run any of the above to completion against a finite file source and
     * return the materialized result (used by tests and demos; a real
-    * deployment would `.writeStream.format(...)` instead).
+    * deployment would `.writeStream.format(...)` instead). Aggregations
+    * use the default Complete mode; dedup/flatMapGroups pass
+    * Append/Update.
     */
-  def runToBatch(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
-    val q = streamed.writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
-  }
-
-  /** Append-mode variant (dedup and flatMapGroups need append/update). */
-  def runToBatchAppend(spark: SparkSession, streamed: DataFrame, name: String,
-      mode: OutputMode = OutputMode.Append()): DataFrame = {
+  def runToBatch(spark: SparkSession, streamed: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q = streamed.writeStream
       .outputMode(mode)
       .format("memory")

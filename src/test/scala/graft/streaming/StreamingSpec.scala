@@ -63,15 +63,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("S3/S4 watermarked dedup keeps one row per event_id") {
-    val streamed = StreamingQueries.runToBatchAppend(spark,
-      StreamingQueries.dedup(StreamingQueries.readEventsStream(spark, eventsDir)), "s4_out")
+    val streamed = StreamingQueries.runToBatch(spark,
+      StreamingQueries.dedup(StreamingQueries.readEventsStream(spark, eventsDir)), "s4_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
     val total = graft.queries.Queries.t(spark, dir, "events")
     assert(streamed.count() == total.select("event_id").distinct().count())
   }
 
   test("S5 flatMapGroupsWithState: final per-user totals == batch groupBy") {
     val events = StreamingQueries.readEventsStream(spark, eventsDir)
-    val streamed = StreamingQueries.runToBatchAppend(spark,
+    val streamed = StreamingQueries.runToBatch(spark,
       StreamingQueries.runningPerUser(spark, events).toDF(),
       "s5_out", org.apache.spark.sql.streaming.OutputMode.Update())
     // last update per user is the final running state
