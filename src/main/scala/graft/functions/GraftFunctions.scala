@@ -89,16 +89,25 @@ object GraftFunctions {
         + least(meanTokLen / lit(8.0), lit(1.0)) * lit(0.3)) * 10000 + lit(0.5)) / 10000.0
   }
 
-  /** Register SQL-facing helper functions (used by spark.sql queries and
-    * available to library users).
+  /** Register SQL-facing functions. The codec scalars are native
+    * codegen Expressions (E26 "promote hot ones"), not Scala UDFs —
+    * they stay inside whole-stage codegen; the UDAF is the system's
+    * one Aggregator.
     */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("geo_mean", udaf(GeoMean))
-    spark.udf.register("script_type",
-      (s: Array[Byte]) => graft.codec.ScriptCodec.scriptType(s))
-    spark.udf.register("decompress_amount",
-      (x: Long) => graft.codec.AmountCodec.decompress(x))
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("script_type",
+      exprs => ScriptTypeExpr(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("decompress_amount",
+      exprs => DecompressAmountExpr(exprs.head), "built-in")
   }
+
+  /** Column-API forms of the native expressions (resolve through the
+    * session registry — call [[register]] first).
+    */
+  def scriptType(c: Column): Column = call_function("script_type", c)
+  def decompressAmount(c: Column): Column = call_function("decompress_amount", c)
 }
 
 /** Geometric mean UDAF (E14): exp(mean(ln x)) with a (sumLog, n) buffer.
