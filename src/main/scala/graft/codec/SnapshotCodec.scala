@@ -20,7 +20,22 @@ final case class SnapshotHeader(
     version: Int,
     networkMagic: Long,
     blockHashHex: String,
-    numUtxos: Long)
+    numUtxos: Long) {
+
+  /** Human-readable network, from the little-endian message-start magic
+    * (the reference logs the `Network` it resolves,
+    * `/root/reference/src/main.rs:182,194`). Values are Bitcoin Core's
+    * public chainparams message starts.
+    */
+  def networkName: String = networkMagic match {
+    case 0xd9b4bef9L => "mainnet"
+    case 0x0709110bL => "testnet3"
+    case 0x283f161cL => "testnet4"
+    case 0x40cf030aL => "signet"
+    case 0xdab5bffaL => "regtest"
+    case m => f"unknown(0x$m%08x)"
+  }
+}
 
 object SnapshotCodec {
   private val Magic: Array[Byte] = Array('u', 't', 'x', 'o', 0xff.toByte).map(_.toByte)

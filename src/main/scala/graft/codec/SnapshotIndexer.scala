@@ -1,6 +1,9 @@
 package graft.codec
 
-import java.io.{BufferedInputStream, FileInputStream}
+import java.io.BufferedInputStream
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{ChecksumFileSystem, FileSystem, Path}
 
 /** Two-pass parallel-scan support for the (otherwise unsplittable)
   * snapshot stream: pass 1 skip-parses the varint structure — no coin
@@ -47,16 +50,46 @@ object SnapshotIndexer {
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long), (SnapshotHeader, Seq[Split])]()
 
   /** Index a snapshot file into splits of ~`coinsPerSplit` coins
-    * (memoized per file identity).
+    * (memoized per file identity). Reads through the Hadoop FileSystem
+    * API so snapshots on HDFS/S3/file:// all index identically — at
+    * 100 TB the snapshot lives on a distributed store, not a
+    * driver-local path. Pass the session's `hadoopConfiguration` to
+    * pick up cluster FS settings; the default resolves `file://`.
     */
-  def index(file: String, coinsPerSplit: Long = 64L * 1024): (SnapshotHeader, Seq[Split]) = {
-    val f = new java.io.File(file)
-    memo.computeIfAbsent((file, f.length(), f.lastModified(), coinsPerSplit),
-      _ => indexUncached(file, coinsPerSplit))
+  def index(file: String, coinsPerSplit: Long = 64L * 1024,
+      conf: Configuration = new Configuration()): (SnapshotHeader, Seq[Split]) = {
+    val p = new Path(file)
+    val st = p.getFileSystem(conf).getFileStatus(p)
+    memo.computeIfAbsent((file, st.getLen, st.getModificationTime, coinsPerSplit),
+      _ => indexUncached(p, coinsPerSplit, conf))
   }
 
-  private def indexUncached(file: String, coinsPerSplit: Long): (SnapshotHeader, Seq[Split]) = {
-    val in = new BufferedInputStream(new FileInputStream(file), 1 << 20)
+  /** Resolve the FS for a path, unwrapping the client-side CRC layer:
+    * `LocalFileSystem` re-reads every byte through a software CRC32
+    * (plus a `.crc` side file that never exists for snapshots), which
+    * halves decode throughput for zero integrity gain here. HDFS/S3
+    * checksum at the block/object layer natively and are unaffected.
+    */
+  def fsFor(p: Path, conf: Configuration): FileSystem =
+    p.getFileSystem(conf) match {
+      case c: ChecksumFileSystem => c.getRawFileSystem
+      case fs => fs
+    }
+
+  /** Open a snapshot (optionally at a byte offset) as a buffered stream
+    * via the Hadoop FS — shared by the indexer, the DSv2 partition
+    * readers, and the convert-side bounds sampler.
+    */
+  def open(file: String, conf: Configuration, offset: Long = 0L): BufferedInputStream = {
+    val p = new Path(file)
+    val s = fsFor(p, conf).open(p)
+    if (offset > 0) s.seek(offset)
+    new BufferedInputStream(s, 1 << 20)
+  }
+
+  private def indexUncached(p: Path, coinsPerSplit: Long,
+      conf: Configuration): (SnapshotHeader, Seq[Split]) = {
+    val in = new BufferedInputStream(fsFor(p, conf).open(p), 1 << 20)
     try {
       val r = new ByteReader(in)
       val header = SnapshotCodec.readHeader(r)

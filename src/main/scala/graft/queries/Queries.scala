@@ -148,6 +148,7 @@ object Queries {
     "q_json_funcs" -> (QueriesScalar.jsonFuncs _),
     "q_csv_json_scan" -> (QueriesScalar.csvJsonScan _),
     "s_tumbling" -> (QueriesScalar.streamTumbling _),
+    "s_sliding" -> (QueriesScalar.streamSliding _),
     "s_session" -> (QueriesScalar.streamSession _),
     "s_dedup_latest" -> (QueriesScalar.streamDedup _),
     "x_exact_dedup" -> (QueriesLLM.exactDedup _),
@@ -358,6 +359,15 @@ object Queries {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_start_ms, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start_ms, event_type""".stripMargin,
+    "s_sliding" ->
+      """WITH b AS (SELECT (epoch_ms(ts) // 1800000) * 1800000 AS bucket_ms, event_type
+        |           FROM events),
+        |w AS (SELECT bucket_ms AS win_start_ms, event_type FROM b
+        |      UNION ALL
+        |      SELECT bucket_ms - 1800000 AS win_start_ms, event_type FROM b)
+        |SELECT win_start_ms, event_type, count(*) AS n
+        |FROM w GROUP BY win_start_ms, event_type
+        |ORDER BY win_start_ms, event_type""".stripMargin,
     "s_session" ->
       """WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id % 10 = 0),
         |m AS (SELECT user_id, ts, value,
@@ -499,6 +509,33 @@ object Queries {
         |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
         |  substr(hex(CAST(text AS BLOB)), 1, 16) AS magic_hex,
         |  substr(md5(text), 1, 16) AS content_hash
-        |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin,
+    // The e2e UTXO queries run over the engine-converted parquet, which
+    // DuckDB reads directly from its /tmp path (Verify materializes it
+    // before the driver's oracle pass — ensureConverted is idempotent).
+    "utxo_e2e_point_lookup" ->
+      s"""SELECT txid, vout, amount, height
+         |FROM read_parquet('${QueriesUtxo.ParquetPath}/*.parquet')
+         |WHERE script = from_hex('${QueriesUtxo.knownHex}')
+         |ORDER BY height""".stripMargin,
+    // CASE mirror of ScriptCodec.scriptType over DuckDB's (uppercase)
+    // hex rendering of the script BLOB.
+    "utxo_e2e_script_types" ->
+      s"""WITH u AS (SELECT amount, octet_length(script) AS nb, hex(script) AS h
+         |           FROM read_parquet('${QueriesUtxo.ParquetPath}/*.parquet')),
+         |c AS (SELECT amount,
+         |  CASE
+         |    WHEN nb = 25 AND substr(h, 1, 6) = '76A914' AND substr(h, 47, 4) = '88AC' THEN 'p2pkh'
+         |    WHEN nb = 23 AND substr(h, 1, 4) = 'A914' AND substr(h, 45, 2) = '87' THEN 'p2sh'
+         |    WHEN nb = 35 AND substr(h, 1, 2) = '21' AND substr(h, 3, 2) IN ('02', '03') AND substr(h, 69, 2) = 'AC' THEN 'p2pk'
+         |    WHEN nb = 67 AND substr(h, 1, 4) = '4104' AND substr(h, 133, 2) = 'AC' THEN 'p2pk'
+         |    WHEN nb = 22 AND substr(h, 1, 4) = '0014' THEN 'p2wpkh'
+         |    WHEN nb = 34 AND substr(h, 1, 4) = '0020' THEN 'p2wsh'
+         |    WHEN nb = 34 AND substr(h, 1, 4) = '5120' THEN 'p2tr'
+         |    WHEN nb >= 1 AND substr(h, 1, 2) = '6A' THEN 'op_return'
+         |    ELSE 'other' END AS script_class
+         |  FROM u)
+         |SELECT script_class, count(*) AS n, CAST(sum(amount) AS BIGINT) AS total_sats
+         |FROM c GROUP BY script_class ORDER BY script_class""".stripMargin
   )
 }

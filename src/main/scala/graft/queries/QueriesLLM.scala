@@ -59,8 +59,10 @@ object QueriesLLM {
     // one 16-element signature array per doc: all 16 permutation minima
     // in a single map-side-combinable aggregation pass over the shingle
     // hashes (a perms crossJoin would multiply the shuffle by 16).
-    // Cached: the band explode and both pair sides reuse it — at cluster
-    // scale this materialization is what you'd checkpoint.
+    // localCheckpoint (not cache): the band explode and both pair sides
+    // reuse the materialization, and checkpoint blocks are released by
+    // the ContextCleaner once the plan is GC'd — a `.cache()` here would
+    // pin memory for the life of the session (long driver sessions leak).
     val minExprs = permCoeffs(16).map { case (a, b) =>
       min((lit(a) * (col("h") % MinhashP) + lit(b)) % MinhashP)
     }
@@ -69,7 +71,7 @@ object QueriesLLM {
       .select(col("doc_id"), hash64(col("sh")).as("h"))
       .groupBy(col("doc_id"))
       .agg(array(minExprs: _*).as("sigs"))
-      .cache()
+      .localCheckpoint()
     // 4 bands x 4 rows: band key = the band's slice rendered as a string
     val banded = sigArr.select(col("doc_id"), col("sigs"),
       explode(sequence(lit(0), lit(3))).as("band"))
@@ -197,10 +199,14 @@ object QueriesLLM {
   def annIvf(s: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4): DataFrame = {
     import s.implicits._
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vectors, Vector => MlVector}
+    import org.apache.spark.ml.linalg.{Vector => MlVector}
     val e = t(s, dir, "embeddings")
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val feat = e.withColumn("features", toVec(col("embedding"))).cache()
+    // array_to_vector is the built-in vectorized converter (no row UDF);
+    // localCheckpoint materializes once for KMeans' 5 iterations AND the
+    // later transform, and is auto-released when the plan is GC'd
+    val feat = e.withColumn("features",
+      org.apache.spark.ml.functions.array_to_vector(col("embedding")))
+      .localCheckpoint()
     val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").fit(feat)
     val assigned = model.transform(feat)
@@ -280,7 +286,9 @@ object QueriesLLM {
     */
   def tfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val nDocs = docs.count() // tiny scalar; at scale use a broadcast subquery
+    // corpus size as a broadcast 1-row aggregate, not a driver-side
+    // count(): no extra job, no driver sync — the plan stays one DAG
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs_total"))
     val tokens = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
     val tf = tokens.groupBy(col("doc_id"), col("token"))
@@ -291,8 +299,9 @@ object QueriesLLM {
       .orderBy(col("tfidf").desc, col("token"))
     tf.join(df_, "token")
       .filter(col("doc_id") % 25 === 0)
+      .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("token"),
-        Queries.fround(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6).as("tfidf"))
+        Queries.fround(col("tf") * log(col("n_docs_total") / col("df")), 6).as("tfidf"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("doc_id"), col("token"), col("rnk"), col("tfidf"))

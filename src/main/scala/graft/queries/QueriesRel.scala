@@ -155,7 +155,7 @@ object QueriesRel {
 
   val groupingSetsSql: String =
     """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
-      |  count(*) AS n_docs, sum(n_chars) AS total_chars
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents
       |GROUP BY GROUPING SETS ((lang, source), (lang), ())
       |ORDER BY lang, source""".stripMargin

@@ -136,6 +136,18 @@ object QueriesScalar {
         col("n"), col("total_value"))
       .orderBy(col("hour_start_ms"), col("event_type"))
 
+  /** S1b batch analogue: sliding 1-hour windows every 30 minutes via the
+    * same `window()` expression the streaming path uses (each event lands
+    * in exactly two windows); oracle reproduces with two shifted
+    * 30-minute epoch buckets unioned.
+    */
+  def streamSliding(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("w.start")).as("win_start_ms"), col("event_type"), col("n"))
+      .orderBy(col("win_start_ms"), col("event_type"))
+
   /** S2 batch analogue: session windows (10-minute gap) per user via
     * `session_window()`; oracle reproduces with gaps-and-islands SQL.
     */

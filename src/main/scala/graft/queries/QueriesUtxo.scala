@@ -18,7 +18,8 @@ import graft.sources.UtxoConvert
 object QueriesUtxo {
 
   private val SnapPath = "/tmp/graft_utxo_e2e.bin"
-  private val ParquetPath = "/tmp/graft_utxo_e2e_parquet"
+  /** Public: the oracle SQL reads this parquet directly from DuckDB. */
+  val ParquetPath = "/tmp/graft_utxo_e2e_parquet"
   private val NCoins = 100000
 
   /** Marked script the README-style point query looks up. */

@@ -39,19 +39,19 @@ object UtxoConvert {
     * convert itself). Returns n-1 sorted cut points.
     */
   def sampleScriptBounds(input: String, n: Int, perSplit: Int = 512): Array[Array[Byte]] = {
-    val files = UtxoTable.expand(input)
+    val conf = UtxoTable.hadoopConf()
+    val files = UtxoTable.expand(input, conf)
     val samples = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     files.foreach { file =>
-      val (_, splits) = graft.codec.SnapshotIndexer.index(file)
+      val (_, splits) = graft.codec.SnapshotIndexer.index(file, conf = conf)
       val step = math.max(1, splits.size / 32)
       splits.indices.by(step).foreach { i =>
-        val fis = new java.io.FileInputStream(file)
+        val in = graft.codec.SnapshotIndexer.open(file, conf, splits(i).offset)
         try {
-          fis.getChannel.position(splits(i).offset)
-          val r = new graft.codec.ByteReader(new java.io.BufferedInputStream(fis, 1 << 16))
+          val r = new graft.codec.ByteReader(in)
           val it = graft.codec.SnapshotCodec.coins(r, math.min(perSplit.toLong, splits(i).nCoins), renderTxid = false)
           it.foreach(c => samples += c.script)
-        } finally fis.close()
+        } finally in.close()
       }
     }
     val sorted = samples.sortWith(graft.codec.UnsignedBytes(_, _) < 0)
@@ -73,6 +73,14 @@ object UtxoConvert {
     // within a few % of level-3 size on script-sorted data
     spark.sparkContext.hadoopConfiguration
       .setInt("parquet.compression.codec.zstd.level", zstdLevel)
+    // log the parsed header once (reference logs the resolved Network +
+    // block hash, `/root/reference/src/main.rs:182,194`); index() is
+    // memoized so the scan below reuses this pass
+    val hconf = spark.sparkContext.hadoopConfiguration
+    UtxoTable.expand(input, hconf).headOption.foreach { f =>
+      val (h, _) = graft.codec.SnapshotIndexer.index(f, conf = hconf)
+      println(s"[utxo-convert] network=${h.networkName} block=${h.blockHashHex} utxos=${h.numUtxos}")
+    }
     val df = load(spark, input)
     // indexed scans (source default) already plan ~64Ki-coin partitions:
     // write straight from them — zero shuffled bytes. Global script

@@ -1,8 +1,10 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, File, FileInputStream}
 import java.util.{Map => JMap}
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -11,6 +13,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 import graft.codec.{ByteReader, SnapshotCodec, SnapshotIndexer}
 
@@ -54,13 +57,25 @@ object UtxoTable {
     StructField("amount", LongType, nullable = false),
     StructField("script", BinaryType, nullable = false)))
 
-  /** A path may be one snapshot file or a directory of snapshots. */
-  def expand(path: String): Seq[String] = {
-    val f = new File(path)
-    if (f.isDirectory)
-      f.listFiles().filter(_.isFile).map(_.getAbsolutePath).sorted.toSeq
-    else Seq(f.getAbsolutePath)
+  /** A path may be one snapshot file or a directory of snapshots —
+    * resolved through the Hadoop FileSystem of the path's scheme
+    * (`file://`, `hdfs://`, `s3a://`, ...), so a 100 TB snapshot on a
+    * distributed store lists and reads the same as a local file.
+    */
+  def expand(path: String, conf: Configuration): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    if (st.isDirectory)
+      fs.listStatus(p).filter(_.isFile).map(_.getPath.toString).sorted.toSeq
+    else Seq(st.getPath.toString)
   }
+
+  /** Driver-side Hadoop conf (session-aware when a session is active). */
+  def hadoopConf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
 }
 
 class UtxoTable(path: String) extends Table with SupportsRead {
@@ -88,35 +103,42 @@ class UtxoScan(path: String, required: StructType, indexed: Boolean, coinsPerSpl
   override def toBatch: Batch = this
   override def description(): String =
     s"UtxoScan(path=$path, indexed=$indexed, columns=${required.fieldNames.mkString(",")})"
-  override def planInputPartitions(): Array[InputPartition] =
-    UtxoTable.expand(path).flatMap { file =>
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = UtxoTable.hadoopConf()
+    UtxoTable.expand(path, conf).flatMap { file =>
       if (indexed) {
-        val (_, splits) = SnapshotIndexer.index(file, coinsPerSplit)
+        val (_, splits) = SnapshotIndexer.index(file, coinsPerSplit, conf)
         splits.map(s => UtxoInputPartition(file, s.offset, s.nCoins): InputPartition)
       } else {
         Seq(UtxoInputPartition(file, -1L, -1L): InputPartition)
       }
     }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
-    new UtxoReaderFactory(required.fieldNames)
+    new UtxoReaderFactory(required.fieldNames,
+      new SerializableConfiguration(UtxoTable.hadoopConf()))
 }
 
 /** offset = -1 → whole file (parse header); else a group-aligned range. */
 case class UtxoInputPartition(file: String, offset: Long, nCoins: Long) extends InputPartition
 
-class UtxoReaderFactory(columns: Array[String]) extends PartitionReaderFactory {
+class UtxoReaderFactory(columns: Array[String], conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[UtxoInputPartition]
-    new UtxoPartitionReader(p.file, p.offset, p.nCoins, columns)
+    new UtxoPartitionReader(p.file, p.offset, p.nCoins, columns, conf.value)
   }
 }
 
-/** Streaming one-pass decode of a snapshot range into InternalRows. */
-class UtxoPartitionReader(file: String, offset: Long, nCoins: Long, columns: Array[String])
-    extends PartitionReader[InternalRow] {
+/** Streaming one-pass decode of a snapshot range into InternalRows.
+  * Opens through the Hadoop FS (seekable on every scheme), so executors
+  * read snapshot ranges directly from HDFS/S3 — no driver-local path
+  * assumption (the 100 TB deployment shape).
+  */
+class UtxoPartitionReader(file: String, offset: Long, nCoins: Long, columns: Array[String],
+    conf: Configuration) extends PartitionReader[InternalRow] {
 
-  private val fis = new FileInputStream(file)
-  private val in = new BufferedInputStream(fis, 1 << 20)
+  private val in = SnapshotIndexer.open(file, conf, math.max(offset, 0L))
   private val reader = new ByteReader(in)
   private val renderTxid = columns.contains("txid")
   private val coins: Iterator[graft.codec.Coin] =
@@ -124,7 +146,6 @@ class UtxoPartitionReader(file: String, offset: Long, nCoins: Long, columns: Arr
       val header = SnapshotCodec.readHeader(reader)
       SnapshotCodec.coins(reader, header.numUtxos, renderTxid)
     } else {
-      fis.getChannel.position(offset)
       SnapshotCodec.coins(reader, nCoins, renderTxid)
     }
 
