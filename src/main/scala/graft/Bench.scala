@@ -63,40 +63,55 @@ object Bench {
       }
     }
 
-    // convert benchmark: 2M synthetic coins through the full pipeline,
+    // convert benchmark: synthetic coins through the full pipeline,
     // then the reference's headline address point-lookup on the output
-    // (README.md:105-107 class: must engage row-group/page skipping)
-    val convert = try {
-      val snap = new java.io.File("/tmp/graft_bench_snap.bin")
+    // (README.md:105-107 class: must engage row-group/page skipping).
+    // Every short timing is a min-of-3: a single-shot measurement taken
+    // in the shadow of a prior run's dirty-page writeback bills the
+    // host's IO to the engine (observed 0.5s -> 22s on point lookups);
+    // the min is the engine's latency, the spread is the host's.
+    def ensureSnapshot(path: String, coins: Int, seed: Long): String = {
+      val snap = new java.io.File(path)
       if (!snap.exists() || snap.length() == 0) {
         // write-to-temp + atomic rename: a crashed prior run must not
         // leave a truncated file that passes the cache check forever
         val tmp = new java.io.File(snap.getPath + ".tmp")
         val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp), 1 << 20)
-        try graft.codec.SnapshotGen.writeSynthetic(out, 2000000, seed = 42L)
+        try graft.codec.SnapshotGen.writeSynthetic(out, coins, seed)
         finally out.close()
         if (!tmp.renameTo(snap)) throw new java.io.IOException(s"rename $tmp -> $snap failed")
       }
-      val t0 = System.nanoTime()
-      graft.sources.UtxoConvert.convert(spark, snap.getAbsolutePath,
-        "/tmp/graft_bench_convert_out", partitions = cpus.toInt)
-      val convertSec = (System.nanoTime() - t0) / 1e9
+      snap.getAbsolutePath
+    }
+    def minOf3(f: => Double): Double = (1 to 3).map(_ => f).min
 
+    val convert = try {
+      val snap = ensureSnapshot("/tmp/graft_bench_snap.bin", 2000000, seed = 42L)
+      def timeConvert(out: String, range: Boolean): Double = {
+        val t0 = System.nanoTime()
+        graft.sources.UtxoConvert.convert(spark, snap, out,
+          partitions = cpus.toInt, rangePartition = range)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val convertSec = minOf3(timeConvert("/tmp/graft_bench_convert_out", range = false))
       // globally script-clustered variant: pays one range shuffle at
       // convert, buys single-file point lookups (the 100 TB layout)
-      val t2 = System.nanoTime()
-      graft.sources.UtxoConvert.convert(spark, snap.getAbsolutePath,
-        "/tmp/graft_bench_convert_clustered", partitions = cpus.toInt,
-        rangePartition = true)
-      val convertClusteredSec = (System.nanoTime() - t2) / 1e9
+      val convertClusteredSec = minOf3(timeConvert("/tmp/graft_bench_convert_clustered", range = true))
 
-      // lookups measured after BOTH converts: timing them in the shadow
-      // of 125 MB of dirty page writeback charges the write's IO to the
-      // read (observed 0.95s -> 12s on this host)
+      // sustained throughput: 10M coins, one shot — long enough that JVM
+      // warmup and page-cache transients stop dominating (the reference's
+      // headline is a 177.5M-row sustained number)
+      val snap10 = ensureSnapshot("/tmp/graft_bench_snap10.bin", 10000000, seed = 43L)
+      val t10 = System.nanoTime()
+      graft.sources.UtxoConvert.convert(spark, snap10,
+        "/tmp/graft_bench_convert10_out", partitions = cpus.toInt)
+      val convert10Sec = (System.nanoTime() - t10) / 1e9
+
+      // lookups measured after ALL converts (writeback shadow, above)
       val parq = spark.read.parquet("/tmp/graft_bench_convert_out")
       val someScript = parq.select(hex(col("script")))
         .limit(1).collect()(0).getString(0)
-      def lookup(path: String): Double = {
+      def lookup(path: String): Double = minOf3 {
         val t = System.nanoTime()
         spark.read.parquet(path)
           .filter(col("script") === unhex(lit(someScript)))
@@ -109,7 +124,8 @@ object Bench {
       val lookupClusteredSec = lookup("/tmp/graft_bench_convert_clustered")
       Seq("utxo_convert_2m" -> convertSec, "utxo_point_lookup" -> lookupSec,
         "utxo_convert_2m_clustered" -> convertClusteredSec,
-        "utxo_point_lookup_clustered" -> lookupClusteredSec)
+        "utxo_point_lookup_clustered" -> lookupClusteredSec,
+        "utxo_convert_10m" -> convert10Sec)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] utxo_convert failed: ${e.getMessage}"); Seq.empty
     }
@@ -118,7 +134,9 @@ object Bench {
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
-    val rowsPerSec = convert.headOption.map(c => (2000000 / c._2).toLong).getOrElse(0L)
+    // headline rows/s from the sustained 10M convert (fall back to 2M)
+    val rowsPerSec = convert.toMap.get("utxo_convert_10m").map(s => (10000000 / s).toLong)
+      .orElse(convert.headOption.map(c => (2000000 / c._2).toLong)).getOrElse(0L)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","convert_rows_per_s":$rowsPerSec}""")
     spark.stop()
   }

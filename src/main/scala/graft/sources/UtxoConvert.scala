@@ -66,13 +66,20 @@ object UtxoConvert {
   def convert(spark: SparkSession, input: String, output: String,
       partitions: Int = 0, rangePartition: Boolean = false,
       blockSizeBytes: Long = 16L * 1024 * 1024,
-      zstdLevel: Int = 1): ConvertStats = {
+      zstdLevel: Int = 1,
+      writerVersion: String = "v2"): ConvertStats = {
     val n = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
     // level 1 keeps the convert CPU-bound on decode, not the codec;
     // within a few % of level-3 size on script-sorted data
     spark.sparkContext.hadoopConfiguration
       .setInt("parquet.compression.codec.zstd.level", zstdLevel)
+    // v2 data pages give DELTA_BYTE_ARRAY on the sorted script column —
+    // the reference's prefix-eliding layout (`/root/reference/src/main.rs:214`);
+    // see LayoutReport: measured on the 2M-coin bench snapshot (sorted
+    // scripts, zstd-1) v2 shrinks files and keeps lookup latency equal
+    spark.sparkContext.hadoopConfiguration
+      .set("parquet.writer.version", if (writerVersion == "v2") "PARQUET_2_0" else "PARQUET_1_0")
     // log the parsed header once (reference logs the resolved Network +
     // block hash, `/root/reference/src/main.rs:182,194`); index() is
     // memoized so the scan below reuses this pass

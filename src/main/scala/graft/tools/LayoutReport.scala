@@ -1,0 +1,91 @@
+package graft.tools
+
+import scala.jdk.CollectionConverters._
+
+/** Parquet physical-layout observability: per-file row groups, per-column
+  * encodings, compressed/uncompressed sizes, and — given a hex value —
+  * how many row groups a min/max-stats point lookup would have to read.
+  *
+  * The reference's query story rests on exactly this layout (sorted
+  * scripts + small row groups + column stats → page/row-group skipping,
+  * `/root/reference/src/main.rs:208-216`, README.md:105-107); this tool
+  * makes the engine's output auditable the same way.
+  *
+  * Usage: runMain graft.tools.LayoutReport <parquetDir> [lookupScriptHex]
+  */
+object LayoutReport {
+
+  final case class ColumnLayout(column: String, codec: String,
+      encodings: Set[String], compressedBytes: Long, rawBytes: Long)
+
+  final case class FileLayout(file: String, rows: Long, rowGroups: Int,
+      columns: Seq[ColumnLayout])
+
+  def scan(dir: String): Seq[FileLayout] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val d = new java.io.File(dir)
+    val parts = d.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts.toSeq.map { part =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val byCol = blocks.flatMap(_.getColumns.asScala)
+          .groupBy(_.getPath.toDotString)
+          .map { case (col, chunks) =>
+            ColumnLayout(col,
+              chunks.head.getCodec.toString,
+              chunks.flatMap(_.getEncodings.asScala.map(_.toString)).toSet,
+              chunks.map(_.getTotalSize).sum,
+              chunks.map(_.getTotalUncompressedSize).sum)
+          }.toSeq.sortBy(_.column)
+        FileLayout(part.getName, blocks.map(_.getRowCount).sum, blocks.size, byCol)
+      } finally reader.close()
+    }
+  }
+
+  /** Count (rowGroupsTotal, rowGroupsMatching) for a binary point value
+    * on `column` using footer min/max stats — the skipping a stats-aware
+    * reader achieves on this layout.
+    */
+  def statsMatch(dirOrFile: String, column: String, valueHex: String): (Int, Int) = {
+    val target = graft.codec.Hex.decode(valueHex)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val d = new java.io.File(dirOrFile)
+    val parts =
+      if (d.isDirectory) d.listFiles().filter(_.getName.endsWith(".parquet"))
+      else Array(d)
+    var total = 0
+    var matching = 0
+    parts.foreach { part =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf))
+      try reader.getFooter.getBlocks.asScala.foreach { b =>
+        total += 1
+        val col = b.getColumns.asScala.find(_.getPath.toDotString == column).get
+        val st = col.getStatistics
+        val lo = st.getMinBytes
+        val hi = st.getMaxBytes
+        val cmp = graft.codec.UnsignedBytes
+        if (cmp(lo, target) <= 0 && cmp(target, hi) <= 0) matching += 1
+      } finally reader.close()
+    }
+    (total, matching)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    scan(dir).foreach { f =>
+      println(s"${f.file}: rows=${f.rows} rowGroups=${f.rowGroups}")
+      f.columns.foreach { c =>
+        println(f"  ${c.column}%-10s ${c.codec}%-6s comp=${c.compressedBytes}%10d raw=${c.rawBytes}%10d enc=${c.encodings.mkString(",")}")
+      }
+    }
+    if (args.length > 1) {
+      val (total, matching) = statsMatch(dir, "script", args(1))
+      println(s"point-lookup stats: $matching of $total row groups match")
+    }
+  }
+}

@@ -154,22 +154,17 @@ class UtxoSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.map(_.getLong(3)).toSeq == Seq(10L, 20L, 30L))
     assert(res.map(_.getLong(2)).toSeq == Seq(7000L, 9000L, 5000L))
 
-    // layout: zstd codec + statistics on script present in the footer
-    import scala.jdk.CollectionConverters._
-    val part = new java.io.File(outDir).listFiles()
-      .filter(f => f.getName.endsWith(".parquet")).head
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf))
-    try {
-      val blocks = reader.getFooter.getBlocks.asScala
-      assert(blocks.nonEmpty)
-      val cols = blocks.head.getColumns.asScala
-      assert(cols.forall(_.getCodec.toString == "ZSTD"))
-      val script = cols.find(_.getPath.toDotString == "script").get
-      assert(script.getStatistics != null && !script.getStatistics.isEmpty)
-    } finally reader.close()
+    // layout: zstd codec + statistics on script present in the footer +
+    // the v2 prefix-eliding encodings on the sorted columns (the
+    // reference's DELTA_BYTE_ARRAY layout, src/main.rs:214)
+    val layout = graft.tools.LayoutReport.scan(outDir)
+    assert(layout.nonEmpty)
+    layout.foreach { f =>
+      f.columns.foreach(c => assert(c.codec == "ZSTD", s"${c.column} codec ${c.codec}"))
+      val script = f.columns.find(_.column == "script").get
+      assert(script.encodings.contains("DELTA_BYTE_ARRAY"),
+        s"script encodings ${script.encodings}")
+    }
 
     // rows are sorted by script within each output file (R4 semantics)
     import spark.implicits._
@@ -183,5 +178,43 @@ class UtxoSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       .collect()
     assert(unsortedFiles.forall(identity))
+  }
+
+  test("point lookup skips row groups (plain) and prunes to one file (clustered)") {
+    // small row groups force several per file, so the footer min/max
+    // stats — what a stats-aware reader skips on — are testable: the
+    // known-script point query must touch strictly fewer row groups
+    // than the file holds (the reference's whole 0.6s-query story,
+    // README.md:105-107, rides on this skipping)
+    val plainDir = new java.io.File(tmp, "skip-plain").getAbsolutePath
+    UtxoConvert.convert(spark, fixturePath, plainDir, partitions = 2,
+      blockSizeBytes = 8 * 1024)
+    val (totalRg, matchRg) = graft.tools.LayoutReport.statsMatch(plainDir, "script", knownHex)
+    assert(totalRg >= 8, s"fixture too small to form row groups: $totalRg")
+    assert(matchRg >= 1, "known script must be inside some row group range")
+    assert(matchRg.toDouble / totalRg <= 0.5,
+      s"stats-based skipping too weak: $matchRg of $totalRg row groups match")
+
+    // globally clustered: disjoint per-file ranges → exactly one file
+    // (of several) can contain the known script
+    val clusDir = new java.io.File(tmp, "skip-clustered").getAbsolutePath
+    UtxoConvert.convert(spark, fixturePath, clusDir, partitions = 4,
+      rangePartition = true, blockSizeBytes = 8 * 1024)
+    val files = graft.tools.LayoutReport.scan(clusDir)
+    assert(files.size >= 2, s"expected multiple clustered files, got ${files.size}")
+    val matchingFiles = files.count { f =>
+      val (tot, m) = graft.tools.LayoutReport.statsMatch(
+        new java.io.File(clusDir).getAbsolutePath + "/" + f.file, "script", knownHex)
+      m > 0
+    }
+    assert(matchingFiles == 1,
+      s"clustered convert must prune the lookup to one file, got $matchingFiles")
+
+    // and Spark's scan actually exploits it: the filtered read over the
+    // clustered layout returns the 3 marked coins
+    val res = spark.read.parquet(clusDir)
+      .filter(col("script") === unhex(lit(knownHex)))
+      .select("height").orderBy("height").collect().map(_.getLong(0)).toSeq
+    assert(res == Seq(10L, 20L, 30L))
   }
 }
