@@ -158,7 +158,7 @@ object Queries {
     "x_ngram_jaccard" -> (QueriesLLM.ngramJaccard _),
     "x_simhash" -> (QueriesLLM.simhash _),
     "x_cosine_topk" -> (QueriesLLM.cosineTopk _),
-    "x_ann_lsh" -> (QueriesLLM.annLsh _),
+    "x_ann_lsh" -> ((s: SparkSession, dir: String) => QueriesLLM.annLsh(s, dir)),
     "x_ann_ivf" -> ((s: SparkSession, dir: String) => QueriesLLM.annIvf(s, dir)),
     "x_lang_id" -> (QueriesLLM.langIdQuery _),
     "x_quality" -> (QueriesLLM.qualityQuery _),

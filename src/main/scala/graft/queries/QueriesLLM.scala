@@ -157,31 +157,58 @@ object QueriesLLM {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** X3 scale path #1: sign-LSH bucketed ANN — hyperplane sign bits
-    * from deterministic pseudo-hyperplanes; candidates restricted to
-    * the query's exact bucket (single-probe; multi-probe would widen
-    * recall at candidate-count cost). Rows-only check; LshSpec measures
-    * recall vs [[cosineTopk]].
+  /** X3 scale path #1: sign-LSH bucketed ANN — `tables` independent
+    * hash tables of `bitsPerTable` hyperplane sign bits each, with
+    * Hamming-1 multi-probe on the query side (the query additionally
+    * probes every bucket one bit-flip away, so near-miss buckets are
+    * searched without widening the candidate index). Candidates index
+    * each vector `tables` times; queries fan out
+    * `tables * (bitsPerTable + 1)` probes — both narrow, shuffled joins
+    * on the bucket key, never all-pairs. Rows-only check; LshSpec pins
+    * recall ≥ 0.5 vs [[cosineTopk]].
     */
-  def annLsh(s: SparkSession, dir: String): DataFrame = {
+  def annLsh(s: SparkSession, dir: String, tables: Int = 4, bitsPerTable: Int = 6): DataFrame = {
     val e = t(s, dir, "embeddings")
-    // 8 deterministic hyperplanes: element j of plane p = sin(1 + p*64 + j)
-    def planeSig(v: Column): Column =
-      concat_ws("", (0 until 8).map { p =>
+    val nBits = tables * bitsPerTable
+    // deterministic pseudo-hyperplanes: element j of plane p = sin(1 + p*64 + j)
+    def bitArr(v: Column): Column =
+      array((0 until nBits).map { p =>
         val proj = aggregate(
           zip_with(v, sequence(lit(p * 64 + 1), lit(p * 64 + 64)),
             (x, j) => x.cast("double") * sin(j.cast("double"))),
           lit(0.0), (acc, x) => acc + x)
-        when(proj >= 0, "1").otherwise("0")
+        when(proj >= 0, 1).otherwise(0)
       }: _*)
-    val sigs = e.select(col("vec_id"), col("embedding"), planeSig(col("embedding")).as("bucket"))
-    val q = sigs.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
-    val c = sigs.select(col("vec_id").as("cand_id"), col("embedding").as("cv"), col("bucket"))
+    val withBits = e.select(col("vec_id"), col("embedding"), bitArr(col("embedding")).as("bits"))
+
+    def tableKey(tb: Int, bits: Seq[Column]): Column =
+      concat_ws(":", lit(tb).cast("string"), concat_ws("", bits.map(_.cast("string")): _*))
+
+    // candidate index: one entry per (vector, table) — exact keys only
+    val candKeys = (0 until tables).map { tb =>
+      tableKey(tb, (0 until bitsPerTable).map(b => col("bits").getItem(tb * bitsPerTable + b)))
+    }
+    val cand = withBits.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      explode(array(candKeys: _*)).as("bucket"))
+
+    // query probes: per table, the exact bucket plus each Hamming-1 flip
+    val probeKeys = (0 until tables).flatMap { tb =>
+      val bits = (0 until bitsPerTable).map(b => col("bits").getItem(tb * bitsPerTable + b))
+      val exact = tableKey(tb, bits)
+      val flips = (0 until bitsPerTable).map { fb =>
+        tableKey(tb, bits.zipWithIndex.map { case (c, i) => if (i == fb) lit(1) - c else c })
+      }
+      exact +: flips
+    }
+    val q = withBits.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(array(probeKeys: _*)).as("bucket"))
+
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id"))
-    q.join(c, "bucket") // co-bucket candidates only: the pruned search
+    q.join(cand, "bucket") // co-bucket candidates only: the pruned search
       .filter(col("query_id") =!= col("cand_id"))
+      .dropDuplicates("query_id", "cand_id") // met in >1 table/probe
       .select(col("query_id"), col("cand_id"), cosine(col("qv"), col("cv")).as("sim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)

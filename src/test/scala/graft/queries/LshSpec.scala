@@ -50,7 +50,7 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(missed.isEmpty, s"LSH missed high-Jaccard pairs: $missed")
   }
 
-  test("sign-LSH ANN achieves decent top-3 recall vs brute force") {
+  test("sign-LSH ANN achieves top-3 recall >= 0.5 vs brute force") {
     val exact = QueriesLLM.cosineTopk(spark, dir)
       .select("query_id", "cand_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -58,11 +58,11 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("query_id", "cand_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ann).size.toDouble / exact.size
-    // bucketed search trades recall for a ~2^8 candidate reduction;
-    // random 64-dim embeddings are near-orthogonal so recall is modest —
-    // the assertion pins the contract: same schema, same ranking, and
-    // strictly fewer comparisons with nonzero overlap.
-    assert(recall > 0.0, s"ANN recall collapsed to zero")
+    // 4 tables x 6 bits with Hamming-1 multi-probe: top-3 neighbors here
+    // sit at cos ~0.33 (p_agree ~0.61), giving expected per-table probe
+    // hit ~0.24 and union recall ~0.67 — deterministic planes on fixed
+    // data, so the floor is a real contract, not a coin flip
+    assert(recall >= 0.5, s"ANN recall $recall below 0.5 floor")
     assert(ann.nonEmpty)
   }
 
