@@ -138,6 +138,12 @@ object UtxoConvert {
       .option("parquet.block.size", blockSizeBytes.toString)
       .option("parquet.page.size", (64 * 1024).toString)
       .parquet(output)
+    // footer sortingColumns (reference src/main.rs:212): Spark can't
+    // write the field, so stamp it post-write — local outputs only
+    // (in-place tail rewrite; see FooterSort for the DFS story)
+    val outUri = new org.apache.hadoop.fs.Path(output).toUri
+    if (outUri.getScheme == null || outUri.getScheme == "file")
+      graft.tools.FooterSort.stamp(outUri.getPath, Seq("script"))
     val m = obs.get
     def longOf(k: String): Long =
       m.get(k).collect { case v: java.lang.Number => v.longValue() }.getOrElse(0L)

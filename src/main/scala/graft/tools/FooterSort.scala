@@ -1,0 +1,99 @@
+package graft.tools
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.parquet.format.{SortingColumn, Util}
+
+/** Post-write footer rewrite stamping `sorting_columns` into every row
+  * group's metadata — the reference writes this field natively
+  * (`/root/reference/src/main.rs:212`) but Spark's public writer API
+  * cannot, so the convert re-opens each local output file and rewrites
+  * the thrift footer in place (the data pages are untouched; only the
+  * tail [footer][len][PAR1] is re-serialized).
+  *
+  * Local-filesystem only by design: in-place tail rewrite needs
+  * truncate, which `file://` and HDFS support but object stores do not
+  * (there a copy-rewrite or writing the field at plan time via a custom
+  * committer would be the route). Readers that exploit sortedness
+  * (DuckDB, query planners) read the field; readers that don't ignore
+  * it — stamped files stay fully compatible.
+  */
+object FooterSort {
+
+  private val MagicTail = "PAR1".getBytes("US-ASCII")
+
+  /** Stamp all .parquet files in `dir`; returns files stamped. */
+  def stamp(dir: String, sortedBy: Seq[String]): Int = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    files.foreach(stampFile(_, sortedBy))
+    files.length
+  }
+
+  def stampFile(f: java.io.File, sortedBy: Seq[String]): Unit = {
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    try {
+      val len = raf.length()
+      raf.seek(len - 8)
+      val tail = new Array[Byte](8)
+      raf.readFully(tail)
+      require(tail.slice(4, 8).sameElements(MagicTail), s"not a parquet file: $f")
+      val footerLen = (tail(0) & 0xff) | ((tail(1) & 0xff) << 8) |
+        ((tail(2) & 0xff) << 16) | ((tail(3) & 0xff) << 24)
+      val footerStart = len - 8 - footerLen
+      raf.seek(footerStart)
+      val footerBytes = new Array[Byte](footerLen)
+      raf.readFully(footerBytes)
+
+      val md = Util.readFileMetaData(new java.io.ByteArrayInputStream(footerBytes))
+      // SchemaElement list is depth-first with the root first; the schema
+      // is flat, so leaves are elements 1..N in column order
+      val leaves = md.getSchema.asScala.drop(1).map(_.getName).toIndexedSeq
+      val cols = sortedBy.map { c =>
+        val i = leaves.indexOf(c)
+        require(i >= 0, s"sort column $c not in schema $leaves")
+        new SortingColumn(i, false, false)
+      }
+      md.getRow_groups.asScala.foreach(_.setSorting_columns(cols.asJava))
+
+      val out = new java.io.ByteArrayOutputStream(footerLen + 64)
+      Util.writeFileMetaData(md, out)
+      val newFooter = out.toByteArray
+      raf.seek(footerStart)
+      raf.write(newFooter)
+      raf.write(Array[Byte](
+        (newFooter.length & 0xff).toByte,
+        ((newFooter.length >> 8) & 0xff).toByte,
+        ((newFooter.length >> 16) & 0xff).toByte,
+        ((newFooter.length >> 24) & 0xff).toByte))
+      raf.write(MagicTail)
+      raf.setLength(footerStart + newFooter.length + 8)
+    } finally raf.close()
+    // the rewrite invalidates Hadoop's local CRC sidecar; drop it (the
+    // LocalFileSystem reads fine without one — same as any externally
+    // produced file)
+    val crc = new java.io.File(f.getParentFile, "." + f.getName + ".crc")
+    if (crc.exists()) crc.delete()
+  }
+
+  /** Read back the stamped field (test/audit side). */
+  def sortingColumnsOf(file: java.io.File): Seq[Seq[(Int, Boolean, Boolean)]] = {
+    val raf = new java.io.RandomAccessFile(file, "r")
+    try {
+      val len = raf.length()
+      raf.seek(len - 8)
+      val tail = new Array[Byte](8)
+      raf.readFully(tail)
+      val footerLen = (tail(0) & 0xff) | ((tail(1) & 0xff) << 8) |
+        ((tail(2) & 0xff) << 16) | ((tail(3) & 0xff) << 24)
+      raf.seek(len - 8 - footerLen)
+      val footerBytes = new Array[Byte](footerLen)
+      raf.readFully(footerBytes)
+      val md = Util.readFileMetaData(new java.io.ByteArrayInputStream(footerBytes))
+      md.getRow_groups.asScala.toSeq.map { rg =>
+        Option(rg.getSorting_columns).map(_.asScala.toSeq).getOrElse(Seq.empty)
+          .map(sc => (sc.column_idx, sc.descending, sc.nulls_first))
+      }
+    } finally raf.close()
+  }
+}

@@ -166,6 +166,15 @@ class UtxoSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"script encodings ${script.encodings}")
     }
 
+    // footer sortingColumns stamped on every row group (script = leaf 5)
+    // and the rewritten file still reads (count above re-validates too)
+    new java.io.File(outDir).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      val rgs = graft.tools.FooterSort.sortingColumnsOf(f)
+      assert(rgs.nonEmpty && rgs.forall(_ == Seq((5, false, false))),
+        s"sortingColumns missing/wrong in ${f.getName}: $rgs")
+    }
+    assert(spark.read.parquet(outDir).count() == 2003)
+
     // rows are sorted by script within each output file (R4 semantics)
     import spark.implicits._
     val unsortedFiles = spark.read.parquet(outDir)
