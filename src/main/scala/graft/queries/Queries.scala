@@ -127,6 +127,7 @@ object Queries {
     "q_join_theta" -> (QueriesRel.joinTheta _),
     "q_join_range" -> (QueriesRel.joinRange _),
     "q_join_broadcast" -> (QueriesRel.joinBroadcast _),
+    "q_join_skew_salted" -> (QueriesRel.joinSkewSalted _),
     "q_agg_distinct" -> (QueriesRel.aggDistinct _),
     "q_agg_approx_distinct" -> (QueriesRel.aggApproxDistinct _),
     "q_rollup" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.rollupSql)),
@@ -160,6 +161,7 @@ object Queries {
     "x_cosine_topk" -> (QueriesLLM.cosineTopk _),
     "x_ann_lsh" -> ((s: SparkSession, dir: String) => QueriesLLM.annLsh(s, dir)),
     "x_ann_ivf" -> ((s: SparkSession, dir: String) => QueriesLLM.annIvf(s, dir)),
+    "x_embed_dedup" -> (QueriesLLM.embedDedup _),
     "x_lang_id" -> (QueriesLLM.langIdQuery _),
     "x_quality" -> (QueriesLLM.qualityQuery _),
     "x_token_count" -> (QueriesLLM.tokenCount _),
@@ -251,6 +253,14 @@ object Queries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_join_skew_salted" ->
+      """SELECT flag,
+        |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) * weight) AS BIGINT) / 100.0 AS weighted_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN (VALUES ('A', 5), ('N', 10), ('R', 3)) AS d(flag, weight)
+        |  ON l_returnflag = flag
+        |GROUP BY flag ORDER BY flag""".stripMargin,
     "q_agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
         |  count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n
@@ -446,6 +456,19 @@ object Queries {
         |  FROM sims)
         |SELECT query_id, cand_id, rnk, floor(sim * 10000 + 0.5) / 10000.0 AS cos_sim
         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    "x_embed_dedup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE vec_id % 5 = 0),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |        list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+        |        (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+        |         sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS c
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT vec_b AS dup_id, min(vec_a) AS canonical_id,
+        |  max(floor(c * 10000 + 0.5) / 10000.0) AS max_sim,
+        |  count(*) AS n_near
+        |FROM p WHERE c >= 0.3
+        |GROUP BY vec_b ORDER BY dup_id""".stripMargin,
     "x_lang_id" ->
       """WITH r AS (SELECT lang,
         |    len(list_filter(string_split(text, ' '), tk -> tk = 'the')) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS r_the,

@@ -265,6 +265,28 @@ object QueriesLLM {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** X2/X3: embedding-cosine near-dup dedup — the vector analogue of
+    * [[exactDedup]]: every sampled vector with a lower-id neighbor at
+    * cosine ≥ 0.3 is assigned that neighbor set's min id as canonical
+    * (keep-first semantics). Exact pairwise over the sample is the
+    * oracle contract (same shape as [[ngramJaccard]]); at corpus scale
+    * the candidate pairs come from [[annLsh]] buckets instead of the
+    * all-pairs join.
+    */
+  def embedDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("c"))
+      .filter(col("c") >= 0.3)
+      .groupBy(col("vec_b").as("dup_id"))
+      .agg(min(col("vec_a")).as("canonical_id"),
+        max(Queries.fround(col("c"), 4)).as("max_sim"),
+        count(lit(1)).as("n_near"))
+      .orderBy(col("dup_id"))
+  }
+
   /** X4: rule-based language ID vs the labeled lang column. */
   def langIdQuery(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

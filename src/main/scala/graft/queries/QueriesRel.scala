@@ -117,6 +117,30 @@ object QueriesRel {
       .agg(count(lit(1)).as("n_cust"), Queries.avgMoney(col("c_acctbal")).as("avg_bal"))
       .orderBy(col("r_name"), col("n_name"))
 
+  /** E5 at-scale variant: skew-salted shuffle join. `l_returnflag` has 3
+    * values, so a plain shuffle join lands the whole fact table on 3
+    * reducers; salting the fact side with `pmod(hash(key), S)` and
+    * replicating the dim S× spreads each hot key over S partitions.
+    * The `merge` hint forces the shuffle plan (a broadcast would hide
+    * the skew — this models the dim-too-big-to-broadcast case); AQE's
+    * skew-join handles moderate skew automatically, salting is the
+    * deterministic fallback for pathological keys.
+    */
+  def joinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val S = 8
+    val dim = Seq(("A", 5L), ("N", 10L), ("R", 3L)).toDF("flag", "weight")
+    val dimSalted = dim.withColumn("dsalt", explode(array((0 until S).map(lit(_)): _*)))
+    val fact = t(s, dir, "lineitem")
+      .withColumn("salt", pmod(hash(col("l_orderkey")), lit(S)))
+    fact.join(dimSalted.hint("merge"),
+        col("l_returnflag") === col("flag") && col("salt") === col("dsalt"))
+      .groupBy(col("flag"))
+      .agg((sum(Queries.cents(col("l_quantity")) * col("weight")) / 100.0).as("weighted_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("flag"))
+  }
+
   /** E12: exact distinct counts (shuffle-dedup partial aggregation). */
   def aggDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
