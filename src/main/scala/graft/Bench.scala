@@ -24,7 +24,8 @@ object Bench {
     "q0_flagship", "q1_agg", "q_join_inner", "q_join_left",
     "q_agg_distinct", "q_rollup", "q_window_rank", "q_window_frame",
     "q_explode", "s_tumbling", "s_session",
-    "x_exact_dedup", "x_minhash_lsh", "x_simhash", "x_cosine_topk")
+    "x_exact_dedup", "x_minhash_lsh", "x_simhash", "x_cosine_topk",
+    "q_join_skew_salted", "x_ann_lsh", "x_embed_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

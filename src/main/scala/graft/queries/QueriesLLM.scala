@@ -179,7 +179,11 @@ object QueriesLLM {
           lit(0.0), (acc, x) => acc + x)
         when(proj >= 0, 1).otherwise(0)
       }: _*)
+    // materialize once: the candidate index and the probe side both fork
+    // from this frame, and the 24 plane projections are the expensive
+    // part (at corpus scale the index side would be a precomputed table)
     val withBits = e.select(col("vec_id"), col("embedding"), bitArr(col("embedding")).as("bits"))
+      .localCheckpoint()
 
     def tableKey(tb: Int, bits: Seq[Column]): Column =
       concat_ws(":", lit(tb).cast("string"), concat_ws("", bits.map(_.cast("string")): _*))

@@ -84,11 +84,22 @@ object UtxoConvert {
     // block hash, `/root/reference/src/main.rs:182,194`); index() is
     // memoized so the scan below reuses this pass
     val hconf = spark.sparkContext.hadoopConfiguration
-    UtxoTable.expand(input, hconf).headOption.foreach { f =>
+    val files = UtxoTable.expand(input, hconf)
+    files.headOption.foreach { f =>
       val (h, _) = graft.codec.SnapshotIndexer.index(f, conf = hconf)
       println(s"[utxo-convert] network=${h.networkName} block=${h.blockHashHex} utxos=${h.numUtxos}")
     }
-    val df = load(spark, input)
+    // split sizing: the source's 64Ki-coin default (~4 MB files) is right
+    // for small snapshots but would emit millions of tiny files at 177M+
+    // coins; cap total splits at 8× parallelism so file sizes grow with
+    // the snapshot while every core stays busy (headers are memoized —
+    // this costs no extra pass)
+    val totalCoins = files.map(f =>
+      graft.codec.SnapshotIndexer.index(f, conf = hconf)._1.numUtxos).sum
+    val coinsPerSplit = math.max(64L * 1024, totalCoins / (8L * n))
+    val df = spark.read.format("utxo")
+      .option("coinsPerSplit", coinsPerSplit.toString)
+      .load(input)
     // indexed scans (source default) already plan ~64Ki-coin partitions:
     // write straight from them — zero shuffled bytes. Global script
     // clustering, when requested, shuffles ONCE on a bucket id computed
