@@ -128,6 +128,7 @@ object Queries {
     "q_join_range" -> (QueriesRel.joinRange _),
     "q_join_broadcast" -> (QueriesRel.joinBroadcast _),
     "q_join_skew_salted" -> (QueriesRel.joinSkewSalted _),
+    "q_join_asof" -> (QueriesRel.joinAsof _),
     "q_agg_distinct" -> (QueriesRel.aggDistinct _),
     "q_agg_approx_distinct" -> (QueriesRel.aggApproxDistinct _),
     "q_rollup" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.rollupSql)),
@@ -261,6 +262,16 @@ object Queries {
         |JOIN (VALUES ('A', 5), ('N', 10), ('R', 3)) AS d(flag, weight)
         |  ON l_returnflag = flag
         |GROUP BY flag ORDER BY flag""".stripMargin,
+    "q_join_asof" ->
+      """SELECT c.event_id, c.user_id,
+        |  epoch_ms(c.ts) AS click_ms,
+        |  p.event_id AS purch_event_id,
+        |  round(p.value, 2) AS purch_value,
+        |  epoch_ms(c.ts) - epoch_ms(p.ts) AS gap_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
     "q_agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
         |  count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n

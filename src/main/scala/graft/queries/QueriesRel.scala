@@ -141,6 +141,47 @@ object QueriesRel {
       .orderBy(col("flag"))
   }
 
+  /** E27: as-of join — each click event matched to the same user's most
+    * recent earlier-or-equal purchase event. Spark has no ASOF JOIN
+    * operator; the scalable composition is union-the-sides + one window
+    * pass: tag purchases side=0 / clicks side=1, sort each user's
+    * timeline once, and carry the last non-null purchase forward with
+    * `last(..., ignoreNulls)`. Cost is ONE shuffle on the key + an
+    * in-partition sort — no range-join row explosion, no per-row probe —
+    * so it scales linearly with the event log (the DuckDB oracle uses its
+    * native ASOF LEFT JOIN over the identical semantics).
+    */
+  def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"),
+        col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        col("event_id"),
+        lit(null).cast("long").as("p_event_id"),
+        lit(null).cast("double").as("p_value"),
+        lit(null).cast("timestamp").as("p_ts"))
+    // side=0 sorts before side=1 at an equal timestamp, so a purchase at
+    // exactly the click's ts is visible to it (ASOF's `>=` contract)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("m_event_id", last(col("p_event_id"), ignoreNulls = true).over(w))
+      .withColumn("m_value", last(col("p_value"), ignoreNulls = true).over(w))
+      .withColumn("m_ts", last(col("p_ts"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("click_ms"),
+        col("m_event_id").as("purch_event_id"),
+        round(col("m_value"), 2).as("purch_value"),
+        (unix_millis(col("ts")) - unix_millis(col("m_ts"))).as("gap_ms"))
+      .orderBy(col("event_id"))
+  }
+
   /** E12: exact distinct counts (shuffle-dedup partial aggregation). */
   def aggDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
