@@ -129,6 +129,7 @@ object Queries {
     "q_join_broadcast" -> (QueriesRel.joinBroadcast _),
     "q_join_skew_salted" -> (QueriesRel.joinSkewSalted _),
     "q_join_asof" -> (QueriesRel.joinAsof _),
+    "q_join_bucketed" -> (QueriesRel.joinBucketed _),
     "q_agg_distinct" -> (QueriesRel.aggDistinct _),
     "q_agg_approx_distinct" -> (QueriesRel.aggApproxDistinct _),
     "q_rollup" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.rollupSql)),
@@ -141,6 +142,12 @@ object Queries {
     "q_union_all" -> (QueriesRel.unionAll _),
     "q_intersect" -> (QueriesRel.intersectKeys _),
     "q_except" -> (QueriesRel.exceptKeys _),
+    "q_intersect_all" -> (QueriesRel.intersectAllKeys _),
+    "q_except_all" -> (QueriesRel.exceptAllKeys _),
+    "q_pivot" -> (QueriesRel.pivotAgg _),
+    "q_unpivot" -> (QueriesRel.unpivotMetrics _),
+    "q_subquery" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.subquerySql)),
+    "q_percentile" -> (QueriesRel.percentiles _),
     "q_string_funcs" -> (QueriesScalar.stringFuncs _),
     "q_hex_funcs" -> (QueriesScalar.hexFuncs _),
     "q_date_funcs" -> (QueriesScalar.dateFuncs _),
@@ -153,6 +160,7 @@ object Queries {
     "s_sliding" -> (QueriesScalar.streamSliding _),
     "s_session" -> (QueriesScalar.streamSession _),
     "s_dedup_latest" -> (QueriesScalar.streamDedup _),
+    "s_join" -> (QueriesScalar.streamJoin _),
     "x_exact_dedup" -> (QueriesLLM.exactDedup _),
     "x_dedup_stats" -> (QueriesLLM.dedupStats _),
     "x_minhash_sig" -> (QueriesLLM.minhashSig _),
@@ -168,6 +176,8 @@ object Queries {
     "x_token_count" -> (QueriesLLM.tokenCount _),
     "x_fingerprint" -> (QueriesLLM.fingerprint _),
     "x_tfidf" -> (QueriesLLM.tfidf _),
+    "x_dedup_clusters" -> (QueriesLLM.dedupClusters _),
+    "x_curation_pipeline" -> (QueriesLLM.curationPipeline _),
     "x_multimodal_meta" -> (QueriesLLM.multimodalMeta _),
     "x_multimodal_features" -> ((s: SparkSession, dir: String) =>
       graft.multimodal.Multimodal.extractFeatures(s,
@@ -272,6 +282,12 @@ object Queries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
+    "q_join_bucketed" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
         |  count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n
@@ -323,6 +339,39 @@ object Queries {
         |EXCEPT
         |SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+        |  INTERSECT ALL
+        |  SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier) t
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "q_except_all" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+        |  EXCEPT ALL
+        |  SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier) t
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS qty_cents_f,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS qty_cents_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_unpivot" ->
+      """WITH w AS (SELECT CAST(c_nationkey AS INTEGER) AS nationkey, count(*) AS n_cust,
+        |             CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
+        |           FROM customer GROUP BY 1)
+        |SELECT nationkey, 'n_cust' AS metric, n_cust AS value FROM w
+        |UNION ALL
+        |SELECT nationkey, 'bal_cents' AS metric, bal_cents AS value FROM w
+        |ORDER BY nationkey, metric""".stripMargin,
+    "q_subquery" -> QueriesRel.subquerySql,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.50) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_string_funcs" ->
       """SELECT c_custkey, upper(c_name) AS uname, substr(c_name, 1, 9) AS prefix,
         |  CAST(length(c_name) AS INTEGER) AS name_len,
@@ -408,6 +457,15 @@ object Queries {
         |          ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events) t
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "s_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purch_id, c.user_id,
+        |  epoch_ms(c.ts) AS click_ms, epoch_ms(p.ts) AS purch_ms,
+        |  round(p.value, 2) AS purch_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purch_id""".stripMargin,
     "x_exact_dedup" ->
       """SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS canonical_id
         |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_md5""".stripMargin,
@@ -538,6 +596,31 @@ object Queries {
         |  FROM scored)
         |SELECT doc_id, token, rnk, tfidf FROM ranked
         |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
+    "x_dedup_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(len(string_split(text, ' ')) - 2),
+        |      i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' '))) AS sh
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |      FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |      WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0 /
+        |            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION SELECT doc_b, doc_a FROM p),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |reach(node, r) AS (SELECT node, node FROM n
+        |  UNION
+        |  SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src)
+        |SELECT node AS doc_id, min(r) AS cluster_id
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "x_curation_pipeline" ->
+      """WITH canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |kept AS (SELECT d.source, d.doc_id, len(string_split(d.text, ' ')) AS n_tokens
+        |         FROM documents d JOIN canon ON d.doc_id = canon.doc_id
+        |         WHERE d.lang = 'en' AND len(string_split(d.text, ' ')) >= 30)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  min(doc_id) AS first_doc
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
     "x_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,

@@ -291,6 +291,77 @@ object QueriesLLM {
       .orderBy(col("dup_id"))
   }
 
+  /** X5: near-dup cluster assignment — connected components over the
+    * exact 3-shingle Jaccard ≥ 0.2 pair graph, each document labeled
+    * with the minimum doc_id reachable through near-dup edges (the
+    * canonical representative a keep-first dedup retains). Edge
+    * generation here is the exact all-pairs graph — the oracle contract,
+    * same declared role as [[cosineTopk]]; at corpus scale candidates
+    * come from [[minhashLshPairs]] buckets instead. The clustering is
+    * distributed min-label propagation: each round is one join + one
+    * min-aggregate (the connected-components shape used by
+    * large-star/small-star), converging in O(cluster diameter) rounds;
+    * the driver checks only a 0/1-row convergence probe per round and
+    * never collects labels.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+    val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val pairs = a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("j"))
+      .filter(col("j") >= 0.2)
+      .select(col("doc_a"), col("doc_b"))
+    // undirected graph as directed edges both ways; materialized once —
+    // every propagation round re-reads it
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 25) {
+      val prop = edges.join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), col("label"))
+      val next = labels.union(prop)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val improved = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") < col("o.label")).limit(1).count()
+      labels = next
+      converged = improved == 0
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X5: end-to-end curation pipeline — exact dedup (keep-first) →
+    * language filter → token-length floor → per-source corpus stats.
+    * The composition every training-data ingest runs; dedup is the
+    * hash-groupBy of [[exactDedup]] (never pairwise), filters are
+    * scan-pushed predicates, and the whole pipeline is two shuffles
+    * (dedup agg + final stats agg).
+    */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val canonical = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    docs.join(canonical, Seq("doc_id"), "left_semi")
+      .filter(col("lang") === "en")
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .filter(col("n_tokens") >= 30)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"))
+  }
+
   /** X4: rule-based language ID vs the labeled lang column. */
   def langIdQuery(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

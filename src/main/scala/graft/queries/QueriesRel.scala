@@ -296,4 +296,120 @@ object QueriesRel {
     t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
       .except(t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey")))
       .orderBy(col("nationkey"))
+
+  /** E19b: INTERSECT ALL — multiset intersection (min of each side's
+    * multiplicity per key), re-aggregated for deterministic output.
+    */
+  def intersectAllKeys(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+      .intersectAll(t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey")))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey"))
+
+  /** E19b: EXCEPT ALL — multiset difference (left count − right count,
+    * floored at zero, per key).
+    */
+  def exceptAllKeys(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+      .exceptAll(t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey")))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey"))
+
+  /** E28: pivot — long→wide conditional aggregation. Pivot values are
+    * declared explicitly, so there is no distinct-value discovery job
+    * and the plan is a single hash aggregate with conditional sums —
+    * the only pivot shape that survives at scale (an unbounded value
+    * set would both need a collect and produce an unbounded schema).
+    */
+  def pivotAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(Queries.cents(col("l_quantity"))))
+      .withColumnRenamed("F", "qty_cents_f")
+      .withColumnRenamed("O", "qty_cents_o")
+      .orderBy(col("l_returnflag"))
+
+  /** E29: unpivot/melt — wide→long, the inverse of [[pivotAgg]]: a pure
+    * Expand projection over the source aggregate, no extra shuffle.
+    */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey").cast("int").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"), sum(Queries.cents(col("c_acctbal"))).as("bal_cents"))
+      .unpivot(Array(col("nationkey")), Array(col("n_cust"), col("bal_cents")),
+        "metric", "value")
+      .orderBy(col("nationkey"), col("metric"))
+
+  /** E30: scalar + IN subqueries, shared SQL text. Catalyst rewrites the
+    * uncorrelated scalar subquery to a one-row broadcast and the IN to a
+    * left-semi join — both scale-safe (no per-row re-execution).
+    * Money is compared in exact integer cents so the threshold cannot
+    * sit on a float rounding boundary.
+    */
+  val subquerySql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+      |FROM orders
+      |WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 2 >
+      |    (SELECT max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) FROM orders)
+      |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** E32: bucketed co-located join. Both sides are written bucketed by
+    * the join key (`bucketBy(8, key)` + `sortBy`), so the sort-merge
+    * join reads bucket i of each table on the same task and needs NO
+    * shuffle exchange — at 100 TB this converts the two largest-table
+    * join from a full-network shuffle into a local merge, paid once at
+    * write time and amortized over every subsequent join on that key.
+    * The spec pins the plan (zero ShuffleExchange under the join); the
+    * oracle pins values (identical to the plain join).
+    */
+  def joinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val (li, o) = bucketedTables(s, dir)
+    li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(Queries.cents(col("l_extendedprice"))).as("rev_cents"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Bucketed lineitem/orders table pair, written once per source dir
+    * (the "paid at write time" half of the bucketing contract).
+    * `repartition(8, key)` aligns write tasks with the bucket hash, so
+    * each bucket is a single file and the per-file `sortBy` order is a
+    * true per-bucket order.
+    */
+  def bucketedTables(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val tag = math.abs(dir.hashCode).toString
+    val liName = s"graft_li_bucketed_$tag"
+    val oName = s"graft_orders_bucketed_$tag"
+    def ensure(name: String, table: String, key: String): Unit =
+      if (!s.catalog.tableExists(name)) synchronized {
+        if (!s.catalog.tableExists(name))
+          t(s, dir, table).repartition(8, col(key))
+            .write.mode("overwrite")
+            .option("path", s"/tmp/graft_bucketed_$tag/$table")
+            .bucketBy(8, key).sortBy(key)
+            .saveAsTable(name)
+      }
+    ensure(liName, "lineitem", "l_orderkey")
+    ensure(oName, "orders", "o_orderkey")
+    (s.table(liName), s.table(oName))
+  }
+
+  /** E31: exact percentiles (sort-based, per group). Probe points
+    * 0.25/0.5/0.75 over the integer-valued quantity column interpolate
+    * on quarter-integers — exact in binary, so Spark's `percentile` and
+    * DuckDB's `quantile_cont` agree bitwise.
+    */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.50)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
 }

@@ -74,6 +74,32 @@ object StreamingQueries {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** S6: stream-stream inner join — each click joined to the same user's
+    * purchases landing within [click ts, click ts + 30 min]. BOTH sides
+    * carry watermarks and the join condition bounds event time in both
+    * directions, so Spark can compute a state-eviction horizon: buffered
+    * rows older than watermark + 30 min are dropped instead of held
+    * forever (an unbounded-state stream join is the classic streaming
+    * scale failure). State partitions by user_id — horizontal scale-out.
+    */
+  def streamStreamJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purch_id"), col("user_id").as("p_user"),
+        col("value"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("click_id"), col("purch_id"), col("user_id"),
+        unix_millis(col("c_ts")).as("click_ms"),
+        unix_millis(col("p_ts")).as("purch_ms"),
+        round(col("value"), 2).as("purch_value"))
+  }
+
   /** S5: arbitrary stateful processing — running per-user event count
     * and cumulative value via flatMapGroupsWithState.
     */

@@ -78,6 +78,116 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(asof.count() == c.count(), "left as-of must keep every click")
   }
 
+  test("bucketed join: zero shuffle exchange under the sort-merge join") {
+    val (li, o) = QueriesRel.bucketedTables(spark, dir)
+    val joined = li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+    joined.write.format("noop").mode("overwrite").save()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join, got:\n$plan")
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle either side, got:\n$plan")
+    assert(plan.contains("SelectedBucketsCount") || plan.toLowerCase.contains("bucket"),
+      s"scan must be bucket-aware, got:\n$plan")
+
+    // values: identical to the plain (shuffled) join
+    val bucketed = QueriesRel.joinBucketed(spark, dir)
+    val plain = Queries.t(spark, dir, "lineitem")
+      .join(Queries.t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(Queries.cents(col("l_extendedprice"))).as("rev_cents"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+    assert(bucketed.collect().map(_.toString).toSeq == plain.collect().map(_.toString).toSeq)
+  }
+
+  test("pivot: equals conditional aggregation; unpivot melts back to the wide values") {
+    val piv = QueriesRel.pivotAgg(spark, dir)
+    val cond = Queries.t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("l_linestatus") === "F", Queries.cents(col("l_quantity")))).as("qty_cents_f"),
+        sum(when(col("l_linestatus") === "O", Queries.cents(col("l_quantity")))).as("qty_cents_o"))
+      .orderBy(col("l_returnflag"))
+    assert(piv.collect().map(_.toString).toSeq == cond.collect().map(_.toString).toSeq)
+
+    // unpivot: every (id, metric) row carries exactly the wide frame's value
+    val wide = Queries.t(spark, dir, "customer")
+      .groupBy(col("c_nationkey").cast("int").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"), sum(Queries.cents(col("c_acctbal"))).as("bal_cents"))
+    val wideRows = wide.collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val melted = QueriesRel.unpivotMetrics(spark, dir).collect()
+    assert(melted.length == 2 * wideRows.size)
+    melted.foreach { r =>
+      val (nCust, balCents) = wideRows(r.getInt(0))
+      val expected = if (r.getString(1) == "n_cust") nCust else balCents
+      assert(r.getLong(2) == expected, s"unpivot mismatch at $r")
+    }
+  }
+
+  test("intersectAll/exceptAll: multiset semantics (min / truncated difference of counts)") {
+    def counts(table: String, key: String): Map[Int, Long] =
+      Queries.t(spark, dir, table).groupBy(col(key).cast("int").as("k"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cl = counts("customer", "c_nationkey")
+    val sl = counts("supplier", "s_nationkey")
+    QueriesRel.intersectAllKeys(spark, dir).collect().foreach { r =>
+      val k = r.getInt(0)
+      assert(r.getLong(1) == math.min(cl.getOrElse(k, 0L), sl.getOrElse(k, 0L)),
+        s"INTERSECT ALL multiplicity wrong for key $k")
+    }
+    QueriesRel.exceptAllKeys(spark, dir).collect().foreach { r =>
+      val k = r.getInt(0)
+      assert(r.getLong(1) == cl.getOrElse(k, 0L) - sl.getOrElse(k, 0L),
+        s"EXCEPT ALL multiplicity wrong for key $k")
+    }
+  }
+
+  test("percentile: matches hand interpolation on the sorted group") {
+    val got = QueriesRel.percentiles(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val byFlag = Queries.t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    def interp(v: Array[Double], p: Double): Double = {
+      val idx = p * (v.length - 1)
+      val lo = idx.toInt
+      if (lo == v.length - 1) v(lo) else v(lo) + (idx - lo) * (v(lo + 1) - v(lo))
+    }
+    got.foreach { case (flag, (p25, p50, p75)) =>
+      val v = byFlag(flag)
+      assert(p25 == interp(v, 0.25) && p50 == interp(v, 0.5) && p75 == interp(v, 0.75),
+        s"percentile mismatch for flag $flag")
+      assert(p25 <= p50 && p50 <= p75)
+    }
+  }
+
+  test("dedup clusters: equals union-find ground truth over exact jaccard pairs") {
+    val docs = Queries.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def shingleSet(text: String): Set[String] =
+      text.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val sh = docs.map { case (id, text) => id -> shingleSet(text) }
+    // in-memory union-find over all-pairs jaccard >= 0.2
+    val parent = scala.collection.mutable.Map(sh.map(_._1 -> -1L).toSeq: _*)
+      .map { case (k, _) => k -> k }
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    def union(a: Long, b: Long): Unit = { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val inGraph = scala.collection.mutable.Set[Long]()
+    for (i <- sh.indices; j <- (i + 1) until sh.length) {
+      val (ia, sa) = sh(i); val (ib, sb) = sh(j)
+      val inter = (sa & sb).size
+      if (inter > 0 && inter.toDouble / (sa | sb).size >= 0.2) {
+        union(ia, ib); inGraph += ia; inGraph += ib
+      }
+    }
+    val expected = inGraph.toSeq.map(id => id -> find(id)).toMap
+    val gotRows = QueriesLLM.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotRows == expected, "cluster labels diverge from union-find ground truth")
+    assert(gotRows.nonEmpty, "expected at least one near-dup cluster in the corpus")
+  }
+
   test("embedding near-dup dedup: canonical precedes dup, sims above threshold") {
     val rows = QueriesLLM.embedDedup(spark, dir).collect()
     assert(rows.nonEmpty, "expected some near-dup pairs at cos >= 0.3")

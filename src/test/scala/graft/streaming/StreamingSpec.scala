@@ -70,6 +70,18 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.count() == total.select("event_id").distinct().count())
   }
 
+  test("S6 stream-stream join: streaming == batch within the 30-minute bound") {
+    val streamed = StreamingQueries.runToBatch(spark,
+      StreamingQueries.streamStreamJoin(
+        StreamingQueries.readEventsStream(spark, eventsDir),
+        StreamingQueries.readEventsStream(spark, eventsDir)), "s6_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = graft.queries.QueriesScalar.streamJoin(spark, dir)
+      .select("click_id", "purch_id", "user_id", "click_ms", "purch_ms", "purch_value")
+    assert(sortedRows(streamed) == sortedRows(batch))
+    assert(batch.count() > 0, "expected some click→purchase matches in the corpus")
+  }
+
   test("S5 flatMapGroupsWithState: final per-user totals == batch groupBy") {
     val events = StreamingQueries.readEventsStream(spark, eventsDir)
     val streamed = StreamingQueries.runToBatch(spark,
