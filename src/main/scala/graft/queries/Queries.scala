@@ -130,6 +130,7 @@ object Queries {
     "q_join_skew_salted" -> (QueriesRel.joinSkewSalted _),
     "q_join_asof" -> (QueriesRel.joinAsof _),
     "q_join_bucketed" -> (QueriesRel.joinBucketed _),
+    "q_partitioned_scan" -> (QueriesRel.partitionedScan _),
     "q_agg_distinct" -> (QueriesRel.aggDistinct _),
     "q_agg_approx_distinct" -> (QueriesRel.aggApproxDistinct _),
     "q_rollup" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.rollupSql)),
@@ -282,6 +283,11 @@ object Queries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
+    "q_partitioned_scan" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_join_bucketed" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,

@@ -398,6 +398,34 @@ object QueriesRel {
     (s.table(liName), s.table(oName))
   }
 
+  /** E33: partition-pruned scan. Orders are written Hive-partitioned by
+    * year (`partitionBy("o_year")`) once per source dir; the year
+    * predicate then prunes at PLANNING time — non-matching partition
+    * directories are never listed, opened, or read (spec asserts the
+    * scan's partition count). At 100 TB this is the first-line data
+    * layout: time-partitioned fact tables make every time-bounded query
+    * touch only its slice.
+    */
+  def partitionedScan(s: SparkSession, dir: String): DataFrame =
+    partitionedOrders(s, dir)
+      .filter(col("o_year") === 1997)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(Queries.cents(col("o_totalprice"))).as("total_cents"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Year-partitioned copy of orders, written once per source dir. */
+  def partitionedOrders(s: SparkSession, dir: String): DataFrame = {
+    val loc = s"/tmp/graft_part_orders_${math.abs(dir.hashCode)}"
+    if (!new java.io.File(loc, "_SUCCESS").exists()) synchronized {
+      if (!new java.io.File(loc, "_SUCCESS").exists())
+        t(s, dir, "orders")
+          .withColumn("o_year", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("o_year").parquet(loc)
+    }
+    s.read.parquet(loc)
+  }
+
   /** E31: exact percentiles (sort-based, per group). Probe points
     * 0.25/0.5/0.75 over the integer-valued quantity column interpolate
     * on quarter-integers — exact in binary, so Spark's `percentile` and

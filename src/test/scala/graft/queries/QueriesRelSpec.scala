@@ -99,6 +99,28 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bucketed.collect().map(_.toString).toSeq == plain.collect().map(_.toString).toSeq)
   }
 
+  test("partitioned scan: year predicate prunes to a single partition at planning time") {
+    val filtered = QueriesRel.partitionedOrders(spark, dir).filter(col("o_year") === 1997)
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("expected a FileSourceScanExec leaf"))
+    assert(scan.partitionFilters.nonEmpty, "year predicate must become a partition filter")
+    val allYears = QueriesRel.partitionedOrders(spark, dir)
+      .select("o_year").distinct().count()
+    assert(allYears > 1, "fixture must span multiple years for pruning to mean anything")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 of $allYears partitions selected, got ${scan.selectedPartitions.partitionCount}")
+
+    // values: identical to filtering the unpartitioned table
+    val expected = Queries.t(spark, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1997)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(Queries.cents(col("o_totalprice"))).as("total_cents"))
+      .orderBy(col("o_orderpriority"))
+    assert(QueriesRel.partitionedScan(spark, dir).collect().map(_.toString).toSeq ==
+      expected.collect().map(_.toString).toSeq)
+  }
+
   test("pivot: equals conditional aggregation; unpivot melts back to the wide values") {
     val piv = QueriesRel.pivotAgg(spark, dir)
     val cond = Queries.t(spark, dir, "lineitem")
