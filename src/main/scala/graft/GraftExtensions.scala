@@ -33,5 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[DecompressAmountExpr], "decompress_amount",
         "decompress_amount(x BIGINT) - inverse of Bitcoin Core's CompressAmount"),
       (exprs: Seq[Expression]) => DecompressAmountExpr(exprs.head)))
+    // script-class predicates become sargable binary prefix ranges that
+    // parquet row-group stats can skip on (the script-sorted layout's
+    // whole point) — see the rule's scaladoc
+    ext.injectOptimizerRule(_ => graft.plans.ScriptClassPrefixRule)
   }
 }

@@ -42,4 +42,50 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("script_type"))
   }
+
+  /** Fixture scripts covering several classes, one of each. */
+  private def scriptRows: Seq[Array[Byte]] = {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    Seq(
+      b(Seq(0x76, 0xa9, 0x14) ++ Seq.fill(20)(0x11) ++ Seq(0x88, 0xac): _*), // p2pkh
+      b(Seq(0xa9, 0x14) ++ Seq.fill(20)(0x22) ++ Seq(0x87): _*), // p2sh
+      b(Seq(0x00, 0x14) ++ Seq.fill(20)(0x33): _*), // p2wpkh
+      b(0x6a, 0x01, 0x42), // op_return
+      b(Seq(0x51) ++ Seq.fill(10)(0x44): _*)) // other (not p2tr: wrong len)
+  }
+
+  test("ScriptClassPrefixRule: adds sargable prefix ranges, idempotent, pushed to parquet") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, LessThan}
+    import org.apache.spark.sql.functions.col
+
+    // parquet-backed source: a LocalRelation would be eagerly evaluated
+    // by ConvertToLocalRelation, leaving no Filter to inspect
+    val dir = java.nio.file.Files.createTempDirectory("scripts-parq").toString
+    scriptRows.map(Tuple1(_)).toDF("script")
+      .orderBy(col("script")).write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val filtered = df.filter(org.apache.spark.sql.functions.expr("script_type(script) = 'p2pkh'"))
+    val optimized = filtered.queryExecution.optimizedPlan
+    val gte = optimized.expressions.flatMap(_.collect { case g: GreaterThanOrEqual => g })
+    val lt = optimized.expressions.flatMap(_.collect { case l: LessThan => l })
+    assert(gte.size == 1 && lt.size == 1,
+      s"expected exactly one injected range pair (idempotence), got:\n$optimized")
+
+    // semantics: the range is redundant — results match the pure classifier
+    val got = filtered.collect().map(r => r.getAs[Array[Byte]](0).toSeq).toSet
+    val want = scriptRows.filter(s => graft.codec.ScriptCodec.scriptType(s) == "p2pkh")
+      .map(_.toSeq).toSet
+    assert(got == want)
+
+    // pushdown: the injected binary range reaches the reader's
+    // PushedFilters while the opaque classifier cannot
+    val scan = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.expr("script_type(script) = 'p2sh'"))
+    scan.collect() // force planning + execution
+    val physical = scan.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [") &&
+      physical.contains("GreaterThanOrEqual(script"),
+      s"expected the prefix range in PushedFilters, got:\n$physical")
+  }
 }
