@@ -75,6 +75,38 @@ object LayoutReport {
     (total, matching)
   }
 
+  /** Count (rowGroupsTotal, rowGroupsOverlapping) for a binary range
+    * [loHex, hiHex) on `column` using footer min/max stats — what a
+    * stats-aware reader skips for a sargable range predicate (e.g. the
+    * prefix ranges ScriptClassPrefixRule injects for class queries).
+    */
+  def statsRangeMatch(dirOrFile: String, column: String,
+      loHex: String, hiHex: String): (Int, Int) = {
+    val lo = graft.codec.Hex.decode(loHex)
+    val hi = graft.codec.Hex.decode(hiHex)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val d = new java.io.File(dirOrFile)
+    val parts =
+      if (d.isDirectory) d.listFiles().filter(_.getName.endsWith(".parquet"))
+      else Array(d)
+    var total = 0
+    var matching = 0
+    parts.foreach { part =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf))
+      try reader.getFooter.getBlocks.asScala.foreach { b =>
+        total += 1
+        val col = b.getColumns.asScala.find(_.getPath.toDotString == column).get
+        val st = col.getStatistics
+        val cmp = graft.codec.UnsignedBytes
+        // row group [min, max] overlaps [lo, hi) iff max >= lo && min < hi
+        if (cmp(st.getMaxBytes, lo) >= 0 && cmp(st.getMinBytes, hi) < 0) matching += 1
+      } finally reader.close()
+    }
+    (total, matching)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     scan(dir).foreach { f =>

@@ -88,4 +88,33 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       physical.contains("GreaterThanOrEqual(script"),
       s"expected the prefix range in PushedFilters, got:\n$physical")
   }
+
+  test("class query row-group-skips the script-sorted UTXO parquet via the rule") {
+    // synthetic snapshot → clustered convert with small row groups, then
+    // the p2pkh class range must overlap strictly fewer row groups than
+    // the file holds — the measured payoff of ScriptClassPrefixRule on
+    // the reference layout (sorted scripts + footer stats)
+    val tmp = java.nio.file.Files.createTempDirectory("ext-skip").toFile
+    val snap = new java.io.File(tmp, "snap.bin")
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(snap))
+    try graft.codec.SnapshotGen.writeSynthetic(out, 20000, seed = 7L)
+    finally out.close()
+    val outDir = new java.io.File(tmp, "parq").getAbsolutePath
+    graft.sources.UtxoConvert.convert(spark, snap.getAbsolutePath, outDir,
+      partitions = 2, rangePartition = true, blockSizeBytes = 16 * 1024)
+
+    val (total, overlapping) = graft.tools.LayoutReport.statsRangeMatch(
+      outDir, "script", "76a914", "76a915")
+    assert(total >= 8, s"fixture too small to form row groups: $total")
+    assert(overlapping < total,
+      s"class range must skip row groups: $overlapping of $total overlap")
+
+    // the rule-rewritten query returns exactly the brute classifier rows
+    val viaRule = spark.read.parquet(outDir)
+      .filter(org.apache.spark.sql.functions.expr("script_type(script) = 'p2pkh'"))
+      .count()
+    val brute = spark.read.parquet(outDir).collect()
+      .count(r => graft.codec.ScriptCodec.scriptType(r.getAs[Array[Byte]]("script")) == "p2pkh")
+    assert(viaRule == brute && brute > 0)
+  }
 }
