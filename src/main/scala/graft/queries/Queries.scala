@@ -140,6 +140,7 @@ object Queries {
     "q_window_rank" -> (QueriesRel.windowRank _),
     "q_window_lag" -> (QueriesRel.windowLag _),
     "q_window_frame" -> (QueriesRel.windowFrame _),
+    "q_window_range" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.windowRangeSql)),
     "q_union_all" -> (QueriesRel.unionAll _),
     "q_intersect" -> (QueriesRel.intersectKeys _),
     "q_except" -> (QueriesRel.exceptKeys _),
@@ -156,6 +157,7 @@ object Queries {
     "q_array_funcs" -> (QueriesScalar.arrayFuncs _),
     "q_explode" -> (QueriesScalar.explodeTokens _),
     "q_json_funcs" -> (QueriesScalar.jsonFuncs _),
+    "q_map_funcs" -> (QueriesScalar.mapFuncs _),
     "q_csv_json_scan" -> (QueriesScalar.csvJsonScan _),
     "s_tumbling" -> (QueriesScalar.streamTumbling _),
     "s_sliding" -> (QueriesScalar.streamSliding _),
@@ -178,6 +180,7 @@ object Queries {
     "x_fingerprint" -> (QueriesLLM.fingerprint _),
     "x_tfidf" -> (QueriesLLM.tfidf _),
     "x_dedup_clusters" -> (QueriesLLM.dedupClusters _),
+    "x_stratified_sample" -> (QueriesLLM.stratifiedSample _),
     "x_curation_pipeline" -> (QueriesLLM.curationPipeline _),
     "x_multimodal_meta" -> (QueriesLLM.multimodalMeta _),
     "x_multimodal_features" -> ((s: SparkSession, dir: String) =>
@@ -329,6 +332,7 @@ object Queries {
         |  floor(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100.0 AS moving_avg3
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_range" -> QueriesRel.windowRangeSql,
     "q_union_all" ->
       """SELECT src, nationkey, count(*) AS n FROM (
         |  SELECT 'cust' AS src, CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
@@ -431,6 +435,14 @@ object Queries {
         |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
         |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT user_id,
+        |  count(DISTINCT event_type) AS n_types,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_sorted
+        |FROM events WHERE user_id % 50 = 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "s_tumbling" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_start_ms, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value

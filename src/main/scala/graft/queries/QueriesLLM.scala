@@ -362,6 +362,25 @@ object QueriesLLM {
       .orderBy(col("source"))
   }
 
+  /** X8: seeded stratified sampling — the data-selection step of a
+    * training mix: down-sample over-represented languages (en at 40%)
+    * while keeping the rest at 80%. `sampleBy` is one scan with a
+    * per-stratum Bernoulli draw — no shuffle, no count pass — and the
+    * fixed seed makes the draw reproducible run-over-run (the property
+    * a curation pipeline needs for auditability). No SQL oracle (the
+    * RNG is engine-specific): rows-only check; the spec pins per-stratum
+    * fractions and determinism.
+    */
+  val SampleFractions: Map[String, Double] =
+    Map("en" -> 0.4, "es" -> 0.8, "de" -> 0.8, "fr" -> 0.8, "zh" -> 0.8)
+
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .stat.sampleBy("lang", SampleFractions, seed = 42L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"))
+
   /** X4: rule-based language ID vs the labeled lang column. */
   def langIdQuery(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

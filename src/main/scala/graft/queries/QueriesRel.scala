@@ -275,6 +275,22 @@ object QueriesRel {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** E17b: RANGE-frame window aggregate (value-bounded frame, distinct
+    * from the ROWS frames of [[windowFrame]]): per customer, the sum of
+    * orders priced within $10k below the current order. Shared SQL —
+    * integer-cent arithmetic keeps the frame boundary exact in both
+    * engines, and RANGE tie semantics (all peers included) agree.
+    */
+  val windowRangeSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+      |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      |    RANGE BETWEEN 1000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS nearby_cents
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** E18: UNION ALL then aggregate over the union. */
   def unionAll(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer").select(lit("cust").as("src"), col("c_nationkey").cast("int").as("nationkey"))

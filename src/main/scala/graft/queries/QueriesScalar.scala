@@ -115,6 +115,27 @@ object QueriesScalar {
       .orderBy(col("nationkey"))
   }
 
+  /** E25b: map functions — per-user event-type histogram built as a
+    * MapType column (`map_from_entries`), then queried with
+    * `element_at` / `map_keys` / `size`. The map projections are
+    * order-insensitive, so the unordered `collect_list` is safe; the
+    * oracle computes the same outputs relationally (FILTER counts,
+    * ordered string_agg) without a map type.
+    */
+  def mapFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("user_id") % 50 === 0)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("cnt")))).as("m"))
+      .select(col("user_id"),
+        size(col("m")).as("n_types"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+        coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"),
+        concat_ws(",", array_sort(map_keys(col("m")))).as("types_sorted"))
+      .orderBy(col("user_id"))
+
   /** E25: JSON functions over events.props. */
   def jsonFuncs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")

@@ -210,6 +210,23 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotRows.nonEmpty, "expected at least one near-dup cluster in the corpus")
   }
 
+  test("stratified sample: per-stratum fractions honored, seed-deterministic") {
+    val totals = Queries.t(spark, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val run1 = QueriesLLM.stratifiedSample(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val run2 = QueriesLLM.stratifiedSample(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(run1 == run2, "fixed seed must reproduce the identical sample")
+    run1.foreach { case (lang, (n, _)) =>
+      val want = QueriesLLM.SampleFractions(lang) * totals(lang)
+      // Bernoulli draw: allow generous tolerance at these stratum sizes
+      assert(math.abs(n - want) <= math.max(10.0, 0.35 * want),
+        s"stratum $lang sampled $n of ${totals(lang)}, expected ~$want")
+    }
+  }
+
   test("embedding near-dup dedup: canonical precedes dup, sims above threshold") {
     val rows = QueriesLLM.embedDedup(spark, dir).collect()
     assert(rows.nonEmpty, "expected some near-dup pairs at cos >= 0.3")
