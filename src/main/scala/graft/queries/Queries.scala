@@ -181,6 +181,7 @@ object Queries {
     "x_tfidf" -> (QueriesLLM.tfidf _),
     "x_dedup_clusters" -> (QueriesLLM.dedupClusters _),
     "x_stratified_sample" -> (QueriesLLM.stratifiedSample _),
+    "x_decontaminate" -> (QueriesLLM.decontaminate _),
     "x_curation_pipeline" -> (QueriesLLM.curationPipeline _),
     "x_multimodal_meta" -> (QueriesLLM.multimodalMeta _),
     "x_multimodal_features" -> ((s: SparkSession, dir: String) =>
@@ -631,6 +632,23 @@ object Queries {
         |  SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src)
         |SELECT node AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "x_decontaminate" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    list_distinct(list_transform(range(len(string_split(text, ' ')) - 2),
+        |      i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' '))) AS sh
+        |  FROM documents),
+        |ev AS (SELECT sh AS sh_e FROM d WHERE source IN ('src0','src1','src2','src3')),
+        |tr AS (SELECT doc_id, sh FROM d
+        |       WHERE source NOT IN ('src0','src1','src2','src3')
+        |         AND doc_id % 10 = 0 AND len(sh) > 0),
+        |c AS (SELECT tr.doc_id,
+        |        max(len(list_filter(tr.sh, x -> list_contains(sh_e, x))) * 1.0 /
+        |            len(tr.sh)) AS maxc
+        |      FROM tr CROSS JOIN ev GROUP BY tr.doc_id)
+        |SELECT doc_id,
+        |  floor(maxc * 10000 + 0.5) / 10000.0 AS max_containment,
+        |  floor(maxc * 10000 + 0.5) / 10000.0 >= 0.2 AS contaminated
+        |FROM c ORDER BY doc_id""".stripMargin,
     "x_curation_pipeline" ->
       """WITH canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
         |kept AS (SELECT d.source, d.doc_id, len(string_split(d.text, ' ')) AS n_tokens

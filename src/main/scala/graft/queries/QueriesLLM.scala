@@ -362,6 +362,36 @@ object QueriesLLM {
       .orderBy(col("source"))
   }
 
+  /** X9: eval-set decontamination — for each (sampled) training
+    * document, the maximum 3-shingle containment against a held-out
+    * benchmark set (here: sources src0-src3), plus a contamination flag
+    * at 0.2. Containment (|train ∩ eval| / |train|), not Jaccard: a
+    * short benchmark item quoted inside a long document must still
+    * flag. The plan is the honest corpus-scale shape — the eval set is
+    * small by construction (benchmark suites), so it broadcasts and the
+    * training corpus streams through in one pass; no shuffle of the
+    * big side.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val evalSources = Seq("src0", "src1", "src2", "src3")
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        array_distinct(shingles(col("text"), 3)).as("sh"))
+    val evalSet = d.filter(col("source").isin(evalSources: _*))
+      .select(col("sh").as("sh_e"))
+    val train = d.filter(!col("source").isin(evalSources: _*) &&
+        col("doc_id") % 10 === 0 && size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"))
+    train.crossJoin(broadcast(evalSet))
+      .select(col("doc_id"),
+        (size(array_intersect(col("sh"), col("sh_e"))).cast("double") /
+          size(col("sh"))).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(Queries.fround(max(col("c")), 4).as("max_containment"))
+      .withColumn("contaminated", col("max_containment") >= 0.2)
+      .orderBy(col("doc_id"))
+  }
+
   /** X8: seeded stratified sampling — the data-selection step of a
     * training mix: down-sample over-represented languages (en at 40%)
     * while keeping the rest at 80%. `sampleBy` is one scan with a
