@@ -82,6 +82,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.count() > 0, "expected some click→purchase matches in the corpus")
   }
 
+  test("parquet file sink + checkpoint: the production write path lands the dedup stream") {
+    val outDir = java.nio.file.Files.createTempDirectory("sink-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sink-ckpt").toString
+    val q = StreamingQueries.dedup(StreamingQueries.readEventsStream(spark, eventsDir))
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val landed = spark.read.parquet(outDir)
+    val total = graft.queries.Queries.t(spark, dir, "events")
+    assert(landed.count() == total.select("event_id").distinct().count())
+    // exactly-once bookkeeping exists: the checkpoint recorded the batch
+    assert(new java.io.File(ckpt, "offsets").listFiles().nonEmpty)
+  }
+
   test("S5 flatMapGroupsWithState: final per-user totals == batch groupBy") {
     val events = StreamingQueries.readEventsStream(spark, eventsDir)
     val streamed = StreamingQueries.runToBatch(spark,
