@@ -182,6 +182,7 @@ object Queries {
     "x_dedup_clusters" -> (QueriesLLM.dedupClusters _),
     "x_stratified_sample" -> (QueriesLLM.stratifiedSample _),
     "x_decontaminate" -> (QueriesLLM.decontaminate _),
+    "x_lm_score" -> (QueriesLLM.lmScore _),
     "x_curation_pipeline" -> (QueriesLLM.curationPipeline _),
     "x_multimodal_meta" -> (QueriesLLM.multimodalMeta _),
     "x_multimodal_features" -> ((s: SparkSession, dir: String) =>
@@ -632,6 +633,18 @@ object Queries {
         |  SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src)
         |SELECT node AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "x_lm_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM tok),
+        |uni AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+        |sc AS (SELECT t.doc_id,
+        |         CAST(floor(ln(uni.tf / tot.n_total) * 1000000) AS BIGINT) AS lp
+        |       FROM tok t JOIN uni USING (token) CROSS JOIN tot
+        |       WHERE t.doc_id % 20 = 0)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  floor((CAST(sum(lp) AS DOUBLE) / -1000000.0 / count(*)) * 1000000 + 0.5) / 1000000.0 AS nll_per_token
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x_decontaminate" ->
       """WITH d AS (SELECT doc_id, source,
         |    list_distinct(list_transform(range(len(string_split(text, ' ')) - 2),

@@ -495,6 +495,32 @@ object QueriesLLM {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** X10: unigram language-model scoring — per-document negative
+    * log-likelihood per token under the corpus unigram distribution,
+    * the classic perplexity-proxy quality filter (high NLL ⇒ the doc's
+    * vocabulary is atypical for the corpus). Two aggregates + one join,
+    * all shuffle-keyed; corpus token total rides along as a broadcast
+    * 1-row aggregate. Determinism across engines: each token's log-prob
+    * is floored to integer micro-nats FIRST, so the per-doc sum is
+    * exact integer arithmetic (an unordered double sum would differ by
+    * ulps between engines).
+    */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val total = toks.agg(count(lit(1)).cast("double").as("n_total"))
+    val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    toks.filter(col("doc_id") % 20 === 0)
+      .join(uni, "token")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        floor(log(col("tf") / col("n_total")) * 1e6).cast("long").as("lp_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        Queries.fround(sum(col("lp_micro")) / -1e6 / count(lit(1)), 6).as("nll_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal plumbing: treat content as an opaque binary column with
     * typed metadata — here materialized deterministically from text (the
     * container lacks media codecs; the binary-column pipeline is real,
