@@ -133,6 +133,7 @@ object Queries {
     "q_partitioned_scan" -> (QueriesRel.partitionedScan _),
     "q_agg_distinct" -> (QueriesRel.aggDistinct _),
     "q_agg_approx_distinct" -> (QueriesRel.aggApproxDistinct _),
+    "q_agg_approx_percentile" -> (QueriesRel.aggApproxPercentile _),
     "q_rollup" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.rollupSql)),
     "q_cube" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.cubeSql)),
     "q_grouping_sets" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.groupingSetsSql)),

@@ -192,6 +192,20 @@ object QueriesRel {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** E12b: approximate percentiles (Spark's quantile sketch) — the
+    * sketch companion to [[percentiles]]; no cross-engine oracle (the
+    * sketch is engine-specific), rows-only check + spec pins each
+    * estimate within the sketch's accuracy bound of the exact value.
+    */
+  def aggApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 100)").as("ap50"),
+        expr("approx_percentile(l_quantity, 0.95, 100)").as("ap95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** E12: HLL++ approximate distinct — no exact oracle (rows-only check). */
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")

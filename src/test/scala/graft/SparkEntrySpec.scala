@@ -31,8 +31,9 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("declared rows-only queries are the documented set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val expected = Set("q_agg_approx_distinct", "x_minhash_lsh", "x_ann_lsh",
-      "x_ann_ivf", "x_multimodal_features", "x_stratified_sample")
+    val expected = Set("q_agg_approx_distinct", "q_agg_approx_percentile",
+      "x_minhash_lsh", "x_ann_lsh", "x_ann_ivf", "x_multimodal_features",
+      "x_stratified_sample")
     assert(rowsOnly == expected, s"rows-only drift: $rowsOnly")
   }
 

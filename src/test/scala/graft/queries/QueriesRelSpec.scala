@@ -164,6 +164,19 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("approx percentile: within sketch accuracy of the exact value") {
+    val exact = QueriesRel.percentiles(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap // p50
+    QueriesRel.aggApproxPercentile(spark, dir).collect().foreach { r =>
+      val flag = r.getString(0)
+      // accuracy=100 → rank error ≤ n/100; quantities span 1..50, so a
+      // generous absolute bound of 5 covers it
+      assert(math.abs(r.getDouble(1) - exact(flag)) <= 5.0,
+        s"approx p50 for $flag too far from exact: ${r.getDouble(1)} vs ${exact(flag)}")
+      assert(r.getDouble(2) >= r.getDouble(1), "p95 must be >= p50")
+    }
+  }
+
   test("percentile: matches hand interpolation on the sorted group") {
     val got = QueriesRel.percentiles(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
