@@ -100,6 +100,19 @@ object StreamingQueries {
         round(col("value"), 2).as("purch_value"))
   }
 
+  /** S7: stream-static join — the dimension-enrichment pattern: each
+    * micro-batch joins against a static (batch) DataFrame, planned as a
+    * broadcast hash join per batch. No state, no watermark needed —
+    * the static side is re-resolvable every batch, which is what makes
+    * this the default way to attach dimension attributes to a stream.
+    */
+  def streamStaticJoin(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("event_type"))
+      .groupBy(col("event_type"), col("category"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value") * col("weight")), 2).as("weighted_value"))
+
   /** S5: arbitrary stateful processing — running per-user event count
     * and cumulative value via flatMapGroupsWithState.
     */

@@ -82,6 +82,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.count() > 0, "expected some click→purchase matches in the corpus")
   }
 
+  test("S7 stream-static join: dimension enrichment equals the batch join") {
+    import spark.implicits._
+    val dim = Seq(
+      ("click", "engagement", 1.0), ("view", "engagement", 0.5),
+      ("purchase", "revenue", 10.0), ("signup", "growth", 5.0),
+      ("error", "ops", 0.0)).toDF("event_type", "category", "weight")
+    val streamed = StreamingQueries.runToBatch(spark,
+      StreamingQueries.streamStaticJoin(
+        StreamingQueries.readEventsStream(spark, eventsDir), dim), "s7_out")
+    val batch = StreamingQueries.streamStaticJoin(
+      graft.queries.Queries.t(spark, dir, "events"), dim)
+    assert(sortedRows(streamed) == sortedRows(batch.select(streamed.columns.map(col): _*)))
+  }
+
   test("parquet file sink + checkpoint: the production write path lands the dedup stream") {
     val outDir = java.nio.file.Files.createTempDirectory("sink-out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("sink-ckpt").toString
