@@ -79,16 +79,19 @@ object QueriesLLM {
         concat_ws("_", transform(slice(col("sigs"), col("band") * 4 + 1, lit(4)),
           v => v.cast("string"))))
       .select(col("doc_id"), col("sigs"), col("band"), col("band_key"))
-    val cands = banded.as("x").join(banded.as("y"),
+    // est_jaccard computed IN the join projection, then pairs met in
+    // several bands deduped with max() over the (identical) scalar —
+    // a fixed-width HashAggregate; deduping the raw candidate rows with
+    // their array columns would force sort-based aggregation (two extra
+    // sorts on the widest intermediate)
+    banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sigs").as("sigs_a"), col("y.sigs").as("sigs_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    cands
-      .select(col("doc_a"), col("doc_b"),
-        (size(filter(zip_with(col("sigs_a"), col("sigs_b"), (x, y) => x === y), b => b))
-          / 16.0).as("est_jaccard"))
+        (size(filter(zip_with(col("x.sigs"), col("y.sigs"), (x, y) => x === y), b => b))
+          / 16.0).as("est"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("est")).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
