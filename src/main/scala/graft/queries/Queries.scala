@@ -160,6 +160,7 @@ object Queries {
     "q_json_funcs" -> (QueriesScalar.jsonFuncs _),
     "q_map_funcs" -> (QueriesScalar.mapFuncs _),
     "q_csv_json_scan" -> (QueriesScalar.csvJsonScan _),
+    "q_orc_scan" -> (QueriesScalar.orcScan _),
     "s_tumbling" -> (QueriesScalar.streamTumbling _),
     "s_sliding" -> (QueriesScalar.streamSliding _),
     "s_session" -> (QueriesScalar.streamSession _),
@@ -432,6 +433,11 @@ object Queries {
       """SELECT CAST(n_nationkey AS INTEGER) AS nationkey, n_name,
         |  CAST(n_regionkey AS INTEGER) AS regionkey
         |FROM nation ORDER BY nationkey""".stripMargin,
+    "q_orc_scan" ->
+      """SELECT CAST(s_nationkey AS INTEGER) AS nationkey, count(*) AS n,
+        |  CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM supplier WHERE s_nationkey < 10
+        |GROUP BY 1 ORDER BY nationkey""".stripMargin,
     "q_json_funcs" ->
       """SELECT event_type, count(*) AS n,
         |  floor(avg(CAST(props->>'$.k' AS BIGINT)) * 100 + 0.5) / 100.0 AS avg_k,

@@ -115,6 +115,26 @@ object QueriesScalar {
       .orderBy(col("nationkey"))
   }
 
+  /** E2b: ORC source/sink roundtrip — supplier written once as ORC
+    * (Spark's second first-class columnar format; same pushdown and
+    * pruning machinery as parquet), read back with a pushed predicate
+    * and aggregated. Oracle runs the same relational query over the
+    * original table: equality proves the roundtrip is lossless.
+    */
+  def orcScan(s: SparkSession, dir: String): DataFrame = {
+    val loc = s"/tmp/graft_orc_supplier_${math.abs(dir.hashCode)}"
+    if (!new java.io.File(loc, "_SUCCESS").exists()) synchronized {
+      if (!new java.io.File(loc, "_SUCCESS").exists())
+        t(s, dir, "supplier").write.mode("overwrite").orc(loc)
+    }
+    s.read.orc(loc)
+      .filter(col("s_nationkey") < 10)
+      .groupBy(col("s_nationkey").cast("int").as("nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(Queries.cents(col("s_acctbal"))).as("bal_cents"))
+      .orderBy(col("nationkey"))
+  }
+
   /** E25b: map functions — per-user event-type histogram built as a
     * MapType column (`map_from_entries`), then queried with
     * `element_at` / `map_keys` / `size`. The map projections are
