@@ -142,6 +142,9 @@ object Queries {
     "q_window_lag" -> (QueriesRel.windowLag _),
     "q_window_frame" -> (QueriesRel.windowFrame _),
     "q_window_range" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.windowRangeSql)),
+    "q_window_ntile" -> (QueriesRel.windowNtile _),
+    "q_agg_stats" -> (QueriesRel.aggStats _),
+    "q_cond_funcs" -> (QueriesScalar.condFuncs _),
     "q_union_all" -> (QueriesRel.unionAll _),
     "q_intersect" -> (QueriesRel.intersectKeys _),
     "q_except" -> (QueriesRel.exceptKeys _),
@@ -337,6 +340,46 @@ object Queries {
         |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100.0 AS moving_avg3
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_window_range" -> QueriesRel.windowRangeSql,
+    "q_window_ntile" ->
+      """SELECT o_custkey, o_orderkey, o_orderpriority, nt4,
+        |  floor(pr * 1000000 + 0.5) / 1000000.0 AS pct_rank,
+        |  floor(cd * 1000000 + 0.5) / 1000000.0 AS cume
+        |FROM (SELECT o_custkey, o_orderkey, o_orderpriority,
+        |        ntile(4) OVER w AS nt4,
+        |        percent_rank() OVER w AS pr,
+        |        cume_dist() OVER w AS cd
+        |      FROM orders
+        |      WINDOW w AS (PARTITION BY o_orderpriority
+        |        ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), o_orderkey)) t
+        |WHERE o_custkey % 200 = 0
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_agg_stats" ->
+      """WITH a AS (SELECT l_returnflag,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dc
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(qc) AS BIGINT) AS sum_qc,
+        |    CAST(sum(qc * qc) AS BIGINT) AS sum_qc2,
+        |    CAST(sum(dc) AS BIGINT) AS sum_dc,
+        |    CAST(sum(dc * dc) AS BIGINT) AS sum_dc2,
+        |    CAST(sum(qc * dc) AS BIGINT) AS sum_qd
+        |  FROM a GROUP BY l_returnflag)
+        |SELECT l_returnflag, n, sum_qc,
+        |  floor(sqrt((n * sum_qc2 - sum_qc * sum_qc) / (n * (n - 1.0))) * 1000000 + 0.5) / 1000000.0 AS stddev_qty_cents,
+        |  floor(sqrt((n * sum_dc2 - sum_dc * sum_dc) / (n * (n - 1.0))) * 1000000 + 0.5) / 1000000.0 AS stddev_disc_cents,
+        |  floor(((n * sum_qd - sum_qc * sum_dc) /
+        |    (sqrt(CAST(n * sum_qc2 - sum_qc * sum_qc AS DOUBLE)) *
+        |     sqrt(CAST(n * sum_dc2 - sum_dc * sum_dc AS DOUBLE)))) * 1000000 + 0.5) / 1000000.0 AS corr_qd
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_cond_funcs" ->
+      """SELECT p_partkey,
+        |  CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'mid' ELSE 'big' END AS size_class,
+        |  coalesce(nullif(p_brand, 'Brand#33'), 'REDACTED') AS brand_masked,
+        |  least(p_size, 25) AS size_cap,
+        |  greatest(p_size, 5) AS size_floor,
+        |  CASE WHEN p_retailprice > 1500 THEN 'Y' ELSE 'N' END AS pricey
+        |FROM part WHERE p_partkey % 7 = 0 ORDER BY p_partkey""".stripMargin,
     "q_union_all" ->
       """SELECT src, nationkey, count(*) AS n FROM (
         |  SELECT 'cust' AS src, CAST(c_nationkey AS INTEGER) AS nationkey FROM customer

@@ -276,6 +276,63 @@ object QueriesRel {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** E15b: distribution-ranking windows — ntile / percent_rank /
+    * cume_dist. The window orders by exact integer cents with a unique
+    * key tie-break, so bucket boundaries and rank rationals are
+    * identical in both engines; percent_rank and cume_dist are exact
+    * small-integer ratios, rounded 6dp only at output. Partitioned by
+    * `o_orderpriority` (5 well-filled groups — no n=1 partitions where
+    * percent_rank's 0/0 edge differs between engines).
+    */
+  def windowNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(Queries.cents(col("o_totalprice")), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("nt4", ntile(4).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .filter(col("o_custkey") % 200 === 0)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"), col("nt4"),
+        Queries.fround(col("pr"), 6).as("pct_rank"),
+        Queries.fround(col("cd"), 6).as("cume"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** E11b: statistical aggregates — stddev, and correlation — computed
+    * as closed forms over EXACT integer moments (sum, sum-of-squares,
+    * cross-sum in cents), so the aggregate is order-independent and the
+    * only float ops are the final closed-form expressions over
+    * identical BIGINTs — bitwise-portable across engines. (Spark's
+    * `stddev_samp`/`corr` built-ins use a distributed moments merge
+    * whose float result depends on partition merge order; the spec pins
+    * them against these closed forms within tolerance instead.)
+    * Integer ranges: qc ≤ 5e2·1e2, per-group n ≤ ~2e5 at sf0.1, so
+    * n·Σqc² ≤ ~1e18 < 2⁶³ — at larger SF, scale cents down or move the
+    * moments to DECIMAL(38,0).
+    */
+  def aggStats(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        Queries.cents(col("l_quantity")).as("qc"),
+        Queries.cents(col("l_discount")).as("dc"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qc")).as("sum_qc"),
+        sum(col("qc") * col("qc")).as("sum_qc2"),
+        sum(col("dc")).as("sum_dc"),
+        sum(col("dc") * col("dc")).as("sum_dc2"),
+        sum(col("qc") * col("dc")).as("sum_qd"))
+    val aq = m("n") * m("sum_qc2") - m("sum_qc") * m("sum_qc")
+    val ad = m("n") * m("sum_dc2") - m("sum_dc") * m("sum_dc")
+    m.select(col("l_returnflag"), col("n"), col("sum_qc"),
+        Queries.fround(sqrt(aq / (m("n") * (m("n") - lit(1.0)))), 6).as("stddev_qty_cents"),
+        Queries.fround(sqrt(ad / (m("n") * (m("n") - lit(1.0)))), 6).as("stddev_disc_cents"),
+        Queries.fround(
+          (m("n") * m("sum_qd") - m("sum_qc") * m("sum_dc")) /
+            (sqrt(aq.cast("double")) * sqrt(ad.cast("double"))), 6).as("corr_qd"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** E17: frame-spec aggregates — running sum + moving average. */
   def windowFrame(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

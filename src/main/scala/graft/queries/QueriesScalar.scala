@@ -156,6 +156,24 @@ object QueriesScalar {
         concat_ws(",", array_sort(map_keys(col("m")))).as("types_sorted"))
       .orderBy(col("user_id"))
 
+  /** E23b: conditional functions — CASE/WHEN chains, coalesce, nullif,
+    * least/greatest. All pure row-local projections that stay inside
+    * whole-stage codegen; the masking pattern (`nullif` + `coalesce`)
+    * is the standard PII-redaction idiom in a curation pipeline.
+    */
+  def condFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_partkey") % 7 === 0)
+      .select(col("p_partkey"),
+        when(col("p_size") < 10, "small")
+          .when(col("p_size") < 30, "mid")
+          .otherwise("big").as("size_class"),
+        coalesce(expr("nullif(p_brand, 'Brand#33')"), lit("REDACTED")).as("brand_masked"),
+        least(col("p_size"), lit(25)).as("size_cap"),
+        greatest(col("p_size"), lit(5)).as("size_floor"),
+        when(col("p_retailprice") > 1500.0, "Y").otherwise("N").as("pricey"))
+      .orderBy(col("p_partkey"))
+
   /** E25: JSON functions over events.props. */
   def jsonFuncs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
