@@ -130,6 +130,7 @@ object Queries {
     "q_join_skew_salted" -> (QueriesRel.joinSkewSalted _),
     "q_join_asof" -> (QueriesRel.joinAsof _),
     "q_join_bucketed" -> (QueriesRel.joinBucketed _),
+    "q_join_bloom" -> (QueriesRel.joinBloom _),
     "q_partitioned_scan" -> (QueriesRel.partitionedScan _),
     "q_agg_distinct" -> (QueriesRel.aggDistinct _),
     "q_agg_approx_distinct" -> (QueriesRel.aggApproxDistinct _),
@@ -177,6 +178,7 @@ object Queries {
     "x_simhash" -> (QueriesLLM.simhash _),
     "x_cosine_topk" -> (QueriesLLM.cosineTopk _),
     "x_ann_lsh" -> ((s: SparkSession, dir: String) => QueriesLLM.annLsh(s, dir)),
+    "x_ann_quantized" -> (QueriesLLM.annQuantized _),
     "x_ann_ivf" -> ((s: SparkSession, dir: String) => QueriesLLM.annIvf(s, dir)),
     "x_embed_dedup" -> (QueriesLLM.embedDedup _),
     "x_lang_id" -> (QueriesLLM.langIdQuery _),
@@ -304,6 +306,32 @@ object Queries {
         |  count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_bloom" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x_ann_quantized" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |q8 AS (SELECT vec_id,
+        |    list_transform(v, x -> CAST(floor(x * 127.0 /
+        |      greatest(list_max(list_transform(v, y -> abs(y))), 0.000000000001)
+        |      + 0.5) AS BIGINT)) AS q
+        |  FROM v),
+        |n8 AS (SELECT vec_id, q,
+        |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn2 FROM q8),
+        |p AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+        |    CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS BIGINT)
+        |      / (sqrt(CAST(a.qn2 AS DOUBLE)) * sqrt(CAST(b.qn2 AS DOUBLE))) AS sim
+        |  FROM n8 a JOIN n8 b ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id),
+        |r AS (SELECT query_id, cand_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rnk
+        |  FROM p)
+        |SELECT query_id, cand_id, rnk, floor(sim * 10000 + 0.5) / 10000.0 AS q_sim
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     "q_agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
         |  count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n

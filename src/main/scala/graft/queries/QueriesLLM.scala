@@ -165,6 +165,44 @@ object QueriesLLM {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** X3 scale path #3: int8 scalar quantization (SQ8). Each vector is
+    * quantized per-vector to 8-bit integers (scale = 127/max|x|), and
+    * pair similarity becomes an INTEGER dot product over 4× less data —
+    * the memory-bandwidth form a 100 TB vector corpus wants: the
+    * quantized index stays resident where the float index cannot, and
+    * the hot loop is integer multiply-add. Quantization, dot products,
+    * and ranking are exact integer arithmetic, so unlike the sketch ANNs
+    * this path is fully DuckDB-oracled (same ints → same rational sims
+    * → same top-3). At corpus scale the candidate pairs come from the
+    * LSH/IVF buckets; the all-pairs probe here is the oracle contract,
+    * mirroring [[cosineTopk]].
+    */
+  def annQuantized(s: SparkSession, dir: String): DataFrame = {
+    val q8 = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("mx",
+        greatest(aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))), lit(1e-12)))
+      // identical text shape to the oracle: (x * 127.0) / mx, half-up
+      .withColumn("q", expr("transform(v, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT))"))
+      .withColumn("qn2", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
+      .select(col("vec_id"), col("q"), col("qn2"))
+    val qs = q8.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("qn2").as("na"))
+    val cs = q8.select(col("vec_id").as("cand_id"), col("q").as("qb"), col("qn2").as("nb"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id"))
+    qs.crossJoin(cs)
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y), lit(0L), (a, x) => a + x)
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("cand_id"), col("rnk"),
+        Queries.fround(col("sim"), 4).as("q_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** X3 scale path #1: sign-LSH bucketed ANN — `tables` independent
     * hash tables of `bitsPerTable` hyperplane sign bits each, with
     * Hamming-1 multi-probe on the query side (the query additionally

@@ -182,6 +182,40 @@ object QueriesRel {
       .orderBy(col("event_id"))
   }
 
+  /** E34: runtime bloom-filter join pruning (semi-join reduction). The
+    * selective side (urgent orders) builds a bloom filter of its join
+    * keys during planning; Catalyst's InjectRuntimeFilter applies
+    * `might_contain` to the fact side BEFORE its shuffle, so at 100 TB
+    * the dominant cost — shuffling the big side — drops to roughly the
+    * join's selectivity. Broadcast is disabled for the measurement (the
+    * dim-too-big-to-broadcast case runtime filters exist for) and the
+    * application-side size floor is lowered so the rewrite fires on
+    * test-scale data; the aggregate is materialized eagerly
+    * (localCheckpoint) while those confs are active, then session state
+    * is restored. Values are oracled against the plain join; the spec
+    * pins `might_contain` into the physical plan.
+    */
+  def joinBloom(s: SparkSession, dir: String): DataFrame = {
+    val tuned = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = tuned.map { case (k, _) => k -> s.conf.getOption(k) }
+    tuned.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      t(s, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(Queries.cents(col("l_extendedprice"))).as("rev_cents"),
+          count(lit(1)).as("n"))
+        .localCheckpoint(true)
+        .orderBy(col("l_returnflag"))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
+
   /** E12: exact distinct counts (shuffle-dedup partial aggregation). */
   def aggDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")

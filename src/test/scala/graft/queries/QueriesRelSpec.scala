@@ -121,6 +121,52 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
       expected.collect().map(_.toString).toSeq)
   }
 
+  test("bloom join: runtime filter lands in the plan, values equal the plain join") {
+    // same confs joinBloom sets: no broadcast (the case runtime filters
+    // exist for), application-side size floor lowered for test scale
+    val tuned = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val o = Queries.t(spark, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      val joined = Queries.t(spark, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"expected an injected bloom runtime filter on the fact side, got:\n$plan")
+    } finally saved.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+
+    // values: identical to the plain broadcast join (default confs)
+    val plain = Queries.t(spark, dir, "lineitem")
+      .join(Queries.t(spark, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(Queries.cents(col("l_extendedprice"))).as("rev_cents"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+    assert(QueriesRel.joinBloom(spark, dir).collect().map(_.toString).toSeq ==
+      plain.collect().map(_.toString).toSeq)
+  }
+
+  test("quantized cosine: top-3 sims within int8 quantization error of exact cosine") {
+    import graft.functions.GraftFunctions.cosine
+    val e = Queries.t(spark, dir, "embeddings")
+    val exact = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .filter(col("query_id") % 100 === 0)
+      .crossJoin(e.select(col("vec_id").as("cand_id"), col("embedding").as("cv")))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), cosine(col("qv"), col("cv")).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = QueriesLLM.annQuantized(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val err = math.abs(r.getDouble(3) - exact((r.getLong(0), r.getLong(1))))
+      assert(err <= 0.02, s"quantized sim off by $err at $r")
+    }
+  }
+
   test("pivot: equals conditional aggregation; unpivot melts back to the wide values") {
     val piv = QueriesRel.pivotAgg(spark, dir)
     val cond = Queries.t(spark, dir, "lineitem")
