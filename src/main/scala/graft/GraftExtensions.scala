@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DecompressAmountExpr, ScriptTypeExpr}
+import graft.functions.{DecompressAmountExpr, ScriptTypeExpr, ZOrder2Expr}
 
 /** Library entry point for Spark's extension mechanism: activating via
   * `spark.sql.extensions=graft.GraftExtensions` (or
@@ -33,6 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[DecompressAmountExpr], "decompress_amount",
         "decompress_amount(x BIGINT) - inverse of Bitcoin Core's CompressAmount"),
       (exprs: Seq[Expression]) => DecompressAmountExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("zorder2"),
+      info(classOf[ZOrder2Expr], "zorder2",
+        "zorder2(x BIGINT, y BIGINT) - Morton-interleaved Z-order curve key " +
+          "for multi-dimension clustering layouts"),
+      (exprs: Seq[Expression]) => ZOrder2Expr.widened(exprs)))
     // script-class predicates become sargable binary prefix ranges that
     // parquet row-group stats can skip on (the script-sorted layout's
     // whole point) — see the rule's scaladoc

@@ -101,6 +101,8 @@ object GraftFunctions {
       exprs => ScriptTypeExpr(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("decompress_amount",
       exprs => DecompressAmountExpr(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("zorder2",
+      exprs => ZOrder2Expr.widened(exprs), "built-in")
   }
 
   /** Column-API forms of the native expressions (resolve through the
@@ -108,6 +110,7 @@ object GraftFunctions {
     */
   def scriptType(c: Column): Column = call_function("script_type", c)
   def decompressAmount(c: Column): Column = call_function("decompress_amount", c)
+  def zorder2(x: Column, y: Column): Column = call_function("zorder2", x, y)
 }
 
 /** Geometric mean UDAF (E14): exp(mean(ln x)) with a (sumLog, n) buffer.

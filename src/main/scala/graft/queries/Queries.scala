@@ -163,6 +163,7 @@ object Queries {
     "q_explode" -> (QueriesScalar.explodeTokens _),
     "q_json_funcs" -> (QueriesScalar.jsonFuncs _),
     "q_map_funcs" -> (QueriesScalar.mapFuncs _),
+    "q_zorder" -> (QueriesScalar.zorderKeys _),
     "q_csv_json_scan" -> (QueriesScalar.csvJsonScan _),
     "q_orc_scan" -> (QueriesScalar.orcScan _),
     "s_tumbling" -> (QueriesScalar.streamTumbling _),
@@ -500,6 +501,14 @@ object Queries {
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY n DESC, token LIMIT 40""".stripMargin,
+    "q_zorder" ->
+      """WITH k AS (SELECT l_orderkey, l_linenumber,
+        |    l_partkey % 1024 AS px, l_suppkey % 1024 AS sy
+        |  FROM lineitem WHERE l_orderkey % 50 = 0)
+        |SELECT l_orderkey, l_linenumber, px, sy,
+        |  CAST(list_sum(list_transform(range(10),
+        |    i -> (((px >> i) & 1) << (2 * i)) + (((sy >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
+        |FROM k ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_csv_json_scan" ->
       """SELECT CAST(n_nationkey AS INTEGER) AS nationkey, n_name,
         |  CAST(n_regionkey AS INTEGER) AS regionkey

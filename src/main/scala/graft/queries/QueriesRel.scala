@@ -547,6 +547,51 @@ object QueriesRel {
     s.read.parquet(loc)
   }
 
+  /** E35 layout half: lineitem written clustered by the Z-order curve
+    * over (l_partkey, l_suppkey), small row groups so the sf0.01 file
+    * has many of them. Because the sort key interleaves both columns'
+    * bits, each row group's (partkey, suppkey) bounding box is tight in
+    * BOTH dimensions — a range predicate on EITHER column skips row
+    * groups, where a single-column sort only ever skips on its leading
+    * key. This is the standard multi-dimension clustering layout for
+    * 100 TB fact tables with more than one selective access path; the
+    * spec measures the skip counts on both layouts.
+    */
+  def zorderedLineitem(s: SparkSession, dir: String): String = {
+    graft.functions.GraftFunctions.register(s)
+    val loc = s"/tmp/graft_zorder_li_${math.abs(dir.hashCode)}"
+    if (!new java.io.File(loc, "_SUCCESS").exists()) synchronized {
+      if (!new java.io.File(loc, "_SUCCESS").exists())
+        t(s, dir, "lineitem")
+          .withColumn("z", graft.functions.GraftFunctions.zorder2(
+            pmod(col("l_partkey"), lit(1024L)), pmod(col("l_suppkey"), lit(1024L))))
+          .repartition(1)
+          .sortWithinPartitions(col("z"))
+          .drop("z")
+          .write.mode("overwrite")
+          .option("parquet.block.size", 128 * 1024)
+          .parquet(loc)
+    }
+    loc
+  }
+
+  /** Comparison layout for the Z-order spec: same data, same row-group
+    * sizing, sorted by l_partkey alone.
+    */
+  def partkeySortedLineitem(s: SparkSession, dir: String): String = {
+    val loc = s"/tmp/graft_pksort_li_${math.abs(dir.hashCode)}"
+    if (!new java.io.File(loc, "_SUCCESS").exists()) synchronized {
+      if (!new java.io.File(loc, "_SUCCESS").exists())
+        t(s, dir, "lineitem")
+          .repartition(1)
+          .sortWithinPartitions(col("l_partkey"))
+          .write.mode("overwrite")
+          .option("parquet.block.size", 128 * 1024)
+          .parquet(loc)
+    }
+    loc
+  }
+
   /** E31: exact percentiles (sort-based, per group). Probe points
     * 0.25/0.5/0.75 over the integer-valued quantity column interpolate
     * on quarter-integers — exact in binary, so Spark's `percentile` and

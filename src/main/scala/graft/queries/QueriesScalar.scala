@@ -174,6 +174,24 @@ object QueriesScalar {
         when(col("p_retailprice") > 1500.0, "Y").otherwise("N").as("pricey"))
       .orderBy(col("p_partkey"))
 
+  /** E35: Z-order (Morton) clustering keys via the native codegen
+    * `zorder2` expression — the multi-dimension layout key: sort by the
+    * interleaved code and row groups become axis-aligned rectangles in
+    * (partkey, suppkey) space, so parquet min/max stats skip on BOTH
+    * dimensions (the spec measures it on [[QueriesRel.zorderedLineitem]];
+    * this query pins the code values against a bit-arithmetic oracle).
+    */
+  def zorderKeys(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_partkey"), lit(1024L)).as("px"),
+        pmod(col("l_suppkey"), lit(1024L)).as("sy"))
+      .withColumn("z", graft.functions.GraftFunctions.zorder2(col("px"), col("sy")))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** E25: JSON functions over events.props. */
   def jsonFuncs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")

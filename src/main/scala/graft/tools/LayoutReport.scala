@@ -107,6 +107,35 @@ object LayoutReport {
     (total, matching)
   }
 
+  /** Count (rowGroupsTotal, rowGroupsOverlapping) for a LONG-typed
+    * column range [lo, hi) using footer min/max stats — the row-group
+    * skipping a reader achieves for integer range predicates (used by
+    * the Z-order layout spec to measure per-dimension skipping).
+    */
+  def longStatsRange(dirOrFile: String, column: String, lo: Long, hi: Long): (Int, Int) = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val d = new java.io.File(dirOrFile)
+    val parts =
+      if (d.isDirectory) d.listFiles().filter(_.getName.endsWith(".parquet"))
+      else Array(d)
+    var total = 0
+    var matching = 0
+    parts.foreach { part =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf))
+      try reader.getFooter.getBlocks.asScala.foreach { b =>
+        total += 1
+        val col = b.getColumns.asScala.find(_.getPath.toDotString == column).get
+        val st = col.getStatistics
+        val min = st.genericGetMin.asInstanceOf[Number].longValue
+        val max = st.genericGetMax.asInstanceOf[Number].longValue
+        if (max >= lo && min < hi) matching += 1
+      } finally reader.close()
+    }
+    (total, matching)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     scan(dir).foreach { f =>

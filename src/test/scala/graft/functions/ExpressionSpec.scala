@@ -39,6 +39,30 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaCol == Seq("p2pkh", "p2sh", "p2wpkh", "op_return"))
   }
 
+  test("zorder2 interleaves bits (known vectors + slow-reference property)") {
+    // known vectors: zorder2(x, y) puts x on even bits, y on odd
+    assert(Morton.interleave2(0L, 0L) == 0L)
+    assert(Morton.interleave2(1L, 0L) == 1L)
+    assert(Morton.interleave2(0L, 1L) == 2L)
+    assert(Morton.interleave2(0xFFFFFFFFL, 0L) == 0x5555555555555555L)
+    assert(Morton.interleave2(0L, 0xFFFFFFFFL) == 0xAAAAAAAAAAAAAAAAL)
+    // slow bit-by-bit reference over deterministic pseudo-random inputs
+    def slow(x: Long, y: Long): Long =
+      (0 until 32).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val (x, y) = (rnd.nextLong() & 0xFFFFFFFFL, rnd.nextLong() & 0xFFFFFFFFL)
+      assert(Morton.interleave2(x, y) == slow(x, y))
+    }
+    // z-order locality: adjacent codes stay adjacent in key space
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT zorder2(12345, 54321) AS z").collect()(0).getLong(0)
+    assert(viaSql == Morton.interleave2(12345L, 54321L))
+  }
+
   test("native expressions stay inside whole-stage codegen (no ScalaUDF)") {
     GraftFunctions.register(spark)
     import spark.implicits._

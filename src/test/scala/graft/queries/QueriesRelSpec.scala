@@ -167,6 +167,34 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("z-order layout: row-group skipping on BOTH clustered dimensions") {
+    import graft.tools.LayoutReport.longStatsRange
+    // sf0.01: ~60k rows → ~3 MB → many 128 KB row groups
+    val bigDir = "/root/testdata/sf0.01"
+    val zloc = QueriesRel.zorderedLineitem(spark, bigDir)
+    val ploc = QueriesRel.partkeySortedLineitem(spark, bigDir)
+
+    val (zTotal, zPart) = longStatsRange(zloc, "l_partkey", 0L, 300L)
+    val (_, zSupp) = longStatsRange(zloc, "l_suppkey", 0L, 30L)
+    val (pTotal, pPart) = longStatsRange(ploc, "l_partkey", 0L, 300L)
+    val (_, pSupp) = longStatsRange(ploc, "l_suppkey", 0L, 30L)
+
+    assert(zTotal >= 8, s"need many row groups for skipping to be measurable, got $zTotal")
+    // single-column sort: skips on its leading key only
+    assert(pPart < pTotal, "partkey-sorted layout must skip on partkey")
+    assert(pSupp == pTotal, "partkey-sorted layout cannot skip on suppkey (the gap z-order closes)")
+    // z-order: skips on BOTH dimensions
+    assert(zPart < zTotal, s"z-order must skip on partkey ($zPart of $zTotal)")
+    assert(zSupp < zTotal, s"z-order must skip on suppkey ($zSupp of $zTotal)")
+
+    // the layout reorders, never drops: same multiset of keys
+    val a = spark.read.parquet(zloc).groupBy(col("l_partkey")).count()
+      .orderBy(col("l_partkey")).collect().toSeq
+    val b = Queries.t(spark, bigDir, "lineitem").groupBy(col("l_partkey")).count()
+      .orderBy(col("l_partkey")).collect().toSeq
+    assert(a == b, "z-ordered copy must hold the identical data")
+  }
+
   test("pivot: equals conditional aggregation; unpivot melts back to the wide values") {
     val piv = QueriesRel.pivotAgg(spark, dir)
     val cond = Queries.t(spark, dir, "lineitem")
