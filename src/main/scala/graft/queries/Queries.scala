@@ -144,6 +144,10 @@ object Queries {
     "q_window_frame" -> (QueriesRel.windowFrame _),
     "q_window_range" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.windowRangeSql)),
     "q_window_ntile" -> (QueriesRel.windowNtile _),
+    "q_window_first_last" -> (QueriesRel.windowFirstLast _),
+    "q_subquery_corr" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.subqueryCorrSql)),
+    "q_table_sample" -> (QueriesRel.tableSample _),
+    "x_pii_redact" -> (QueriesLLM.piiRedact _),
     "q_agg_stats" -> (QueriesRel.aggStats _),
     "q_cond_funcs" -> (QueriesScalar.condFuncs _),
     "q_union_all" -> (QueriesRel.unionAll _),
@@ -401,6 +405,29 @@ object Queries {
         |    (sqrt(CAST(n * sum_qc2 - sum_qc * sum_qc AS DOUBLE)) *
         |     sqrt(CAST(n * sum_dc2 - sum_dc * sum_dc AS DOUBLE)))) * 1000000 + 0.5) / 1000000.0 AS corr_qd
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_window_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  last_value(o_orderkey) OVER w AS last_key,
+        |  coalesce(nth_value(o_orderkey, 2) OVER w, -1) AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_subquery_corr" -> QueriesRel.subqueryCorrSql,
+    "x_pii_redact" ->
+      """WITH d AS (SELECT doc_id,
+        |    concat(text, ' contact: user', CAST(doc_id AS VARCHAR),
+        |           '@example.com ph ', CAST(doc_id * 7 AS VARCHAR)) AS raw
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |r AS (SELECT doc_id, raw,
+        |    regexp_replace(regexp_replace(raw, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |      ' [0-9]+', ' <NUM>', 'g') AS red
+        |  FROM d)
+        |SELECT doc_id, md5(red) AS redacted_md5,
+        |  CAST(length(raw) AS INTEGER) AS n_chars_raw,
+        |  CAST(length(red) AS INTEGER) AS n_chars_redacted
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_cond_funcs" ->
       """SELECT p_partkey,
         |  CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'mid' ELSE 'big' END AS size_class,

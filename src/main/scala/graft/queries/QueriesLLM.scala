@@ -165,6 +165,28 @@ object QueriesLLM {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** X11: PII redaction — regex scrubbing of emails and number runs,
+    * the standard pre-training privacy pass. The corpus text carries no
+    * PII, so a deterministic synthetic contact suffix is appended first
+    * (both engines build the identical string), then redacted; the md5
+    * of the redacted text pins replacement semantics exactly. Pure
+    * row-local regexp_replace — codegen'd, no shuffle, linear at 100 TB.
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(col("text"), lit(" contact: user"), col("doc_id").cast("string"),
+      lit("@example.com ph "), (col("doc_id") * 7).cast("string"))
+    val redacted = regexp_replace(
+      regexp_replace(raw, "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+      " [0-9]+", " <NUM>")
+    t(s, dir, "documents")
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        md5(redacted).as("redacted_md5"),
+        length(raw).cast("int").as("n_chars_raw"),
+        length(redacted).cast("int").as("n_chars_redacted"))
+      .orderBy(col("doc_id"))
+  }
+
   /** X3 scale path #3: int8 scalar quantization (SQ8). Each vector is
     * quantized per-vector to 8-bit integers (scale = 127/max|x|), and
     * pair similarity becomes an INTEGER dot product over 4× less data —

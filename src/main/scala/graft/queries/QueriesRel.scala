@@ -367,6 +367,52 @@ object QueriesRel {
       .orderBy(col("l_returnflag"))
   }
 
+  /** E16b: boundary analytics — first_value / last_value / nth_value
+    * over the full-partition frame (UNBOUNDED PRECEDING..UNBOUNDED
+    * FOLLOWING — last/nth are frame-dependent; the default running
+    * frame would make them row-relative). nth_value(,2) is null for
+    * single-order customers → coalesced to -1 (nullable sort/hash keys
+    * are a cross-engine trap).
+    */
+  def windowFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .withColumn("first_key", first(col("o_orderkey")).over(w))
+      .withColumn("last_key", last(col("o_orderkey")).over(w))
+      .withColumn("second_key", coalesce(nth_value(col("o_orderkey"), 2).over(w), lit(-1L)))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("first_key"), col("last_key"), col("second_key"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** E30b: correlated scalar subquery — per-customer order count as a
+    * subquery expression. Catalyst decorrelates it into ONE left outer
+    * join + aggregate (not a per-row re-execution), which is the only
+    * shape that survives a 100 TB outer table; shared SQL text.
+    */
+  val subqueryCorrSql: String =
+    """SELECT c_custkey, c_name, n_orders FROM (
+      |  SELECT c_custkey, c_name,
+      |    (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+      |  FROM customer) t
+      |WHERE c_custkey % 100 = 0
+      |ORDER BY c_custkey""".stripMargin
+
+  /** E36: TABLESAMPLE — Bernoulli row sampling, seed-pinned. The sample
+    * membership is engine-specific (rows-only check); the spec pins
+    * seed-determinism and the fraction tolerance. One scan, no shuffle:
+    * the sampling a 100 TB profiling query starts with.
+    */
+  def tableSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .sample(withReplacement = false, 0.1, seed = 42L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(Queries.cents(col("l_quantity"))).as("qty_cents"))
+      .orderBy(col("l_returnflag"))
+
   /** E17: frame-spec aggregates — running sum + moving average. */
   def windowFrame(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

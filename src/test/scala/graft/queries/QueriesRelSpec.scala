@@ -297,6 +297,20 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotRows.nonEmpty, "expected at least one near-dup cluster in the corpus")
   }
 
+  test("table sample: seed-deterministic, fraction honored within tolerance") {
+    val run1 = QueriesRel.tableSample(spark, dir).collect().map(_.toString).toSeq
+    val run2 = QueriesRel.tableSample(spark, dir).collect().map(_.toString).toSeq
+    assert(run1 == run2, "fixed seed must reproduce the identical sample")
+    val totals = Queries.t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    QueriesRel.tableSample(spark, dir).collect().foreach { r =>
+      val want = 0.1 * totals(r.getString(0))
+      assert(math.abs(r.getLong(1) - want) <= math.max(15.0, 0.35 * want),
+        s"flag ${r.getString(0)} sampled ${r.getLong(1)}, expected ~$want")
+    }
+  }
+
   test("stratified sample: per-stratum fractions honored, seed-deterministic") {
     val totals = Queries.t(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
