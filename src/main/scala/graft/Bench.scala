@@ -26,7 +26,8 @@ object Bench {
     "q_explode", "s_tumbling", "s_session",
     "x_exact_dedup", "x_minhash_lsh", "x_simhash", "x_cosine_topk",
     "q_join_skew_salted", "x_ann_lsh", "x_embed_dedup",
-    "q_join_asof", "q_join_bucketed", "x_curation_pipeline")
+    "q_join_asof", "q_join_bucketed", "x_curation_pipeline",
+    "q_join_bloom", "x_ann_quantized")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -96,6 +96,8 @@ object GraftFunctions {
     */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("geo_mean", udaf(GeoMean))
+    spark.udf.register("top_k3",
+      udaf(new TopKAgg(3), Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)))
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("script_type",
       exprs => ScriptTypeExpr(exprs.head), "built-in")
@@ -111,6 +113,36 @@ object GraftFunctions {
   def scriptType(c: Column): Column = call_function("script_type", c)
   def decompressAmount(c: Column): Column = call_function("decompress_amount", c)
   def zorder2(x: Column, y: Column): Column = call_function("zorder2", x, y)
+}
+
+/** Bounded-memory top-k-per-key aggregate (E14b): keeps the k largest
+  * (value, id) pairs per group, ordered value DESC then id ASC (the
+  * unique tie-break that makes the result deterministic).
+  *
+  * Why an Aggregator instead of the window `row_number() <= k` idiom:
+  * the window shuffles and sorts EVERY row of every group; this
+  * aggregate's partial (map-side) state is at most k pairs per key per
+  * partition, so at 100 TB the shuffle carries k rows per key instead
+  * of the whole table — the same partial/final contract as `max`,
+  * applied to top-k. The buffer stays sorted and truncated at every
+  * reduce/merge, so memory is O(k) regardless of group size.
+  */
+class TopKAgg(k: Int)
+    extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+  private val ord: Ordering[(Long, Long)] =
+    Ordering.by[(Long, Long), (Long, Long)] { case (v, id) => (-v, id) }
+  override def zero: Seq[(Long, Long)] = Seq.empty
+  override def reduce(b: Seq[(Long, Long)], x: (Long, Long)): Seq[(Long, Long)] =
+    // cheap pre-filter: once full, only values beating the floor enter
+    if (b.length == k && ord.gteq(x, b.last)) b
+    else ((b :+ x).sorted(ord)).take(k)
+  override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    (a ++ b).sorted(ord).take(k)
+  override def finish(b: Seq[(Long, Long)]): Seq[(Long, Long)] = b.sorted(ord)
+  override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
 }
 
 /** Geometric mean UDAF (E14): exp(mean(ln x)) with a (sumLog, n) buffer.

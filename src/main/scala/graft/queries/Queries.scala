@@ -145,6 +145,7 @@ object Queries {
     "q_window_range" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.windowRangeSql)),
     "q_window_ntile" -> (QueriesRel.windowNtile _),
     "q_window_first_last" -> (QueriesRel.windowFirstLast _),
+    "q_topk_per_key" -> (QueriesRel.topkPerKey _),
     "q_subquery_corr" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.subqueryCorrSql)),
     "q_table_sample" -> (QueriesRel.tableSample _),
     "x_pii_redact" -> (QueriesLLM.piiRedact _),
@@ -415,6 +416,14 @@ object Queries {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_subquery_corr" -> QueriesRel.subqueryCorrSql,
+    "q_topk_per_key" ->
+      """SELECT o_custkey, CAST(rnk AS INTEGER) AS rnk, o_orderkey, price_cents
+        |FROM (SELECT o_custkey, o_orderkey,
+        |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC, o_orderkey) AS rnk
+        |      FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
     "x_pii_redact" ->
       """WITH d AS (SELECT doc_id,
         |    concat(text, ' contact: user', CAST(doc_id AS VARCHAR),

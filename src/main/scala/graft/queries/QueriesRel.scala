@@ -367,6 +367,24 @@ object QueriesRel {
       .orderBy(col("l_returnflag"))
   }
 
+  /** E14b: top-k per key via the bounded-memory [[graft.functions.TopKAgg]]
+    * aggregate — each customer's 3 priciest orders WITHOUT the window
+    * `row_number() <= 3` idiom: the window shuffles and sorts every
+    * order row; this aggregate's map-side partial state is ≤ 3 pairs
+    * per customer per partition, so the shuffle carries k rows per key
+    * instead of the table. The oracle pins it against the window form.
+    */
+  def topkPerKey(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(expr("top_k3(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), o_orderkey)").as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col._2").as("o_orderkey"), col("col._1").as("price_cents"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
   /** E16b: boundary analytics — first_value / last_value / nth_value
     * over the full-partition frame (UNBOUNDED PRECEDING..UNBOUNDED
     * FOLLOWING — last/nth are frame-dependent; the default running

@@ -167,6 +167,29 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("top-k per key: partial-aggregated plan, equals the window idiom") {
+    val topk = QueriesRel.topkPerKey(spark, dir)
+    // the whole point: an aggregate with a map-side partial stage (k-row
+    // states), not a window that shuffles every row
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected an aggregate-based plan, got:\n$plan")
+    assert(plan.toLowerCase.contains("partial"),
+      s"aggregate must have a map-side partial stage, got:\n$plan")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(Queries.cents(col("o_totalprice")).desc, col("o_orderkey"))
+    val windowed = Queries.t(spark, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("rnk").cast("int").as("rnk"),
+        col("o_orderkey"), Queries.cents(col("o_totalprice")).as("price_cents"))
+      .orderBy(col("o_custkey"), col("rnk"))
+    assert(topk.collect().map(_.toString).toSeq ==
+      windowed.collect().map(_.toString).toSeq)
+  }
+
   test("z-order layout: row-group skipping on BOTH clustered dimensions") {
     import graft.tools.LayoutReport.longStatsRange
     // sf0.01: ~60k rows → ~3 MB → many 128 KB row groups
