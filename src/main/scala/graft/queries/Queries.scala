@@ -176,6 +176,7 @@ object Queries {
     "s_session" -> (QueriesScalar.streamSession _),
     "s_dedup_latest" -> (QueriesScalar.streamDedup _),
     "s_join" -> (QueriesScalar.streamJoin _),
+    "s_upsert" -> (QueriesScalar.streamUpsert _),
     "x_exact_dedup" -> (QueriesLLM.exactDedup _),
     "x_dedup_stats" -> (QueriesLLM.dedupStats _),
     "x_minhash_sig" -> (QueriesLLM.minhashSig _),
@@ -594,6 +595,13 @@ object Queries {
         |  count(*) AS n_events, round(sum(value), 2) AS session_value
         |FROM g GROUP BY user_id, grp ORDER BY user_id, session_start_ms""".stripMargin,
     "s_dedup_latest" ->
+      """SELECT user_id, event_type, event_id AS latest_event_id, epoch_ms(ts) AS ts_ms
+        |FROM (SELECT user_id, event_type, event_id, ts,
+        |        row_number() OVER (PARTITION BY user_id, event_type
+        |          ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "s_upsert" ->
       """SELECT user_id, event_type, event_id AS latest_event_id, epoch_ms(ts) AS ts_ms
         |FROM (SELECT user_id, event_type, event_id, ts,
         |        row_number() OVER (PARTITION BY user_id, event_type

@@ -202,6 +202,30 @@ object QueriesScalar {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** S8: foreachBatch incremental upsert, run to completion over the
+    * finite events source — the final keyed parquet target holds the
+    * latest event per (user_id, event_type), which is exactly the
+    * `s_dedup_latest` contract, so the same oracle pins it. The file
+    * streaming source watches directories: the single corpus file is
+    * staged once per source dir.
+    */
+  def streamUpsert(s: SparkSession, dir: String): DataFrame = {
+    val tag = math.abs(dir.hashCode)
+    val src = java.nio.file.Paths.get(s"/tmp/graft_upsert_src_$tag")
+    if (!java.nio.file.Files.exists(src.resolve("events.parquet"))) {
+      java.nio.file.Files.createDirectories(src)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        src.resolve("events.parquet"))
+    }
+    graft.streaming.StreamingQueries.runUpsert(s, src.toString,
+        s"/tmp/graft_upsert_tgt_$tag", s"/tmp/graft_upsert_ckpt_$tag")
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("latest_event_id"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** S1 batch analogue: tumbling 1-hour windows via `window()` (the same
     * expression the streaming path uses), keyed output as epoch millis.
     */

@@ -113,6 +113,65 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n"),
         round(sum(col("value") * col("weight")), 2).as("weighted_value"))
 
+  /** S8: foreachBatch incremental upsert — each micro-batch MERGEs its
+    * latest-per-key rows into a keyed parquet target: read the current
+    * target, union the batch, keep the newest row per (user_id,
+    * event_type) by (ts, event_id), publish atomically (stage dir +
+    * Hadoop FileSystem rename — DFS-compatible). This is the standard
+    * streaming-materialized-view sink when the table format has no
+    * native MERGE; per-key state lives in the TARGET, not executor
+    * memory, so it scales with storage, and the per-batch rewrite cost
+    * is what a transactional format (MERGE INTO) would amortize.
+    */
+  def upsertMerge(spark: SparkSession, updates: DataFrame, targetDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val target = new Path(targetDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current =
+      if (fs.exists(new Path(target, "_SUCCESS"))) spark.read.parquet(targetDir)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        updates.schema)
+    val merged = current.unionByName(updates)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val stage = new Path(targetDir + "_stage")
+    merged.write.mode("overwrite").parquet(stage.toString)
+    fs.delete(target, true)
+    if (!fs.rename(stage, target))
+      throw new java.io.IOException(s"publish rename $stage -> $target failed")
+  }
+
+  /** S8 driver: stream events through [[upsertMerge]] to completion and
+    * return the final target table (latest event per user/type — the
+    * same contract the batch `s_dedup_latest` query computes).
+    */
+  def runUpsert(spark: SparkSession, eventsDir: String, targetDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(targetDir), true)
+    fs.delete(new Path(checkpointDir), true)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val reader = spark.readStream.schema(EventsRawSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val events = reader.parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+    val q = events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        upsertMerge(batch.sparkSession, batch.toDF(), targetDir)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.parquet(targetDir)
+  }
+
   /** S5: arbitrary stateful processing — running per-user event count
     * and cumulative value via flatMapGroupsWithState.
     */

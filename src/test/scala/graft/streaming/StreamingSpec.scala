@@ -115,6 +115,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new java.io.File(ckpt, "offsets").listFiles().nonEmpty)
   }
 
+  test("S8 foreachBatch upsert: multi-batch incremental merges equal batch latest-per-key") {
+    import java.nio.file.{Files, Paths}
+    // split the events into 3 chunk files so maxFilesPerTrigger=1 forces
+    // 3 micro-batches — each one MERGEs into the target incrementally
+    val srcDir = Files.createTempDirectory("upsert-src")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet") // ts stays long
+    (0 until 3).foreach { i =>
+      val tmp = Files.createTempDirectory(s"upsert-chunk$i")
+      raw.filter(col("event_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, srcDir.resolve(s"chunk-$i.parquet"))
+    }
+    val ckpt = Files.createTempDirectory("upsert-ckpt").toString
+    val target = Files.createTempDirectory("upsert-tgt").toString + "/t"
+    val got = StreamingQueries.runUpsert(spark, srcDir.toString, target, ckpt,
+        maxFilesPerTrigger = Some(1))
+      .select(col("user_id"), col("event_type"), col("event_id"), unix_millis(col("ts")))
+    // incrementality really happened: one committed offset per chunk
+    assert(new java.io.File(ckpt, "offsets").listFiles()
+      .count(!_.getName.startsWith(".")) >= 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val batch = graft.queries.Queries.t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), unix_millis(col("ts")))
+    assert(sortedRows(got) == sortedRows(batch))
+  }
+
   test("S5 flatMapGroupsWithState: final per-user totals == batch groupBy") {
     val events = StreamingQueries.readEventsStream(spark, eventsDir)
     val streamed = StreamingQueries.runToBatch(spark,
