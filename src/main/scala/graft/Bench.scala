@@ -104,14 +104,21 @@ object Bench {
       // convert, buys single-file point lookups (the 100 TB layout)
       val convertClusteredSec = minOf3(timeConvert("/tmp/graft_bench_convert_clustered", range = true))
 
-      // sustained throughput: 10M coins, one shot — long enough that JVM
-      // warmup and page-cache transients stop dominating (the reference's
-      // headline is a 177.5M-row sustained number)
+      // sustained throughput: 10M coins — long enough that JVM warmup
+      // stops dominating (the reference's headline is a 177.5M-row
+      // sustained number). The timed run starts AFTER a sync: at this
+      // point ~3 GB of prior convert output + the 478 MB snapshot are
+      // dirty in the page cache, and their writeback would be billed to
+      // this convert (observed 4.5s -> 31s). min-of-2 guards the rest.
       val snap10 = ensureSnapshot("/tmp/graft_bench_snap10.bin", 10000000, seed = 43L)
-      val t10 = System.nanoTime()
-      graft.sources.UtxoConvert.convert(spark, snap10,
-        "/tmp/graft_bench_convert10_out", partitions = cpus.toInt)
-      val convert10Sec = (System.nanoTime() - t10) / 1e9
+      try Runtime.getRuntime.exec(Array("sync")).waitFor()
+      catch { case _: Throwable => () }
+      val convert10Sec = (1 to 2).map { _ =>
+        val t10 = System.nanoTime()
+        graft.sources.UtxoConvert.convert(spark, snap10,
+          "/tmp/graft_bench_convert10_out", partitions = cpus.toInt)
+        (System.nanoTime() - t10) / 1e9
+      }.min
 
       // lookups measured after ALL converts (writeback shadow, above)
       val parq = spark.read.parquet("/tmp/graft_bench_convert_out")
