@@ -149,6 +149,7 @@ object Queries {
     "q_subquery_corr" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.subqueryCorrSql)),
     "q_table_sample" -> (QueriesRel.tableSample _),
     "x_pii_redact" -> (QueriesLLM.piiRedact _),
+    "x_collocations" -> (QueriesLLM.collocations _),
     "q_agg_stats" -> (QueriesRel.aggStats _),
     "q_cond_funcs" -> (QueriesScalar.condFuncs _),
     "q_union_all" -> (QueriesRel.unionAll _),
@@ -425,6 +426,25 @@ object Queries {
         |          ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC, o_orderkey) AS rnk
         |      FROM orders) t
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "x_collocations" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |uni AS (SELECT w, count(*) AS c_w FROM tok GROUP BY w),
+        |bgs AS (SELECT unnest(list_transform(range(len(toks) - 1),
+        |          i -> array_to_string(toks[i+1:i+2], ' '))) AS bg
+        |        FROM (SELECT string_split(text, ' ') AS toks FROM documents)),
+        |bi AS (SELECT bg, count(*) AS c_ab FROM bgs GROUP BY bg),
+        |nu AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_uni FROM uni),
+        |nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bi FROM bi),
+        |j AS (SELECT bi.bg, bi.c_ab, a.c_w AS c_a, b.c_w AS c_b, nu.n_uni, nb.n_bi
+        |      FROM bi
+        |      JOIN uni a ON a.w = string_split(bi.bg, ' ')[1]
+        |      JOIN uni b ON b.w = string_split(bi.bg, ' ')[2]
+        |      CROSS JOIN nu CROSS JOIN nb
+        |      WHERE bi.c_ab >= 30)
+        |SELECT bg, c_ab, c_a, c_b,
+        |  floor(ln((CAST(c_ab AS DOUBLE) * n_uni * n_uni) /
+        |    (CAST(n_bi AS DOUBLE) * c_a * c_b)) * 1000000 + 0.5) / 1000000.0 AS pmi
+        |FROM j ORDER BY c_ab DESC, bg LIMIT 40""".stripMargin,
     "x_pii_redact" ->
       """WITH d AS (SELECT doc_id,
         |    concat(text, ' contact: user', CAST(doc_id AS VARCHAR),

@@ -165,6 +165,37 @@ object QueriesLLM {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** X12: collocation mining — corpus bigrams scored by pointwise
+    * mutual information (the classic phrase-discovery pass before
+    * tokenizer/vocab building). All counts are exact integers from two
+    * shuffled aggregations (unigrams, bigrams); corpus totals ride in
+    * as broadcast one-row aggregates (no driver-side count); PMI is one
+    * double expression over identical integers in both engines, rounded
+    * 6dp at output. Top collocations by support with a unique tie-break.
+    */
+  def collocations(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val uni = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val bi = docs.select(explode(shingles(col("text"), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
+    val nu = uni.agg(sum(col("c_w")).as("n_uni"))
+    val nb = bi.agg(sum(col("c_ab")).as("n_bi"))
+    val w1 = uni.select(col("w").as("w1"), col("c_w").as("c_a"))
+    val w2 = uni.select(col("w").as("w2"), col("c_w").as("c_b"))
+    bi.withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(broadcast(w1), "w1").join(broadcast(w2), "w2")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .filter(col("c_ab") >= 30)
+      .select(col("bg"), col("c_ab"), col("c_a"), col("c_b"),
+        Queries.fround(
+          log((col("c_ab").cast("double") * col("n_uni") * col("n_uni")) /
+            (col("n_bi").cast("double") * col("c_a") * col("c_b"))), 6).as("pmi"))
+      .orderBy(col("c_ab").desc, col("bg"))
+      .limit(40)
+  }
+
   /** X11: PII redaction — regex scrubbing of emails and number runs,
     * the standard pre-training privacy pass. The corpus text carries no
     * PII, so a deterministic synthetic contact suffix is appended first
