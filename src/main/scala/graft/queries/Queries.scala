@@ -147,6 +147,7 @@ object Queries {
     "q_window_first_last" -> (QueriesRel.windowFirstLast _),
     "q_topk_per_key" -> (QueriesRel.topkPerKey _),
     "q_subquery_corr" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.subqueryCorrSql)),
+    "q_join_lateral" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.lateralSql)),
     "q_table_sample" -> (QueriesRel.tableSample _),
     "x_pii_redact" -> (QueriesLLM.piiRedact _),
     "x_collocations" -> (QueriesLLM.collocations _),
@@ -418,6 +419,7 @@ object Queries {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_subquery_corr" -> QueriesRel.subqueryCorrSql,
+    "q_join_lateral" -> QueriesRel.lateralSql,
     "q_topk_per_key" ->
       """SELECT o_custkey, CAST(rnk AS INTEGER) AS rnk, o_orderkey, price_cents
         |FROM (SELECT o_custkey, o_orderkey,

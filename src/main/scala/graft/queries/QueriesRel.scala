@@ -418,6 +418,21 @@ object QueriesRel {
       |WHERE c_custkey % 100 = 0
       |ORDER BY c_custkey""".stripMargin
 
+  /** E37: LATERAL correlated subquery in FROM — per-customer top-2
+    * orders via a lateral ORDER BY/LIMIT. Catalyst rewrites the
+    * correlated lateral into a domain join + per-key window limit (no
+    * per-row re-execution); shared SQL text (DuckDB executes the same
+    * LATERAL natively).
+    */
+  val lateralSql: String =
+    """SELECT c_custkey, o_orderkey, price_cents FROM customer,
+      |LATERAL (SELECT o_orderkey,
+      |           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+      |         FROM orders WHERE o_custkey = c_custkey
+      |         ORDER BY price_cents DESC, o_orderkey LIMIT 2) t
+      |WHERE c_custkey % 100 = 0
+      |ORDER BY c_custkey, price_cents DESC, o_orderkey""".stripMargin
+
   /** E36: TABLESAMPLE — Bernoulli row sampling, seed-pinned. The sample
     * membership is engine-specific (rows-only check); the spec pins
     * seed-determinism and the fraction tolerance. One scan, no shuffle:
