@@ -167,6 +167,27 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("agg stats: closed forms agree with Spark's stddev_samp/corr built-ins") {
+    val got = QueriesRel.aggStats(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val builtins = Queries.t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        Queries.cents(col("l_quantity")).as("qc"),
+        Queries.cents(col("l_discount")).as("dc"))
+      .groupBy(col("l_returnflag"))
+      .agg(stddev_samp(col("qc")).as("sq"), stddev_samp(col("dc")).as("sd"),
+        corr(col("qc"), col("dc")).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // the closed forms are rounded 6dp at output (half-ulp 5e-7), so the
+    // agreement bound is the rounding grid, not float epsilon
+    got.foreach { case (flag, (sq, sd, c)) =>
+      val (bq, bd, bc) = builtins(flag)
+      assert(math.abs(sq - bq) <= 1e-6 * math.max(1.0, bq), s"stddev qty mismatch for $flag: $sq vs $bq")
+      assert(math.abs(sd - bd) <= 1e-6, s"stddev disc mismatch for $flag: $sd vs $bd")
+      assert(math.abs(c - bc) <= 1e-6, s"corr mismatch for $flag: $c vs $bc")
+    }
+  }
+
   test("top-k per key: partial-aggregated plan, equals the window idiom") {
     val topk = QueriesRel.topkPerKey(spark, dir)
     // the whole point: an aggregate with a map-side partial stage (k-row
