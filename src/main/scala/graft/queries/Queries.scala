@@ -152,6 +152,7 @@ object Queries {
     "x_pii_redact" -> (QueriesLLM.piiRedact _),
     "x_collocations" -> (QueriesLLM.collocations _),
     "q_agg_stats" -> (QueriesRel.aggStats _),
+    "q_agg_filter" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.aggFilterSql)),
     "q_cond_funcs" -> (QueriesScalar.condFuncs _),
     "q_union_all" -> (QueriesRel.unionAll _),
     "q_intersect" -> (QueriesRel.intersectKeys _),
@@ -460,6 +461,7 @@ object Queries {
         |  CAST(length(raw) AS INTEGER) AS n_chars_raw,
         |  CAST(length(red) AS INTEGER) AS n_chars_redacted
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_agg_filter" -> QueriesRel.aggFilterSql,
     "q_cond_funcs" ->
       """SELECT p_partkey,
         |  CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'mid' ELSE 'big' END AS size_class,

@@ -418,6 +418,20 @@ object QueriesRel {
       |WHERE c_custkey % 100 = 0
       |ORDER BY c_custkey""".stripMargin
 
+  /** E11c: FILTER-clause aggregates — per-group conditional aggregation
+    * without CASE scaffolding; one hash aggregate, each accumulator
+    * guarded by its predicate. Shared SQL text.
+    */
+  val aggFilterSql: String =
+    """SELECT l_returnflag,
+      |  count(*) AS n,
+      |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |    FILTER (WHERE l_discount > 0.05) AS BIGINT) AS disc_rev_cents,
+      |  max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |    FILTER (WHERE l_tax > 0.04) AS max_taxed_cents
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** E37: LATERAL correlated subquery in FROM — per-customer top-2
     * orders via a lateral ORDER BY/LIMIT. Catalyst rewrites the
     * correlated lateral into a domain join + per-key window limit (no
