@@ -188,6 +188,23 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("exact-moment queries are invariant to shuffle partitioning (order-independence)") {
+    // the determinism story for q_agg_stats / x_collocations is that all
+    // float math happens AFTER exact integer aggregation — so the result
+    // cannot depend on how rows are distributed or merge order
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(): (Seq[String], Seq[String]) = (
+      QueriesRel.aggStats(spark, dir).collect().map(_.toString).toSeq,
+      QueriesLLM.collocations(spark, dir).collect().map(_.toString).toSeq)
+    val (statsA, collA) = run()
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      val (statsB, collB) = run()
+      assert(statsA == statsB, "agg stats drifted across partition counts")
+      assert(collA == collB, "collocation PMI drifted across partition counts")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   test("top-k per key: partial-aggregated plan, equals the window idiom") {
     val topk = QueriesRel.topkPerKey(spark, dir)
     // the whole point: an aggregate with a map-side partial stage (k-row
