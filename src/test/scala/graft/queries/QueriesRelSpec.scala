@@ -188,6 +188,23 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("plan guards: predicate pushdown and column pruning reach the parquet scans") {
+    // point lookup: the equality predicate must land in PushedFilters
+    val lookupPlan = QueriesRel.pointLookup(spark, dir).queryExecution.executedPlan.toString
+    assert(lookupPlan.contains("PushedFilters") && lookupPlan.contains("EqualTo(l_orderkey,1)"),
+      s"point-lookup predicate not pushed to the scan:\n$lookupPlan")
+
+    // flagship: the lineitem scan must be pruned to exactly the 3 used columns
+    val flagPlan = Queries.flagship(spark, dir).queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(flagPlan)
+      .map(_.group(1)).toSeq
+    val liSchema = readSchemas.find(_.contains("l_orderkey")).getOrElse(
+      fail(s"no lineitem scan in flagship plan:\n$flagPlan"))
+    assert(liSchema.split(",").length == 3 && liSchema.contains("l_extendedprice")
+        && liSchema.contains("l_discount"),
+      s"lineitem scan not pruned to 3 columns: $liSchema")
+  }
+
   test("exact-moment queries are invariant to shuffle partitioning (order-independence)") {
     // the determinism story for q_agg_stats / x_collocations is that all
     // float math happens AFTER exact integer aggregation — so the result
