@@ -188,6 +188,56 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CBO: analyzed statistics flow to plans and drive join reordering") {
+    // catalog tables + ANALYZE: the statistics half of a 100 TB deployment
+    // (AQE re-plans at runtime; CBO plans right the first time)
+    val tag = math.abs(dir.hashCode).toString
+    Seq("customer", "orders", "nation").foreach { tbl =>
+      val name = s"cbo_${tbl}_$tag"
+      if (!spark.catalog.tableExists(name)) {
+        Queries.t(spark, dir, tbl).write.mode("overwrite")
+          .option("path", s"/tmp/graft_cbo_$tag/$tbl").saveAsTable(name)
+        spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+    }
+    // written pessimally: the two big tables joined first, tiny nation last.
+    // with CBO + join reorder the optimizer should join the small pair
+    // (customer x nation) before the big orders side.
+    val sql =
+      s"""SELECT count(*) AS n
+         |FROM cbo_orders_$tag o
+         |JOIN cbo_customer_$tag c ON o.o_custkey = c.c_custkey
+         |JOIN cbo_nation_$tag n ON n.n_nationkey = c.c_nationkey
+         |WHERE n.n_regionkey = 1""".stripMargin
+    def joinOrder(): (Int, Int) = {
+      val p = spark.sql(sql).queryExecution.optimizedPlan.toString
+      (p.indexOf(s"cbo_nation_$tag"), p.indexOf(s"cbo_orders_$tag"))
+    }
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      // ANALYZE row counts surface in plan stats once CBO is on
+      val rc = spark.table(s"cbo_orders_$tag").queryExecution.optimizedPlan.stats.rowCount
+      assert(rc.isDefined && rc.get.toLong == Queries.t(spark, dir, "orders").count(),
+        s"ANALYZE row count must flow into plan stats, got $rc")
+      val (nPos, oPos) = joinOrder()
+      assert(nPos >= 0 && oPos >= 0)
+      assert(nPos < oPos,
+        "with CBO stats the small (nation) side must be joined before the big (orders) side")
+      // values unchanged by reordering
+      val n = spark.sql(sql).collect()(0).getLong(0)
+      val expected = Queries.t(spark, dir, "orders")
+        .join(Queries.t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(Queries.t(spark, dir, "nation"), col("n_nationkey") === col("c_nationkey"))
+        .filter(col("n_regionkey") === 1).count()
+      assert(n == expected)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("plan guards: predicate pushdown and column pruning reach the parquet scans") {
     // point lookup: the equality predicate must land in PushedFilters
     val lookupPlan = QueriesRel.pointLookup(spark, dir).queryExecution.executedPlan.toString
