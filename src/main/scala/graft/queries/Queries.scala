@@ -138,6 +138,7 @@ object Queries {
     "q_rollup" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.rollupSql)),
     "q_cube" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.cubeSql)),
     "q_grouping_sets" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.groupingSetsSql)),
+    "q_grouping_flags" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.groupingFlagsSql)),
     "q_udaf_geomean" -> (QueriesRel.udafGeomean _),
     "q_window_rank" -> (QueriesRel.windowRank _),
     "q_window_lag" -> (QueriesRel.windowLag _),
@@ -349,6 +350,7 @@ object Queries {
     "q_rollup" -> QueriesRel.rollupSql,
     "q_cube" -> QueriesRel.cubeSql,
     "q_grouping_sets" -> QueriesRel.groupingSetsSql,
+    "q_grouping_flags" -> QueriesRel.groupingFlagsSql,
     "q_udaf_geomean" ->
       """SELECT o_orderstatus AS status, round(exp(avg(ln(o_totalprice))), 2) AS geo_price,
         |  count(*) AS n

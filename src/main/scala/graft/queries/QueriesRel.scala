@@ -266,6 +266,20 @@ object QueriesRel {
       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** E13b: GROUPING() flags — the only reliable way to tell a subtotal
+    * row from a real group whose value collides with the NULL
+    * placeholder. Cast to INTEGER (Spark returns TINYINT, DuckDB
+    * INTEGER); shared SQL text.
+    */
+  val groupingFlagsSql: String =
+    """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+      |  CAST(GROUPING(lang) AS INTEGER) AS g_lang,
+      |  CAST(GROUPING(source) AS INTEGER) AS g_source,
+      |  count(*) AS n_docs
+      |FROM documents
+      |GROUP BY GROUPING SETS ((lang, source), (lang), ())
+      |ORDER BY lang, source, g_lang, g_source""".stripMargin
+
   val groupingSetsSql: String =
     """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
       |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
