@@ -187,6 +187,7 @@ object Queries {
     "x_minhash_lsh" -> (QueriesLLM.minhashLshPairs _),
     "x_ngram_jaccard" -> (QueriesLLM.ngramJaccard _),
     "x_simhash" -> (QueriesLLM.simhash _),
+    "x_simhash_near_dup" -> (QueriesLLM.simhashNearDup _),
     "x_cosine_topk" -> (QueriesLLM.cosineTopk _),
     "x_ann_lsh" -> ((s: SparkSession, dir: String) => QueriesLLM.annLsh(s, dir)),
     "x_ann_quantized" -> (QueriesLLM.annQuantized _),

@@ -139,6 +139,59 @@ object QueriesLLM {
       .orderBy(col("doc_id"))
   }
 
+  /** X2b: SimHash-banded near-dup — the other industrial near-dup shape
+    * (MinHash-LSH catches set overlap; SimHash hamming catches weighted
+    * token-distribution similarity). The 48-bit fingerprint splits into
+    * 4 bands of 12 bits; candidate pairs come from a self-join keyed on
+    * (band index, band bits) — bucketed, never all-pairs — then the
+    * exact hamming distance filters candidates to ≤ [[SimhashTau]].
+    * Exact-duplicate texts have identical fingerprints, so they share
+    * every band: the candidate set provably contains all hamming-0
+    * pairs (spec-pinned). Rows-only (band membership is engine-layout
+    * specific); SimhashSpec checks the contract.
+    */
+  val SimhashTau = 6
+  def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhashAll(s, dir)
+    val bands = sig.select(col("doc_id"), col("simhash_bits"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> substring(simhash_bits, b * 12 + 1, 12))"))
+        .as(Seq("band_idx", "band_bits")))
+    val a = bands.select(col("band_idx"), col("band_bits"),
+      col("doc_id").as("doc_a"), col("simhash_bits").as("bits_a"))
+    val b = bands.select(col("band_idx"), col("band_bits"),
+      col("doc_id").as("doc_b"), col("simhash_bits").as("bits_b"))
+    val hamming = aggregate(
+      zip_with(split(col("bits_a"), ""), split(col("bits_b"), ""),
+        (x, y) => when(x =!= y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    a.join(b, Seq("band_idx", "band_bits"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("bits_a"), col("bits_b"))
+      .distinct()
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= SimhashTau)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 48-bit SimHash fingerprints for the full corpus (the banded
+    * near-dup input; [[simhash]] is the oracle-sampled variant).
+    */
+  def simhashAll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), hash64(col("tok")).as("h"))
+      .select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, 47), b -> shiftright(h, b) % 2)"))
+          .as(Seq("bit_pos", "bit")))
+      .groupBy(col("doc_id"), col("bit_pos"))
+      .agg(sum(col("bit") * 2 - 1).as("balance"))
+      .groupBy(col("doc_id"))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("bit_pos"), col("balance")))),
+        x => when(x.getField("balance") > 0, "1").otherwise("0"))).as("simhash_bits"))
+
   /** X3: brute-force exact cosine top-k (k=3) — the contract the ANN
     * variant is measured against. Sequential double folds keep Spark and
     * DuckDB bitwise-identical, so rank order matches exactly.

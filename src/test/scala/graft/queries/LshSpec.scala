@@ -85,4 +85,33 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sigs.nonEmpty)
     assert(sigs.values.forall(_.length == 48))
   }
+
+  test("simhash-banded near-dup: bucketed plan, pairs within tau, hamming<=3 guaranteed") {
+    val result = QueriesLLM.simhashNearDup(spark, dir)
+    assert(!result.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "banded self-join must be bucketed, never all-pairs")
+    val pairs = result.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+
+    // every reported hamming distance is correct and within tau
+    val sigs = QueriesLLM.simhashAll(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    pairs.foreach { case ((a, b), h) =>
+      val real = sigs(a).zip(sigs(b)).count { case (x, y) => x != y }
+      assert(real == h && h <= QueriesLLM.SimhashTau, s"pair ($a,$b): reported $h, real $real")
+    }
+
+    // pigeonhole guarantee: ≤ 3 flipped bits across 4 bands leave at
+    // least one band untouched, so every true hamming ≤ 3 pair MUST be
+    // a banding candidate — brute-force the ground truth and check
+    val ids = sigs.keys.toSeq.sorted
+    val mustFind = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      h = sigs(ids(i)).zip(sigs(ids(j))).count { case (x, y) => x != y }
+      if h <= 3
+    } yield ((ids(i), ids(j)), h)
+    assert(mustFind.nonEmpty, "fixture must contain hamming<=3 near-dup pairs")
+    mustFind.foreach { case (p, h) =>
+      assert(pairs.get(p).contains(h), s"guaranteed pair $p (hamming $h) missing")
+    }
+  }
 }
