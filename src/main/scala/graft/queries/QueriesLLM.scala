@@ -176,21 +176,23 @@ object QueriesLLM {
   }
 
   /** 48-bit SimHash fingerprints for the full corpus (the banded
-    * near-dup input; [[simhash]] is the oracle-sampled variant).
+    * near-dup input; [[simhash]] is the oracle-sampled variant). One
+    * hash-aggregate pass with 48 per-bit sum accumulators — no 48×
+    * posexplode row multiplication (bit b of the fingerprint is set iff
+    * 2·Σ bit_b > n_tokens, identical to the ±1 balance form).
     */
-  def simhashAll(s: SparkSession, dir: String): DataFrame =
+  def simhashAll(s: SparkSession, dir: String): DataFrame = {
+    val bitSums = (0 until 48).map(b =>
+      sum(shiftright(col("h"), b) % 2).as(s"s$b"))
     t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), hash64(col("tok")).as("h"))
-      .select(col("doc_id"),
-        posexplode(expr("transform(sequence(0, 47), b -> shiftright(h, b) % 2)"))
-          .as(Seq("bit_pos", "bit")))
-      .groupBy(col("doc_id"), col("bit_pos"))
-      .agg(sum(col("bit") * 2 - 1).as("balance"))
       .groupBy(col("doc_id"))
-      .agg(concat_ws("", transform(
-        array_sort(collect_list(struct(col("bit_pos"), col("balance")))),
-        x => when(x.getField("balance") > 0, "1").otherwise("0"))).as("simhash_bits"))
+      .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n_tok")): _*)
+      .select(col("doc_id"),
+        concat((0 until 48).map(b =>
+          when(col(s"s$b") * 2 > col("n_tok"), "1").otherwise("0")): _*).as("simhash_bits"))
+  }
 
   /** X3: brute-force exact cosine top-k (k=3) — the contract the ANN
     * variant is measured against. Sequential double folds keep Spark and
