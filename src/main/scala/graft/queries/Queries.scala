@@ -173,6 +173,7 @@ object Queries {
     "q_json_funcs" -> (QueriesScalar.jsonFuncs _),
     "q_map_funcs" -> (QueriesScalar.mapFuncs _),
     "q_zorder" -> (QueriesScalar.zorderKeys _),
+    "q_schema_evolution" -> (QueriesScalar.schemaEvolution _),
     "q_csv_json_scan" -> (QueriesScalar.csvJsonScan _),
     "q_orc_scan" -> (QueriesScalar.orcScan _),
     "s_tumbling" -> (QueriesScalar.streamTumbling _),
@@ -565,6 +566,17 @@ object Queries {
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY n DESC, token LIMIT 40""".stripMargin,
+    // staged by the Spark side before the driver's oracle pass (same
+    // contract as the utxo e2e queries); union_by_name mirrors
+    // mergeSchema's NULL-fill for the column the old epoch lacks
+    "q_schema_evolution" ->
+      s"""SELECT o_year, count(*) AS n,
+         |  count(o_orderpriority) AS n_with_priority,
+         |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+         |FROM read_parquet(['${QueriesScalar.SchemaEvoPath}/old/*.parquet',
+         |                   '${QueriesScalar.SchemaEvoPath}/new/*.parquet'],
+         |                  union_by_name=true)
+         |GROUP BY o_year ORDER BY o_year""".stripMargin,
     "q_zorder" ->
       """WITH k AS (SELECT l_orderkey, l_linenumber,
         |    l_partkey % 1024 AS px, l_suppkey % 1024 AS sy

@@ -174,6 +174,47 @@ object QueriesScalar {
         when(col("p_retailprice") > 1500.0, "Y").otherwise("N").as("pricey"))
       .orderBy(col("p_partkey"))
 
+  /** E38: schema-evolution read — a fact table whose early files lack a
+    * column added later (the standard 100 TB reality: years of files,
+    * schema drift). `mergeSchema=true` unions the file schemas at scan
+    * planning; rows from old files surface NULL for the added column.
+    * The two epochs are staged once per source dir; the oracle reads
+    * the same two file sets with DuckDB's union_by_name.
+    */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val loc = schemaEvolutionDirs(s, dir)
+    s.read.option("mergeSchema", "true").parquet(s"$loc/old", s"$loc/new")
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        count(col("o_orderpriority")).as("n_with_priority"),
+        sum(col("price_cents")).as("total_cents"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Two-epoch orders layout: `old/` lacks `o_orderpriority`, `new/`
+    * carries it. The path is FIXED (the static oracle SQL references
+    * it); a marker records which source dir staged it, so switching SF
+    * re-stages instead of silently reusing the other scale's files.
+    */
+  val SchemaEvoPath = "/tmp/graft_schevo"
+  def schemaEvolutionDirs(s: SparkSession, dir: String): String = {
+    val loc = SchemaEvoPath
+    val marker = java.nio.file.Paths.get(loc, "_source_dir")
+    val current = try new String(java.nio.file.Files.readAllBytes(marker)) catch { case _: Throwable => "" }
+    if (current != dir) synchronized {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          Queries.cents(col("o_totalprice")).as("price_cents"),
+          year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
+      o.filter(col("o_year") <= 1996).drop("o_orderpriority")
+        .write.mode("overwrite").parquet(s"$loc/old")
+      o.filter(col("o_year") > 1996)
+        .write.mode("overwrite").parquet(s"$loc/new")
+      java.nio.file.Files.write(marker, dir.getBytes)
+    }
+    loc
+  }
+
   /** E35: Z-order (Morton) clustering keys via the native codegen
     * `zorder2` expression — the multi-dimension layout key: sort by the
     * interleaved code and row groups become axis-aligned rectangles in
