@@ -174,6 +174,7 @@ object Queries {
     "q_map_funcs" -> (QueriesScalar.mapFuncs _),
     "q_zorder" -> (QueriesScalar.zorderKeys _),
     "q_schema_evolution" -> (QueriesScalar.schemaEvolution _),
+    "q_corrupt_csv" -> (QueriesScalar.corruptCsv _),
     "q_csv_json_scan" -> (QueriesScalar.csvJsonScan _),
     "q_orc_scan" -> (QueriesScalar.orcScan _),
     "s_tumbling" -> (QueriesScalar.streamTumbling _),
@@ -566,6 +567,13 @@ object Queries {
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY n DESC, token LIMIT 40""".stripMargin,
+    "q_corrupt_csv" ->
+      s"""SELECT CAST(n_regionkey AS INTEGER) AS n_regionkey, count(*) AS n,
+         |  min(n_name) AS first_name
+         |FROM read_csv('${QueriesScalar.CorruptCsvPath}/nation.csv',
+         |  columns={'n_nationkey':'INTEGER','n_name':'VARCHAR','n_regionkey':'INTEGER'},
+         |  ignore_errors=true, header=false)
+         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     // staged by the Spark side before the driver's oracle pass (same
     // contract as the utxo e2e queries); union_by_name mirrors
     // mergeSchema's NULL-fill for the column the old epoch lacks

@@ -174,6 +174,52 @@ object QueriesScalar {
         when(col("p_retailprice") > 1500.0, "Y").otherwise("N").as("pricey"))
       .orderBy(col("p_partkey"))
 
+  /** E39: error-tolerant ingest — CSV with malformed rows read in
+    * PERMISSIVE mode: bad rows land in the corrupt-record column
+    * instead of failing the job (the only mode that survives a 100 TB
+    * ingest of third-party data; FAILFAST dies on row one, DROPMALFORMED
+    * loses them silently). The clean-side aggregate is oracled against
+    * DuckDB's `ignore_errors` read of the same staged file; the spec
+    * pins that exactly the injected bad rows are quarantined.
+    */
+  def corruptCsv(s: SparkSession, dir: String): DataFrame =
+    corruptCsvRaw(s, dir)
+      .filter(col("_corrupt").isNull)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
+      .orderBy(col("n_regionkey"))
+
+  def corruptCsvRaw(s: SparkSession, dir: String): DataFrame = {
+    val path = stageCorruptCsv(s, dir)
+    s.read
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+  }
+
+  /** Nation as CSV plus two deliberately malformed lines (wrong type /
+    * wrong arity), staged at a FIXED path for the static oracle SQL.
+    */
+  val CorruptCsvPath = "/tmp/graft_corrupt_csv"
+  val CorruptLines: Seq[String] = Seq("notanint,CORRUPT_TYPE,xx", "too,many,fields,here,5")
+  private def stageCorruptCsv(s: SparkSession, dir: String): String = {
+    val marker = java.nio.file.Paths.get(CorruptCsvPath, "_source_dir")
+    val current = try new String(java.nio.file.Files.readAllBytes(marker)) catch { case _: Throwable => "" }
+    if (current != dir) synchronized {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(CorruptCsvPath))
+      val rows = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+        .collect().sortBy(_.getLong(0))
+        .map(r => s"${r.getLong(0)},${r.getString(1)},${r.getLong(2)}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(CorruptCsvPath, "nation.csv"),
+        ((rows.toSeq ++ CorruptLines).mkString("\n") + "\n").getBytes)
+      java.nio.file.Files.write(marker, dir.getBytes)
+    }
+    s"$CorruptCsvPath/nation.csv"
+  }
+
   /** E38: schema-evolution read — a fact table whose early files lack a
     * column added later (the standard 100 TB reality: years of files,
     * schema drift). `mergeSchema=true` unions the file schemas at scan

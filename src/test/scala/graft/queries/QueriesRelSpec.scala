@@ -188,6 +188,19 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("corrupt CSV ingest: PERMISSIVE quarantines exactly the injected bad rows") {
+    val raw = QueriesScalar.corruptCsvRaw(spark, dir).cache()
+    try {
+      val corrupt = raw.filter(col("_corrupt").isNotNull)
+        .select("_corrupt").collect().map(_.getString(0)).sorted.toSeq
+      assert(corrupt == QueriesScalar.CorruptLines.sorted,
+        s"quarantined rows must be exactly the injected bad lines, got $corrupt")
+      val clean = raw.filter(col("_corrupt").isNull)
+      assert(clean.count() == Queries.t(spark, dir, "nation").count())
+      assert(clean.filter(col("n_nationkey").isNull).count() == 0)
+    } finally raw.unpersist()
+  }
+
   test("CBO: analyzed statistics flow to plans and drive join reordering") {
     // catalog tables + ANALYZE: the statistics half of a 100 TB deployment
     // (AQE re-plans at runtime; CBO plans right the first time)
