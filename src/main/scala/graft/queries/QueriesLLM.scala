@@ -63,20 +63,29 @@ object QueriesLLM {
     // reuse the materialization, and checkpoint blocks are released by
     // the ContextCleaner once the plan is GC'd — a `.cache()` here would
     // pin memory for the life of the session (long driver sessions leak).
+    // rows-only query → free to use the native codegen'd xxhash64 for
+    // shingle hashing (~10× cheaper than the md5-derived oracle-portable
+    // hash64; the oracled x_minhash_sig keeps md5). pmod: xxhash64 is
+    // signed and the permutation needs h in [0, P)
     val minExprs = permCoeffs(16).map { case (a, b) =>
-      min((lit(a) * (col("h") % MinhashP) + lit(b)) % MinhashP)
+      min((lit(a) * col("h") + lit(b)) % MinhashP)
     }
     val sigArr = t(s, dir, "documents")
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
-      .select(col("doc_id"), hash64(col("sh")).as("h"))
+      .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(MinhashP)).as("h"))
       .groupBy(col("doc_id"))
       .agg(array(minExprs: _*).as("sigs"))
       .localCheckpoint()
-    // 4 bands x 4 rows: band key = the band's slice rendered as a string
+    // 8 bands x 2 rows: the S-curve threshold (1/b)^(1/r) = (1/8)^(1/2)
+    // ≈ 0.35 sits safely BELOW the query's est >= 0.5 output cutoff, so
+    // a j >= 0.5 pair misses all bands with P = (1 - j²)^8 <= 0.01 —
+    // the candidate set is a reliable superset of what the filter keeps
+    // (4 bands x 4 rows targets ≈ 0.71 and silently drops j ≈ 0.5-0.7
+    // pairs; mistuned banding is the classic quiet LSH recall bug)
     val banded = sigArr.select(col("doc_id"), col("sigs"),
-      explode(sequence(lit(0), lit(3))).as("band"))
+      explode(sequence(lit(0), lit(7))).as("band"))
       .withColumn("band_key",
-        concat_ws("_", transform(slice(col("sigs"), col("band") * 4 + 1, lit(4)),
+        concat_ws("_", transform(slice(col("sigs"), col("band") * 2 + 1, lit(2)),
           v => v.cast("string"))))
       .select(col("doc_id"), col("sigs"), col("band"), col("band_key"))
     // est_jaccard computed IN the join projection, then pairs met in
