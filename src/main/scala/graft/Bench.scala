@@ -27,7 +27,12 @@ object Bench {
     "x_exact_dedup", "x_minhash_lsh", "x_simhash", "x_cosine_topk",
     "q_join_skew_salted", "x_ann_lsh", "x_embed_dedup",
     "q_join_asof", "q_join_bucketed", "x_curation_pipeline",
-    "q_join_bloom", "x_ann_quantized")
+    "q_join_bloom", "x_ann_quantized", "x_dedup_clusters_lsh",
+    "x_decontaminate",
+    // clustering-layout lookups (pay-once writes staged in warmup):
+    // second-key range over the Z-ordered copy, year-pruned scan over
+    // the Hive-partitioned copy
+    "q_zorder_lookup", "q_partitioned_scan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -51,10 +56,13 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
 
     // warmup: touch every table + codegen/agg/join machinery once, and
-    // write the bucketed layout (pay-once write cost must not be billed
-    // to the co-located join measurement)
+    // write the pay-once layouts (bucketed tables, Z-ordered and
+    // year-partitioned copies) so their write cost is not billed to the
+    // lookup measurements
     try runNoop(SparkEntry.queries("q0_flagship")(spark, sfDir)) catch { case _: Throwable => () }
     try graft.queries.QueriesRel.bucketedTables(spark, sfDir) catch { case _: Throwable => () }
+    try graft.queries.QueriesRel.zorderedLineitem(spark, sfDir) catch { case _: Throwable => () }
+    try graft.queries.QueriesRel.partitionedOrders(spark, sfDir) catch { case _: Throwable => () }
 
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
@@ -89,42 +97,64 @@ object Bench {
       }
       snap.getAbsolutePath
     }
-    def minOf3(f: => Double): Double = (1 to 3).map(_ => f).min
+    // every short timing: sync first (flush OTHER work's dirty pages so
+    // their writeback isn't billed to this run), run 3×, keep the min —
+    // the min is the engine's latency, the spread is the host's. The
+    // raw per-run times are published in the JSON (`convert_runs`) so a
+    // polluted artifact is diagnosable instead of a mystery (round-2
+    // recorded a 26s 10M convert whose quiet-host time is ~2s).
+    def syncFs(): Unit =
+      try Runtime.getRuntime.exec(Array("sync")).waitFor()
+      catch { case _: Throwable => () }
+    def runs3(f: => Double): Seq[Double] = (1 to 3).map { _ => syncFs(); f }
+    val rawRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    def min3(name: String)(f: => Double): Double = {
+      val rs = runs3(f)
+      rawRuns(name) = rs
+      rs.min
+    }
 
     val convert = try {
       val snap = ensureSnapshot("/tmp/graft_bench_snap.bin", 2000000, seed = 42L)
-      def timeConvert(out: String, range: Boolean): Double = {
+      val snap10 = ensureSnapshot("/tmp/graft_bench_snap10.bin", 10000000, seed = 43L)
+      def timeConvert(in: String, out: String, range: Boolean): Double = {
+        // pre-delete the previous run's output OUTSIDE the timed region:
+        // overwriting a dirty multi-GB dir bills its delete + writeback
+        // to the convert
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+        syncFs()
         val t0 = System.nanoTime()
-        graft.sources.UtxoConvert.convert(spark, snap, out,
+        graft.sources.UtxoConvert.convert(spark, in, out,
           partitions = cpus.toInt, rangePartition = range)
         (System.nanoTime() - t0) / 1e9
       }
-      val convertSec = minOf3(timeConvert("/tmp/graft_bench_convert_out", range = false))
+      val convertSec = min3("utxo_convert_2m")(
+        timeConvert(snap, "/tmp/graft_bench_convert_out", range = false))
       // globally script-clustered variant: pays one range shuffle at
       // convert, buys single-file point lookups (the 100 TB layout)
-      val convertClusteredSec = minOf3(timeConvert("/tmp/graft_bench_convert_clustered", range = true))
+      val convertClusteredSec = min3("utxo_convert_2m_clustered")(
+        timeConvert(snap, "/tmp/graft_bench_convert_clustered", range = true))
 
       // sustained throughput: 10M coins — long enough that JVM warmup
       // stops dominating (the reference's headline is a 177.5M-row
-      // sustained number). The timed run starts AFTER a sync: at this
-      // point ~3 GB of prior convert output + the 478 MB snapshot are
-      // dirty in the page cache, and their writeback would be billed to
-      // this convert (observed 4.5s -> 31s). min-of-2 guards the rest.
-      val snap10 = ensureSnapshot("/tmp/graft_bench_snap10.bin", 10000000, seed = 43L)
-      try Runtime.getRuntime.exec(Array("sync")).waitFor()
-      catch { case _: Throwable => () }
-      val convert10Sec = (1 to 2).map { _ =>
-        val t10 = System.nanoTime()
-        graft.sources.UtxoConvert.convert(spark, snap10,
-          "/tmp/graft_bench_convert10_out", partitions = cpus.toInt)
-        (System.nanoTime() - t10) / 1e9
-      }.min
+      // sustained number). Decode-only (noop sink) is reported beside
+      // the end-to-end number: it is immune to write-side host IO, so
+      // the pair separates engine throughput from disk weather.
+      val decode10Sec = min3("utxo_decode_10m") {
+        syncFs()
+        val t0 = System.nanoTime()
+        spark.read.format("utxo").option("coinsPerSplit", "65536").load(snap10)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val convert10Sec = min3("utxo_convert_10m")(
+        timeConvert(snap10, "/tmp/graft_bench_convert10_out", range = false))
 
       // lookups measured after ALL converts (writeback shadow, above)
       val parq = spark.read.parquet("/tmp/graft_bench_convert_out")
       val someScript = parq.select(hex(col("script")))
         .limit(1).collect()(0).getString(0)
-      def lookup(path: String): Double = minOf3 {
+      def lookup(name: String, path: String): Double = min3(name) {
         val t = System.nanoTime()
         spark.read.parquet(path)
           .filter(col("script") === unhex(lit(someScript)))
@@ -133,11 +163,12 @@ object Bench {
           .collect()
         (System.nanoTime() - t) / 1e9
       }
-      val lookupSec = lookup("/tmp/graft_bench_convert_out")
-      val lookupClusteredSec = lookup("/tmp/graft_bench_convert_clustered")
+      val lookupSec = lookup("utxo_point_lookup", "/tmp/graft_bench_convert_out")
+      val lookupClusteredSec = lookup("utxo_point_lookup_clustered", "/tmp/graft_bench_convert_clustered")
       Seq("utxo_convert_2m" -> convertSec, "utxo_point_lookup" -> lookupSec,
         "utxo_convert_2m_clustered" -> convertClusteredSec,
         "utxo_point_lookup_clustered" -> lookupClusteredSec,
+        "utxo_decode_10m" -> decode10Sec,
         "utxo_convert_10m" -> convert10Sec)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] utxo_convert failed: ${e.getMessage}"); Seq.empty
@@ -150,7 +181,10 @@ object Bench {
     // headline rows/s from the sustained 10M convert (fall back to 2M)
     val rowsPerSec = convert.toMap.get("utxo_convert_10m").map(s => (10000000 / s).toLong)
       .orElse(convert.headOption.map(c => (2000000 / c._2).toLong)).getOrElse(0L)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","convert_rows_per_s":$rowsPerSec}""")
+    val runsJson = rawRuns.map { case (k, rs) =>
+      "\"" + k + "\":[" + rs.map(r => f"$r%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","convert_rows_per_s":$rowsPerSec,"convert_runs":$runsJson}""")
     spark.stop()
   }
 }

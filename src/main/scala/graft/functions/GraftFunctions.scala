@@ -107,6 +107,18 @@ object GraftFunctions {
       exprs => ZOrder2Expr.widened(exprs), "built-in")
   }
 
+  /** Register the clustered-convert range router with THIS convert's
+    * sampled bounds (the bounds are per-call data, so the builder
+    * closes over them; re-registering replaces the previous convert's).
+    * Returns the Column form.
+    */
+  def scriptRoute(spark: SparkSession, bounds: Array[Array[Byte]],
+      tokens: Array[Int], script: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("script_route",
+      exprs => ScriptRouteExpr(exprs.head, bounds, tokens), "built-in")
+    call_function("script_route", script)
+  }
+
   /** Column-API forms of the native expressions (resolve through the
     * session registry — call [[register]] first).
     */

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, UnaryExpression}
 // Cast: used by ZOrder2Expr.widened to accept INT args from SQL callers
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot codec-derived scalar
@@ -71,11 +71,75 @@ case class ZOrder2Expr(left: Expression, right: Expression)
 }
 
 object ZOrder2Expr {
-  /** Builder for the function registries: widens INT/SMALLINT args to
+  /** Builder for the function registries: widens integral args to
     * BIGINT (the expression itself is monomorphic on LongType).
+    * Validates like a built-in — wrong arity or a non-integral argument
+    * (DOUBLE/STRING would silently truncate through the Cast) is an
+    * analysis-time error, not a runtime exception.
     */
-  def widened(exprs: Seq[Expression]): ZOrder2Expr =
+  def widened(exprs: Seq[Expression]): ZOrder2Expr = {
+    if (exprs.length != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map("functionName" -> "zorder2",
+          "expectedNum" -> "2", "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    exprs.foreach { e =>
+      val ok = !e.resolved || (e.dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+        case _ => false
+      })
+      if (!ok)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE",
+          messageParameters = Map("sqlExpr" -> s"zorder2(${exprs.mkString(", ")})",
+            "paramIndex" -> "1", "requiredType" -> "integral",
+            "inputSql" -> e.sql, "inputType" -> e.dataType.sql))
+    }
     ZOrder2Expr(Cast(exprs.head, LongType), Cast(exprs(1), LongType))
+  }
+}
+
+/** Range-routing support for the globally script-clustered convert
+  * (R2/R4): binary-search a script against driver-sampled range bounds
+  * and emit the partition-routing token. Kept in a plain object so the
+  * generated code calls a static-shaped method, same as [[Morton]].
+  */
+object ScriptRoute {
+  /** Index of the first bound > script (i.e. the script's range bucket),
+    * mapped through `tokens` so `repartition(n, pmod(hash(token)))`
+    * lands bucket i on partition i (see UtxoConvert's token search).
+    */
+  def route(script: Array[Byte], bounds: Array[Array[Byte]], tokens: Array[Int]): Int = {
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (graft.codec.UnsignedBytes(bounds(mid), script) <= 0) lo = mid + 1 else hi = mid
+    }
+    tokens(lo)
+  }
+}
+
+/** Script → routing token (E26 discipline: no Scala UDF on a hot path —
+  * this runs once per row of every clustered convert). The bounds and
+  * token table ride along as codegen reference objects, so the
+  * projection stays inside whole-stage codegen.
+  */
+case class ScriptRouteExpr(child: Expression,
+    bounds: Array[Array[Byte]], tokens: Array[Int]) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    ScriptRoute.route(v.asInstanceOf[Array[Byte]], bounds, tokens)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("routeBounds", bounds, "byte[][]")
+    val t = ctx.addReferenceObj("routeTokens", tokens, "int[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ScriptRoute.route($c, $b, $t)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ScriptRouteExpr =
+    copy(child = newChild)
+  override def prettyName: String = "script_route"
 }
 
 /** Bitcoin Core amount decompression (C3): BIGINT → BIGINT. */

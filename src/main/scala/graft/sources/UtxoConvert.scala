@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   *    is what you want at 100 TB: every executor owns a disjoint script
   *    range, so a point query prunes to one file, not one row group per
   *    file;
-  *  - small row groups (`parquet.block.size`) for fine-grained skipping,
-  *    approximating the reference's 64Ki-row cap (byte-based is the
-  *    Spark-exposed knob — declared deviation, SURVEY.md §4);
+  *  - row groups capped at exactly 64Ki rows
+  *    (`parquet.block.row.count.limit`), the reference's granularity
+  *    (`/root/reference/src/main.rs:211`), with `parquet.block.size`
+  *    kept as a byte-level memory guard;
   *  - page-level column statistics / column index are parquet-mr
   *    defaults, giving the same page-skipping DuckDB exploits.
   *
@@ -66,6 +67,7 @@ object UtxoConvert {
   def convert(spark: SparkSession, input: String, output: String,
       partitions: Int = 0, rangePartition: Boolean = false,
       blockSizeBytes: Long = 16L * 1024 * 1024,
+      rowGroupRows: Int = 64 * 1024,
       zstdLevel: Int = 1,
       writerVersion: String = "v2"): ConvertStats = {
     val n = if (partitions > 0) partitions
@@ -123,18 +125,11 @@ object UtxoConvert {
           if (!found(p)) { found(p) = true; tokens(p) = t; remaining -= 1 }
           t += 1
         }
-        val cmp = graft.codec.UnsignedBytes // serializable function object
-        val routeOf = udf { (script: Array[Byte]) =>
-          // binary search for the first bound > script
-          var lo = 0
-          var hi = bounds.length
-          while (lo < hi) {
-            val mid = (lo + hi) >>> 1
-            if (cmp(bounds(mid), script) <= 0) lo = mid + 1 else hi = mid
-          }
-          tokens(lo)
-        }
-        df.repartition(n, routeOf(col("script")))
+        // native codegen routing (no Scala UDF on the per-row path):
+        // binary search against the sampled bounds inside whole-stage
+        // codegen — see graft.functions.ScriptRouteExpr
+        df.repartition(n,
+          graft.functions.GraftFunctions.scriptRoute(spark, bounds, tokens, col("script")))
       } else df
     // R3/C7: observed metrics ride the job for free (no extra pass) —
     // the Spark-native form of the reference's progress log + running
@@ -147,6 +142,7 @@ object UtxoConvert {
       .mode(SaveMode.Overwrite)
       .option("compression", "zstd")
       .option("parquet.block.size", blockSizeBytes.toString)
+      .option("parquet.block.row.count.limit", rowGroupRows.toString)
       .option("parquet.page.size", (64 * 1024).toString)
       .parquet(output)
     // footer sortingColumns (reference src/main.rs:212): Spark can't

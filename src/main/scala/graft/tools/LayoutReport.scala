@@ -19,7 +19,7 @@ object LayoutReport {
       encodings: Set[String], compressedBytes: Long, rawBytes: Long)
 
   final case class FileLayout(file: String, rows: Long, rowGroups: Int,
-      columns: Seq[ColumnLayout])
+      rowGroupRows: Seq[Long], columns: Seq[ColumnLayout])
 
   def scan(dir: String): Seq[FileLayout] = {
     val conf = new org.apache.hadoop.conf.Configuration()
@@ -40,7 +40,8 @@ object LayoutReport {
               chunks.map(_.getTotalSize).sum,
               chunks.map(_.getTotalUncompressedSize).sum)
           }.toSeq.sortBy(_.column)
-        FileLayout(part.getName, blocks.map(_.getRowCount).sum, blocks.size, byCol)
+        FileLayout(part.getName, blocks.map(_.getRowCount).sum, blocks.size,
+          blocks.map(_.getRowCount), byCol)
       } finally reader.close()
     }
   }

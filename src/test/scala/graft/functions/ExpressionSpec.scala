@@ -63,6 +63,55 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql == Morton.interleave2(12345L, 54321L))
   }
 
+  test("zorder2 rejects wrong arity and non-integral args at analysis time") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1, 2)).toDF("x", "y").createOrReplaceTempView("zv_test")
+    val oneArg = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT zorder2(x) FROM zv_test").collect()
+    }
+    assert(oneArg.getMessage.toLowerCase.contains("zorder2"), oneArg.getMessage)
+    val badType = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT zorder2(CAST(x AS DOUBLE), y) FROM zv_test").collect()
+    }
+    assert(badType.getMessage.contains("DOUBLE") || badType.getMessage.contains("double"),
+      badType.getMessage)
+  }
+
+  test("script_route matches a driver-side search and stays codegen (no ScalaUDF)") {
+    import spark.implicits._
+    // bounds cut the byte space at 0x10, 0x20, 0x30 → 4 buckets
+    val bounds = Array(Array[Byte](0x10), Array[Byte](0x20), Array[Byte](0x30))
+    val tokens = Array(7, 8, 9, 10) // arbitrary routing tokens per bucket
+    def expected(b: Byte): Int = {
+      val v = b & 0xff
+      if (v < 0x10) tokens(0) else if (v < 0x20) tokens(1)
+      else if (v < 0x30) tokens(2) else tokens(3)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("route-test").toString
+    val rows = (0 until 256 by 5).map(i => Tuple1(Array(i.toByte, 0x01.toByte)))
+    rows.toDF("script").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val routed = df.select(col("script"),
+      GraftFunctions.scriptRoute(spark, bounds, tokens, col("script")).as("r"))
+    routed.collect().foreach { r =>
+      val s = r.getAs[Array[Byte]](0)
+      assert(r.getInt(1) == expected(s(0)), s"script ${s(0) & 0xff}")
+    }
+    // exact-boundary scripts route to the bucket ABOVE the bound
+    // (bound <= script), matching the sampler's cut-point contract
+    val atBound = spark.range(1).select(
+      GraftFunctions.scriptRoute(spark, bounds, tokens, lit(Array[Byte](0x10))).as("r"))
+    assert(atBound.collect()(0).getInt(0) == tokens(1))
+    // the clustered-convert shape (repartition on the routing column)
+    // must carry no ScalaUDF anywhere in its physical plan
+    val plan = df.repartition(4,
+      GraftFunctions.scriptRoute(spark, bounds, tokens, col("script")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(plan.contains("script_route"), plan)
+  }
+
   test("native expressions stay inside whole-stage codegen (no ScalaUDF)") {
     GraftFunctions.register(spark)
     import spark.implicits._

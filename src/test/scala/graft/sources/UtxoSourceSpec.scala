@@ -189,6 +189,30 @@ class UtxoSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(unsortedFiles.forall(identity))
   }
 
+  test("row groups cap at exactly the reference's 64Ki-row granularity") {
+    // reference writes 64Ki-ROW row groups (src/main.rs:211); with a
+    // large byte budget the row-count limit must be what binds — a
+    // single 140K-row writer task must produce 64Ki+64Ki+remainder
+    val bigSnap = new java.io.File(tmp, "snap140k.bin")
+    if (!bigSnap.exists()) {
+      val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(bigSnap))
+      try graft.codec.SnapshotGen.writeSynthetic(out, 140000, seed = 13L)
+      finally out.close()
+    }
+    val outDir = new java.io.File(tmp, "rowcap").getAbsolutePath
+    // rangePartition with n=1 funnels all 140K rows into ONE writer task
+    // (the plain path would write straight from the ~64Ki indexed splits
+    // and never let the row cap bind)
+    UtxoConvert.convert(spark, bigSnap.getAbsolutePath, outDir, partitions = 1,
+      rangePartition = true, blockSizeBytes = 1L << 30)
+    val layout = graft.tools.LayoutReport.scan(outDir)
+    val groups = layout.flatMap(_.rowGroupRows)
+    assert(layout.map(_.rows).sum == 140000)
+    assert(groups.forall(_ <= 64 * 1024), s"row group over the 64Ki cap: $groups")
+    assert(groups.count(_ == 64 * 1024) >= layout.size,
+      s"cap never bound — byte size split first: $groups")
+  }
+
   test("point lookup skips row groups (plain) and prunes to one file (clustered)") {
     // small row groups force several per file, so the footer min/max
     // stats — what a stats-aware reader skips on — are testable: the
