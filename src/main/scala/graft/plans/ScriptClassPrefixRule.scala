@@ -23,24 +23,37 @@ import graft.functions.ScriptTypeExpr
   * range conjuncts: `script_type(s) = 'p2pkh'` becomes
   * `script_type(s) = 'p2pkh' AND s >= X'76a914' AND s < X'76a915'`.
   * Spark pushes the binary comparisons to the parquet scan
-  * (lexicographic unsigned order on both sides), the original equality
-  * stays for exactness, and classes without a single contiguous prefix
-  * (p2pk: two key-parity prefixes; other: complement) are left
-  * untouched. Idempotent: conjuncts already present are not re-added,
-  * so the fixed-point optimizer batch converges.
+  * (lexicographic unsigned order on both sides — parquet translates
+  * OR-of-ranges on one column too), the original equality stays for
+  * exactness. Classes whose byte space is one contiguous prefix add two
+  * plain conjuncts; p2pk — whose scripts start `21 02`, `21 03`
+  * (compressed keys, adjacent so they merge to one range) or `41 04`
+  * (uncompressed) — adds one OR-of-ranges conjunct. Only `other` (a
+  * complement with no prefix form) is left untouched. Idempotent:
+  * conjuncts already present are not re-added, so the fixed-point
+  * optimizer batch converges.
   */
 object ScriptClassPrefixRule extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** Classes with one contiguous prefix (template sites:
+  /** Byte ranges [lo, hi) per class (template sites:
     * ScriptCodec.scriptType; reference `src/main.rs:131-161`).
     */
-  private val prefixes: Map[String, Array[Byte]] = Map(
-    "p2pkh" -> Array(0x76, 0xa9, 0x14).map(_.toByte),
-    "p2sh" -> Array(0xa9, 0x14).map(_.toByte),
-    "p2wpkh" -> Array(0x00, 0x14).map(_.toByte),
-    "p2wsh" -> Array(0x00, 0x20).map(_.toByte),
-    "p2tr" -> Array(0x51, 0x20).map(_.toByte),
-    "op_return" -> Array(0x6a).map(_.toByte))
+  private val ranges: Map[String, Seq[(Array[Byte], Array[Byte])]] = {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def pfx(xs: Int*): (Array[Byte], Array[Byte]) = {
+      val p = b(xs: _*)
+      (p, successor(p))
+    }
+    Map(
+      "p2pkh" -> Seq(pfx(0x76, 0xa9, 0x14)),
+      "p2sh" -> Seq(pfx(0xa9, 0x14)),
+      "p2wpkh" -> Seq(pfx(0x00, 0x14)),
+      "p2wsh" -> Seq(pfx(0x00, 0x20)),
+      "p2tr" -> Seq(pfx(0x51, 0x20)),
+      "op_return" -> Seq(pfx(0x6a)),
+      // 0x21 0x02 and 0x21 0x03 are adjacent prefixes: one range
+      "p2pk" -> Seq((b(0x21, 0x02), b(0x21, 0x04)), pfx(0x41, 0x04)))
+  }
 
   /** Smallest byte string strictly greater than every string with this
     * prefix (increment of the last byte; none of our prefixes end 0xff).
@@ -61,17 +74,21 @@ object ScriptClassPrefixRule extends Rule[LogicalPlan] with PredicateHelper {
     */
   private def classEquality(e: Expression): Option[(Expression, String)] = e match {
     case EqualTo(st: ScriptTypeExpr, l) =>
-      classLiteral(l).filter(prefixes.contains).map(c => (st.child, c))
+      classLiteral(l).filter(ranges.contains).map(c => (st.child, c))
     case EqualTo(l, st: ScriptTypeExpr) =>
-      classLiteral(l).filter(prefixes.contains).map(c => (st.child, c))
+      classLiteral(l).filter(ranges.contains).map(c => (st.child, c))
     case _ => None
   }
 
   private def rangeFor(script: Expression, cls: String): Seq[Expression] = {
-    val p = prefixes(cls)
-    Seq(
-      GreaterThanOrEqual(script, Literal(p, BinaryType)),
-      LessThan(script, Literal(successor(p), BinaryType)))
+    def between(lo: Array[Byte], hi: Array[Byte]): Seq[Expression] = Seq(
+      GreaterThanOrEqual(script, Literal(lo, BinaryType)),
+      LessThan(script, Literal(hi, BinaryType)))
+    ranges(cls) match {
+      case Seq((lo, hi)) => between(lo, hi)
+      case multi => Seq(multi.map { case (lo, hi) =>
+        between(lo, hi).reduce(And) }.reduce(Or))
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {

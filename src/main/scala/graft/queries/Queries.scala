@@ -173,6 +173,7 @@ object Queries {
     "q_json_funcs" -> (QueriesScalar.jsonFuncs _),
     "q_map_funcs" -> (QueriesScalar.mapFuncs _),
     "q_zorder" -> (QueriesScalar.zorderKeys _),
+    "q_zorder_lookup" -> (QueriesRel.zorderLookup _),
     "q_schema_evolution" -> (QueriesScalar.schemaEvolution _),
     "q_corrupt_csv" -> (QueriesScalar.corruptCsv _),
     "q_csv_json_scan" -> (QueriesScalar.csvJsonScan _),
@@ -201,6 +202,8 @@ object Queries {
     "x_fingerprint" -> (QueriesLLM.fingerprint _),
     "x_tfidf" -> (QueriesLLM.tfidf _),
     "x_dedup_clusters" -> (QueriesLLM.dedupClusters _),
+    "x_dedup_clusters_lsh" -> ((s: SparkSession, dir: String) =>
+      QueriesLLM.dedupClustersLsh(s, dir)),
     "x_stratified_sample" -> (QueriesLLM.stratifiedSample _),
     "x_decontaminate" -> (QueriesLLM.decontaminate _),
     "x_lm_score" -> (QueriesLLM.lmScore _),
@@ -396,6 +399,10 @@ object Queries {
         |        ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), o_orderkey)) t
         |WHERE o_custkey % 200 = 0
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // moments in HUGEINT (the Spark side uses DECIMAL(38,0)) so the
+    // closed forms stay exact past the BIGINT wrap point (~sf1 group
+    // sizes); the doubles only appear in the final expressions, over
+    // identical exact integers
     "q_agg_stats" ->
       """WITH a AS (SELECT l_returnflag,
         |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc,
@@ -403,17 +410,17 @@ object Queries {
         |  FROM lineitem),
         |m AS (SELECT l_returnflag, count(*) AS n,
         |    CAST(sum(qc) AS BIGINT) AS sum_qc,
-        |    CAST(sum(qc * qc) AS BIGINT) AS sum_qc2,
+        |    CAST(sum(qc * qc) AS HUGEINT) AS sum_qc2,
         |    CAST(sum(dc) AS BIGINT) AS sum_dc,
-        |    CAST(sum(dc * dc) AS BIGINT) AS sum_dc2,
-        |    CAST(sum(qc * dc) AS BIGINT) AS sum_qd
+        |    CAST(sum(dc * dc) AS HUGEINT) AS sum_dc2,
+        |    CAST(sum(qc * dc) AS HUGEINT) AS sum_qd
         |  FROM a GROUP BY l_returnflag)
         |SELECT l_returnflag, n, sum_qc,
-        |  floor(sqrt((n * sum_qc2 - sum_qc * sum_qc) / (n * (n - 1.0))) * 1000000 + 0.5) / 1000000.0 AS stddev_qty_cents,
-        |  floor(sqrt((n * sum_dc2 - sum_dc * sum_dc) / (n * (n - 1.0))) * 1000000 + 0.5) / 1000000.0 AS stddev_disc_cents,
-        |  floor(((n * sum_qd - sum_qc * sum_dc) /
-        |    (sqrt(CAST(n * sum_qc2 - sum_qc * sum_qc AS DOUBLE)) *
-        |     sqrt(CAST(n * sum_dc2 - sum_dc * sum_dc AS DOUBLE)))) * 1000000 + 0.5) / 1000000.0 AS corr_qd
+        |  floor(sqrt(CAST(n * sum_qc2 - CAST(sum_qc AS HUGEINT) * sum_qc AS DOUBLE) / (n * (n - 1.0))) * 1000000 + 0.5) / 1000000.0 AS stddev_qty_cents,
+        |  floor(sqrt(CAST(n * sum_dc2 - CAST(sum_dc AS HUGEINT) * sum_dc AS DOUBLE) / (n * (n - 1.0))) * 1000000 + 0.5) / 1000000.0 AS stddev_disc_cents,
+        |  floor((CAST(n * sum_qd - CAST(sum_qc AS HUGEINT) * sum_dc AS DOUBLE) /
+        |    (sqrt(CAST(n * sum_qc2 - CAST(sum_qc AS HUGEINT) * sum_qc AS DOUBLE)) *
+        |     sqrt(CAST(n * sum_dc2 - CAST(sum_dc AS HUGEINT) * sum_dc AS DOUBLE)))) * 1000000 + 0.5) / 1000000.0 AS corr_qd
         |FROM m ORDER BY l_returnflag""".stripMargin,
     "q_window_first_last" ->
       """SELECT o_custkey, o_orderkey,
@@ -593,6 +600,13 @@ object Queries {
         |  CAST(list_sum(list_transform(range(10),
         |    i -> (((px >> i) & 1) << (2 * i)) + (((sy >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
         |FROM k ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // values are layout-independent: the oracle runs the same predicate
+    // over the plain table the Z-ordered copy was written from
+    "q_zorder_lookup" ->
+      """SELECT l_suppkey, count(*) AS n,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem WHERE l_suppkey >= 5 AND l_suppkey < 8
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     "q_csv_json_scan" ->
       """SELECT CAST(n_nationkey AS INTEGER) AS nationkey, n_name,
         |  CAST(n_regionkey AS INTEGER) AS regionkey

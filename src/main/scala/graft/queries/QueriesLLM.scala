@@ -77,11 +77,15 @@ object QueriesLLM {
       .agg(array(minExprs: _*).as("sigs"))
       .localCheckpoint()
     // 8 bands x 2 rows: the S-curve threshold (1/b)^(1/r) = (1/8)^(1/2)
-    // ≈ 0.35 sits safely BELOW the query's est >= 0.5 output cutoff, so
-    // a j >= 0.5 pair misses all bands with P = (1 - j²)^8 <= 0.01 —
-    // the candidate set is a reliable superset of what the filter keeps
-    // (4 bands x 4 rows targets ≈ 0.71 and silently drops j ≈ 0.5-0.7
-    // pairs; mistuned banding is the classic quiet LSH recall bug)
+    // ≈ 0.35 sits safely BELOW the query's est >= 0.5 output cutoff.
+    // Guarantees, precisely: a pair with > 8 of 16 signature components
+    // agreeing (est > 0.5) ALWAYS shares a band (pigeonhole: 9
+    // agreements across 8 two-slot bands put two in one band); at the
+    // est = 0.5 boundary capture is probabilistic — a j = 0.5 pair
+    // misses all bands with P = (1 - j²)^8 ≈ 0.10, falling fast with j
+    // (j = 0.7 → ≈ 0.004). (4 bands x 4 rows would target ≈ 0.71 and
+    // silently drop j ≈ 0.5-0.7 pairs; mistuned banding is the classic
+    // quiet LSH recall bug.)
     val banded = sigArr.select(col("doc_id"), col("sigs"),
       explode(sequence(lit(0), lit(7))).as("band"))
       .withColumn("band_key",
@@ -468,13 +472,9 @@ object QueriesLLM {
     * with the minimum doc_id reachable through near-dup edges (the
     * canonical representative a keep-first dedup retains). Edge
     * generation here is the exact all-pairs graph — the oracle contract,
-    * same declared role as [[cosineTopk]]; at corpus scale candidates
-    * come from [[minhashLshPairs]] buckets instead. The clustering is
-    * distributed min-label propagation: each round is one join + one
-    * min-aggregate (the connected-components shape used by
-    * large-star/small-star), converging in O(cluster diameter) rounds;
-    * the driver checks only a 0/1-row convergence probe per round and
-    * never collects labels.
+    * same declared role as [[cosineTopk]]; the shipped scale path is
+    * [[dedupClustersLsh]], whose edges come from the LSH candidate
+    * buckets. Clustering is [[minLabelPropagate]].
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
@@ -487,6 +487,43 @@ object QueriesLLM {
           size(array_union(col("sh_a"), col("sh_b")))).as("j"))
       .filter(col("j") >= 0.2)
       .select(col("doc_a"), col("doc_b"))
+    minLabelPropagate(pairs)
+  }
+
+  /** X6 scale path: same cluster assignment, edge set from the LSH
+    * pipeline instead of the all-pairs join — [[minhashLshPairs]]
+    * candidates (banded signature join, est ≥ 0.5) verified with the
+    * EXACT Jaccard on just those pairs. Verification touches O(|cands|)
+    * pairs, not O(N²): the textbook LSH dedup composition (candidates
+    * narrow the graph, the exact check restores precision, components
+    * run on the verified edges). The spec pins cluster-for-cluster
+    * equality against the all-pairs graph at the same threshold on the
+    * corpus; rows-only at the driver (banding is not SQL-expressible).
+    */
+  def dedupClustersLsh(s: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+    val verified = minhashLshPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("j"))
+      .filter(col("j") >= tau)
+      .select(col("doc_a"), col("doc_b"))
+    minLabelPropagate(verified)
+  }
+
+  /** Distributed min-label propagation shared by [[dedupClusters]] and
+    * [[dedupClustersLsh]]: each node converges to the minimum doc_id
+    * reachable through its undirected pair edges. One join + one
+    * min-aggregate per round (the connected-components shape used by
+    * large-star/small-star), O(cluster diameter) rounds; the driver
+    * checks only a 0/1-row convergence probe per round and never
+    * collects labels.
+    */
+  def minLabelPropagate(pairs: DataFrame): DataFrame = {
     // undirected graph as directed edges both ways; materialized once —
     // every propagation round re-reads it
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
@@ -539,22 +576,42 @@ object QueriesLLM {
     * benchmark set (here: sources src0-src3), plus a contamination flag
     * at 0.2. Containment (|train ∩ eval| / |train|), not Jaccard: a
     * short benchmark item quoted inside a long document must still
-    * flag. The plan is the honest corpus-scale shape — the eval set is
-    * small by construction (benchmark suites), so it broadcasts and the
-    * training corpus streams through in one pass; no shuffle of the
-    * big side.
+    * flag. The plan is the inverted-index shape that stays LINEAR as
+    * the eval suite grows: eval shingles explode into a (shingle,
+    * eval_id) index (small — benchmark suites — so it broadcasts), the
+    * training side explodes its shingles once and HASH-joins on the
+    * shingle value, and per-(train, eval) intersection sizes come from
+    * a count aggregate — N_train × N_eval array intersections never
+    * happen (the spec pins value parity against that quadratic
+    * broadcast form, kept below as [[decontaminateBroadcast]]).
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val evalSources = Seq("src0", "src1", "src2", "src3")
-    val d = t(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        array_distinct(shingles(col("text"), 3)).as("sh"))
-    val evalSet = d.filter(col("source").isin(evalSources: _*))
-      .select(col("sh").as("sh_e"))
-    val train = d.filter(!col("source").isin(evalSources: _*) &&
-        col("doc_id") % 10 === 0 && size(col("sh")) > 0)
-      .select(col("doc_id"), col("sh"))
-    train.crossJoin(broadcast(evalSet))
+    val (train, evalSet) = decontaminateSides(s, dir)
+    val evalIdx = evalSet
+      .select(col("eval_id"), explode(col("sh_e")).as("sh"))
+    val hits = train.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("sh"))
+      .join(broadcast(evalIdx), Seq("sh"))
+      .groupBy(col("doc_id"), col("n_sh"), col("eval_id"))
+      .agg(count(lit(1)).as("inter"))
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(max(col("inter").cast("double") / col("n_sh")).as("max_c"))
+    train.select(col("doc_id"), col("n_sh"))
+      .join(hits, Seq("doc_id", "n_sh"), "left")
+      .select(col("doc_id"),
+        Queries.fround(coalesce(col("max_c"), lit(0.0)), 4).as("max_containment"))
+      .withColumn("contaminated", col("max_containment") >= 0.2)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The quadratic reference shape for [[decontaminate]]'s spec: every
+    * (train, eval) pair evaluated with a full `array_intersect` under a
+    * broadcast cross join. Correct, and fine while the eval suite is
+    * tiny — but N_train × N_eval array intersections where the inverted
+    * index does one hash join; not the shipped registry entry.
+    */
+  def decontaminateBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val (train, evalSet) = decontaminateSides(s, dir)
+    train.crossJoin(broadcast(evalSet.select(col("sh_e"))))
       .select(col("doc_id"),
         (size(array_intersect(col("sh"), col("sh_e"))).cast("double") /
           size(col("sh"))).as("c"))
@@ -562,6 +619,23 @@ object QueriesLLM {
       .agg(Queries.fround(max(col("c")), 4).as("max_containment"))
       .withColumn("contaminated", col("max_containment") >= 0.2)
       .orderBy(col("doc_id"))
+  }
+
+  /** Shared inputs for both decontamination shapes: the sampled
+    * training side (with its distinct-shingle count — the containment
+    * denominator) and the eval side keyed by doc.
+    */
+  private def decontaminateSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val evalSources = Seq("src0", "src1", "src2", "src3")
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        array_distinct(shingles(col("text"), 3)).as("sh"))
+    val evalSet = d.filter(col("source").isin(evalSources: _*))
+      .select(col("doc_id").as("eval_id"), col("sh").as("sh_e"))
+    val train = d.filter(!col("source").isin(evalSources: _*) &&
+        col("doc_id") % 10 === 0 && size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+    (train, evalSet)
   }
 
   /** X8: seeded stratified sampling — the data-selection step of a

@@ -350,35 +350,48 @@ object QueriesRel {
     * as closed forms over EXACT integer moments (sum, sum-of-squares,
     * cross-sum in cents), so the aggregate is order-independent and the
     * only float ops are the final closed-form expressions over
-    * identical BIGINTs — bitwise-portable across engines. (Spark's
-    * `stddev_samp`/`corr` built-ins use a distributed moments merge
-    * whose float result depends on partition merge order; the spec pins
-    * them against these closed forms within tolerance instead.)
-    * Integer ranges: qc ≤ 5e2·1e2, per-group n ≤ ~2e5 at sf0.1, so
-    * n·Σqc² ≤ ~1e18 < 2⁶³ — at larger SF, scale cents down or move the
-    * moments to DECIMAL(38,0).
+    * identical exact integers — bitwise-portable across engines.
+    * (Spark's `stddev_samp`/`corr` built-ins use a distributed moments
+    * merge whose float result depends on partition merge order; the
+    * spec pins them against these closed forms within tolerance
+    * instead.) The moments accumulate in DECIMAL(38,0) (the oracle uses
+    * HUGEINT): per-row products fit BIGINT at any SF (cents ≤ 5e3), but
+    * n·Σqc² passes 2⁶³ around sf1 group sizes and a BIGINT pipeline
+    * would silently wrap — DECIMAL keeps the closed forms exact to
+    * ~1e38 (≈ sf1e9), and the spec feeds wrap-inducing values to prove
+    * it.
     */
-  def aggStats(s: SparkSession, dir: String): DataFrame = {
-    val m = t(s, dir, "lineitem")
-      .select(col("l_returnflag"),
-        Queries.cents(col("l_quantity")).as("qc"),
-        Queries.cents(col("l_discount")).as("dc"))
-      .groupBy(col("l_returnflag"))
+  def aggStats(s: SparkSession, dir: String): DataFrame =
+    statsClosedForms(
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("grp"),
+          Queries.cents(col("l_quantity")).as("qc"),
+          Queries.cents(col("l_discount")).as("dc")))
+      .withColumnRenamed("grp", "l_returnflag")
+
+  /** Moments pipeline shared by [[aggStats]] and its overflow spec:
+    * input rows `(grp, qc: LONG, dc: LONG)` → per-group n, Σqc, and the
+    * stddev/corr closed forms over DECIMAL(38,0) moments.
+    */
+  def statsClosedForms(in: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val m = in.groupBy(col("grp"))
       .agg(count(lit(1)).as("n"),
         sum(col("qc")).as("sum_qc"),
-        sum(col("qc") * col("qc")).as("sum_qc2"),
+        sum((col("qc") * col("qc")).cast(dec)).as("sum_qc2"),
         sum(col("dc")).as("sum_dc"),
-        sum(col("dc") * col("dc")).as("sum_dc2"),
-        sum(col("qc") * col("dc")).as("sum_qd"))
-    val aq = m("n") * m("sum_qc2") - m("sum_qc") * m("sum_qc")
-    val ad = m("n") * m("sum_dc2") - m("sum_dc") * m("sum_dc")
-    m.select(col("l_returnflag"), col("n"), col("sum_qc"),
+        sum((col("dc") * col("dc")).cast(dec)).as("sum_dc2"),
+        sum((col("qc") * col("dc")).cast(dec)).as("sum_qd"))
+    val nD = m("n").cast(dec)
+    val aq = (nD * m("sum_qc2") - m("sum_qc").cast(dec) * m("sum_qc").cast(dec)).cast("double")
+    val ad = (nD * m("sum_dc2") - m("sum_dc").cast(dec) * m("sum_dc").cast(dec)).cast("double")
+    m.select(col("grp"), col("n"), col("sum_qc"),
         Queries.fround(sqrt(aq / (m("n") * (m("n") - lit(1.0)))), 6).as("stddev_qty_cents"),
         Queries.fround(sqrt(ad / (m("n") * (m("n") - lit(1.0)))), 6).as("stddev_disc_cents"),
         Queries.fround(
-          (m("n") * m("sum_qd") - m("sum_qc") * m("sum_dc")) /
-            (sqrt(aq.cast("double")) * sqrt(ad.cast("double"))), 6).as("corr_qd"))
-      .orderBy(col("l_returnflag"))
+          (nD * m("sum_qd") - m("sum_qc").cast(dec) * m("sum_dc").cast(dec)).cast("double") /
+            (sqrt(aq) * sqrt(ad)), 6).as("corr_qd"))
+      .orderBy(col("grp"))
   }
 
   /** E14b: top-k per key via the bounded-memory [[graft.functions.TopKAgg]]
@@ -681,6 +694,24 @@ object QueriesRel {
     }
     loc
   }
+
+  /** E35 query half: a SECOND-key lookup over the Z-ordered layout —
+    * a selective l_suppkey range over data clustered by the interleaved
+    * (partkey, suppkey) code. A single-column partkey sort gives this
+    * predicate nothing (suppkey min/max spans everything in every row
+    * group); the Z-layout's axis-aligned row-group boxes let parquet
+    * skip most of the file (ZOrderSpec measures the skip counts; this
+    * query + its oracle pin the answer, and the bench times it on the
+    * sf0.1 layout). The values are layout-independent, so the oracle
+    * runs the same predicate over the plain lineitem table.
+    */
+  def zorderLookup(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(zorderedLineitem(s, dir))
+      .filter(col("l_suppkey") >= 5 && col("l_suppkey") < 8)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(Queries.cents(col("l_extendedprice"))).as("rev_cents"))
+      .orderBy(col("l_suppkey"))
 
   /** Comparison layout for the Z-order spec: same data, same row-group
     * sizing, sorted by l_partkey alone.

@@ -205,8 +205,11 @@ object QueriesScalar {
   val CorruptLines: Seq[String] = Seq("notanint,CORRUPT_TYPE,xx", "too,many,fields,here,5")
   private def stageCorruptCsv(s: SparkSession, dir: String): String = {
     val marker = java.nio.file.Paths.get(CorruptCsvPath, "_source_dir")
-    val current = try new String(java.nio.file.Files.readAllBytes(marker)) catch { case _: Throwable => "" }
-    if (current != dir) synchronized {
+    def staged = try new String(java.nio.file.Files.readAllBytes(marker)) catch { case _: Throwable => "" }
+    // double-checked: re-read the marker INSIDE the lock so two
+    // concurrent callers can't both stage (same idiom as
+    // QueriesRel.zorderedLineitem)
+    if (staged != dir) synchronized { if (staged != dir) {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(CorruptCsvPath))
       val rows = t(s, dir, "nation")
         .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
@@ -216,7 +219,7 @@ object QueriesScalar {
         java.nio.file.Paths.get(CorruptCsvPath, "nation.csv"),
         ((rows.toSeq ++ CorruptLines).mkString("\n") + "\n").getBytes)
       java.nio.file.Files.write(marker, dir.getBytes)
-    }
+    } }
     s"$CorruptCsvPath/nation.csv"
   }
 
@@ -246,8 +249,9 @@ object QueriesScalar {
   def schemaEvolutionDirs(s: SparkSession, dir: String): String = {
     val loc = SchemaEvoPath
     val marker = java.nio.file.Paths.get(loc, "_source_dir")
-    val current = try new String(java.nio.file.Files.readAllBytes(marker)) catch { case _: Throwable => "" }
-    if (current != dir) synchronized {
+    def staged = try new String(java.nio.file.Files.readAllBytes(marker)) catch { case _: Throwable => "" }
+    // double-checked (see stageCorruptCsv)
+    if (staged != dir) synchronized { if (staged != dir) {
       val o = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
           Queries.cents(col("o_totalprice")).as("price_cents"),
@@ -257,7 +261,7 @@ object QueriesScalar {
       o.filter(col("o_year") > 1996)
         .write.mode("overwrite").parquet(s"$loc/new")
       java.nio.file.Files.write(marker, dir.getBytes)
-    }
+    } }
     loc
   }
 

@@ -116,8 +116,13 @@ object StreamingQueries {
   /** S8: foreachBatch incremental upsert — each micro-batch MERGEs its
     * latest-per-key rows into a keyed parquet target: read the current
     * target, union the batch, keep the newest row per (user_id,
-    * event_type) by (ts, event_id), publish atomically (stage dir +
-    * Hadoop FileSystem rename — DFS-compatible). This is the standard
+    * event_type) by (ts, event_id), publish by staged rename: the live
+    * dir is renamed aside, the stage renamed in, and the old copy
+    * deleted last — two renames are NOT one atomic swap (plain
+    * filesystems have none), but a crash at any point leaves either the
+    * old or the new table recoverable (never a half-deleted target;
+    * recovery = rename `_old` back). True atomic publish is what a
+    * transactional table format adds. This is the standard
     * streaming-materialized-view sink when the table format has no
     * native MERGE; per-key state lives in the TARGET, not executor
     * memory, so it scales with storage, and the per-batch rewrite cost
@@ -139,9 +144,18 @@ object StreamingQueries {
       .filter(col("rn") === 1).drop("rn")
     val stage = new Path(targetDir + "_stage")
     merged.write.mode("overwrite").parquet(stage.toString)
-    fs.delete(target, true)
-    if (!fs.rename(stage, target))
+    // two-step publish: live → _old, stage → live, drop _old. Works on
+    // HDFS (where rename-over-existing fails) and keeps a recoverable
+    // copy at every crash point.
+    val old = new Path(targetDir + "_old")
+    fs.delete(old, true) // leftover from a crashed prior publish
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(s"publish rename $target -> $old failed")
+    if (!fs.rename(stage, target)) {
+      fs.rename(old, target) // best-effort restore of the previous table
       throw new java.io.IOException(s"publish rename $stage -> $target failed")
+    }
+    fs.delete(old, true)
   }
 
   /** S8 driver: stream events through [[upsertMerge]] to completion and

@@ -89,6 +89,67 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the prefix range in PushedFilters, got:\n$physical")
   }
 
+  test("p2pk class rewrites to OR-of-ranges, idempotent, exact results") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, LessThan, Or}
+    import org.apache.spark.sql.functions.col
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // fixture spanning all three p2pk byte shapes + near-miss neighbors
+    val rows = scriptRows ++ Seq(
+      b(Seq(0x21, 0x02) ++ Seq.fill(32)(0x01) ++ Seq(0xac): _*), // p2pk even-y
+      b(Seq(0x21, 0x03) ++ Seq.fill(32)(0x02) ++ Seq(0xac): _*), // p2pk odd-y
+      b(Seq(0x41, 0x04) ++ Seq.fill(64)(0x03) ++ Seq(0xac): _*), // p2pk uncompressed
+      b(Seq(0x21, 0x04) ++ Seq.fill(32)(0x04) ++ Seq(0xac): _*), // not p2pk (bad parity byte)
+      b(Seq(0x41, 0x05) ++ Seq.fill(64)(0x05) ++ Seq(0xac): _*)) // not p2pk
+    val dir = java.nio.file.Files.createTempDirectory("p2pk-parq").toString
+    rows.map(Tuple1(_)).toDF("script")
+      .orderBy(col("script")).write.mode("overwrite").parquet(dir)
+    val filtered = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.expr("script_type(script) = 'p2pk'"))
+    val optimized = filtered.queryExecution.optimizedPlan
+    // exactly one Or conjunct holding the two ranges (21 02..21 04 and
+    // 41 04..41 05) — and exactly once (idempotence across the
+    // fixed-point optimizer batch)
+    val ors = optimized.expressions.flatMap(_.collect { case o: Or => o })
+    assert(ors.nonEmpty, s"expected an OR-of-ranges conjunct:\n$optimized")
+    val gte = optimized.expressions.flatMap(_.collect { case g: GreaterThanOrEqual => g })
+    val lt = optimized.expressions.flatMap(_.collect { case l: LessThan => l })
+    assert(gte.size == 2 && lt.size == 2,
+      s"expected exactly two injected range pairs, got ${gte.size}/${lt.size}:\n$optimized")
+    // semantics: the ranges are redundant — results match the classifier
+    val got = filtered.collect().map(r => r.getAs[Array[Byte]](0).toSeq).toSet
+    val want = rows.filter(s => graft.codec.ScriptCodec.scriptType(s) == "p2pk")
+      .map(_.toSeq).toSet
+    assert(got == want && want.size == 3, s"got ${got.size}, want ${want.size}")
+  }
+
+  test("p2pk class query row-group-skips the script-sorted UTXO parquet") {
+    // the reference's third asserted class (`src/main.rs:159`): with the
+    // OR-of-ranges rewrite the p2pk slices must overlap fewer row
+    // groups than the file holds
+    val tmp = java.nio.file.Files.createTempDirectory("p2pk-skip").toFile
+    val snap = new java.io.File(tmp, "snap.bin")
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(snap))
+    try graft.codec.SnapshotGen.writeSynthetic(out, 20000, seed = 11L)
+    finally out.close()
+    val outDir = new java.io.File(tmp, "parq").getAbsolutePath
+    graft.sources.UtxoConvert.convert(spark, snap.getAbsolutePath, outDir,
+      partitions = 2, rangePartition = true, blockSizeBytes = 16 * 1024)
+    val (total, overlapCompressed) = graft.tools.LayoutReport.statsRangeMatch(
+      outDir, "script", "2102", "2104")
+    val (_, overlapUncompressed) = graft.tools.LayoutReport.statsRangeMatch(
+      outDir, "script", "4104", "4105")
+    assert(total >= 8, s"fixture too small to form row groups: $total")
+    assert(overlapCompressed + overlapUncompressed < total,
+      s"p2pk ranges must skip row groups: $overlapCompressed+$overlapUncompressed of $total")
+    val viaRule = spark.read.parquet(outDir)
+      .filter(org.apache.spark.sql.functions.expr("script_type(script) = 'p2pk'"))
+      .count()
+    val brute = spark.read.parquet(outDir).collect()
+      .count(r => graft.codec.ScriptCodec.scriptType(r.getAs[Array[Byte]]("script")) == "p2pk")
+    assert(viaRule == brute && brute > 0)
+  }
+
   test("class query row-group-skips the script-sorted UTXO parquet via the rule") {
     // synthetic snapshot → clustered convert with small row groups, then
     // the p2pkh class range must overlap strictly fewer row groups than

@@ -33,7 +33,10 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set("q_agg_approx_distinct", "q_agg_approx_percentile",
       "x_minhash_lsh", "x_ann_lsh", "x_ann_ivf", "x_multimodal_features",
-      "x_stratified_sample", "q_table_sample", "x_simhash_near_dup")
+      "x_stratified_sample", "q_table_sample", "x_simhash_near_dup",
+      // LSH-sourced edges: banding is not SQL-expressible; LshSpec pins
+      // cluster equality vs the oracled exact-edge x_dedup_clusters
+      "x_dedup_clusters_lsh")
     assert(rowsOnly == expected, s"rows-only drift: $rowsOnly")
   }
 

@@ -50,6 +50,46 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(missed.isEmpty, s"LSH missed high-Jaccard pairs: $missed")
   }
 
+  test("LSH-edge clusters equal exact-edge clusters at the same threshold") {
+    import graft.functions.GraftFunctions._
+    // exact all-pairs edge set at tau = 0.5 (the LSH variant's
+    // threshold), pushed through the SAME propagation
+    val d = Queries.t(spark, dir, "documents")
+      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+    val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val exactPairs = a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("j"))
+      .filter(col("j") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val exact = QueriesLLM.minLabelPropagate(exactPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLsh = QueriesLLM.dedupClustersLsh(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cluster-for-cluster equality: every node labeled, same label
+    assert(viaLsh == exact,
+      s"LSH-edge clustering diverged: ${viaLsh.size} vs ${exact.size} nodes, " +
+        s"diff=${(viaLsh.toSet diff exact.toSet).take(5)}")
+    assert(exact.nonEmpty, "corpus must contain near-dup structure for this test to bite")
+  }
+
+  test("decontaminate inverted index: value parity with the broadcast form, hash-join plan") {
+    val inverted = QueriesLLM.decontaminate(spark, dir)
+    val reference = QueriesLLM.decontaminateBroadcast(spark, dir)
+    val gi = inverted.collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    val gr = reference.collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(gi.nonEmpty && gi.sameElements(gr),
+      s"inverted/broadcast divergence: ${gi.take(3).toSeq} vs ${gr.take(3).toSeq}")
+    // the shipped plan joins the inverted index with a HASH join — the
+    // quadratic BroadcastNestedLoopJoin shape must be gone
+    val plan = inverted.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("sign-LSH ANN achieves top-3 recall >= 0.5 vs brute force") {
     val exact = QueriesLLM.cosineTopk(spark, dir)
       .select("query_id", "cand_id")

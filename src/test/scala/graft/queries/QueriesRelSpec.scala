@@ -188,6 +188,35 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("agg stats: DECIMAL moments stay exact past the BIGINT wrap point") {
+    import spark.implicits._
+    // qc ≈ 3e9: each square (9e18) still fits a Long, but the SUM of
+    // four (3.6e19) and n·Σqc² (1.45e20) wrap BIGINT — the failure the
+    // DECIMAL(38,0) pipeline exists to prevent
+    val big = 3000000000L
+    val rows = Seq(("A", big, 1L), ("A", big + 1000000L, 2L),
+      ("A", big + 2000000L, 3L), ("A", big + 3000000L, 4L))
+    val got = QueriesRel.statsClosedForms(rows.toDF("grp", "qc", "dc")).collect()(0)
+    // driver-side exact BigInt reference for the same closed forms
+    val qs = rows.map(r => BigInt(r._2))
+    val ds = rows.map(r => BigInt(r._3))
+    val n = BigInt(rows.size)
+    val (sq, sq2) = (qs.sum, qs.map(x => x * x).sum)
+    val (sd, sd2) = (ds.sum, ds.map(x => x * x).sum)
+    val sqd = qs.zip(ds).map { case (a, b) => a * b }.sum
+    assert(sq2 > BigInt(Long.MaxValue), "Σqc² must exceed BIGINT for this test to bite")
+    val aq = (n * sq2 - sq * sq).toDouble
+    val ad = (n * sd2 - sd * sd).toDouble
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val nn = rows.size.toDouble
+    assert(got.getAs[Long]("n") == rows.size)
+    assert(got.getAs[Long]("sum_qc") == sq.toLong)
+    assert(math.abs(got.getAs[Double]("stddev_qty_cents") - r6(math.sqrt(aq / (nn * (nn - 1.0))))) <= 1e-6)
+    assert(math.abs(got.getAs[Double]("stddev_disc_cents") - r6(math.sqrt(ad / (nn * (nn - 1.0))))) <= 1e-6)
+    assert(math.abs(got.getAs[Double]("corr_qd") -
+      r6((n * sqd - sq * sd).toDouble / (math.sqrt(aq) * math.sqrt(ad)))) <= 1e-6)
+  }
+
   test("corrupt CSV ingest: PERMISSIVE quarantines exactly the injected bad rows") {
     val raw = QueriesScalar.corruptCsvRaw(spark, dir).cache()
     try {
