@@ -204,6 +204,10 @@ object Queries {
     "x_dedup_clusters" -> (QueriesLLM.dedupClusters _),
     "x_dedup_clusters_lsh" -> ((s: SparkSession, dir: String) =>
       QueriesLLM.dedupClustersLsh(s, dir)),
+    "x_repetition" -> (QueriesLLM.repetition _),
+    "x_domain_mix" -> (QueriesLLM.domainMix _),
+    "x_chunk_dedup" -> (QueriesLLM.chunkDedup _),
+    "x_pack_sequences" -> (QueriesLLM.packSequences _),
     "x_stratified_sample" -> (QueriesLLM.stratifiedSample _),
     "x_decontaminate" -> (QueriesLLM.decontaminate _),
     "x_lm_score" -> (QueriesLLM.lmScore _),
@@ -862,6 +866,57 @@ object Queries {
         |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |  min(doc_id) AS first_doc
         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+    "x_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |b AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, len(words)),
+        |          i -> words[i] || ' ' || words[i+1])) AS bigram
+        |      FROM w WHERE len(words) >= 2),
+        |c AS (SELECT doc_id, bigram, count(*) AS c FROM b GROUP BY 1, 2),
+        |tb AS (SELECT doc_id, max(c) AS top_bigram_n,
+        |         CAST(sum(c) AS BIGINT) AS n_bigrams
+        |       FROM c GROUP BY doc_id)
+        |SELECT w.doc_id, len(words) AS n_words,
+        |  len(list_distinct(words)) AS n_distinct_words,
+        |  tb.top_bigram_n, tb.n_bigrams,
+        |  tb.top_bigram_n * 5 >= tb.n_bigrams AS repetitive
+        |FROM w JOIN tb ON w.doc_id = tb.doc_id ORDER BY w.doc_id""".stripMargin,
+    "x_domain_mix" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |       FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |          count(*) AS n_sources FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST((total_tokens * 1000000) // (n_sources * n_tokens) AS BIGINT)
+        |    AS uniform_weight_ppm
+        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+    "x_chunk_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |ch AS (SELECT doc_id, g.i AS pos,
+        |         array_to_string(words[g.i*8+1 : g.i*8+8], ' ') AS chunk
+        |       FROM w, LATERAL (SELECT unnest(range(0,
+        |         CAST(ceil(len(words)/8.0) AS BIGINT))) AS i) g),
+        |own AS (SELECT chunk, min(doc_id) AS odoc FROM ch GROUP BY chunk),
+        |own2 AS (SELECT c.chunk, own.odoc, min(c.pos) AS opos
+        |         FROM ch c JOIN own ON c.chunk = own.chunk AND c.doc_id = own.odoc
+        |         GROUP BY 1, 2)
+        |SELECT c.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN c.doc_id = o.odoc AND c.pos = o.opos
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_chunks
+        |FROM ch c JOIN own2 o ON c.chunk = o.chunk
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "x_pack_sequences" ->
+      """WITH base AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |off AS (SELECT source, doc_id, n_tok,
+        |    CAST(COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_off
+        |  FROM base)
+        |SELECT source, doc_id, n_tok, start_off,
+        |  CAST(start_off // 256 AS BIGINT) AS bin_id
+        |FROM off ORDER BY source, doc_id""".stripMargin,
     "x_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,

@@ -753,6 +753,115 @@ object QueriesLLM {
       .orderBy(col("doc_id"))
   }
 
+  /** X13: repetition detection — Gopher-style per-document repetition
+    * signals (duplicate-word fraction, most-frequent-bigram share), the
+    * standard filter for boilerplate/spam pages before training. Two
+    * shapes on purpose: the word-distinct ratio is pure codegen
+    * higher-order functions (zero shuffle), while the top-bigram share
+    * explodes bigrams and counts per (doc, bigram) — LINEAR in corpus
+    * tokens with a doc_id-keyed shuffle, never the per-doc O(L²)
+    * `filter(bigrams, eq)` scan that quietly dies on a 100K-token
+    * outlier doc. All outputs are exact integers (numerators and
+    * denominators, plus a flag from an integer comparison) so the
+    * oracle compare is bitwise.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), col("words"),
+        size(col("words")).cast("long").as("n_words"),
+        size(array_distinct(col("words"))).cast("long").as("n_distinct_words"))
+    val top = base.filter(col("n_words") >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("words")) - 1),
+          i => concat_ws(" ",
+            element_at(col("words"), i),
+            element_at(col("words"), i + 1)))).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
+    base.select(col("doc_id"), col("n_words"), col("n_distinct_words"))
+      .join(top, Seq("doc_id"))
+      // repetitive iff the single most frequent bigram covers >= 20% of
+      // all bigram slots — integer cross-multiplication, no division
+      .withColumn("repetitive", col("top_bigram_n") * 5 >= col("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X14: domain-mix reweighting — per-source token shares and the
+    * resampling weight that would equalize the training mixture across
+    * sources (weight > 1e6 ppm ⇒ upsample, < 1e6 ⇒ downsample). The
+    * shape that matters at 100 TB: one map-side-combinable aggregation
+    * over the corpus, then a 1-row broadcast of the totals — the corpus
+    * is never re-shuffled and nothing lands on the driver. Weights are
+    * integer ppm via integer division (sum/count moments only), so the
+    * result is engine-portable with no float rounding.
+    */
+  def domainMix(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("CAST((total_tokens * 1000000) DIV (n_sources * n_tokens) AS BIGINT)")
+          .as("uniform_weight_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** X15: chunk-level exact dedup — sub-document dedup at 8-word chunk
+    * granularity (the paragraph/passage analogue for this single-line
+    * corpus): every chunk keeps exactly one owner corpus-wide (the
+    * lexicographically first (doc_id, pos) occurrence) and each doc
+    * reports how many of its chunks survive. The shape is one explode +
+    * one chunk-keyed aggregation + one hash join back — linear in
+    * corpus tokens with map-side combine on the chunk key; the
+    * first-occurrence rule needs no global sort because `min(struct)`
+    * is an ordinary distributive aggregate.
+    */
+  def chunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val ch = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), (ceil(size(col("words")) / lit(8.0)).cast("int") - 1)),
+          i => concat_ws(" ", slice(col("words"), i * 8 + 1, lit(8))))))
+      .select(col("doc_id"), col("pos"), col("col").as("chunk"))
+    val owner = ch.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("own"))
+    ch.join(owner, Seq("chunk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("own.doc_id") === col("doc_id") &&
+          col("own.pos") === col("pos"), 1L).otherwise(0L)).as("n_kept_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X16: sequence packing — assign docs to fixed-capacity training
+    * bins (256 tokens) by the concat-and-chunk rule: within each source
+    * shard, documents are laid out in doc_id order and a doc belongs to
+    * the bin where its first token lands. The running offset is a
+    * window prefix-sum PARTITIONED BY SOURCE — each shard packs
+    * independently and in parallel, which is both the realistic layout
+    * (training shards are domain-separated) and the scale escape from
+    * the single-partition global-cumsum trap; within a shard the
+    * ordering contract is doc_id, so the assignment is deterministic
+    * and engine-portable (pure integer arithmetic).
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("start_off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin_id", expr("CAST(start_off DIV 256 AS BIGINT)"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** Multimodal plumbing: treat content as an opaque binary column with
     * typed metadata — here materialized deterministically from text (the
     * container lacks media codecs; the binary-column pipeline is real,

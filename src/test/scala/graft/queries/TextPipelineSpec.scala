@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Semantics checks for the training-data curation operators added on
+  * top of the near-dup family (SURVEY §2.11 X13+): each distributed
+  * result is pinned against a plain-Scala recomputation from the raw
+  * text, so a plan change that silently altered semantics (e.g. a
+  * shuffle dropping per-doc rows, an off-by-one in the bigram window)
+  * fails here even though the driver's rows-only check would pass.
+  */
+class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("text-pipeline-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def rawDocs(): Array[(Long, String, String)] =
+    Queries.t(spark, dir, "documents")
+      .select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+  test("repetition signals match a plain-Scala recomputation per doc") {
+    val expected = rawDocs().map { case (id, _, text) =>
+      val words = text.split(" ", -1)
+      val bigrams = words.sliding(2).map(_.mkString(" ")).toSeq
+      val counts = bigrams.groupBy(identity).map(_._2.size)
+      id -> (words.length.toLong, words.distinct.length.toLong,
+        counts.max.toLong, bigrams.size.toLong)
+    }.toMap
+
+    val got = QueriesLLM.repetition(spark, dir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (nw, nd, top, nb) = expected(r.getLong(0))
+      assert(r.getLong(1) == nw, s"n_words doc ${r.getLong(0)}")
+      assert(r.getLong(2) == nd, s"n_distinct_words doc ${r.getLong(0)}")
+      assert(r.getLong(3) == top, s"top_bigram_n doc ${r.getLong(0)}")
+      assert(r.getLong(4) == nb, s"n_bigrams doc ${r.getLong(0)}")
+      assert(r.getBoolean(5) == (top * 5 >= nb), s"repetitive doc ${r.getLong(0)}")
+    }
+  }
+
+  test("domain-mix weights match exact integer arithmetic over raw token counts") {
+    val bySource = rawDocs().groupBy(_._2).map { case (src, docs) =>
+      src -> (docs.length.toLong, docs.map(_._3.split(" ", -1).length.toLong).sum)
+    }
+    val total = bySource.values.map(_._2).sum
+    val nSources = bySource.size.toLong
+
+    val got = QueriesLLM.domainMix(spark, dir).collect()
+    assert(got.length == nSources)
+    got.foreach { r =>
+      val (nDocs, nTok) = bySource(r.getString(0))
+      assert(r.getLong(1) == nDocs)
+      assert(r.getLong(2) == nTok)
+      assert(r.getLong(3) == (total * 1000000L) / (nSources * nTok),
+        s"weight for ${r.getString(0)}")
+    }
+    // weights avg to ~1e6 by construction: equal-share sources get 1e6
+    val wsum = got.map(_.getLong(3)).sum
+    assert(math.abs(wsum / nSources - 1000000L) < 100000L)
+  }
+
+  test("chunk dedup keeps exactly one owner per distinct chunk, first occurrence wins") {
+    val chunks = rawDocs().flatMap { case (id, _, text) =>
+      text.split(" ", -1).grouped(8).zipWithIndex
+        .map { case (ws, pos) => (id, pos, ws.mkString(" ")) }
+    }
+    val owner = chunks.groupBy(_._3).map { case (c, occs) =>
+      c -> occs.map(o => (o._1, o._2)).min
+    }
+    val expected = chunks.groupBy(_._1).map { case (id, occs) =>
+      id -> (occs.length.toLong,
+        occs.count(o => owner(o._3) == ((o._1, o._2))).toLong)
+    }
+
+    val got = QueriesLLM.chunkDedup(spark, dir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (nc, nk) = expected(r.getLong(0))
+      assert(r.getLong(1) == nc, s"n_chunks doc ${r.getLong(0)}")
+      assert(r.getLong(2) == nk, s"n_kept_chunks doc ${r.getLong(0)}")
+    }
+    // global invariant: survivors across docs == distinct chunks corpus-wide
+    assert(got.map(_.getLong(2)).sum == owner.size.toLong)
+  }
+
+  test("sequence packing follows the concat-and-chunk rule per source shard") {
+    val expected = rawDocs().groupBy(_._2).toSeq.flatMap { case (src, docs) =>
+      var off = 0L
+      docs.sortBy(_._1).map { case (id, _, text) =>
+        val n = text.split(" ", -1).length.toLong
+        val row = ((src, id), (n, off, off / 256))
+        off += n
+        row
+      }
+    }.toMap
+    val got = QueriesLLM.packSequences(spark, dir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, off, bin) = expected((r.getString(0), r.getLong(1)))
+      assert(r.getLong(2) == n && r.getLong(3) == off && r.getLong(4) == bin,
+        s"packing row ${r.getString(0)}/${r.getLong(1)}")
+    }
+    // bins are dense per shard: ids are a prefix of 0..maxBin
+    got.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val bins = rows.map(_.getLong(4)).distinct.sorted
+      assert(bins.head == 0L && bins.last < rows.map(_.getLong(2)).sum / 256 + 1)
+    }
+  }
+}
