@@ -153,6 +153,13 @@ object Queries {
     "x_pii_redact" -> (QueriesLLM.piiRedact _),
     "x_collocations" -> (QueriesLLM.collocations _),
     "q_agg_stats" -> (QueriesRel.aggStats _),
+    "q_agg_regr" -> (QueriesRel.aggRegr _),
+    "q_agg_bitbool" -> (QueriesRel.aggBitBool _),
+    "q_string_agg" -> (QueriesRel.stringAgg _),
+    "q_gap_fill" -> (QueriesRel.gapFill _),
+    "q_window_ignore_nulls" -> (QueriesRel.forwardFill _),
+    "q_merge_upsert" -> (QueriesRel.mergeUpsert _),
+    "q_histogram" -> (QueriesRel.histogram _),
     "q_agg_filter" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.aggFilterSql)),
     "q_cond_funcs" -> (QueriesScalar.condFuncs _),
     "q_union_all" -> (QueriesRel.unionAll _),
@@ -426,6 +433,74 @@ object Queries {
         |    (sqrt(CAST(n * sum_qc2 - CAST(sum_qc AS HUGEINT) * sum_qc AS DOUBLE)) *
         |     sqrt(CAST(n * sum_dc2 - CAST(sum_dc AS HUGEINT) * sum_dc AS DOUBLE)))) * 1000000 + 0.5) / 1000000.0 AS corr_qd
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_agg_regr" ->
+      """WITH a AS (SELECT l_returnflag,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(y * y) AS HUGEINT) AS syy,
+        |    CAST(sum(x * y) AS HUGEINT) AS sxy
+        |  FROM a GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  floor((CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+        |         CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS slope,
+        |  floor(((sy - (CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+        |         CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) * sx) / n) * 1000000 + 0.5) / 1000000.0 AS intercept,
+        |  floor((CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) * CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+        |         (CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_agg_bitbool" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_totalprice > 400000) AS any_over_400k,
+        |  bit_and(o_custkey) AS custkey_and,
+        |  bit_or(o_custkey) AS custkey_or,
+        |  bit_xor(o_custkey) AS custkey_xor
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_string_agg" ->
+      """SELECT n_regionkey, count(*) AS n_nations,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q_gap_fill" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS h, event_type,
+        |         count(*) AS c
+        |       FROM events GROUP BY 1, 2),
+        |b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |        date_trunc('hour', max(ts)) AS hi FROM events),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events)
+        |SELECT CAST(epoch(spine.h) AS BIGINT) AS hour_epoch, types.event_type,
+        |  COALESCE(hourly.c, 0) AS n_events
+        |FROM spine CROSS JOIN types
+        |LEFT JOIN hourly ON hourly.h = spine.h AND hourly.event_type = types.event_type
+        |ORDER BY hour_epoch, types.event_type""".stripMargin,
+    "q_window_ignore_nulls" ->
+      """SELECT event_id, user_id,
+        |  COALESCE(last_value(CASE WHEN event_id % 7 = 0 THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0) AS filled
+        |FROM events WHERE user_id % 50 = 0 ORDER BY event_id""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH base AS (SELECT c_custkey AS k,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents FROM customer),
+        |chg AS (SELECT CASE WHEN o_custkey % 10 = 7 THEN o_custkey + 1000000
+        |               ELSE o_custkey END AS k,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS delta_cents
+        |  FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1)
+        |SELECT COALESCE(base.k, chg.k) AS k,
+        |  COALESCE(bal_cents, 0) + COALESCE(delta_cents, 0) AS new_bal_cents,
+        |  CASE WHEN bal_cents IS NULL THEN 'insert'
+        |       WHEN delta_cents IS NULL THEN 'keep' ELSE 'update' END AS action
+        |FROM base FULL JOIN chg ON base.k = chg.k
+        |ORDER BY k""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 30000), 19) AS INTEGER) AS bucket,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_window_first_last" ->
       """SELECT o_custkey, o_orderkey,
         |  first_value(o_orderkey) OVER w AS first_key,

@@ -744,4 +744,155 @@ object QueriesRel {
         expr("percentile(l_quantity, 0.75)").as("p75"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
+
+  /** E40: linear-regression aggregates (slope / intercept / R²) as
+    * closed forms over EXACT integer moments — the [[aggStats]]
+    * discipline extended to the bivariate family: per-row products fit
+    * BIGINT (cents), moment sums accumulate in DECIMAL(38,0) (oracle:
+    * HUGEINT) so n·Σy² cannot wrap at any realistic SF, and the only
+    * float ops are the final closed-form expressions over identical
+    * exact integers. The squared-numerator in R² is computed in DOUBLE
+    * (decimal² would overflow 38 digits) — same cast point in both
+    * engines, so bitwise-portable.
+    */
+  def aggRegr(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val m = t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        Queries.cents(col("l_quantity")).as("x"),
+        Queries.cents(col("l_extendedprice")).as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"))
+    val nD = m("n").cast(dec)
+    val num  = (nD * m("sxy") - m("sx").cast(dec) * m("sy").cast(dec)).cast("double")
+    val denx = (nD * m("sxx") - m("sx").cast(dec) * m("sx").cast(dec)).cast("double")
+    val deny = (nD * m("syy") - m("sy").cast(dec) * m("sy").cast(dec)).cast("double")
+    val slope = num / denx
+    m.select(col("l_returnflag"), col("n"),
+        Queries.fround(slope, 6).as("slope"),
+        Queries.fround((m("sy") - slope * m("sx")) / m("n"), 6).as("intercept"),
+        Queries.fround(num * num / (denx * deny), 6).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** E41: ordered string aggregation (LISTAGG) — group members rendered
+    * as one delimited string. Spark has no ORDER BY clause inside
+    * aggregates, so determinism comes from `array_sort` over the
+    * collected list; safe ONLY for bounded groups (here: ≤ 25 nations
+    * per region — a dimension rollup, never a fact-table group, where
+    * an unbounded collect_list is the classic OOM).
+    */
+  def stringAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"),
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy(col("n_regionkey"))
+
+  /** E42: time-series gap fill — a generated hourly date spine (from a
+    * 1-row bounds aggregate, `sequence` + explode: no driver round-trip)
+    * cross-joined with the broadcast type dimension, left-joined against
+    * the actual hourly counts, missing hours zero-filled. The spine side
+    * is tiny by construction (hours × types), so the only fact-sized
+    * work is the one hourly aggregation — the standard shape for
+    * "complete" time series over sparse 100 TB event data. Hours render
+    * as epoch seconds (raw timestamps are a cross-engine trap).
+    */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val spine = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    val types = ev.select(col("event_type")).distinct()
+    spine.crossJoin(broadcast(types))
+      .join(hourly, Seq("h", "event_type"), "left")
+      .select(unix_timestamp(col("h")).as("hour_epoch"), col("event_type"),
+        coalesce(col("c"), lit(0L)).as("n_events"))
+      .orderBy(col("hour_epoch"), col("event_type"))
+  }
+
+  /** E43: IGNORE NULLS analytics — forward fill (last-observation-
+    * carried-forward) of a sparse per-user signal: `last(_, ignoreNulls)`
+    * over the running frame. One window pass, no self-join; the
+    * filled value is a pure copy of an input double (no arithmetic), so
+    * cross-engine bitwise equality holds without rounding. The user
+    * filter sits on the window's own partition key, so it pushes to the
+    * scan without changing any frame's contents.
+    */
+  def forwardFill(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .filter(col("user_id") % 50 === 0)
+      .withColumn("signal", when(col("event_id") % 7 === 0, col("value")))
+      .withColumn("filled",
+        coalesce(last(col("signal"), ignoreNulls = true).over(w), lit(-1.0)))
+      .select(col("event_id"), col("user_id"), col("filled"))
+      .orderBy(col("event_id"))
+  }
+
+  /** E44: batch MERGE / upsert — apply a keyed change set to a base
+    * table with the three MERGE verbs in one full-outer hash join:
+    * matched → update (balance + delta), unmatched-by-source → keep,
+    * unmatched-by-target → insert. The change set synthesizes some keys
+    * outside the base key space (every 10th customer shifted by 1e6) so
+    * all three verbs actually fire. Exact integer cents throughout.
+    */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer")
+      .select(col("c_custkey").as("k"), Queries.cents(col("c_acctbal")).as("bal_cents"))
+    val changes = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
+      .groupBy(when(col("o_custkey") % 10 === 7, col("o_custkey") + 1000000)
+        .otherwise(col("o_custkey")).as("k"))
+      .agg(sum(Queries.cents(col("o_totalprice"))).as("delta_cents"))
+    base.join(changes, Seq("k"), "full_outer")
+      .select(col("k"),
+        (coalesce(col("bal_cents"), lit(0L)) +
+          coalesce(col("delta_cents"), lit(0L))).as("new_bal_cents"),
+        when(col("bal_cents").isNull, lit("insert"))
+          .when(col("delta_cents").isNull, lit("keep"))
+          .otherwise(lit("update")).as("action"))
+      .orderBy(col("k"))
+  }
+
+  /** E45: bit / boolean aggregates — `bool_and`/`bool_or` predicates
+    * and `bit_and`/`bit_or`/`bit_xor` over keys per group; all exact
+    * integer/boolean lattice operations (commutative, associative), so
+    * partial aggregation applies and results are order-independent.
+    */
+  def aggBitBool(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+        bool_or(col("o_totalprice") > 400000).as("any_over_400k"),
+        bit_and(col("o_custkey")).as("custkey_and"),
+        bit_or(col("o_custkey")).as("custkey_or"),
+        bit_xor(col("o_custkey")).as("custkey_xor"))
+      .orderBy(col("o_orderpriority"))
+
+  /** E46: equi-width histogram — bucket index as explicit floor
+    * arithmetic (`least(floor(v / w), n-1)`) rather than an
+    * engine-specific `width_bucket`: the same double division and floor
+    * in both engines, then an exact-integer groupBy. One scan, one
+    * aggregation; the 20-bucket result is the fixed-size summary shape
+    * that drives quality-score / length distribution dashboards at any
+    * corpus size.
+    */
+  def histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(least(floor(col("o_totalprice") / 30000), lit(19)).cast("int").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
 }

@@ -507,4 +507,94 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getLong(3) >= 1)
     }
   }
+
+  test("regression aggregates: closed forms agree with Spark's regr_* built-ins") {
+    val got = QueriesRel.aggRegr(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val builtins = Queries.t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        Queries.cents(col("l_quantity")).cast("double").as("x"),
+        Queries.cents(col("l_extendedprice")).cast("double").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("regr_slope(y, x)").as("sl"), expr("regr_intercept(y, x)").as("ic"),
+        expr("regr_r2(y, x)").as("r2"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    got.foreach { case (flag, (sl, ic, r2)) =>
+      val (bs, bi, br) = builtins(flag)
+      // built-ins use streaming float moments; the closed forms are exact
+      // integers — agree to relative 1e-6 plus the 6dp output grid
+      assert(math.abs(sl - bs) <= 1e-6 * math.max(1.0, math.abs(bs)), s"slope $flag: $sl vs $bs")
+      assert(math.abs(ic - bi) <= 1e-5 * math.max(1.0, math.abs(bi)), s"intercept $flag: $ic vs $bi")
+      assert(math.abs(r2 - br) <= 1e-6, s"r2 $flag: $r2 vs $br")
+    }
+  }
+
+  test("gap fill: spine is complete and dense, observed hours match the raw aggregation") {
+    val rows = QueriesRel.gapFill(spark, dir).collect()
+    val hours = rows.map(_.getLong(0)).distinct.sorted
+    val types = rows.map(_.getString(1)).distinct
+    // every (hour, type) cell exists exactly once; hour spacing is 3600s
+    assert(rows.length == hours.length * types.length)
+    assert(hours.sliding(2).forall(p => p(1) - p(0) == 3600L))
+    // zero-filled cells exist (the operator's reason to exist) and
+    // non-zero cells equal the straight aggregation
+    assert(rows.exists(_.getLong(2) == 0L))
+    val raw = Queries.t(spark, dir, "events")
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) == raw.getOrElse((r.getLong(0), r.getString(1)), 0L))
+    }
+  }
+
+  test("forward fill: equals a sequential last-observation scan per user") {
+    val ev = Queries.t(spark, dir, "events")
+      .filter(col("user_id") % 50 === 0)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var lastSeen = -1.0
+      rows.sortBy(r => (r._2, r._3)).map { case (_, _, id, v) =>
+        if (id % 7 == 0) lastSeen = v
+        id -> lastSeen
+      }
+    }.toMap
+    val got = QueriesRel.forwardFill(spark, dir).collect()
+    assert(got.nonEmpty && got.exists(_.getDouble(2) == -1.0))
+    got.foreach(r => assert(r.getDouble(2) == expected(r.getLong(0)),
+      s"fill mismatch at event ${r.getLong(0)}"))
+  }
+
+  test("merge upsert: all three MERGE verbs fire with exact cents semantics") {
+    val rows = QueriesRel.mergeUpsert(spark, dir).collect()
+    val byAction = rows.groupBy(_.getString(2))
+    assert(byAction.keySet == Set("insert", "update", "keep"))
+    // inserted keys live outside the base key space (the synthetic shift)
+    byAction("insert").foreach(r => assert(r.getLong(0) >= 1000000L))
+    // keep rows carry the untouched base balance
+    val base = Queries.t(spark, dir, "customer")
+      .select(col("c_custkey"), Queries.cents(col("c_acctbal")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byAction("keep").foreach(r => assert(r.getLong(1) == base(r.getLong(0))))
+  }
+
+  test("string agg: deterministic ordered render per bounded group") {
+    val got = QueriesRel.stringAgg(spark, dir).collect()
+    val raw = Queries.t(spark, dir, "nation")
+      .select(col("n_regionkey"), col("n_name"))
+      .collect().groupBy(_.getAs[Number](0).longValue)
+    got.foreach { r =>
+      val names = raw(r.getAs[Number](0).longValue).map(_.getString(1)).sorted
+      assert(r.getLong(1) == names.length)
+      assert(r.getString(2) == names.mkString(","))
+    }
+  }
+
+  test("histogram: buckets partition the table exactly") {
+    val got = QueriesRel.histogram(spark, dir).collect()
+    val total = Queries.t(spark, dir, "orders").count()
+    assert(got.map(_.getLong(1)).sum == total)
+    assert(got.forall(r => r.getInt(0) >= 0 && r.getInt(0) <= 19))
+  }
 }
