@@ -28,7 +28,7 @@ object Bench {
     "q_join_skew_salted", "x_ann_lsh", "x_embed_dedup",
     "q_join_asof", "q_join_bucketed", "x_curation_pipeline",
     "q_join_bloom", "x_ann_quantized", "x_dedup_clusters_lsh",
-    "x_decontaminate",
+    "x_decontaminate", "x_chunk_dedup", "x_repetition", "x_knn_classify",
     // clustering-layout lookups (pay-once writes staged in warmup):
     // second-key range over the Z-ordered copy, year-pruned scan over
     // the Hive-partitioned copy

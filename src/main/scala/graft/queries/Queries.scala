@@ -214,6 +214,7 @@ object Queries {
     "x_repetition" -> (QueriesLLM.repetition _),
     "x_domain_mix" -> (QueriesLLM.domainMix _),
     "x_chunk_dedup" -> (QueriesLLM.chunkDedup _),
+    "x_knn_classify" -> (QueriesLLM.knnClassify _),
     "x_pack_sequences" -> (QueriesLLM.packSequences _),
     "x_stratified_sample" -> (QueriesLLM.stratifiedSample _),
     "x_decontaminate" -> (QueriesLLM.decontaminate _),
@@ -966,6 +967,27 @@ object Queries {
         |  CAST((total_tokens * 1000000) // (n_sources * n_tokens) AS BIGINT)
         |    AS uniform_weight_ppm
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+    "x_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS true_label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |c AS (SELECT vec_id AS cand_id, label AS cand_label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM embeddings WHERE vec_id % 20 <> 0),
+        |sims AS (SELECT query_id, true_label, cand_id, cand_label,
+        |    list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])) /
+        |    (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(cv, x -> x * x)))) AS sim
+        |  FROM q, c),
+        |top AS (SELECT query_id, true_label, cand_label,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rnk
+        |  FROM sims QUALIFY rnk <= 5),
+        |votes AS (SELECT query_id, true_label, cand_label, count(*) AS votes,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY count(*) DESC, cand_label) AS vr
+        |  FROM top GROUP BY 1, 2, 3)
+        |SELECT query_id, true_label, cand_label AS predicted_label, votes
+        |FROM votes WHERE vr = 1 ORDER BY query_id""".stripMargin,
     "x_chunk_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |ch AS (SELECT doc_id, g.i AS pos,

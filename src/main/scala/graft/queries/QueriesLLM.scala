@@ -233,6 +233,42 @@ object QueriesLLM {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** X17: k-NN label propagation — classify held-out vectors by
+    * majority vote of their 5 nearest labeled neighbors (the standard
+    * embedding-space eval: does the index/metric recover the labels?).
+    * Brute-force sims are the declared oracle contract (same sequential
+    * double folds as [[cosineTopk]], bitwise-portable); at corpus scale
+    * the candidate set comes from the X3 ANN paths (IVF cells / LSH
+    * buckets) instead of the cross join. Vote counting is exact
+    * integers; vote ties break to the smaller label, rank ties to the
+    * smaller vec_id — fully deterministic.
+    */
+  def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"), col("label").as("true_label"))
+    val c = e.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+        norm(col("embedding")).as("cn"), col("label").as("cand_label"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("cand_label"))
+    q.crossJoin(c)
+      .select(col("query_id"), col("true_label"), col("cand_id"), col("cand_label"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= 5)
+      .groupBy(col("query_id"), col("true_label"), col("cand_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("cand_label").as("predicted_label"), col("votes"))
+      .orderBy(col("query_id"))
+  }
+
   /** X12: collocation mining — corpus bigrams scored by pointwise
     * mutual information (the classic phrase-discovery pass before
     * tokenizer/vocab building). All counts are exact integers from two

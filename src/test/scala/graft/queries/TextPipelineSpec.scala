@@ -118,4 +118,30 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(bins.head == 0L && bins.last < rows.map(_.getLong(2)).sum / 256 + 1)
     }
   }
+
+  test("knn classification matches an exact driver-side majority vote") {
+    val vecs = Queries.t(spark, dir, "embeddings")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cands = vecs.filter(_._1 % 20 != 0)
+    val expected = vecs.filter(_._1 % 20 == 0).map { case (qid, qv, tl) =>
+      val top5 = cands.map(c => (cos(qv, c._2), c._1, c._3))
+        .sortBy(t => (-t._1, t._2)).take(5)
+      val (pred, votes) = top5.groupBy(_._3).map { case (l, v) => (l, v.length) }
+        .toSeq.sortBy(t => (-t._2, t._1)).head
+      qid -> (tl, pred, votes.toLong)
+    }.toMap
+    val got = QueriesLLM.knnClassify(spark, dir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (tl, pred, votes) = expected(r.getLong(0))
+      assert(r.getInt(1) == tl && r.getInt(2) == pred && r.getLong(3) == votes,
+        s"knn mismatch for query ${r.getLong(0)}")
+    }
+  }
 }
