@@ -160,6 +160,9 @@ object Queries {
     "q_window_ignore_nulls" -> (QueriesRel.forwardFill _),
     "q_merge_upsert" -> (QueriesRel.mergeUpsert _),
     "q_histogram" -> (QueriesRel.histogram _),
+    "q_try_funcs" -> (QueriesScalar.tryFuncs _),
+    "q_explode_outer" -> (QueriesScalar.explodeOuter _),
+    "q_range_shard" -> (QueriesRel.rangeShard _),
     "q_agg_filter" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.aggFilterSql)),
     "q_cond_funcs" -> (QueriesScalar.condFuncs _),
     "q_union_all" -> (QueriesRel.unionAll _),
@@ -502,6 +505,20 @@ object Queries {
       """SELECT CAST(least(floor(o_totalprice / 30000), 19) AS INTEGER) AS bucket,
         |  count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_try_funcs" ->
+      """SELECT o_orderkey,
+        |  COALESCE(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER), -1) AS prio_num,
+        |  COALESCE(TRY_CAST(o_orderpriority AS INTEGER), -1) AS full_cast,
+        |  COALESCE(floor((o_totalprice / NULLIF(o_custkey % 5, 0)) * 100 + 0.5) / 100.0,
+        |    -1.0) AS ratio
+        |FROM orders WHERE o_orderkey % 20 = 0 ORDER BY o_orderkey""".stripMargin,
+    "q_explode_outer" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x[1:1] = 'q') AS toks
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT w.doc_id, COALESCE(u.tok, '<none>') AS token
+        |FROM w LEFT JOIN LATERAL (SELECT unnest(toks) AS tok) u ON TRUE
+        |ORDER BY doc_id, token""".stripMargin,
     "q_window_first_last" ->
       """SELECT o_custkey, o_orderkey,
         |  first_value(o_orderkey) OVER w AS first_key,

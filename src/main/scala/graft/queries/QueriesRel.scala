@@ -881,6 +881,25 @@ object QueriesRel {
         bit_xor(col("o_custkey")).as("custkey_xor"))
       .orderBy(col("o_orderpriority"))
 
+  /** E47: range-partitioned global sort (the output-sharding layout) —
+    * `repartitionByRange` + `sortWithinPartitions` is how a 100 TB
+    * result is written as k non-overlapping, internally-sorted shards
+    * (a global `orderBy` funnels through the same range exchange; this
+    * form makes the shard count explicit). The reported per-shard
+    * (min, max, count) digest demonstrates the contract; boundaries
+    * come from Spark's reservoir sampling → rows-only correctness, the
+    * spec pins non-overlap, full coverage, and balance.
+    */
+  def rangeShard(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+      .groupBy(spark_partition_id().as("shard_id"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_orderkey")).as("min_k"), max(col("l_orderkey")).as("max_k"))
+      .orderBy(col("shard_id"))
+
   /** E46: equi-width histogram — bucket index as explicit floor
     * arithmetic (`least(floor(v / w), n-1)`) rather than an
     * engine-specific `width_bucket`: the same double division and floor

@@ -174,6 +174,40 @@ object QueriesScalar {
         when(col("p_retailprice") > 1500.0, "Y").otherwise("N").as("pricey"))
       .orderBy(col("p_partkey"))
 
+  /** E23c: error-safe expressions — `try_cast` / `try_divide` return
+    * NULL instead of raising, the per-expression analogue of the E39
+    * PERMISSIVE ingest: one malformed value must not kill a 100 TB job,
+    * and it must not be silently dropped either (NULLs are countable).
+    * Nulls coalesce to sentinels so the oracle compare never sorts a
+    * nullable key. Pure codegen projections, zero shuffle.
+    */
+  def tryFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey"),
+        coalesce(expr("try_cast(substr(o_orderpriority, 1, 1) AS INT)"), lit(-1))
+          .as("prio_num"),
+        coalesce(expr("try_cast(o_orderpriority AS INT)"), lit(-1)).as("full_cast"),
+        coalesce(
+          Queries.fround(expr("try_divide(o_totalprice, o_custkey % 5)"), 2),
+          lit(-1.0)).as("ratio"))
+      .orderBy(col("o_orderkey"))
+
+  /** E24b: null-preserving generator — `explode_outer` keeps the parent
+    * row when the array is empty (plain `explode` silently drops it — a
+    * quiet data-loss bug when flattening sparse annotations at corpus
+    * scale: the docs with zero matches are usually the ones you need to
+    * count). Empty-array docs surface with a sentinel token.
+    */
+  def explodeOuter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => x.startsWith("q")).as("toks"))
+      .select(col("doc_id"), explode_outer(col("toks")).as("tok"))
+      .select(col("doc_id"), coalesce(col("tok"), lit("<none>")).as("token"))
+      .orderBy(col("doc_id"), col("token"))
+
   /** E39: error-tolerant ingest — CSV with malformed rows read in
     * PERMISSIVE mode: bad rows land in the corrupt-record column
     * instead of failing the job (the only mode that survives a 100 TB

@@ -591,6 +591,51 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("range shard: non-overlapping ranges, full coverage, bounded skew") {
+    val shards = QueriesRel.rangeShard(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(shards.length == 8)
+    // ranges ordered and disjoint: shard i's max < shard i+1's min
+    val byId = shards.sortBy(_._1)
+    byId.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, s"overlap between shard ${a._1} and ${b._1}")
+    }
+    // full coverage and sampling-bounded balance
+    val total = Queries.t(spark, dir, "lineitem").count()
+    assert(shards.map(_._2).sum == total)
+    assert(shards.map(_._2).max < total / 2, "one shard holds half the table")
+  }
+
+  test("try funcs: malformed values become countable sentinels, never errors") {
+    val got = QueriesScalar.tryFuncs(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getInt(1) >= 1 && r.getInt(1) <= 5)        // digit prefix parses
+      assert(r.getInt(2) == -1)                           // full string never does
+    }
+    // ratio sentinel fires exactly when the divisor is zero
+    val raw = Queries.t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey"), (col("o_custkey") % 5).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach(r => assert((r.getDouble(3) == -1.0) == (raw(r.getLong(0)) == 0L)))
+  }
+
+  test("explode outer: empty-array parents survive with the sentinel token") {
+    val got = QueriesScalar.explodeOuter(spark, dir).collect()
+    val docs = Queries.t(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).count(_.startsWith("q"))).toMap
+    // every sampled doc appears; zero-match docs exactly once as <none>
+    assert(got.map(_.getLong(0)).toSet == docs.keySet)
+    docs.foreach { case (id, nq) =>
+      val toks = got.filter(_.getLong(0) == id).map(_.getString(1))
+      if (nq == 0) assert(toks.sameElements(Array("<none>")))
+      else assert(toks.length == nq && toks.forall(_.startsWith("q")))
+    }
+  }
+
   test("histogram: buckets partition the table exactly") {
     val got = QueriesRel.histogram(spark, dir).collect()
     val total = Queries.t(spark, dir, "orders").count()
