@@ -163,6 +163,8 @@ object Queries {
     "q_try_funcs" -> (QueriesScalar.tryFuncs _),
     "q_explode_outer" -> (QueriesScalar.explodeOuter _),
     "q_range_shard" -> (QueriesRel.rangeShard _),
+    "q_sessionize" -> (QueriesRel.sessionize _),
+    "x_dup_ngram_spans" -> (QueriesLLM.dupNgramSpans _),
     "q_agg_filter" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.aggFilterSql)),
     "q_cond_funcs" -> (QueriesScalar.condFuncs _),
     "q_union_all" -> (QueriesRel.unionAll _),
@@ -512,6 +514,35 @@ object Queries {
         |  COALESCE(floor((o_totalprice / NULLIF(o_custkey % 5, 0)) * 100 + 0.5) / 100.0,
         |    -1.0) AS ratio
         |FROM orders WHERE o_orderkey % 20 = 0 ORDER BY o_orderkey""".stripMargin,
+    "q_sessionize" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ms
+        |            FROM events WHERE user_id % 20 = 0),
+        |f AS (SELECT user_id, event_id, ms, lag(ms) OVER w AS prev_ms
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |g AS (SELECT user_id, event_id, ms,
+        |        CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+        |        THEN 1 ELSE 0 END AS brk
+        |      FROM f),
+        |h AS (SELECT user_id, ms,
+        |        CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS session_seq
+        |      FROM g)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(ms) AS start_ms, max(ms) AS end_ms
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x_dup_ngram_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, len(words) - 6),
+        |          i -> ('0x' || substr(md5(array_to_string(words[i : i+7], ' ')), 1, 15))::BIGINT)) AS gh
+        |      FROM w WHERE len(words) >= 8),
+        |c AS (SELECT gh, count(*) AS n FROM g GROUP BY gh)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+        |  CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) > 0 AS has_dup_span
+        |FROM g JOIN c ON g.gh = c.gh
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "q_explode_outer" ->
       """WITH w AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x[1:1] = 'q') AS toks

@@ -898,6 +898,34 @@ object QueriesLLM {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** X18: duplicated-span detection — the sliding-window (overlapping
+    * 8-gram) substring-dedup signal from the MassiveText/RefinedWeb
+    * family: for every token position, does its 8-gram occur anywhere
+    * else in the corpus? Unlike [[chunkDedup]] (non-overlapping chunks,
+    * an ownership rule), this marks *spans*, catching duplicates at any
+    * alignment. Grams are reduced to the md5-derived 64-bit [[hash64]]
+    * BEFORE the shuffle, so the wire carries 8-byte keys instead of
+    * ~50-byte strings (same function in the oracle → identical
+    * collisions, bit-exact parity). Explode + count + join back:
+    * linear in corpus tokens.
+    */
+  def dupNgramSpans(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 8)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("words")) - 7),
+          i => hash64(concat_ws(" ", slice(col("words"), i, lit(8)))))).as("gh"))
+    val counts = g.groupBy(col("gh")).agg(count(lit(1)).as("n"))
+    g.join(counts, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+      // any duplicated span flags the doc for the dedup pipeline
+      .withColumn("has_dup_span", col("n_dup_grams") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal plumbing: treat content as an opaque binary column with
     * typed metadata — here materialized deterministically from text (the
     * container lacks media codecs; the binary-column pipeline is real,

@@ -900,6 +900,34 @@ object QueriesRel {
         min(col("l_orderkey")).as("min_k"), max(col("l_orderkey")).as("max_k"))
       .orderBy(col("shard_id"))
 
+  /** E48: batch sessionization (gaps-and-islands) — assign session ids
+    * by the classic two-window pass: `lag` flags a session break when
+    * the gap to the previous event exceeds 30 minutes, a running sum of
+    * the flags numbers the sessions, then one aggregate rolls up
+    * per-session stats. Two window functions over the SAME
+    * (user, time)-ordering → ONE shuffle + one sort total; the batch
+    * analogue of the S2 streaming `session_window`. Milliseconds as
+    * exact integers (epoch millis) — no timestamp rendering, no float
+    * gap math.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    val ev = t(s, dir, "events")
+      .filter(col("user_id") % 20 === 0)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(order))
+      .withColumn("brk",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("brk")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+    ev.groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
   /** E46: equi-width histogram — bucket index as explicit floor
     * arithmetic (`least(floor(v / w), n-1)`) rather than an
     * engine-specific `width_bucket`: the same double division and floor

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
@@ -117,6 +118,54 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       val bins = rows.map(_.getLong(4)).distinct.sorted
       assert(bins.head == 0L && bins.last < rows.map(_.getLong(2)).sum / 256 + 1)
     }
+  }
+
+  test("duplicated-span detection matches a sliding-window recomputation") {
+    val grams = rawDocs().flatMap { case (id, _, text) =>
+      val words = text.split(" ", -1)
+      if (words.length < 8) Array.empty[(Long, String)]
+      else words.sliding(8).map(g => (id, g.mkString(" "))).toArray
+    }
+    val counts = grams.groupBy(_._2).map { case (g, occ) => g -> occ.length }
+    val expected = grams.groupBy(_._1).map { case (id, gs) =>
+      id -> (gs.length.toLong, gs.count(g => counts(g._2) > 1).toLong)
+    }
+    val got = QueriesLLM.dupNgramSpans(spark, dir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (ng, nd) = expected(r.getLong(0))
+      assert(r.getLong(1) == ng && r.getLong(2) == nd && r.getBoolean(3) == (nd > 0),
+        s"dup spans doc ${r.getLong(0)}")
+    }
+    // the signal actually fires on this corpus
+    assert(got.exists(_.getBoolean(3)))
+  }
+
+  test("batch sessionization matches a sequential gap scan per user") {
+    val ev = Queries.t(spark, dir, "events")
+      .filter(col("user_id") % 20 === 0)
+      .selectExpr("user_id", "event_id", "unix_millis(ts) AS ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      var seq = 0L; var prev = Long.MinValue
+      val sessions = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+      rows.sortBy(r => (r._3, r._2)).foreach { case (_, _, ms) =>
+        if (prev == Long.MinValue || ms - prev > 1800000L) seq += 1
+        val (n, lo, hi) = sessions.getOrElse(seq, (0L, Long.MaxValue, Long.MinValue))
+        sessions(seq) = (n + 1, math.min(lo, ms), math.max(hi, ms))
+        prev = ms
+      }
+      sessions.map { case (sq, v) => (uid, sq) -> v }
+    }.toMap
+    val got = QueriesRel.sessionize(spark, dir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, lo, hi) = expected((r.getLong(0), r.getLong(1)))
+      assert(r.getLong(2) == n && r.getLong(3) == lo && r.getLong(4) == hi,
+        s"session ${r.getLong(0)}/${r.getLong(1)}")
+    }
+    // multiple sessions per user exist (the operator's reason to exist)
+    assert(got.map(_.getLong(0)).distinct.length < got.length)
   }
 
   test("knn classification matches an exact driver-side majority vote") {
