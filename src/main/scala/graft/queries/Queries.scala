@@ -165,6 +165,9 @@ object Queries {
     "q_range_shard" -> (QueriesRel.rangeShard _),
     "q_sessionize" -> (QueriesRel.sessionize _),
     "x_dup_ngram_spans" -> (QueriesLLM.dupNgramSpans _),
+    "x_near_dedup_keep" -> ((s: SparkSession, dir: String) =>
+      QueriesLLM.nearDedupKeep(s, dir)),
+    "q_percent_of_total" -> (QueriesRel.percentOfTotal _),
     "q_agg_filter" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.aggFilterSql)),
     "q_cond_funcs" -> (QueriesScalar.condFuncs _),
     "q_union_all" -> (QueriesRel.unionAll _),
@@ -514,6 +517,15 @@ object Queries {
         |  COALESCE(floor((o_totalprice / NULLIF(o_custkey % 5, 0)) * 100 + 0.5) / 100.0,
         |    -1.0) AS ratio
         |FROM orders WHERE o_orderkey % 20 = 0 ORDER BY o_orderkey""".stripMargin,
+    "q_percent_of_total" ->
+      """WITH rev AS (SELECT l_returnflag,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS HUGEINT)
+        |      AS rev_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(rev_cents AS BIGINT) AS rev_cents,
+        |  CAST((rev_cents * 1000000) // (sum(rev_cents) OVER ()) AS BIGINT)
+        |    AS share_ppm
+        |FROM rev ORDER BY l_returnflag""".stripMargin,
     "q_sessionize" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ms
         |            FROM events WHERE user_id % 20 = 0),

@@ -584,6 +584,25 @@ object QueriesLLM {
       .orderBy(col("doc_id"))
   }
 
+  /** X19: near-dedup keep-list — the step that turns X6's cluster
+    * assignment into an actual curation decision: keep the canonical
+    * (minimum doc_id = its own cluster label) member of every near-dup
+    * cluster plus all unclustered docs, and report per-source retention.
+    * Derived from the LSH cluster map (non-SQL) → rows-only; the spec
+    * pins exactly-one-survivor-per-cluster and no-unclustered-loss.
+    */
+  def nearDedupKeep(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClustersLsh(s, dir)
+    t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("keep",
+        col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   /** X5: end-to-end curation pipeline — exact dedup (keep-first) →
     * language filter → token-length floor → per-source corpus stats.
     * The composition every training-data ingest runs; dedup is the

@@ -928,6 +928,23 @@ object QueriesRel {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** E49: percent-of-total (ratio-to-report) — per-group share of the
+    * grand total via an unpartitioned window OVER THE AGGREGATE, not
+    * the table: the fact table reduces to K group rows first, so the
+    * "global" window touches K rows at any corpus size (the
+    * window-before-aggregate version is the single-partition trap).
+    * Shares in integer ppm over DECIMAL(38,0) cents — exact at any SF,
+    * no float division.
+    */
+  def percentOfTotal(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(Queries.cents(col("l_extendedprice"))).as("rev_cents"))
+      .withColumn("share_ppm",
+        expr("""CAST((CAST(rev_cents AS DECIMAL(38,0)) * 1000000) DIV
+               (sum(CAST(rev_cents AS DECIMAL(38,0))) OVER ()) AS BIGINT)"""))
+      .orderBy(col("l_returnflag"))
+
   /** E46: equi-width histogram — bucket index as explicit floor
     * arithmetic (`least(floor(v / w), n-1)`) rather than an
     * engine-specific `width_bucket`: the same double division and floor

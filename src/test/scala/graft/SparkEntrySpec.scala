@@ -36,7 +36,13 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
       "x_stratified_sample", "q_table_sample", "x_simhash_near_dup",
       // LSH-sourced edges: banding is not SQL-expressible; LshSpec pins
       // cluster equality vs the oracled exact-edge x_dedup_clusters
-      "x_dedup_clusters_lsh")
+      "x_dedup_clusters_lsh",
+      // keep-list composes the LSH cluster map → rows-only by the same
+      // argument; TextPipelineSpec pins survivor counts
+      "x_near_dedup_keep",
+      // shard boundaries come from reservoir sampling (engine-specific);
+      // QueriesRelSpec pins disjointness + coverage + balance
+      "q_range_shard")
     assert(rowsOnly == expected, s"rows-only drift: $rowsOnly")
   }
 

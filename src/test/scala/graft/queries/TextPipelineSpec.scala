@@ -168,6 +168,31 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_.getLong(0)).distinct.length < got.length)
   }
 
+  test("near-dedup keep-list: one survivor per cluster, unclustered docs all kept") {
+    val clusters = QueriesLLM.dedupClustersLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nMembers = clusters.length.toLong
+    val nClusters = clusters.map(_._2).distinct.length.toLong
+    val total = Queries.t(spark, dir, "documents").count()
+    val kept = QueriesLLM.nearDedupKeep(spark, dir).collect()
+    assert(kept.map(_.getLong(1)).sum == total)
+    // removed = members minus one canonical survivor per cluster
+    assert(kept.map(_.getLong(2)).sum == total - (nMembers - nClusters))
+    kept.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("percent-of-total shares sum to ~1e6 ppm and match exact arithmetic") {
+    val got = QueriesRel.percentOfTotal(spark, dir).collect()
+    val revs = got.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = revs.values.map(BigInt(_)).sum
+    got.foreach { r =>
+      val want = (BigInt(r.getLong(1)) * 1000000 / total).toLong
+      assert(r.getLong(2) == want, s"share for ${r.getString(0)}")
+    }
+    val s = got.map(_.getLong(2)).sum
+    assert(s >= 1000000L - got.length && s <= 1000000L)
+  }
+
   test("knn classification matches an exact driver-side majority vote") {
     val vecs = Queries.t(spark, dir, "embeddings")
       .collect().map(r => (r.getLong(0),
