@@ -168,6 +168,7 @@ object Queries {
     "x_near_dedup_keep" -> ((s: SparkSession, dir: String) =>
       QueriesLLM.nearDedupKeep(s, dir)),
     "q_percent_of_total" -> (QueriesRel.percentOfTotal _),
+    "q_typed_cogroup" -> (QueriesRel.typedCogroup _),
     "q_agg_filter" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.aggFilterSql)),
     "q_cond_funcs" -> (QueriesScalar.condFuncs _),
     "q_union_all" -> (QueriesRel.unionAll _),
@@ -517,6 +518,15 @@ object Queries {
         |  COALESCE(floor((o_totalprice / NULLIF(o_custkey % 5, 0)) * 100 + 0.5) / 100.0,
         |    -1.0) AS ratio
         |FROM orders WHERE o_orderkey % 20 = 0 ORDER BY o_orderkey""".stripMargin,
+    "q_typed_cogroup" ->
+      """SELECT o.o_orderkey,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS order_cents,
+        |  count(l.l_orderkey) AS n_items,
+        |  CAST(COALESCE(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)), 0)
+        |    AS BIGINT) AS items_cents
+        |FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey % 10 = 0
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q_percent_of_total" ->
       """WITH rev AS (SELECT l_returnflag,
         |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS HUGEINT)

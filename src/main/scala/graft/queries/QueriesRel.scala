@@ -945,6 +945,37 @@ object QueriesRel {
                (sum(CAST(rev_cents AS DECIMAL(38,0))) OVER ()) AS BIGINT)"""))
       .orderBy(col("l_returnflag"))
 
+  /** E50: typed Dataset cogroup — the `Dataset[T]`/`Encoder` surface:
+    * two keyed datasets cogrouped with arbitrary per-key Scala logic
+    * (here: reconcile each order's header price against its line items
+    * in one pass over both iterators). The honest trade-off, stated:
+    * cogroup shuffles BOTH sides with no partial aggregation, so it is
+    * reserved for genuinely imperative merges that `join`+`agg` cannot
+    * express — when the logic IS expressible relationally (as this
+    * reconciliation is, which is what makes it oracle-checkable), the
+    * declarative form is the scale path. Key filters applied BEFORE
+    * `groupByKey` so they push to the parquet scans.
+    */
+  def typedCogroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_totalprice")).as[(Long, Double)]
+    val items = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_extendedprice")).as[(Long, Double)]
+    orders.groupByKey(_._1).cogroup(items.groupByKey(_._1)) { (k, os, is) =>
+      val heads = os.map(o => math.floor(o._2 * 100 + 0.5).toLong).toSeq
+      if (heads.isEmpty) Iterator.empty // item with no order header: drop
+      else {
+        var n = 0L; var cents = 0L
+        is.foreach { i => n += 1; cents += math.floor(i._2 * 100 + 0.5).toLong }
+        Iterator((k, heads.head, n, cents))
+      }
+    }.toDF("o_orderkey", "order_cents", "n_items", "items_cents")
+      .orderBy(col("o_orderkey"))
+  }
+
   /** E46: equi-width histogram — bucket index as explicit floor
     * arithmetic (`least(floor(v / w), n-1)`) rather than an
     * engine-specific `width_bucket`: the same double division and floor

@@ -636,6 +636,20 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("typed cogroup: equals the relational join+agg form") {
+    val typed = QueriesRel.typedCogroup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val relational = Queries.t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 10 === 0)
+      .join(Queries.t(spark, dir, "lineitem").filter(col("l_orderkey") % 10 === 0),
+        col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderkey"), Queries.cents(col("o_totalprice")).as("oc"))
+      .agg(count(col("l_orderkey")).as("n"),
+        coalesce(sum(Queries.cents(col("l_extendedprice"))), lit(0L)).as("ic"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(typed == relational)
+  }
+
   test("histogram: buckets partition the table exactly") {
     val got = QueriesRel.histogram(spark, dir).collect()
     val total = Queries.t(spark, dir, "orders").count()
