@@ -58,7 +58,11 @@ object QueriesLLM {
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
     // one 16-element signature array per doc: all 16 permutation minima
     // in a single map-side-combinable aggregation pass over the shingle
-    // hashes (a perms crossJoin would multiply the shuffle by 16).
+    // hashes (a perms crossJoin would multiply the shuffle by 16; the
+    // tempting zero-shuffle rewrite — per-row array_min(transform(...))
+    // folds — measured 1.5× SLOWER at sf0.1: higher-order functions are
+    // CodegenFallback, evaluated interpreted per element, while this
+    // explode+groupBy stays in whole-stage codegen end to end).
     // localCheckpoint (not cache): the band explode and both pair sides
     // reuse the materialization, and checkpoint blocks are released by
     // the ContextCleaner once the plan is GC'd — a `.cache()` here would
