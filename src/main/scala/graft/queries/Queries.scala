@@ -169,6 +169,7 @@ object Queries {
       QueriesLLM.nearDedupKeep(s, dir)),
     "q_percent_of_total" -> (QueriesRel.percentOfTotal _),
     "q_typed_cogroup" -> (QueriesRel.typedCogroup _),
+    "q_sketch_union" -> (QueriesRel.sketchUnion _),
     "q_agg_filter" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.aggFilterSql)),
     "q_cond_funcs" -> (QueriesScalar.condFuncs _),
     "q_union_all" -> (QueriesRel.unionAll _),

@@ -976,6 +976,30 @@ object QueriesRel {
       .orderBy(col("o_orderkey"))
   }
 
+  /** E51: re-aggregatable distinct-count sketches — DataSketches HLL
+    * (`hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`): the
+    * per-group sketch is a mergeable state, so a 100 TB rollup computes
+    * distinct users per type ONCE and every coarser grain (here: the
+    * ALL row) merges sketches instead of rescanning the fact table —
+    * the property exact count-distinct fundamentally lacks. Sketch
+    * estimates are engine-specific → rows-only; the spec bounds the
+    * estimates against the exact counts carried alongside.
+    */
+  def sketchUnion(s: SparkSession, dir: String): DataFrame = {
+    val sk = t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+    val per = sk.select(col("event_type"),
+      expr("hll_sketch_estimate(sk)").as("est_users"), col("exact_users"))
+    val exactAll = t(s, dir, "events")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    val all = sk.agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+      .crossJoin(broadcast(exactAll))
+      .select(lit("ALL").as("event_type"), col("est_users"), col("exact_users"))
+    per.union(all).orderBy(col("event_type"))
+  }
+
   /** E46: equi-width histogram — bucket index as explicit floor
     * arithmetic (`least(floor(v / w), n-1)`) rather than an
     * engine-specific `width_bucket`: the same double division and floor

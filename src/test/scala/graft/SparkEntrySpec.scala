@@ -42,8 +42,27 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
       "x_near_dedup_keep",
       // shard boundaries come from reservoir sampling (engine-specific);
       // QueriesRelSpec pins disjointness + coverage + balance
-      "q_range_shard")
+      "q_range_shard",
+      // DataSketches HLL estimates are engine-specific; QueriesRelSpec
+      // bounds them against the exact counts carried in the result
+      "q_sketch_union")
     assert(rowsOnly == expected, s"rows-only drift: $rowsOnly")
+  }
+
+  test("registry-wide plan sweep: no CartesianProduct anywhere") {
+    // BroadcastNestedLoopJoin against a 1-row totals frame is a
+    // deliberate idiom (tfidf/lm_score/collocations); CartesianProduct
+    // (non-broadcast cross product) is never acceptable — it means two
+    // large sides multiplied. Sweeping every registered query guards
+    // future additions structurally.
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+      } catch { case _: Throwable => None } // planning failures surface elsewhere
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
   test("oracle'd queries are run-to-run deterministic (hash-gate prerequisite)") {

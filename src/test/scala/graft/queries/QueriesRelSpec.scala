@@ -650,6 +650,17 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(typed == relational)
   }
 
+  test("sketch union: HLL estimates within 5% of exact, ALL row merges sketches") {
+    val rows = QueriesRel.sketchUnion(spark, dir).collect()
+    assert(rows.map(_.getString(0)).contains("ALL"))
+    rows.foreach { r =>
+      val est = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(est - exact) / exact <= 0.05,
+        s"${r.getString(0)}: est $est vs exact $exact")
+    }
+  }
+
   test("histogram: buckets partition the table exactly") {
     val got = QueriesRel.histogram(spark, dir).collect()
     val total = Queries.t(spark, dir, "orders").count()
