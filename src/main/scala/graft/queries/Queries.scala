@@ -170,6 +170,7 @@ object Queries {
     "q_percent_of_total" -> (QueriesRel.percentOfTotal _),
     "q_typed_cogroup" -> (QueriesRel.typedCogroup _),
     "q_sketch_union" -> (QueriesRel.sketchUnion _),
+    "q_union_by_name" -> (QueriesRel.unionByNameDrift _),
     "q_agg_filter" -> ((s: SparkSession, dir: String) => withViews(s, dir)(QueriesRel.aggFilterSql)),
     "q_cond_funcs" -> (QueriesScalar.condFuncs _),
     "q_union_all" -> (QueriesRel.unionAll _),
@@ -519,6 +520,18 @@ object Queries {
         |  COALESCE(floor((o_totalprice / NULLIF(o_custkey % 5, 0)) * 100 + 0.5) / 100.0,
         |    -1.0) AS ratio
         |FROM orders WHERE o_orderkey % 20 = 0 ORDER BY o_orderkey""".stripMargin,
+    "q_union_by_name" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |    AS price_cents
+        |  FROM orders WHERE year(o_orderdate) <= 1996
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |    AS price_cents, o_orderpriority
+        |  FROM orders WHERE year(o_orderdate) >= 1997)
+        |SELECT COALESCE(o_orderpriority, '<legacy>') AS prio,
+        |  count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_typed_cogroup" ->
       """SELECT o.o_orderkey,
         |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS order_cents,

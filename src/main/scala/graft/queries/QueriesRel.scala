@@ -976,6 +976,28 @@ object QueriesRel {
       .orderBy(col("o_orderkey"))
   }
 
+  /** E18b: schema-drift union — `unionByName(allowMissingColumns)`
+    * aligns frames by COLUMN NAME and null-fills the gaps, the
+    * column-level companion to E38's file-level mergeSchema read: the
+    * shape for unioning epochs of a pipeline whose schema grew.
+    * Positional `union` would silently misalign here — the old epoch
+    * lacks the priority column entirely. Missing values surface as a
+    * countable sentinel group.
+    */
+  def unionByNameDrift(s: SparkSession, dir: String): DataFrame = {
+    val legacy = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")) <= 1996)
+      .select(col("o_orderkey"), Queries.cents(col("o_totalprice")).as("price_cents"))
+    val current = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")) >= 1997)
+      .select(col("o_orderkey"), Queries.cents(col("o_totalprice")).as("price_cents"),
+        col("o_orderpriority"))
+    legacy.unionByName(current, allowMissingColumns = true)
+      .groupBy(coalesce(col("o_orderpriority"), lit("<legacy>")).as("prio"))
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("total_cents"))
+      .orderBy(col("prio"))
+  }
+
   /** E51: re-aggregatable distinct-count sketches — DataSketches HLL
     * (`hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`): the
     * per-group sketch is a mergeable state, so a 100 TB rollup computes

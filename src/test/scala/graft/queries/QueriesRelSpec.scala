@@ -650,6 +650,16 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(typed == relational)
   }
 
+  test("union by name: legacy epoch lands in the sentinel group, totals conserved") {
+    val rows = QueriesRel.unionByNameDrift(spark, dir).collect()
+    val legacy = rows.filter(_.getString(0) == "<legacy>")
+    assert(legacy.length == 1 && legacy.head.getLong(1) > 0)
+    val total = Queries.t(spark, dir, "orders")
+      .agg(sum(Queries.cents(col("o_totalprice"))), count(lit(1))).collect().head
+    assert(rows.map(_.getLong(2)).sum == total.getLong(0))
+    assert(rows.map(_.getLong(1)).sum == total.getLong(1))
+  }
+
   test("sketch union: HLL estimates within 5% of exact, ALL row merges sketches") {
     val rows = QueriesRel.sketchUnion(spark, dir).collect()
     assert(rows.map(_.getString(0)).contains("ALL"))
