@@ -167,6 +167,7 @@ object Queries {
     "x_dup_ngram_spans" -> (QueriesLLM.dupNgramSpans _),
     "x_near_dedup_keep" -> ((s: SparkSession, dir: String) =>
       QueriesLLM.nearDedupKeep(s, dir)),
+    "x_blocklist_filter" -> (QueriesLLM.blocklistFilter _),
     "q_percent_of_total" -> (QueriesRel.percentOfTotal _),
     "q_typed_cogroup" -> (QueriesRel.typedCogroup _),
     "q_sketch_union" -> (QueriesRel.sketchUnion _),
@@ -1072,6 +1073,11 @@ object Queries {
         |  FROM top GROUP BY 1, 2, 3)
         |SELECT query_id, true_label, cand_label AS predicted_label, votes
         |FROM votes WHERE vr = 1 ORDER BY query_id""".stripMargin,
+    "x_blocklist_filter" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN list_has_any(string_split(text, ' '),
+        |    ['hash', 'skew', 'spill']) THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "x_chunk_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |ch AS (SELECT doc_id, g.i AS pos,

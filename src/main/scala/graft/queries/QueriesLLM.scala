@@ -607,6 +607,27 @@ object QueriesLLM {
       .orderBy(col("source"))
   }
 
+  /** X20: blocklist / safety filtering — flag documents containing any
+    * banned term. For a small blocklist the right shape is a PER-ROW
+    * codegen predicate (`arrays_overlap` against a literal array): zero
+    * shuffle, zero joins, the blocklist rides inside the generated code
+    * of the scan stage — not the explode-tokens-and-join shape, which
+    * shuffles the whole corpus to apply a 3-term list. (A blocklist too
+    * big to inline becomes a broadcast semi-join; same no-fact-shuffle
+    * property.) Exact-integer per-source counts.
+    */
+  val Blocklist: Seq[String] = Seq("hash", "skew", "spill")
+
+  def blocklistFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"),
+        arrays_overlap(split(col("text"), " "),
+          array(Blocklist.map(lit): _*)).as("flagged"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy(col("source"))
+
   /** X5: end-to-end curation pipeline — exact dedup (keep-first) →
     * language filter → token-length floor → per-source corpus stats.
     * The composition every training-data ingest runs; dedup is the

@@ -193,6 +193,22 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s >= 1000000L - got.length && s <= 1000000L)
   }
 
+  test("blocklist filter: per-row predicate (no joins), counts match a direct scan") {
+    val df = QueriesLLM.blocklistFilter(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"blocklist must not join:\n$plan")
+    val expected = rawDocs().groupBy(_._2).map { case (src, docs) =>
+      src -> (docs.length.toLong,
+        docs.count(_._3.split(" ", -1).exists(QueriesLLM.Blocklist.contains)).toLong)
+    }
+    val got = df.collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, f) = expected(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == f, s"source ${r.getString(0)}")
+    }
+  }
+
   test("knn classification matches an exact driver-side majority vote") {
     val vecs = Queries.t(spark, dir, "embeddings")
       .collect().map(r => (r.getLong(0),
