@@ -168,6 +168,7 @@ object Queries {
     "x_near_dedup_keep" -> ((s: SparkSession, dir: String) =>
       QueriesLLM.nearDedupKeep(s, dir)),
     "x_blocklist_filter" -> (QueriesLLM.blocklistFilter _),
+    "x_robust_stats" -> (QueriesLLM.robustStats _),
     "q_percent_of_total" -> (QueriesRel.percentOfTotal _),
     "q_typed_cogroup" -> (QueriesRel.typedCogroup _),
     "q_sketch_union" -> (QueriesRel.sketchUnion _),
@@ -1073,6 +1074,19 @@ object Queries {
         |  FROM top GROUP BY 1, 2, 3)
         |SELECT query_id, true_label, cand_label AS predicted_label, votes
         |FROM votes WHERE vr = 1 ORDER BY query_id""".stripMargin,
+    "x_robust_stats" ->
+      """WITH tk AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |m AS (SELECT source, quantile_cont(n_tok, 0.5) AS med FROM tk GROUP BY 1),
+        |d AS (SELECT tk.doc_id, tk.source, tk.n_tok, m.med
+        |      FROM tk JOIN m USING (source)),
+        |md AS (SELECT source, quantile_cont(abs(n_tok - med), 0.5) AS mad
+        |       FROM d GROUP BY 1)
+        |SELECT d.source, d.med, md.mad, count(*) AS n_docs,
+        |  floor(max(abs(d.n_tok - d.med) / (1.4826 * md.mad)) * 10000 + 0.5)
+        |    / 10000.0 AS max_abs_z
+        |FROM d JOIN md ON d.source = md.source
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "x_blocklist_filter" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN list_has_any(string_split(text, ' '),

@@ -628,6 +628,31 @@ object QueriesLLM {
         sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
       .orderBy(col("source"))
 
+  /** X21: robust length statistics — median + MAD (median absolute
+    * deviation) per source and the max robust z-score, the
+    * outlier-resistant basis for length filtering (mean/stddev move
+    * with the outliers they're meant to catch; the median pair
+    * doesn't). Two exact-percentile aggregations composed through a
+    * 20-row broadcast join — the corpus streams twice, shuffles by
+    * source only. Median/MAD interpolate on integer-or-half values
+    * (exact in binary), so the only rounded float is the final z.
+    */
+  def robustStats(s: SparkSession, dir: String): DataFrame = {
+    val tk = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val med = tk.groupBy(col("source")).agg(expr("percentile(n_tok, 0.5)").as("med"))
+    val d = tk.join(broadcast(med), Seq("source"))
+    val mad = d.groupBy(col("source"))
+      .agg(expr("percentile(abs(n_tok - med), 0.5)").as("mad"))
+    d.join(broadcast(mad), Seq("source"))
+      .groupBy(col("source"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n_docs"),
+        Queries.fround(max(abs(col("n_tok") - col("med")) / (lit(1.4826) * col("mad"))), 4)
+          .as("max_abs_z"))
+      .orderBy(col("source"))
+  }
+
   /** X5: end-to-end curation pipeline — exact dedup (keep-first) →
     * language filter → token-length floor → per-source corpus stats.
     * The composition every training-data ingest runs; dedup is the

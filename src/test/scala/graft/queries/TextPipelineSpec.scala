@@ -209,6 +209,26 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("robust stats: median/MAD match an exact sorted-array recomputation") {
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val expected = rawDocs().groupBy(_._2).map { case (src, docs) =>
+      val toks = docs.map(_._3.split(" ", -1).length.toDouble).toSeq
+      val med = median(toks)
+      val mad = median(toks.map(t => math.abs(t - med)))
+      src -> (med, mad, docs.length.toLong,
+        toks.map(t => math.abs(t - med) / (1.4826 * mad)).max)
+    }
+    QueriesLLM.robustStats(spark, dir).collect().foreach { r =>
+      val (med, mad, n, maxZ) = expected(r.getString(0))
+      assert(r.getDouble(1) == med && r.getDouble(2) == mad && r.getLong(3) == n)
+      assert(math.abs(r.getDouble(4) - maxZ) < 5e-5, s"z for ${r.getString(0)}")
+    }
+  }
+
   test("knn classification matches an exact driver-side majority vote") {
     val vecs = Queries.t(spark, dir, "embeddings")
       .collect().map(r => (r.getLong(0),
