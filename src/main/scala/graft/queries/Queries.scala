@@ -169,6 +169,8 @@ object Queries {
       QueriesLLM.nearDedupKeep(s, dir)),
     "x_blocklist_filter" -> (QueriesLLM.blocklistFilter _),
     "x_robust_stats" -> (QueriesLLM.robustStats _),
+    "x_edit_distance" -> (QueriesLLM.editDistance _),
+    "x_normalize_dedup" -> (QueriesLLM.normalizeDedup _),
     "q_percent_of_total" -> (QueriesRel.percentOfTotal _),
     "q_typed_cogroup" -> (QueriesRel.typedCogroup _),
     "q_sketch_union" -> (QueriesRel.sketchUnion _),
@@ -1074,6 +1076,24 @@ object Queries {
         |  FROM top GROUP BY 1, 2, 3)
         |SELECT query_id, true_label, cand_label AS predicted_label, votes
         |FROM votes WHERE vr = 1 ORDER BY query_id""".stripMargin,
+    "x_edit_distance" ->
+      """WITH d AS (SELECT doc_id, source, substr(text, 1, 80) AS prefix
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  levenshtein(a.prefix, b.prefix) AS edit_dist
+        |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.prefix, b.prefix) <= 50
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "x_normalize_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, '  ' || upper(text) || ' '
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_raw_distinct,
+        |  count(DISTINCT md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')))
+        |    AS n_norm_distinct
+        |FROM base""".stripMargin,
     "x_robust_stats" ->
       """WITH tk AS (SELECT doc_id, source,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),

@@ -628,6 +628,49 @@ object QueriesLLM {
         sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
       .orderBy(col("source"))
 
+  /** X22: character-level edit-distance near-dup — Levenshtein over
+    * fixed 80-char prefixes of sampled same-source pairs: the
+    * character-granularity check that token-set measures (Jaccard,
+    * MinHash) miss (transpositions, small in-word edits). Quadratic by
+    * nature → declared oracle contract over the SAME bounded sample as
+    * [[ngramJaccard]]; at corpus scale candidates come from LSH and the
+    * fixed-length prefix bounds each comparison at O(80²). Exact
+    * integer distances.
+    */
+  def editDistance(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("source"), substring(col("text"), 1, 80).as("prefix"))
+    val a = d.select(col("doc_id").as("doc_a"), col("source"), col("prefix").as("pa"))
+    val b = d.select(col("doc_id").as("doc_b"), col("source"), col("prefix").as("pb"))
+    a.join(b, Seq("source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), levenshtein(col("pa"), col("pb")).as("edit_dist"))
+      .filter(col("edit_dist") <= 50)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** X23: normalization-aware dedup — case/whitespace normalization
+    * BEFORE hashing collapses trivially-perturbed copies that byte-exact
+    * dedup misses (the first lesson of web-scale dedup: the same page
+    * arrives with different casing and spacing). Demonstrated
+    * deterministically: every 5th doc gets an uppercased, re-spaced
+    * variant; raw hashing sees distinct texts, normalized hashing
+    * collapses them. Pure codegen projections + one aggregate.
+    */
+  def normalizeDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val variants = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit(" ")).as("text"))
+    docs.union(variants)
+      .select(md5(col("text")).as("raw_h"),
+        md5(regexp_replace(trim(lower(col("text"))), " +", " ")).as("norm_h"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_h")).as("n_raw_distinct"),
+        countDistinct(col("norm_h")).as("n_norm_distinct"))
+  }
+
   /** X21: robust length statistics — median + MAD (median absolute
     * deviation) per source and the max robust z-score, the
     * outlier-resistant basis for length filtering (mean/stddev move

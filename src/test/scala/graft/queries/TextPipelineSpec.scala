@@ -209,6 +209,44 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("edit distance: matches a driver-side Levenshtein over the same sample") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val sample = rawDocs().filter(_._1 % 5 == 0)
+      .map { case (id, src, text) => (id, src, text.take(80)) }
+    val expected = (for {
+      a <- sample; b <- sample
+      if a._2 == b._2 && a._1 < b._1
+      d = lev(a._3, b._3) if d <= 50
+    } yield (a._1, b._1) -> d.toLong).toMap
+    val got = QueriesLLM.editDistance(spark, dir).collect()
+    assert(got.length == expected.size && got.nonEmpty)
+    got.foreach(r => assert(r.getInt(2).toLong == expected((r.getLong(0), r.getLong(1)))))
+  }
+
+  test("normalize dedup: normalized hashing collapses exactly the synthetic variants") {
+    val row = QueriesLLM.normalizeDedup(spark, dir).collect().head
+    val n = Queries.t(spark, dir, "documents").count()
+    val nVariants = rawDocs().count(_._1 % 5 == 0).toLong
+    val nRawDistinct = rawDocs().map(_._3).distinct.length.toLong
+    assert(row.getLong(0) == n + nVariants)
+    // raw hashing sees every variant as new; normalized hashing sees
+    // exactly the original distinct texts
+    assert(row.getLong(1) == nRawDistinct + nVariants)
+    assert(row.getLong(2) == nRawDistinct)
+  }
+
   test("robust stats: median/MAD match an exact sorted-array recomputation") {
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
