@@ -201,6 +201,7 @@ object Queries {
     "q_csv_json_scan" -> (QueriesScalar.csvJsonScan _),
     "q_orc_scan" -> (QueriesScalar.orcScan _),
     "s_tumbling" -> (QueriesScalar.streamTumbling _),
+    "s_chained_windows" -> (QueriesScalar.streamChained _),
     "s_sliding" -> (QueriesScalar.streamSliding _),
     "s_session" -> (QueriesScalar.streamSession _),
     "s_dedup_latest" -> (QueriesScalar.streamDedup _),
@@ -802,6 +803,12 @@ object Queries {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_start_ms, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start_ms, event_type""".stripMargin,
+    "s_chained_windows" ->
+      """WITH b AS (SELECT event_type, (epoch_ms(ts) // 600000) * 600000 AS w10_ms,
+        |    count(*) AS n10 FROM events GROUP BY 1, 2)
+        |SELECT (w10_ms // 3600000) * 3600000 AS hour_start_ms, event_type,
+        |  CAST(sum(n10) AS BIGINT) AS n, count(*) AS n_subwindows
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s_sliding" ->
       """WITH b AS (SELECT (epoch_ms(ts) // 1800000) * 1800000 AS bucket_ms, event_type
         |           FROM events),

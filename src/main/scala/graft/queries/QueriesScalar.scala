@@ -354,6 +354,20 @@ object QueriesScalar {
   /** S1 batch analogue: tumbling 1-hour windows via `window()` (the same
     * expression the streaming path uses), keyed output as epoch millis.
     */
+  /** S9 batch analogue: the chained-window rollup (10-minute counts →
+    * hourly totals) via the same two `window()` layers the streaming
+    * path uses; oracle reproduces with nested epoch-bucket floors.
+    */
+  def streamChained(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes").as("w10"), col("event_type"))
+      .agg(count(lit(1)).as("n10"))
+      .groupBy(window(col("w10"), "1 hour").as("w"), col("event_type"))
+      .agg(sum(col("n10")).as("n"), count(lit(1)).as("n_subwindows"))
+      .select(unix_millis(col("w.start")).as("hour_start_ms"), col("event_type"),
+        col("n"), col("n_subwindows"))
+      .orderBy(col("hour_start_ms"), col("event_type"))
+
   def streamTumbling(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))

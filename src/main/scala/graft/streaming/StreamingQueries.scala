@@ -215,6 +215,24 @@ object StreamingQueries {
     * use the default Complete mode; dedup/flatMapGroups pass
     * Append/Update.
     */
+  /** S9: chained stateful time-window aggregations — 10-minute window
+    * counts re-aggregated into hourly totals INSIDE ONE streaming query
+    * (windowing directly on the first layer's window column), the
+    * streaming rollup that before Spark 3.4 required two queries with
+    * an intermediate sink. Both state layers are bounded by the same
+    * watermark; append mode emits an hour once the watermark passes its
+    * end, so results are final-on-emit (no retractions downstream).
+    */
+  def chainedWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "10 minutes").as("w10"), col("event_type"))
+      .agg(count(lit(1)).as("n10"))
+      .groupBy(window(col("w10"), "1 hour").as("w"), col("event_type"))
+      .agg(sum(col("n10")).as("n"), count(lit(1)).as("n_subwindows"))
+      .select(unix_millis(col("w.start")).as("hour_start_ms"), col("event_type"),
+        col("n"), col("n_subwindows"))
+
   def runToBatch(spark: SparkSession, streamed: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q = streamed.writeStream

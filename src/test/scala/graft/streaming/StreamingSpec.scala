@@ -53,6 +53,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sumN == 2 * totalEvents)
   }
 
+  test("S9 chained windows: streaming rollup rows == batch rows for closed windows") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // chained stateful aggregations require append mode: an hour emits
+    // once the watermark (max ts - 2h) passes its end, final-on-emit
+    val streamed = StreamingQueries.runToBatch(spark,
+      StreamingQueries.chainedWindows(StreamingQueries.readEventsStream(spark, eventsDir)),
+      "s9_out", OutputMode.Append())
+    val batch = graft.queries.QueriesScalar.streamChained(spark, dir)
+    val batchRows = sortedRows(batch).toSet
+    val streamedRows = sortedRows(streamed)
+    // every emitted row is exactly a batch row (no partial hours leak)
+    assert(streamedRows.nonEmpty && streamedRows.forall(batchRows.contains))
+    // completeness: every hour strictly older than the final watermark
+    // must have been emitted
+    val maxMs = graft.queries.Queries.t(spark, dir, "events")
+      .agg(max(unix_millis(col("ts")))).collect()(0).getLong(0)
+    val closed = batch.filter(col("hour_start_ms") + 3600000 < maxMs - 7200000).count()
+    assert(streamed.count() >= closed)
+  }
+
   test("S2 session windows: streaming == batch session_window") {
     val streamed = StreamingQueries.runToBatch(spark,
       StreamingQueries.sessions(StreamingQueries.readEventsStream(spark, eventsDir)), "s2_out")
