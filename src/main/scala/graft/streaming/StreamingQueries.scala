@@ -233,6 +233,51 @@ object StreamingQueries {
       .select(unix_millis(col("w.start")).as("hour_start_ms"), col("event_type"),
         col("n"), col("n_subwindows"))
 
+  /** S10: `transformWithState` — the Spark 4 arbitrary-state API
+    * (typed `ValueState` handles, optional TTL, RocksDB-backed): a
+    * per-user totals processor that survives across micro-batches and
+    * emits the updated totals on every batch. Supersedes S5's
+    * `flatMapGroupsWithState` ergonomics (explicit state variables
+    * instead of one opaque state object; per-state TTL instead of
+    * manual timeout bookkeeping); kept alongside it because both APIs
+    * are part of the declared surface. Totals carry integer cents so
+    * the cross-engine/batch comparison is exact.
+    */
+  class UserTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long, Long)] {
+    @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[(Long, Long, Long)] = {
+      var (n, cents) = Option(totals.get()).getOrElse((0L, 0L))
+      rows.foreach { r => n += 1; cents += r._2 }
+      totals.update((n, cents))
+      Iterator((key, n, cents))
+    }
+  }
+
+  def statefulTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("user_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new UserTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .toDF("user_id", "n_events", "total_cents")
+  }
+
   def runToBatch(spark: SparkSession, streamed: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q = streamed.writeStream

@@ -73,6 +73,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.count() >= closed)
   }
 
+  test("S10 transformWithState: RocksDB-backed per-user totals == batch groupBy") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // transformWithState requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = StreamingQueries.runToBatch(spark,
+        StreamingQueries.statefulTotals(spark,
+          StreamingQueries.readEventsStream(spark, eventsDir)),
+        "s10_out", OutputMode.Update())
+      // single input file → one micro-batch → emitted totals are final
+      val got = streamed.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batch = graft.queries.Queries.t(spark, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == batch)
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("S2 session windows: streaming == batch session_window") {
     val streamed = StreamingQueries.runToBatch(spark,
       StreamingQueries.sessions(StreamingQueries.readEventsStream(spark, eventsDir)), "s2_out")
