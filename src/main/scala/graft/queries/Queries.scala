@@ -169,6 +169,8 @@ object Queries {
       QueriesLLM.nearDedupKeep(s, dir)),
     "x_blocklist_filter" -> (QueriesLLM.blocklistFilter _),
     "x_robust_stats" -> (QueriesLLM.robustStats _),
+    "x_heavy_hitters" -> (QueriesLLM.heavyHitters _),
+    "q_skew_stats" -> (QueriesRel.skewStats _),
     "x_edit_distance" -> (QueriesLLM.editDistance _),
     "x_normalize_dedup" -> (QueriesLLM.normalizeDedup _),
     "q_percent_of_total" -> (QueriesRel.percentOfTotal _),
@@ -1101,6 +1103,13 @@ object Queries {
         |  count(DISTINCT md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')))
         |    AS n_norm_distinct
         |FROM base""".stripMargin,
+    "q_skew_stats" ->
+      """WITH pk AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1)
+        |SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+        |  max(n) AS max_key_rows, quantile_cont(n, 0.99) AS p99_key_rows,
+        |  CAST((max(n) * 1000 * count(*)) // CAST(sum(n) AS BIGINT) AS BIGINT)
+        |    AS skew_x1000
+        |FROM pk""".stripMargin,
     "x_robust_stats" ->
       """WITH tk AS (SELECT doc_id, source,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),

@@ -671,6 +671,23 @@ object QueriesLLM {
         countDistinct(col("norm_h")).as("n_norm_distinct"))
   }
 
+  /** X24: heavy hitters — single-pass approximate frequent tokens via
+    * `stat.freqItems` (Karp/Misra-Gries-family counter sketch): one
+    * scan, bounded memory (1/support counters per partition), no
+    * shuffle of the token stream — versus the exact count-then-sort
+    * which shuffles every distinct token. The sketch guarantee is
+    * one-sided (every item with true frequency > support·n IS
+    * returned; false positives possible) → rows-only; the spec pins
+    * the superset guarantee against exact counts.
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+    toks.stat.freqItems(Seq("token"), 0.02)
+      .select(explode(col("token_freqItems")).as("candidate"))
+      .orderBy(col("candidate"))
+  }
+
   /** X21: robust length statistics — median + MAD (median absolute
     * deviation) per source and the max robust z-score, the
     * outlier-resistant basis for length filtering (mean/stddev move

@@ -998,6 +998,26 @@ object QueriesRel {
       .orderBy(col("prio"))
   }
 
+  /** E52: key-skew diagnosis — the distribution shape that decides the
+    * join strategy at 100 TB: per-key row counts reduced to max / avg /
+    * skew factor and the p99 key weight. Two cheap aggregations (the
+    * second over the key-count frame, already small); skew_x1000 as
+    * exact integer per-mille so the oracle compare is bitwise. This is
+    * the measurement behind the E10b salting decision.
+    */
+  def skewStats(s: SparkSession, dir: String): DataFrame = {
+    val perKey = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+    perKey.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_key_rows"),
+        expr("percentile(n, 0.99)").as("p99_key_rows"))
+      .select(col("n_keys"), col("n_rows"), col("max_key_rows"), col("p99_key_rows"),
+        expr("CAST((max_key_rows * 1000 * n_keys) DIV n_rows AS BIGINT)")
+          .as("skew_x1000"))
+  }
+
   /** E51: re-aggregatable distinct-count sketches — DataSketches HLL
     * (`hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`): the
     * per-group sketch is a mergeable state, so a 100 TB rollup computes

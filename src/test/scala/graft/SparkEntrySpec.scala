@@ -45,7 +45,10 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
       "q_range_shard",
       // DataSketches HLL estimates are engine-specific; QueriesRelSpec
       // bounds them against the exact counts carried in the result
-      "q_sketch_union")
+      "q_sketch_union",
+      // freqItems is a one-sided counter sketch (false positives
+      // allowed); TextPipelineSpec pins the superset guarantee
+      "x_heavy_hitters")
     assert(rowsOnly == expected, s"rows-only drift: $rowsOnly")
   }
 

@@ -671,6 +671,24 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("skew stats match an exact per-key recomputation") {
+    val keys = Queries.t(spark, dir, "lineitem")
+      .select("l_orderkey").collect().map(_.getLong(0))
+    val counts = keys.groupBy(identity).map(_._2.length.toLong).toArray.sorted
+    val nKeys = counts.length.toLong
+    val nRows = counts.sum
+    val mx = counts.last
+    // linear-interpolated p99, the same definition percentile() uses
+    val rank = 0.99 * (nKeys - 1)
+    val (lo, hi) = (counts(rank.toInt), counts(math.ceil(rank).toInt))
+    val p99 = lo + (rank - rank.toInt) * (hi - lo)
+
+    val r = QueriesRel.skewStats(spark, dir).collect().head
+    assert(r.getLong(0) == nKeys && r.getLong(1) == nRows && r.getLong(2) == mx)
+    assert(math.abs(r.getDouble(3) - p99) < 1e-9)
+    assert(r.getLong(4) == mx * 1000L * nKeys / nRows)
+  }
+
   test("histogram: buckets partition the table exactly") {
     val got = QueriesRel.histogram(spark, dir).collect()
     val total = Queries.t(spark, dir, "orders").count()

@@ -267,6 +267,21 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("heavy hitters: every token above the 2% support threshold is a candidate") {
+    val toks = rawDocs().flatMap(_._3.split(" ", -1))
+    val n = toks.length.toLong
+    // exact frequent set at the same support: occ/n > 0.02 ⟺ 50·occ > n
+    val exact = toks.groupBy(identity)
+      .collect { case (t, occ) if occ.length.toLong * 50L > n => t }.toSet
+    assert(exact.nonEmpty, "corpus has no >2% tokens; superset check would be vacuous")
+    val got = QueriesLLM.heavyHitters(spark, dir).collect().map(_.getString(0))
+    assert(got.length == got.distinct.length)
+    assert(got.sameElements(got.sorted))
+    // one-sided sketch guarantee: false positives allowed, false negatives not
+    assert(exact.subsetOf(got.toSet),
+      s"frequent tokens missing from sketch: ${exact.diff(got.toSet)}")
+  }
+
   test("knn classification matches an exact driver-side majority vote") {
     val vecs = Queries.t(spark, dir, "embeddings")
       .collect().map(r => (r.getLong(0),
