@@ -170,6 +170,9 @@ object Queries {
     "x_blocklist_filter" -> (QueriesLLM.blocklistFilter _),
     "x_robust_stats" -> (QueriesLLM.robustStats _),
     "x_heavy_hitters" -> (QueriesLLM.heavyHitters _),
+    "x_reservoir_sample" -> (QueriesLLM.reservoirSample _),
+    "q_mode" -> (QueriesRel.modePerGroup _),
+    "q_dq_audit" -> (QueriesRel.dqAudit _),
     "q_skew_stats" -> (QueriesRel.skewStats _),
     "x_edit_distance" -> (QueriesLLM.editDistance _),
     "x_normalize_dedup" -> (QueriesLLM.normalizeDedup _),
@@ -1103,6 +1106,44 @@ object Queries {
         |  count(DISTINCT md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')))
         |    AS n_norm_distinct
         |FROM base""".stripMargin,
+    "x_reservoir_sample" ->
+      """WITH h AS (SELECT source, doc_id,
+        |    md5('rs42:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |r AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn FROM h)
+        |SELECT source, doc_id, rn FROM r WHERE rn <= 4 ORDER BY source, rn""".stripMargin,
+    "q_mode" ->
+      """WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |    count(*) AS n FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER
+        |    (PARTITION BY l_returnflag ORDER BY n DESC, qty) AS rn FROM c)
+        |SELECT l_returnflag, qty AS mode_qty, n AS n_mode
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    "q_dq_audit" ->
+      """WITH li AS (SELECT count(*) AS lineitem_rows,
+        |    count(*) FILTER (WHERE l_quantity <= 0) AS lineitem_qty_nonpositive,
+        |    count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+        |      AS lineitem_discount_range
+        |  FROM lineitem),
+        |o AS (SELECT count(*) AS orders_rows,
+        |    count(*) FILTER (WHERE o_custkey IS NULL) AS orders_null_custkey
+        |  FROM orders),
+        |pk AS (SELECT count(*) FILTER (WHERE n > 1) AS orders_pk_dup
+        |  FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1)),
+        |ref AS (SELECT
+        |    count(*) FILTER (WHERE o.o_orderkey IS NULL) AS lineitem_fk_orphan,
+        |    count(*) FILTER (WHERE l.l_shipdate < o.o_orderdate)
+        |      AS lineitem_ship_before_order
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT 'lineitem_rows' AS check_name, lineitem_rows AS n FROM li
+        |UNION ALL SELECT 'lineitem_qty_nonpositive', lineitem_qty_nonpositive FROM li
+        |UNION ALL SELECT 'lineitem_discount_range', lineitem_discount_range FROM li
+        |UNION ALL SELECT 'orders_rows', orders_rows FROM o
+        |UNION ALL SELECT 'orders_null_custkey', orders_null_custkey FROM o
+        |UNION ALL SELECT 'orders_pk_dup', orders_pk_dup FROM pk
+        |UNION ALL SELECT 'lineitem_fk_orphan', lineitem_fk_orphan FROM ref
+        |UNION ALL SELECT 'lineitem_ship_before_order', lineitem_ship_before_order FROM ref
+        |ORDER BY check_name""".stripMargin,
     "q_skew_stats" ->
       """WITH pk AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1)
         |SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,

@@ -688,6 +688,25 @@ object QueriesLLM {
       .orderBy(col("candidate"))
   }
 
+  /** X25: deterministic per-source fixed-k sample — the reservoir shape
+    * without the statefulness: order each group by a keyed hash of the
+    * row id (md5, engine-portable, seed baked into the preimage) and
+    * keep the first k by row_number. Uniform over the group (hash order
+    * is independent of every data attribute), reproducible across runs
+    * AND engines — unlike rand()-based sampling, which no oracle can
+    * replay. One window shuffle; E14b's bounded-memory top-k UDAF is
+    * the drop-in when groups outgrow a partition.
+    */
+  def reservoirSample(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+      md5(concat(lit("rs42:"), col("doc_id").cast("string"))).as("h"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4)
+      .select(col("source"), col("doc_id"), col("rn"))
+      .orderBy(col("source"), col("rn"))
+  }
+
   /** X21: robust length statistics — median + MAD (median absolute
     * deviation) per source and the max robust z-score, the
     * outlier-resistant basis for length filtering (mean/stddev move

@@ -1042,6 +1042,72 @@ object QueriesRel {
     per.union(all).orderBy(col("event_type"))
   }
 
+  /** E53: deterministic mode — the most frequent value per group via a
+    * two-level aggregate: count per (group, value), then a row_number
+    * over the per-group count frame with a value tie-break. Built-in
+    * `mode()` leaves tie order implementation-defined in both Spark and
+    * DuckDB; this form pins it, and it scales where collect-and-count
+    * cannot: the first aggregation is the only pass over the table
+    * (map-side combinable) and the window runs over |distinct values|
+    * rows per group, not |rows|.
+    */
+  def modePerGroup(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("n").desc, col("qty").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("qty").as("mode_qty"), col("n").as("n_mode"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** E54: data-quality audit — the constraint checks a pipeline runs
+    * before promoting a batch: PK uniqueness, FK orphans, null keys,
+    * domain ranges, cross-table date ordering. One aggregation pass per
+    * table plus ONE left join shared by both referential checks; each
+    * check lands as a named row so audits diff across runs. Every check
+    * is a map-side-combinable conditional count — nothing is collected,
+    * no per-check rescan — and the 1-row check frames combine via
+    * explicit broadcast, so the fact table is read exactly twice
+    * (once alone, once under the join) regardless of how many checks
+    * are added.
+    */
+  def dqAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o  = t(s, dir, "orders")
+    val liRow = li.agg(
+      count(lit(1)).as("lineitem_rows"),
+      count(when(col("l_quantity") <= 0, 1)).as("lineitem_qty_nonpositive"),
+      count(when(col("l_discount") < 0 || col("l_discount") > 1, 1))
+        .as("lineitem_discount_range"))
+    val oRow = o.agg(
+      count(lit(1)).as("orders_rows"),
+      count(when(col("o_custkey").isNull, 1)).as("orders_null_custkey"))
+    val pkDup = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+      .agg(count(when(col("n") > 1, 1)).as("orders_pk_dup"))
+    val ref = li.select(col("l_orderkey"), col("l_shipdate"))
+      .join(o.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(
+        count(when(col("o_orderkey").isNull, 1)).as("lineitem_fk_orphan"),
+        count(when(col("l_shipdate") < col("o_orderdate"), 1))
+          .as("lineitem_ship_before_order"))
+    liRow.crossJoin(broadcast(oRow)).crossJoin(broadcast(pkDup))
+      .crossJoin(broadcast(ref))
+      .selectExpr("""stack(8,
+        'lineitem_rows', lineitem_rows,
+        'lineitem_qty_nonpositive', lineitem_qty_nonpositive,
+        'lineitem_discount_range', lineitem_discount_range,
+        'orders_rows', orders_rows,
+        'orders_null_custkey', orders_null_custkey,
+        'orders_pk_dup', orders_pk_dup,
+        'lineitem_fk_orphan', lineitem_fk_orphan,
+        'lineitem_ship_before_order', lineitem_ship_before_order) AS (check_name, n)""")
+      .orderBy(col("check_name"))
+  }
+
   /** E46: equi-width histogram — bucket index as explicit floor
     * arithmetic (`least(floor(v / w), n-1)`) rather than an
     * engine-specific `width_bucket`: the same double division and floor

@@ -689,6 +689,50 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(4) == mx * 1000L * nKeys / nRows)
   }
 
+  test("mode per group matches an exact driver-side count with value tie-break") {
+    val rows = Queries.t(spark, dir, "lineitem")
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1).toLong))
+    val expected = rows.groupBy(_._1).map { case (f, occ) =>
+      val counts = occ.groupBy(_._2).map { case (q, os) => (q, os.length.toLong) }
+      f -> counts.toSeq.sortBy(t => (-t._2, t._1)).head
+    }
+    val got = QueriesRel.modePerGroup(spark, dir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (qty, n) = expected(r.getString(0))
+      assert(r.getLong(1) == qty && r.getLong(2) == n, s"mode for ${r.getString(0)}")
+    }
+  }
+
+  test("dq audit: every check matches a driver-side recomputation") {
+    val li = Queries.t(spark, dir, "lineitem")
+      .selectExpr("l_orderkey", "l_quantity", "l_discount",
+        "CAST(l_shipdate AS STRING) AS sd").collect()
+    val o = Queries.t(spark, dir, "orders")
+      .selectExpr("o_orderkey", "o_custkey",
+        "CAST(o_orderdate AS STRING) AS od").collect()
+    val oDate = o.map(r => r.getLong(0) -> r.getString(2)).toMap
+    val expected = Map(
+      "lineitem_rows" -> li.length.toLong,
+      "lineitem_qty_nonpositive" -> li.count(_.getDouble(1) <= 0).toLong,
+      "lineitem_discount_range" ->
+        li.count(r => r.getDouble(2) < 0 || r.getDouble(2) > 1).toLong,
+      "orders_rows" -> o.length.toLong,
+      "orders_null_custkey" -> o.count(_.isNullAt(1)).toLong,
+      "orders_pk_dup" ->
+        o.map(_.getLong(0)).groupBy(identity).count(_._2.length > 1).toLong,
+      "lineitem_fk_orphan" -> li.count(r => !oDate.contains(r.getLong(0))).toLong,
+      "lineitem_ship_before_order" ->
+        li.count(r => oDate.get(r.getLong(0)).exists(r.getString(3) < _)).toLong)
+    val got = QueriesRel.dqAudit(spark, dir).collect()
+    assert(got.length == expected.size)
+    got.foreach(r => assert(r.getLong(1) == expected(r.getString(0)),
+      s"check ${r.getString(0)}"))
+    // the synthetic corpus is actually clean — the audit's zero rows are real
+    assert(expected("lineitem_fk_orphan") == 0L && expected("orders_pk_dup") == 0L)
+  }
+
   test("histogram: buckets partition the table exactly") {
     val got = QueriesRel.histogram(spark, dir).collect()
     val total = Queries.t(spark, dir, "orders").count()

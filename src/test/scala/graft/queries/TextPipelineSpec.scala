@@ -282,6 +282,23 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"frequent tokens missing from sketch: ${exact.diff(got.toSet)}")
   }
 
+  test("reservoir sample: exactly the k hash-smallest ids per source, run-stable") {
+    def h(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rs42:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = rawDocs().groupBy(_._2).flatMap { case (src, ds) =>
+      ds.toSeq.map(d => (d._1, h(d._1))).sortBy(t => (t._2, t._1)).take(4).zipWithIndex
+        .map { case ((id, _), i) => (src, id) -> (i + 1) }
+    }
+    val got = QueriesLLM.reservoirSample(spark, dir).collect()
+    assert(got.length == expected.size)
+    got.foreach(r =>
+      assert(expected((r.getString(0), r.getLong(1))) == r.getInt(2),
+        s"rank for ${r.getString(0)}/${r.getLong(1)}"))
+    val again = QueriesLLM.reservoirSample(spark, dir).collect()
+    assert(got.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("knn classification matches an exact driver-side majority vote") {
     val vecs = Queries.t(spark, dir, "embeddings")
       .collect().map(r => (r.getLong(0),
