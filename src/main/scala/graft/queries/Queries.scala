@@ -173,6 +173,11 @@ object Queries {
     "x_reservoir_sample" -> (QueriesLLM.reservoirSample _),
     "q_mode" -> (QueriesRel.modePerGroup _),
     "q_dq_audit" -> (QueriesRel.dqAudit _),
+    "q_scd2" -> (QueriesRel.scd2 _),
+    "q_join_asof_nearest" -> (QueriesRel.joinAsofNearest _),
+    "q_recursive" -> ((s: SparkSession, dir: String) =>
+      withViews(s, dir)(QueriesRel.recursiveChainSql)),
+    "q_variant" -> (QueriesScalar.variantExtract _),
     "q_skew_stats" -> (QueriesRel.skewStats _),
     "x_edit_distance" -> (QueriesLLM.editDistance _),
     "x_normalize_dedup" -> (QueriesLLM.normalizeDedup _),
@@ -1106,6 +1111,38 @@ object Queries {
         |  count(DISTINCT md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')))
         |    AS n_norm_distinct
         |FROM base""".stripMargin,
+    "q_scd2" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |            FROM events WHERE user_id % 50 = 0),
+        |f AS (SELECT *, lag(event_type) OVER w AS prev_type
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |c AS (SELECT user_id, event_id, event_type, ms FROM f
+        |      WHERE prev_type IS NULL OR prev_type <> event_type),
+        |v AS (SELECT user_id, event_id, event_type, ms AS valid_from_ms,
+        |        coalesce(lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id),
+        |                 253402300800000) AS valid_to_ms
+        |      FROM c)
+        |SELECT user_id, event_id, event_type, valid_from_ms, valid_to_ms,
+        |  valid_to_ms = 253402300800000 AS is_current
+        |FROM v ORDER BY user_id, valid_from_ms, event_id""".stripMargin,
+    "q_join_asof_nearest" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_ms(ts) AS ms
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ms AS click_ms,
+        |  min(abs(c.ms - p.ms)) AS nearest_gap_ms
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |GROUP BY c.event_id, c.user_id, c.ms
+        |ORDER BY c.event_id""".stripMargin,
+    "q_recursive" -> QueriesRel.recursiveChainSql,
+    "q_variant" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+        |  count(json_extract(props, '$.absent')) AS n_absent
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "x_reservoir_sample" ->
       """WITH h AS (SELECT source, doc_id,
         |    md5('rs42:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),

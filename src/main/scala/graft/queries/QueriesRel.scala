@@ -1042,6 +1042,88 @@ object QueriesRel {
     per.union(all).orderBy(col("event_type"))
   }
 
+  /** E55: SCD type-2 build — change-data capture to validity intervals:
+    * detect attribute changes per key with lag(), then close each
+    * changed row's interval with lead(). Both windows share one
+    * (partition, order), so the plan carries ONE exchange; the second
+    * window re-sorts the already-partitioned (and filtered) rows
+    * without reshuffling. The far-future sentinel keeps valid_to
+    * non-null (portable sort keys, closed intervals downstream). This
+    * is the warehouse dimension build; over the full history it is
+    * also the backfill path.
+    */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    val sentinel = 253402300800000L // 9999-01-01T00:00:00Z, epoch millis
+    val ev = t(s, dir, "events")
+      .filter(col("user_id") % 50 === 0)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_millis(ts)").as("ms"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to_ms", coalesce(lead(col("ms"), 1).over(w), lit(sentinel)))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ms").as("valid_from_ms"), col("valid_to_ms"),
+        (col("valid_to_ms") === sentinel).as("is_current"))
+      .orderBy(col("user_id"), col("valid_from_ms"), col("event_id"))
+  }
+
+  /** E56: as-of NEAREST temporal join — each click aligned to its
+    * closest purchase in either direction, WITHOUT a join: union the
+    * two streams, one window pass carrying the last purchase time
+    * forward (ties sort the purchase first, so a same-instant purchase
+    * counts at gap 0) and one carrying the next purchase time backward,
+    * then `least` of the two gaps. Linear in |events| with a single
+    * exchange — the per-user click×purchase join the oracle runs (and
+    * that a naive implementation would ship) is quadratic in the hot
+    * user's history. min-of-abs-gap output keeps the result tie-free.
+    */
+  def joinAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        expr("unix_millis(ts)").as("ms"),
+        (col("event_type") === "click").cast("int").as("is_click"))
+      .withColumn("pms", when(col("is_click") === 0, col("ms")))
+    val fwd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("is_click"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bwd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").desc, col("is_click"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("prev_pms", last(col("pms"), ignoreNulls = true).over(fwd))
+      .withColumn("next_pms", last(col("pms"), ignoreNulls = true).over(bwd))
+      .filter(col("is_click") === 1)
+      .select(col("event_id"), col("user_id"), col("ms").as("click_ms"),
+        least(col("ms") - col("prev_pms"), col("next_pms") - col("ms"))
+          .as("nearest_gap_ms"))
+      .orderBy(col("event_id"))
+  }
+
+  /** E57: recursive CTE (`WITH RECURSIVE` → `UnionLoop`) — a linked-list
+    * walk over each customer's order chain: anchor = first order,
+    * recursive step joins the successor by position, aggregating chain
+    * depth at the end. The SAME SQL text runs in Spark (shared view
+    * registration) and DuckDB — recursion is the one relational shape
+    * the DataFrame API cannot express (bounded iteration lives in
+    * driver loops elsewhere, e.g. minLabelPropagate); per-iteration
+    * work here is an equi-join on (cust, position), each row visited
+    * exactly once across the whole loop.
+    */
+  val recursiveChainSql: String =
+    """WITH RECURSIVE nxt AS (
+      |  SELECT o_custkey AS cust, o_orderkey AS k,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders),
+      |chain AS (
+      |  SELECT cust, k, rn, 1 AS depth FROM nxt WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.cust, n.k, n.rn, c.depth + 1
+      |  FROM chain c JOIN nxt n ON n.cust = c.cust AND n.rn = c.rn + 1)
+      |SELECT depth, count(*) AS n_orders, CAST(sum(k) AS BIGINT) AS sum_keys
+      |FROM chain GROUP BY depth ORDER BY depth""".stripMargin
+
   /** E53: deterministic mode — the most frequent value per group via a
     * two-level aggregate: count per (group, value), then a row_number
     * over the per-group count frame with a value tie-break. Built-in

@@ -422,6 +422,28 @@ object QueriesScalar {
       .orderBy(col("click_id"), col("purch_id"))
   }
 
+  /** E43: VARIANT semi-structured ingestion — `parse_json` once into
+    * the binary VARIANT encoding, then typed `variant_get` path
+    * extraction. Against E25's per-call `get_json_object` string
+    * re-parse, VARIANT parses each row once and every extraction reads
+    * the binary form — the difference between O(paths) string parses
+    * and one, which is what makes wide semi-structured scans viable at
+    * corpus scale. Missing paths yield NULL (counted here to pin the
+    * no-error contract); aggregation happens on the extracted typed
+    * columns so the oracle compares plain BIGINTs.
+    */
+  def variantExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("v", expr("parse_json(props)"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("variant_get(v, '$.absent', 'bigint')").as("absent"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        count(col("absent")).as("n_absent"))
+      .orderBy(col("event_type"))
+
   /** S4 batch analogue: keep latest event per (user, type) — stateful
     * dedup semantics expressed as a ranking window.
     */

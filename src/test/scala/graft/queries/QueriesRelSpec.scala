@@ -733,6 +733,101 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expected("lineitem_fk_orphan") == 0L && expected("orders_pk_dup") == 0L)
   }
 
+  test("scd2: intervals match a sequential change scan per user") {
+    val ev = Queries.t(spark, dir, "events")
+      .filter(col("user_id") % 50 === 0)
+      .selectExpr("user_id", "event_id", "event_type", "unix_millis(ts) AS ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val sentinel = 253402300800000L
+    val expected = ev.groupBy(_._1).flatMap { case (_, rows) =>
+      val ordered = rows.toSeq.sortBy(r => (r._4, r._2))
+      val changes = ordered.zipWithIndex.filter { case (r, i) =>
+        i == 0 || ordered(i - 1)._3 != r._3 }.map(_._1)
+      changes.zipWithIndex.map { case (r, i) =>
+        val to = if (i == changes.length - 1) sentinel else changes(i + 1)._4
+        r._2 -> (r._1, r._3, r._4, to, to == sentinel)
+      }
+    }
+    val got = QueriesRel.scd2(spark, dir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (uid, tpe, from, to, cur) = expected(r.getLong(1))
+      assert(r.getLong(0) == uid && r.getString(2) == tpe &&
+        r.getLong(3) == from && r.getLong(4) == to && r.getBoolean(5) == cur,
+        s"scd2 row for event ${r.getLong(1)}")
+    }
+    // intervals per user are contiguous and exactly one row is current
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.count(_.getBoolean(5)) == 1)
+      val sorted = rows.sortBy(_.getLong(3))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(4) == b.getLong(3))
+        case _ =>
+      }
+    }
+  }
+
+  test("asof nearest: joinless plan, gaps match a driver-side min-abs scan") {
+    val df = QueriesRel.joinAsofNearest(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"nearest-align must not join:\n$plan")
+    val ev = Queries.t(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .selectExpr("user_id", "event_id", "event_type", "unix_millis(ts) AS ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val purchByUser = ev.filter(_._3 == "purchase").groupBy(_._1)
+      .map { case (u, rs) => u -> rs.map(_._4) }
+    val got = df.collect()
+    val clicks = ev.filter(_._3 == "click")
+    assert(got.length == clicks.length)
+    val gotMap = got.map(r => r.getLong(0) ->
+      (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    clicks.foreach { case (u, eid, _, ms) =>
+      val want = purchByUser.get(u).map(_.map(p => math.abs(ms - p)).min)
+      assert(gotMap(eid) == want, s"gap for click $eid")
+    }
+  }
+
+  test("recursive chain: every order visited once at its per-customer position") {
+    val df = Queries.withViews(spark, dir)(QueriesRel.recursiveChainSql)
+    assert(df.queryExecution.optimizedPlan.toString.contains("UnionLoop"),
+      "recursion should compile to UnionLoop")
+    val orders = Queries.t(spark, dir, "orders")
+      .select("o_custkey", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val perCust = orders.groupBy(_._1).map(_._2.length)
+    val got = df.collect()
+    // depth histogram: n at depth d == customers with >= d orders
+    got.foreach { r =>
+      val d = r.getInt(0)
+      assert(r.getLong(1) == perCust.count(_ >= d).toLong, s"count at depth $d")
+    }
+    assert(got.map(_.getLong(1)).sum == orders.length.toLong)
+    assert(got.map(_.getLong(2)).sum == orders.map(o => BigInt(o._2)).sum.toLong)
+    assert(got.map(_.getInt(0)).max == perCust.max)
+  }
+
+  test("variant extraction matches a driver-side parse of the raw JSON") {
+    val props = Queries.t(spark, dir, "events")
+      .select("event_type", "props").collect()
+      .map { r =>
+        val m = "\"k\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(r.getString(1))
+        (r.getString(0), m.map(_.group(1).toLong))
+      }
+    val expected = props.groupBy(_._1).map { case (tpe, rs) =>
+      val ks = rs.flatMap(_._2)
+      tpe -> (rs.length.toLong, ks.sum, ks.min, ks.max)
+    }
+    val got = QueriesScalar.variantExtract(spark, dir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, sumK, minK, maxK) = expected(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == sumK &&
+        r.getLong(3) == minK && r.getLong(4) == maxK, s"variant ${r.getString(0)}")
+      assert(r.getLong(5) == 0L, "absent path must extract to NULL, not error")
+    }
+  }
+
   test("histogram: buckets partition the table exactly") {
     val got = QueriesRel.histogram(spark, dir).collect()
     val total = Queries.t(spark, dir, "orders").count()
