@@ -178,6 +178,9 @@ object Queries {
     "q_recursive" -> ((s: SparkSession, dir: String) =>
       withViews(s, dir)(QueriesRel.recursiveChainSql)),
     "q_variant" -> (QueriesScalar.variantExtract _),
+    "x_quality_classify" -> (QueriesLLM.qualityClassify _),
+    "x_compact_files" -> (QueriesRel.compactSmallFiles _),
+    "s_join_left" -> (QueriesScalar.streamJoinLeft _),
     "q_skew_stats" -> (QueriesRel.skewStats _),
     "x_edit_distance" -> (QueriesLLM.editDistance _),
     "x_normalize_dedup" -> (QueriesLLM.normalizeDedup _),
@@ -863,6 +866,30 @@ object Queries {
         |  ON c.user_id = p.user_id
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY click_id, purch_id""".stripMargin,
+    "s_join_left" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |  epoch_ms(c.ts) AS click_ms, p.event_id AS purch_id,
+        |  epoch_ms(p.ts) AS purch_ms, round(p.value, 2) AS purch_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purch_id""".stripMargin,
+    "x_quality_classify" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> len(x) <= 2)) AS BIGINT) AS n_short,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> regexp_matches(x, '[0-9]'))) AS BIGINT) AS n_digit,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(['the','a','an','of','to','and','in','is','on','for'],
+        |        x))) AS BIGINT) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_tok, n_short, n_digit, n_stop,
+        |  2*n_tok + 1500*n_stop - 300*n_short - 800*n_digit AS score_x1000,
+        |  (2*n_tok + 1500*n_stop - 300*n_short - 800*n_digit) > 5000 AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     "x_exact_dedup" ->
       """SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS canonical_id
         |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_md5""".stripMargin,

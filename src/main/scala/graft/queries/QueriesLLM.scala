@@ -688,6 +688,37 @@ object QueriesLLM {
       .orderBy(col("candidate"))
   }
 
+  /** X27: model-based quality classification — a distilled linear
+    * classifier applied at corpus scale: integer feature counts
+    * (tokens, short tokens, digit-bearing tokens, stopwords) dotted
+    * with fixed per-mille weights, thresholded. Pure per-row
+    * projection — no shuffle, no broadcast, no state — the shape that
+    * lets a trained quality filter run over 100 TB as a map-only scan
+    * with full pushdown. Integer arithmetic end to end keeps the
+    * oracle compare bitwise; a float sigmoid would add nothing (the
+    * keep decision is monotone in the logit). Complements X4's
+    * heuristic `qualityScore`: same features a trained filter uses,
+    * but with the weights explicit and auditable.
+    */
+  val QualityStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
+
+  def qualityClassify(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stopArr = array(QualityStopwords.map(lit): _*)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tok"),
+        size(filter(toks, x => length(x) <= 2)).cast("long").as("n_short"),
+        size(filter(toks, x => x.rlike("[0-9]"))).cast("long").as("n_digit"),
+        size(filter(toks, x => array_contains(stopArr, x))).cast("long").as("n_stop"))
+      .withColumn("score_x1000",
+        lit(2L) * col("n_tok") + lit(1500L) * col("n_stop")
+          - lit(300L) * col("n_short") - lit(800L) * col("n_digit"))
+      .withColumn("keep", col("score_x1000") > 5000L)
+      .orderBy(col("doc_id"))
+  }
+
   /** X25: deterministic per-source fixed-k sample — the reservoir shape
     * without the statefulness: order each group by a keyed hash of the
     * row id (md5, engine-portable, seed baked into the preimage) and

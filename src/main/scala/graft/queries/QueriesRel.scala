@@ -1042,6 +1042,50 @@ object QueriesRel {
     per.union(all).orderBy(col("event_type"))
   }
 
+  /** E58: small-file compaction — the table-maintenance operator that
+    * keeps large directories scannable: stage a deliberately
+    * over-fragmented copy (256 files for a ~60K-row table, the
+    * streaming-sink pathology), then rewrite it with a byte-targeted
+    * `repartitionByRange` + `sortWithinPartitions` on the access key.
+    * The rewritten files are few, sorted, and range-disjoint — one
+    * seek-friendly run per file instead of 256 footer reads per scan;
+    * at 100 TB this is the difference between a listing-bound and an
+    * IO-bound table. The digest row carries before/after file counts
+    * and row conservation so the operator's effect IS the asserted
+    * result; rows-only (file counts are layout, not SQL), spec-pinned.
+    */
+  def compactSmallFiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = s"/tmp/graft_compact_${math.abs(dir.hashCode)}"
+    val fragDir = s"$base/frag"
+    val outDir = s"$base/compact"
+    val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(outDir, "_SUCCESS"))) synchronized {
+      if (!fs.exists(new Path(fragDir, "_SUCCESS")))
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .repartition(256)
+          .write.mode("overwrite").parquet(fragDir)
+      if (!fs.exists(new Path(outDir, "_SUCCESS"))) {
+        val bytes = fs.getContentSummary(new Path(fragDir)).getLength
+        val target = math.max(1, math.ceil(bytes / (8.0 * 1024 * 1024)).toInt)
+        s.read.parquet(fragDir)
+          .repartitionByRange(target, col("l_orderkey"))
+          .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+          .write.mode("overwrite").parquet(outDir)
+      }
+    }
+    def nFiles(p: String): Int =
+      fs.listStatus(new Path(p)).count(_.getPath.getName.endsWith(".parquet"))
+    s.read.parquet(outDir).agg(count(lit(1)).as("n_rows_after"))
+      .crossJoin(broadcast(
+        s.read.parquet(fragDir).agg(count(lit(1)).as("n_rows_before"))))
+      .select(
+        lit(nFiles(fragDir)).as("n_files_before"),
+        lit(nFiles(outDir)).as("n_files_after"),
+        col("n_rows_before"), col("n_rows_after"))
+  }
+
   /** E55: SCD type-2 build — change-data capture to validity intervals:
     * detect attribute changes per key with lag(), then close each
     * changed row's interval with lead(). Both windows share one

@@ -400,6 +400,32 @@ object QueriesScalar {
         col("n_events"), col("session_value"))
       .orderBy(col("user_id"), col("session_start_ms"))
 
+  /** S11 batch analogue: LEFT OUTER version of [[streamJoin]] — every
+    * click appears; clicks with no purchase in the 30-minute horizon
+    * carry NULL match columns. Identical condition to the watermarked
+    * streaming join in StreamingQueries.streamStreamLeftJoin; the
+    * streaming side can only emit the null rows after the watermark
+    * passes, which StreamingSpec pins.
+    */
+  def streamJoinLeft(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purch_id"), col("user_id").as("p_user"),
+        col("value"), col("ts").as("p_ts"))
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("click_id"), col("user_id"),
+        unix_millis(col("c_ts")).as("click_ms"), col("purch_id"),
+        unix_millis(col("p_ts")).as("purch_ms"),
+        round(col("value"), 2).as("purch_value"))
+      .orderBy(col("click_id"), col("purch_id"))
+  }
+
   /** S6 batch analogue: clicks joined to same-user purchases within the
     * following 30 minutes — identical condition to the watermarked
     * stream-stream join in StreamingQueries.streamStreamJoin.

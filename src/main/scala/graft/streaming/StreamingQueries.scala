@@ -100,6 +100,34 @@ object StreamingQueries {
         round(col("value"), 2).as("purch_value"))
   }
 
+  /** S11: stream-stream LEFT OUTER join — S6's inner match plus
+    * watermark-driven null emission: a click with no purchase in its
+    * 30-minute horizon is emitted WITH NULL match columns only once
+    * the watermark has passed the horizon (before that, the match
+    * could still arrive). This is why outer stream joins require BOTH
+    * watermarks and a time-bounded condition: the null decision needs
+    * a state-eviction deadline, not just memory bounds. Matched rows
+    * stream out exactly as in the inner join; only the null rows wait.
+    */
+  def streamStreamLeftJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purch_id"), col("user_id").as("p_user"),
+        col("value"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("click_id"), col("user_id"),
+        unix_millis(col("c_ts")).as("click_ms"), col("purch_id"),
+        unix_millis(col("p_ts")).as("purch_ms"),
+        round(col("value"), 2).as("purch_value"))
+  }
+
   /** S7: stream-static join — the dimension-enrichment pattern: each
     * micro-batch joins against a static (batch) DataFrame, planned as a
     * broadcast hash join per batch. No state, no watermark needed —

@@ -48,7 +48,10 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
       "q_sketch_union",
       // freqItems is a one-sided counter sketch (false positives
       // allowed); TextPipelineSpec pins the superset guarantee
-      "x_heavy_hitters")
+      "x_heavy_hitters",
+      // file counts are physical layout, not SQL; QueriesRelSpec pins
+      // compaction (fewer files, rows conserved, ranges disjoint)
+      "x_compact_files")
     assert(rowsOnly == expected, s"rows-only drift: $rowsOnly")
   }
 

@@ -828,6 +828,36 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("compaction: fewer files, rows conserved, file key-ranges disjoint") {
+    val digest = QueriesRel.compactSmallFiles(spark, dir).collect().head
+    assert(digest.getInt(0) == 256, "staged fragmentation should be 256 files")
+    assert(digest.getInt(1) < digest.getInt(0) / 8,
+      s"expected >=8x fewer files, got ${digest.getInt(1)}")
+    assert(digest.getLong(2) == digest.getLong(3), "rows must be conserved")
+    // range layout: per-file [min,max] orderkey intervals don't overlap
+    val outDir = s"/tmp/graft_compact_${math.abs(dir.hashCode)}/compact"
+    val ranges = spark.read.parquet(outDir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length == digest.getInt(1))
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 <= b._1, s"overlapping file ranges $a $b")
+      case _ =>
+    }
+  }
+
+  test("quality classifier: integer logit splits the corpus into both classes") {
+    val got = QueriesLLM.qualityClassify(spark, dir).collect()
+    assert(got.length == Queries.t(spark, dir, "documents").count())
+    val kept = got.count(_.getBoolean(6))
+    assert(kept > 0 && kept < got.length, s"degenerate threshold: $kept kept")
+    // spot-check the feature extraction on one known row
+    val r = got.head
+    assert(r.getLong(5) == 2 * r.getLong(1) + 1500 * r.getLong(4)
+      - 300 * r.getLong(2) - 800 * r.getLong(3))
+  }
+
   test("histogram: buckets partition the table exactly") {
     val got = QueriesRel.histogram(spark, dir).collect()
     val total = Queries.t(spark, dir, "orders").count()

