@@ -181,6 +181,11 @@ object Queries {
     "x_quality_classify" -> (QueriesLLM.qualityClassify _),
     "x_compact_files" -> (QueriesRel.compactSmallFiles _),
     "s_join_left" -> (QueriesScalar.streamJoinLeft _),
+    "x_pagerank" -> (QueriesLLM.pagerank _),
+    "x_triangles" -> (QueriesLLM.triangleCount _),
+    "q_interpolate" -> (QueriesRel.interpolate _),
+    "q_window_distinct" -> (QueriesRel.windowDistinct _),
+    "q_null_semantics" -> (QueriesRel.nullSemantics _),
     "q_skew_stats" -> (QueriesRel.skewStats _),
     "x_edit_distance" -> (QueriesLLM.editDistance _),
     "x_normalize_dedup" -> (QueriesLLM.normalizeDedup _),
@@ -866,6 +871,72 @@ object Queries {
         |  ON c.user_id = p.user_id
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY click_id, purch_id""".stripMargin,
+    "q_interpolate" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS h, event_type,
+        |         count(*) AS c
+        |       FROM events GROUP BY 1, 2),
+        |b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |        date_trunc('hour', max(ts)) AS hi FROM events),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |g AS (SELECT CAST(epoch(spine.h) AS BIGINT) AS hour_epoch,
+        |        types.event_type, hourly.c
+        |      FROM spine CROSS JOIN types
+        |      LEFT JOIN hourly ON hourly.h = spine.h
+        |        AND hourly.event_type = types.event_type),
+        |w AS (SELECT hour_epoch, event_type, c,
+        |    last_value(c IGNORE NULLS) OVER wb AS prev_c,
+        |    last_value(CASE WHEN c IS NOT NULL THEN hour_epoch END IGNORE NULLS)
+        |      OVER wb AS prev_h,
+        |    first_value(c IGNORE NULLS) OVER wf AS next_c,
+        |    first_value(CASE WHEN c IS NOT NULL THEN hour_epoch END IGNORE NULLS)
+        |      OVER wf AS next_h
+        |  FROM g WINDOW
+        |    wb AS (PARTITION BY event_type ORDER BY hour_epoch
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY event_type ORDER BY hour_epoch
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT hour_epoch, event_type,
+        |  CASE WHEN c IS NOT NULL THEN CAST(c AS DOUBLE)
+        |       WHEN prev_c IS NULL THEN CAST(next_c AS DOUBLE)
+        |       WHEN next_c IS NULL THEN CAST(prev_c AS DOUBLE)
+        |       ELSE CAST(prev_c AS DOUBLE)
+        |         + (CAST(next_c AS DOUBLE) - CAST(prev_c AS DOUBLE))
+        |           * (CAST(hour_epoch AS DOUBLE) - CAST(prev_h AS DOUBLE))
+        |           / (CAST(next_h AS DOUBLE) - CAST(prev_h AS DOUBLE))
+        |  END AS v_interp,
+        |  (c IS NULL) AS was_gap
+        |FROM w ORDER BY event_type, hour_epoch""".stripMargin,
+    "q_window_distinct" ->
+      """WITH ev AS (SELECT event_type, user_id, event_id, epoch_ms(ts) AS ms
+        |            FROM events),
+        |f AS (SELECT event_type, event_id, ms,
+        |    CASE WHEN row_number() OVER (PARTITION BY event_type, user_id
+        |                                 ORDER BY ms, event_id) = 1
+        |         THEN 1 ELSE 0 END AS is_first
+        |  FROM ev),
+        |r AS (SELECT event_type, event_id, ms,
+        |    CAST(sum(is_first) OVER (PARTITION BY event_type
+        |                             ORDER BY ms, event_id) AS BIGINT)
+        |      AS distinct_users_so_far
+        |  FROM f)
+        |SELECT event_type, event_id, ms, distinct_users_so_far
+        |FROM r WHERE event_id % 100 = 0
+        |ORDER BY event_type, event_id""".stripMargin,
+    "q_null_semantics" ->
+      """WITH o AS (SELECT o_orderstatus,
+        |    nullif(o_orderpriority, '3-MEDIUM') AS prio_n FROM orders)
+        |SELECT o_orderstatus,
+        |  count(*) AS n_rows,
+        |  count(prio_n) AS n_nonmedium,
+        |  count(*) FILTER (WHERE prio_n IS NULL) AS n_medium,
+        |  count(*) FILTER (WHERE prio_n = '1-URGENT') AS n_eq_urgent,
+        |  count(*) FILTER (WHERE prio_n IS NOT DISTINCT FROM '1-URGENT')
+        |    AS n_nullsafe_urgent,
+        |  count(*) FILTER (WHERE NOT (prio_n IS NOT DISTINCT FROM '1-URGENT'))
+        |    AS n_nullsafe_not_urgent,
+        |  min(coalesce(prio_n, '<none>')) AS min_prio_filled
+        |FROM o GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "s_join_left" ->
       """SELECT c.event_id AS click_id, c.user_id,
         |  epoch_ms(c.ts) AS click_ms, p.event_id AS purch_id,

@@ -688,6 +688,60 @@ object QueriesLLM {
       .orderBy(col("candidate"))
   }
 
+  /** X28: PageRank over the near-dup similarity graph — iterative
+    * join+aggregate with INTEGER ppm ranks: contribution = rank DIV
+    * degree, next = 150000 + (850·Σcontrib) DIV 1000 (damping 0.85 at
+    * 1e6 scale). Integer floor arithmetic makes every iteration
+    * bitwise-deterministic regardless of aggregation order — a double
+    * PageRank drifts by ulps with partitioning and can flip ranks
+    * between runs, which no oracle or repeatability check tolerates.
+    * Five fixed iterations, each ONE shuffle join + one aggregation
+    * over the edge set; ranks never leave the cluster (the driver sees
+    * only the final frame). Edges come from the LSH candidate pipeline
+    * (X2), so the whole chain — shingle → band → verify → graph —
+    * stays linear in candidates.
+    */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshPairs(s, dir).filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val outEdges = edges.join(deg, "src").localCheckpoint()
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
+    for (_ <- 1 to 5) {
+      val contribs = outEdges.join(ranks, outEdges("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("rank DIV deg").as("contrib"))
+      ranks = contribs.groupBy(col("node"))
+        .agg(expr("150000L + (850 * sum(contrib)) DIV 1000").as("rank"))
+    }
+    ranks.select(col("node").as("doc_id"), col("rank").as("rank_x1e6"))
+      .orderBy(col("rank_x1e6").desc, col("doc_id"))
+  }
+
+  /** X29: triangle counting on the same canonical (a<b) edge set — the
+    * clustering-coefficient numerator used to characterize near-dup
+    * graph structure: wedges from an edge-edge self-join on the shared
+    * middle vertex (each triangle a<b<c built exactly once), closed by
+    * a hash join back against the edge set. This is the standard
+    * distributed triangle count; the canonical orientation bounds the
+    * wedge fan-out by forward-degree (the full mitigation at 100 TB is
+    * degree-ordered orientation, which caps wedge work at O(m^1.5)).
+    */
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val e = minhashLshPairs(s, dir).filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a").as("a"), col("doc_b").as("b")).localCheckpoint()
+    val wedges = e.as("x").join(e.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("wa"), col("x.b").as("wb"), col("y.b").as("wc"))
+    val tris = wedges.join(e.as("z"),
+      col("wa") === col("z.a") && col("wc") === col("z.b"))
+    val nodes = e.select(col("a").as("n")).union(e.select(col("b").as("n"))).distinct()
+    tris.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(nodes.agg(count(lit(1)).as("n_nodes"))))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
   /** X27: model-based quality classification — a distilled linear
     * classifier applied at corpus scale: integer feature counts
     * (tokens, short tokens, digit-bearing tokens, stopwords) dotted

@@ -1042,6 +1042,99 @@ object QueriesRel {
     per.union(all).orderBy(col("event_type"))
   }
 
+  /** E59: linear interpolation of series gaps — the time-series repair
+    * step after densification (E42 gap fill): for each missing hour,
+    * the last and next observed values bracket it via
+    * `last/first(_, ignoreNulls)` over one (series, time) ordering —
+    * four window columns, ONE sort, no self-join (the naive form joins
+    * the series to itself twice on inequality predicates). Boundary
+    * gaps clamp to the nearest observation. The arithmetic is the same
+    * IEEE double expression on integer operands in both engines, so
+    * the oracle compare is exact with no rounding.
+    */
+  def interpolate(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val spine = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    val grid = spine.crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+      .join(hourly, Seq("h", "event_type"), "left")
+      .select(unix_timestamp(col("h")).as("hour_epoch"), col("event_type"), col("c"))
+    val back = Window.partitionBy(col("event_type")).orderBy(col("hour_epoch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("event_type")).orderBy(col("hour_epoch"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid
+      .withColumn("prev_c", last(col("c"), ignoreNulls = true).over(back))
+      .withColumn("prev_h",
+        last(when(col("c").isNotNull, col("hour_epoch")), ignoreNulls = true).over(back))
+      .withColumn("next_c", first(col("c"), ignoreNulls = true).over(fwd))
+      .withColumn("next_h",
+        first(when(col("c").isNotNull, col("hour_epoch")), ignoreNulls = true).over(fwd))
+      .select(col("hour_epoch"), col("event_type"),
+        when(col("c").isNotNull, col("c").cast("double"))
+          .when(col("prev_c").isNull, col("next_c").cast("double"))
+          .when(col("next_c").isNull, col("prev_c").cast("double"))
+          .otherwise(col("prev_c").cast("double") +
+            (col("next_c").cast("double") - col("prev_c").cast("double")) *
+              (col("hour_epoch").cast("double") - col("prev_h").cast("double")) /
+              (col("next_h").cast("double") - col("prev_h").cast("double")))
+          .as("v_interp"),
+        col("c").isNull.as("was_gap"))
+      .orderBy(col("event_type"), col("hour_epoch"))
+  }
+
+  /** E60: running count-distinct — not natively windowable in either
+    * engine (distinct state per frame would be O(n) per row); the
+    * scalable form marks each key's FIRST occurrence with a per-(group,
+    * key) row_number, then running-sums the 0/1 markers over time. Two
+    * windows, both partition-parallel; state per row is one bit, not a
+    * set — the same first-occurrence trick a streaming distinct-count
+    * uses. Output sampled by event_id to keep the frame bounded.
+    */
+  def windowDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        expr("unix_millis(ts)").as("ms"))
+    val firstW = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    val runW = Window.partitionBy(col("event_type"))
+      .orderBy(col("ms"), col("event_id"))
+    ev.withColumn("is_first", (row_number().over(firstW) === 1).cast("long"))
+      .withColumn("distinct_users_so_far", sum(col("is_first")).over(runW))
+      .filter(col("event_id") % 100 === 0)
+      .select(col("event_type"), col("event_id"), col("ms"),
+        col("distinct_users_so_far"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  /** E61: three-valued-logic surface — nullif/coalesce/null-safe
+    * equality in one auditable frame: `<=>` (Spark) and `IS NOT
+    * DISTINCT FROM` (DuckDB oracle) are the engine-portable pair, and
+    * conditional counts pin that NULL comparisons inside aggregates
+    * drop rows while null-safe ones don't. All per-row expressions —
+    * codegen'd, pushdown-friendly, no shuffle beyond the final
+    * aggregation.
+    */
+  def nullSemantics(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderstatus"),
+        expr("nullif(o_orderpriority, '3-MEDIUM')").as("prio_n"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("prio_n")).as("n_nonmedium"),
+        count(when(col("prio_n").isNull, 1)).as("n_medium"),
+        count(when(col("prio_n") === "1-URGENT", 1)).as("n_eq_urgent"),
+        count(when(col("prio_n") <=> lit("1-URGENT"), 1)).as("n_nullsafe_urgent"),
+        count(when(!(col("prio_n") <=> lit("1-URGENT")), 1)).as("n_nullsafe_not_urgent"),
+        min(coalesce(col("prio_n"), lit("<none>"))).as("min_prio_filled"))
+      .orderBy(col("o_orderstatus"))
+
   /** E58: small-file compaction — the table-maintenance operator that
     * keeps large directories scannable: stage a deliberately
     * over-fragmented copy (256 files for a ~60K-row table, the

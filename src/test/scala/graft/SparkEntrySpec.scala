@@ -51,7 +51,12 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
       "x_heavy_hitters",
       // file counts are physical layout, not SQL; QueriesRelSpec pins
       // compaction (fewer files, rows conserved, ranges disjoint)
-      "x_compact_files")
+      "x_compact_files",
+      // graph ops ride the LSH candidate pipeline (banding join is the
+      // non-SQL-expressible part); LshSpec pins both against exact
+      // driver-side recomputations on the same edge set
+      "x_pagerank",
+      "x_triangles")
     assert(rowsOnly == expected, s"rows-only drift: $rowsOnly")
   }
 

@@ -21,6 +21,45 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("pagerank: integer ranks match an exact driver-side recomputation") {
+    val pairs = QueriesLLM.minhashLshPairs(spark, dir)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = pairs.flatMap(p => Seq(p, (p._2, p._1)))
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    var rank = adj.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      adj.foreach { case (u, vs) =>
+        val c = rank(u) / vs.length
+        vs.foreach(v => contrib(v) += c)
+      }
+      rank = adj.keys.map(n => n -> (150000L + 850L * contrib(n) / 1000L)).toMap
+    }
+    val got = QueriesLLM.pagerank(spark, dir).collect()
+    assert(got.nonEmpty && got.length == rank.size)
+    got.foreach(r => assert(r.getLong(1) == rank(r.getLong(0)),
+      s"rank for doc ${r.getLong(0)}"))
+    // ranks actually differentiate (the graph isn't regular)
+    assert(got.map(_.getLong(1)).distinct.length > 1)
+  }
+
+  test("triangle count matches an exact driver-side enumeration") {
+    val pairs = QueriesLLM.minhashLshPairs(spark, dir)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edgeSet = pairs.toSet
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expectedTris = (for {
+      (a, b) <- pairs
+      (b2, c) <- pairs if b2 == b && edgeSet.contains((a, c))
+    } yield 1).length.toLong
+    val r = QueriesLLM.triangleCount(spark, dir).collect().head
+    assert(r.getLong(0) == nodes.length.toLong)
+    assert(r.getLong(1) == pairs.length.toLong)
+    assert(r.getLong(2) == expectedTris)
+  }
+
   test("MinHash-LSH candidates include every truly-high-Jaccard pair") {
     import graft.functions.GraftFunctions._
     // ground truth threshold 0.85: at j=0.85 the 16-perm agreement

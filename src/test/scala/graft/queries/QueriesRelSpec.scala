@@ -858,6 +858,24 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
       - 300 * r.getLong(2) - 800 * r.getLong(3))
   }
 
+  test("running distinct-count matches a sequential first-occurrence scan") {
+    val ev = Queries.t(spark, dir, "events")
+      .selectExpr("event_type", "user_id", "event_id", "unix_millis(ts) AS ms")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = ev.groupBy(_._1).flatMap { case (_, rows) =>
+      val seen = scala.collection.mutable.Set[Long]()
+      var n = 0L
+      rows.toSeq.sortBy(r => (r._4, r._3)).map { case (_, uid, eid, _) =>
+        if (seen.add(uid)) n += 1
+        eid -> n
+      }
+    }
+    val got = QueriesRel.windowDistinct(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getLong(3) == expected(r.getLong(1)),
+      s"running distinct at event ${r.getLong(1)}"))
+  }
+
   test("histogram: buckets partition the table exactly") {
     val got = QueriesRel.histogram(spark, dir).collect()
     val total = Queries.t(spark, dir, "orders").count()
