@@ -32,7 +32,10 @@ object Bench {
     // clustering-layout lookups (pay-once writes staged in warmup):
     // second-key range over the Z-ordered copy, year-pruned scan over
     // the Hive-partitioned copy
-    "q_zorder_lookup", "q_partitioned_scan")
+    "q_zorder_lookup", "q_partitioned_scan",
+    // round-3 widening: map-only classifier scan, VARIANT parse
+    // throughput, iterative integer PageRank over the LSH graph
+    "x_quality_classify", "q_variant", "x_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -688,7 +688,7 @@ object QueriesLLM {
       .orderBy(col("candidate"))
   }
 
-  /** X28: PageRank over the near-dup similarity graph — iterative
+  /** X27: PageRank over the near-dup similarity graph — iterative
     * join+aggregate with INTEGER ppm ranks: contribution = rank DIV
     * degree, next = 150000 + (850·Σcontrib) DIV 1000 (damping 0.85 at
     * 1e6 scale). Integer floor arithmetic makes every iteration
@@ -719,7 +719,7 @@ object QueriesLLM {
       .orderBy(col("rank_x1e6").desc, col("doc_id"))
   }
 
-  /** X29: triangle counting on the same canonical (a<b) edge set — the
+  /** X28: triangle counting on the same canonical (a<b) edge set — the
     * clustering-coefficient numerator used to characterize near-dup
     * graph structure: wedges from an edge-edge self-join on the shared
     * middle vertex (each triangle a<b<c built exactly once), closed by
@@ -742,7 +742,7 @@ object QueriesLLM {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
-  /** X27: model-based quality classification — a distilled linear
+  /** X26: model-based quality classification — a distilled linear
     * classifier applied at corpus scale: integer feature counts
     * (tokens, short tokens, digit-bearing tokens, stopwords) dotted
     * with fixed per-mille weights, thresholded. Pure per-row

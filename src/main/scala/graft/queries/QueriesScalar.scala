@@ -448,7 +448,7 @@ object QueriesScalar {
       .orderBy(col("click_id"), col("purch_id"))
   }
 
-  /** E43: VARIANT semi-structured ingestion — `parse_json` once into
+  /** E62: VARIANT semi-structured ingestion — `parse_json` once into
     * the binary VARIANT encoding, then typed `variant_get` path
     * extraction. Against E25's per-call `get_json_object` string
     * re-parse, VARIANT parses each row once and every extraction reads
