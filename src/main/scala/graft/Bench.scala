@@ -34,8 +34,9 @@ object Bench {
     // the Hive-partitioned copy
     "q_zorder_lookup", "q_partitioned_scan",
     // round-3 widening: map-only classifier scan, VARIANT parse
-    // throughput, iterative integer PageRank over the LSH graph
-    "x_quality_classify", "q_variant", "x_pagerank")
+    // throughput, iterative integer PageRank over the LSH graph,
+    // runtime-pruned star join
+    "x_quality_classify", "q_variant", "x_pagerank", "q_join_dpp")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

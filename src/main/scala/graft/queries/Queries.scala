@@ -132,6 +132,8 @@ object Queries {
     "q_join_bucketed" -> (QueriesRel.joinBucketed _),
     "q_join_bloom" -> (QueriesRel.joinBloom _),
     "q_partitioned_scan" -> (QueriesRel.partitionedScan _),
+    "q_join_dpp" -> (QueriesRel.joinDpp _),
+    "q_join_skew_aqe" -> (QueriesRel.joinSkewAqe _),
     "q_agg_distinct" -> (QueriesRel.aggDistinct _),
     "q_agg_approx_distinct" -> (QueriesRel.aggApproxDistinct _),
     "q_agg_approx_percentile" -> (QueriesRel.aggApproxPercentile _),
@@ -363,6 +365,20 @@ object Queries {
         |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders WHERE year(o_orderdate) = 1997
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_dpp" ->
+      """SELECT year(o_orderdate) AS o_year, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders JOIN (VALUES (1995), (1996)) AS dim(y_year)
+        |  ON year(o_orderdate) = y_year
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_skew_aqe" ->
+      """SELECT flag,
+        |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) * weight) AS BIGINT) / 100.0 AS weighted_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN (VALUES ('A', 5), ('N', 10), ('R', 3)) AS d(flag, weight)
+        |  ON l_returnflag = flag
+        |GROUP BY flag ORDER BY flag""".stripMargin,
     "q_join_bucketed" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,

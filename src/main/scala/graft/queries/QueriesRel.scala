@@ -216,6 +216,102 @@ object QueriesRel {
     }
   }
 
+  /** E63: dynamic partition pruning — the fact side is the Hive-
+    * partitioned orders copy (E33's layout) but, unlike E33, the year
+    * predicate lives ONLY on the dim side of a join: Catalyst's
+    * PartitionPruning rule injects a runtime
+    * `dynamicpruningexpression` partition filter on `o_year`, built by
+    * reusing the dim's broadcast, so only the matching year
+    * directories are ever listed or read even though the fact query
+    * text carries no year literal. This is the star-schema
+    * complement to static pruning — at 100 TB a fact-to-date-dim join
+    * touches the partitions the dim filter selects instead of all of
+    * them. The spec pins the pruning expression in the scan's
+    * partition filters and that the scan reads exactly the two
+    * matching partitions.
+    */
+  def joinDpp(s: SparkSession, dir: String): DataFrame = {
+    // The dim is built over `range` rather than a LocalRelation: a
+    // Filter over a LocalRelation is constant-folded away by
+    // ConvertToLocalRelation, and PartitionPruning only fires when a
+    // selective Filter survives on the dim side (as it does for any
+    // file-backed date dimension).
+    val dim = s.range(1992, 1999)
+      .select(col("id").cast("int").as("y_year"),
+        when(col("id").between(1995, 1996), lit("target"))
+          .otherwise(lit("other")).as("y_class"))
+    partitionedOrders(s, dir)
+      .join(broadcast(dim.filter(col("y_class") === "target")),
+        col("o_year") === col("y_year"))
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(Queries.cents(col("o_totalprice"))).as("total_cents"))
+      .orderBy(col("o_year"))
+  }
+
+  /** E64: AQE runtime skew-join mitigation — the same
+    * dim-too-big-to-broadcast skewed join as E10b but with NO manual
+    * salt: adaptive execution observes the actual post-shuffle
+    * partition sizes at runtime and splits the oversized ones into
+    * sub-partitions (replicating the matching build rows), which is
+    * exactly what hand-salting does — except decided from measured
+    * sizes, not guessed factors. E10b remains the deterministic
+    * fallback for pathological keys; this entry is the
+    * runtime-re-optimization surface. Skew thresholds are lowered so
+    * the split fires on test-scale data (at 100 TB the defaults fire
+    * on their own); the join is materialized while those confs are
+    * active, then session state is restored. The spec pins
+    * `skew=true` sub-partitioning in the executed adaptive plan.
+    */
+  def joinSkewAqe(s: SparkSession, dir: String): DataFrame = {
+    skewAqeConfs(s) { () =>
+      skewAqeJoin(s, dir).localCheckpoint(true)
+    }.orderBy(col("flag"))
+  }
+
+  /** The E64 join shape, pre-aggregation ordering left to the caller. */
+  def skewAqeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Seq(("A", 5L), ("N", 10L), ("R", 3L)).toDF("flag", "weight")
+    // AQE splits a skewed reduce partition along map-output boundaries,
+    // so a split needs >1 map task feeding the join shuffle. A 100 TB
+    // scan has thousands; the single-file test fixture has one, so
+    // spread the scan over 8 map tasks first to make the fixture
+    // splittable the same way the real table is.
+    t(s, dir, "lineitem").repartition(8)
+      .join(dim.hint("merge"), col("l_returnflag") === col("flag"))
+      .groupBy(col("flag"))
+      .agg((sum(Queries.cents(col("l_quantity")) * col("weight")) / 100.0)
+        .as("weighted_qty"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Run `body` with AQE skew-split thresholds lowered to fire at test
+    * scale; restores prior session state afterwards. */
+  def skewAqeConfs[A](s: SparkSession)(body: () => A): A = {
+    val tuned = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      // thresholds sized to the compressed shuffle blocks of the
+      // smallest test fixture (sf0.001 hot partitions ≈ 2-4 KB); the
+      // split fan-out stays bounded by the 8 map tasks above
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "512b",
+      // splitting the join's partitions invalidates the downstream
+      // groupBy's reuse of that partitioning (an extra shuffle), which
+      // makes AQE decline the split by default; at real scale the
+      // skew savings dwarf the re-shuffle, so force the trade here
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val saved = tuned.map { case (k, _) => k -> s.conf.getOption(k) }
+    tuned.foreach { case (k, v) => s.conf.set(k, v) }
+    try body()
+    finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
+
   /** E12: exact distinct counts (shuffle-dedup partial aggregation). */
   def aggDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")

@@ -121,6 +121,63 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
       expected.collect().map(_.toString).toSeq)
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // FileSourceScanExec leaves hide inside materialized query stages
+    // and the DPP subquery, so descend through both
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case other =>
+        other.children.flatMap(allScans) ++ other.subqueries.flatMap(allScans)
+    }
+    val df = QueriesRel.joinDpp(spark, dir)
+    val rows = df.collect()
+
+    val scan = allScans(df.queryExecution.executedPlan)
+      .find(_.partitionFilters.nonEmpty)
+      .getOrElse(fail("expected a partition-filtered fact scan"))
+    assert(scan.partitionFilters.map(_.toString).exists(_.contains("dynamicpruning")),
+      s"expected a dynamicpruningexpression partition filter, got: ${scan.partitionFilters}")
+    // runtime evidence: 7 year partitions exist, only the dim's 2 read
+    assert(scan.metrics("staticFilesNum").value == 7,
+      s"fixture should carry 7 year partitions, got ${scan.metrics("staticFilesNum").value}")
+    assert(scan.metrics("numPartitions").value == 2,
+      s"DPP should read exactly the 2 dim-selected partitions, got ${scan.metrics("numPartitions").value}")
+
+    // values: identical to statically filtering the unpartitioned table
+    val expected = Queries.t(spark, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .filter(col("o_year").between(1995, 1996))
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"), sum(Queries.cents(col("o_totalprice"))).as("total_cents"))
+      .orderBy(col("o_year"))
+    assert(rows.map(_.toString).toSeq == expected.collect().map(_.toString).toSeq)
+  }
+
+  test("AQE skew join: runtime sub-partition split lands in the executed plan") {
+    // more reduce partitions than the default-4 so the skew detector
+    // sees the 3-key pileup against a meaningful median
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val j = QueriesRel.skewAqeConfs(spark) { () =>
+        val jj = QueriesRel.skewAqeJoin(spark, dir)
+        jj.collect()
+        jj
+      }
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && plan.contains("skew=true"),
+        s"expected an AQE-skew-split sort-merge join, got:\n$plan")
+
+      // values: identical to the manually salted form (E10b)
+      assert(QueriesRel.joinSkewAqe(spark, dir).collect().map(_.toString).toSeq ==
+        QueriesRel.joinSkewSalted(spark, dir).collect().map(_.toString).toSeq)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   test("bloom join: runtime filter lands in the plan, values equal the plain join") {
     // same confs joinBloom sets: no broadcast (the case runtime filters
     // exist for), application-side size floor lowered for test scale
