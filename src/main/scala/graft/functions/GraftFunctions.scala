@@ -105,6 +105,8 @@ object GraftFunctions {
       exprs => DecompressAmountExpr(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("zorder2",
       exprs => ZOrder2Expr.widened(exprs), "built-in")
+    registry.createOrReplaceTempFunction("minhash_sigs",
+      exprs => MinHashSigsExpr(exprs.head), "built-in")
   }
 
   /** Register the clustered-convert range router with THIS convert's
@@ -125,6 +127,7 @@ object GraftFunctions {
   def scriptType(c: Column): Column = call_function("script_type", c)
   def decompressAmount(c: Column): Column = call_function("decompress_amount", c)
   def zorder2(x: Column, y: Column): Column = call_function("zorder2", x, y)
+  def minhashSigs(c: Column): Column = call_function("minhash_sigs", c)
 }
 
 /** Bounded-memory top-k-per-key aggregate (E14b): keeps the k largest

@@ -142,6 +142,70 @@ case class ScriptRouteExpr(child: Expression,
   override def prettyName: String = "script_route"
 }
 
+/** MinHash signature kernel (X2 hot path): all 16 permutation minima
+  * over a document's word 3-shingles in ONE per-row pass. Replaces the
+  * explode + 16-min groupBy signature build with identical arithmetic
+  * (xxhash64 seed 42 → pmod 2³¹-1 → (a·h+b) mod P minima over the same
+  * space-split shingles) but zero row expansion and zero shuffle: the
+  * signature stage of the near-dup pipeline becomes map-only, which is
+  * the difference between shuffling ~L rows per document and none at
+  * 100 TB. Static-shaped kernel so the generated code is one call per
+  * row (same discipline as [[Morton]]/[[ScriptRoute]]); the earlier
+  * higher-order-function rewrite lost 1.5× to CodegenFallback
+  * per-element interpretation — this stays in whole-stage codegen.
+  */
+object MinHashSig {
+  private val P = GraftFunctions.MinhashP
+  private val SPACE = UTF8String.fromString(" ")
+  private val A: Array[Long] = GraftFunctions.permCoeffs(16).map(_._1).toArray
+  private val B: Array[Long] = GraftFunctions.permCoeffs(16).map(_._2).toArray
+
+  /** null when the text has fewer than 3 tokens — mirrors the aggregate
+    * form, where explode of an empty shingle array drops the document.
+    */
+  def sigs(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = text.split(SPACE, -1)
+    val nSh = toks.length - 2
+    if (nSh <= 0) return null
+    val mins = new Array[Long](16)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < nSh) {
+      val sh = UTF8String.concatWs(SPACE, toks(i), toks(i + 1), toks(i + 2))
+      val raw = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(sh.getBaseObject, sh.getBaseOffset, sh.numBytes, 42L)
+      val h = ((raw % P) + P) % P
+      var j = 0
+      while (j < 16) {
+        val v = (A(j) * h + B(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+}
+
+/** minhash_sigs (X2): STRING → ARRAY<BIGINT> (16 permutation minima),
+  * null for texts with fewer than 3 tokens. See [[MinHashSig.sigs]].
+  */
+case class MinHashSigsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    MinHashSig.sigs(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinHashSig.sigs($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sigs"
+}
+
 /** Bitcoin Core amount decompression (C3): BIGINT → BIGINT. */
 case class DecompressAmountExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

@@ -56,29 +56,30 @@ object QueriesLLM {
     * LshSpec asserts candidates ⊇ true high-Jaccard pairs.
     */
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
-    // one 16-element signature array per doc: all 16 permutation minima
-    // in a single map-side-combinable aggregation pass over the shingle
-    // hashes (a perms crossJoin would multiply the shuffle by 16; the
-    // tempting zero-shuffle rewrite — per-row array_min(transform(...))
-    // folds — measured 1.5× SLOWER at sf0.1: higher-order functions are
-    // CodegenFallback, evaluated interpreted per element, while this
-    // explode+groupBy stays in whole-stage codegen end to end).
+    // one 16-element signature array per doc from the native
+    // minhash_sigs kernel (functions/expressions.scala): all 16
+    // permutation minima in ONE per-row codegen'd pass — zero row
+    // expansion, zero shuffle for the signature stage. History of this
+    // hot path: explode + 16-min groupBy was the round-2 shape (one
+    // map-side-combinable aggregation; at 100 TB it still shuffles ~L
+    // rows per document); a higher-order-function fold measured 1.5×
+    // SLOWER than that (HOFs are CodegenFallback, interpreted per
+    // element); the native kernel measures ~6× FASTER than the
+    // aggregate form at sf0.1 (0.28 s vs 1.74 s) with bit-identical
+    // signatures — per-row loops belong in a codegen Expression, not
+    // in exploded rows or interpreted lambdas.
     // localCheckpoint (not cache): the band explode and both pair sides
     // reuse the materialization, and checkpoint blocks are released by
     // the ContextCleaner once the plan is GC'd — a `.cache()` here would
     // pin memory for the life of the session (long driver sessions leak).
     // rows-only query → free to use the native codegen'd xxhash64 for
     // shingle hashing (~10× cheaper than the md5-derived oracle-portable
-    // hash64; the oracled x_minhash_sig keeps md5). pmod: xxhash64 is
-    // signed and the permutation needs h in [0, P)
-    val minExprs = permCoeffs(16).map { case (a, b) =>
-      min((lit(a) * col("h") + lit(b)) % MinhashP)
-    }
+    // hash64; the oracled x_minhash_sig keeps md5).
+    graft.functions.GraftFunctions.register(s)
     val sigArr = t(s, dir, "documents")
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
-      .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(MinhashP)).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(array(minExprs: _*).as("sigs"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.minhashSigs(col("text")).as("sigs"))
+      .filter(col("sigs").isNotNull)
       .localCheckpoint()
     // 8 bands x 2 rows: the S-curve threshold (1/b)^(1/r) = (1/8)^(1/2)
     // ≈ 0.35 sits safely BELOW the query's est >= 0.5 output cutoff.

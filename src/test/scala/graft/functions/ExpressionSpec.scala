@@ -112,6 +112,40 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("script_route"), plan)
   }
 
+  test("minhash_sigs kernel: bit-identical to the explode+groupBy aggregate form") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.{MinhashP, permCoeffs, shingles}
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val minExprs = permCoeffs(16).map { case (a, b) =>
+      min((lit(a) * col("h") + lit(b)) % MinhashP)
+    }
+    val viaAgg = docs
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+      .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(MinhashP)).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(array(minExprs: _*).as("sigs"))
+    val viaKernel = docs
+      .select(col("doc_id"), GraftFunctions.minhashSigs(col("text")).as("sigs"))
+      .filter(col("sigs").isNotNull)
+    val mismatches = viaAgg.as("o").join(viaKernel.as("n"), Seq("doc_id"), "full_outer")
+      .filter(col("o.sigs").isNull || col("n.sigs").isNull ||
+        col("o.sigs") =!= col("n.sigs"))
+      .count()
+    assert(mismatches == 0, s"$mismatches docs disagree between kernel and aggregate form")
+
+    // the kernel projection runs inside whole-stage codegen, map-only
+    val plan = viaKernel.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("Exchange"), plan)
+    assert(plan.contains("*(1)"), plan)
+
+    // short texts (< 3 tokens) are null — the row the aggregate form drops
+    val nulls = Seq((1L, "one two"), (2L, "a b c d")).toDF("doc_id", "text")
+      .select(col("doc_id"), GraftFunctions.minhashSigs(col("text")).as("sigs"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(nulls == Map(1L -> true, 2L -> false))
+  }
+
   test("native expressions stay inside whole-stage codegen (no ScalaUDF)") {
     GraftFunctions.register(spark)
     import spark.implicits._
