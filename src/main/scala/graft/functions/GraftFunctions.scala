@@ -107,6 +107,8 @@ object GraftFunctions {
       exprs => ZOrder2Expr.widened(exprs), "built-in")
     registry.createOrReplaceTempFunction("minhash_sigs",
       exprs => MinHashSigsExpr(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("simhash48",
+      exprs => SimHash48Expr(exprs.head), "built-in")
   }
 
   /** Register the clustered-convert range router with THIS convert's
@@ -128,6 +130,7 @@ object GraftFunctions {
   def decompressAmount(c: Column): Column = call_function("decompress_amount", c)
   def zorder2(x: Column, y: Column): Column = call_function("zorder2", x, y)
   def minhashSigs(c: Column): Column = call_function("minhash_sigs", c)
+  def simhash48(c: Column): Column = call_function("simhash48", c)
 }
 
 /** Bounded-memory top-k-per-key aggregate (E14b): keeps the k largest

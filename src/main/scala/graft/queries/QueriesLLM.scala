@@ -171,45 +171,46 @@ object QueriesLLM {
   val SimhashTau = 6
   def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
     val sig = simhashAll(s, dir)
-    val bands = sig.select(col("doc_id"), col("simhash_bits"),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> substring(simhash_bits, b * 12 + 1, 12))"))
-        .as(Seq("band_idx", "band_bits")))
+    // band b = 12-bit slice (fp >> 12b) & 0xFFF — two ALU ops per band,
+    // built as a plain 4-element array() of codegen'd expressions (a
+    // transform() lambda here would drop the projection to interpreted
+    // CodegenFallback — the minhash-kernel lesson)
+    val bandArr = array((0 until 4).map(b =>
+      shiftright(col("fp"), 12 * b).bitwiseAND(lit(0xFFFL))): _*)
+    val bands = sig.select(col("doc_id"), col("fp"),
+      posexplode(bandArr).as(Seq("band_idx", "band_bits")))
     val a = bands.select(col("band_idx"), col("band_bits"),
-      col("doc_id").as("doc_a"), col("simhash_bits").as("bits_a"))
+      col("doc_id").as("doc_a"), col("fp").as("fp_a"))
     val b = bands.select(col("band_idx"), col("band_bits"),
-      col("doc_id").as("doc_b"), col("simhash_bits").as("bits_b"))
-    val hamming = aggregate(
-      zip_with(split(col("bits_a"), ""), split(col("bits_b"), ""),
-        (x, y) => when(x =!= y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
+      col("doc_id").as("doc_b"), col("fp").as("fp_b"))
     a.join(b, Seq("band_idx", "band_bits"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("bits_a"), col("bits_b"))
+      .select(col("doc_a"), col("doc_b"), col("fp_a"), col("fp_b"))
       .distinct()
-      .withColumn("hamming", hamming)
+      // hamming over packed longs: one POPCNT, not a 48-element fold
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= SimhashTau)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** 48-bit SimHash fingerprints for the full corpus (the banded
-    * near-dup input; [[simhash]] is the oracle-sampled variant). One
-    * hash-aggregate pass with 48 per-bit sum accumulators — no 48×
-    * posexplode row multiplication (bit b of the fingerprint is set iff
-    * 2·Σ bit_b > n_tokens, identical to the ±1 balance form).
+    * near-dup input; [[simhash]] is the oracle-sampled variant), packed
+    * into a LONG by the native simhash48 kernel — one map-only codegen
+    * pass, zero row expansion, zero shuffle. History of this hot path:
+    * round 2 shipped explode(tokens) + groupBy with 48 per-bit sum
+    * accumulators (already explode-free on the bit axis, but still one
+    * shuffled row per token — ~L rows per document at 100 TB); the
+    * kernel keeps the identical majority semantics (bit b set iff
+    * 2·Σ bit_b > n_tokens, term frequency = weight) with no shuffle at
+    * all. Rows-only path → free to use native xxhash64 over the
+    * md5-derived portable hash64 (the oracled [[simhash]] keeps md5).
     */
   def simhashAll(s: SparkSession, dir: String): DataFrame = {
-    val bitSums = (0 until 48).map(b =>
-      sum(shiftright(col("h"), b) % 2).as(s"s$b"))
+    graft.functions.GraftFunctions.register(s)
     t(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), hash64(col("tok")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n_tok")): _*)
       .select(col("doc_id"),
-        concat((0 until 48).map(b =>
-          when(col(s"s$b") * 2 > col("n_tok"), "1").otherwise("0")): _*).as("simhash_bits"))
+        graft.functions.GraftFunctions.simhash48(col("text")).as("fp"))
   }
 
   /** X3: brute-force exact cosine top-k (k=3) — the contract the ANN

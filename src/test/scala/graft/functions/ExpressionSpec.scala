@@ -146,6 +146,36 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nulls == Map(1L -> true, 2L -> false))
   }
 
+  test("simhash48 kernel: bit-identical to the 48-accumulator aggregate form") {
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // reference recomputation: the round-2 explode+groupBy shape with the
+    // same per-token xxhash64(seed 42) the kernel uses
+    val bitSums = (0 until 48).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"s$b"))
+    val fpFromSums = (0 until 48).map(b =>
+      when(col(s"s$b") * 2 > col("n_tok"), shiftleft(lit(1L), b)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_))
+    val viaAgg = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n_tok")): _*)
+      .select(col("doc_id"), fpFromSums.as("fp"))
+    val viaKernel = docs
+      .select(col("doc_id"), GraftFunctions.simhash48(col("text")).as("fp"))
+    val mismatches = viaAgg.as("o").join(viaKernel.as("n"), Seq("doc_id"), "full_outer")
+      .filter(col("o.fp").isNull || col("n.fp").isNull || col("o.fp") =!= col("n.fp"))
+      .count()
+    assert(mismatches == 0, s"$mismatches docs disagree between kernel and aggregate form")
+
+    // map-only, inside whole-stage codegen; fingerprints confined to 48 bits
+    val plan = viaKernel.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("Exchange"), plan)
+    assert(plan.contains("*(1)"), plan)
+    assert(viaKernel.filter(col("fp") < 0 || col("fp") >= (1L << 48)).count() == 0)
+  }
+
   test("native expressions stay inside whole-stage codegen (no ScalaUDF)") {
     GraftFunctions.register(spark)
     import spark.implicits._

@@ -173,9 +173,10 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // every reported hamming distance is correct and within tau
     val sigs = QueriesLLM.simhashAll(spark, dir)
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     pairs.foreach { case ((a, b), h) =>
-      val real = sigs(a).zip(sigs(b)).count { case (x, y) => x != y }
+      val real = ham(sigs(a), sigs(b))
       assert(real == h && h <= QueriesLLM.SimhashTau, s"pair ($a,$b): reported $h, real $real")
     }
 
@@ -185,7 +186,7 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ids = sigs.keys.toSeq.sorted
     val mustFind = for {
       i <- ids.indices; j <- (i + 1) until ids.length
-      h = sigs(ids(i)).zip(sigs(ids(j))).count { case (x, y) => x != y }
+      h = ham(sigs(ids(i)), sigs(ids(j)))
       if h <= 3
     } yield ((ids(i), ids(j)), h)
     assert(mustFind.nonEmpty, "fixture must contain hamming<=3 near-dup pairs")
