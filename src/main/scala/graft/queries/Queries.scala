@@ -220,6 +220,9 @@ object Queries {
     "q_corrupt_csv" -> (QueriesScalar.corruptCsv _),
     "q_csv_json_scan" -> (QueriesScalar.csvJsonScan _),
     "q_orc_scan" -> (QueriesScalar.orcScan _),
+    "q_xml_scan" -> (QueriesScalar.xmlScan _),
+    "q_binaryfile_scan" -> (QueriesScalar.binaryfileScan _),
+    "s_state_reader" -> (QueriesScalar.stateReader _),
     "s_tumbling" -> (QueriesScalar.streamTumbling _),
     "s_chained_windows" -> (QueriesScalar.streamChained _),
     "s_sliding" -> (QueriesScalar.streamSliding _),
@@ -819,6 +822,17 @@ object Queries {
         |  CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
         |FROM supplier WHERE s_nationkey < 10
         |GROUP BY 1 ORDER BY nationkey""".stripMargin,
+    "q_xml_scan" ->
+      """SELECT doc_id, lang, source, md5(trim(text)) AS text_md5
+        |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin,
+    "q_binaryfile_scan" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS length,
+        |  md5(text) AS content_md5
+        |FROM documents WHERE doc_id % 40 = 0 ORDER BY doc_id""".stripMargin,
+    "s_state_reader" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_json_funcs" ->
       """SELECT event_type, count(*) AS n,
         |  floor(avg(CAST(props->>'$.k' AS BIGINT)) * 100 + 0.5) / 100.0 AS avg_k,

@@ -135,6 +135,98 @@ object QueriesScalar {
       .orderBy(col("nationkey"))
   }
 
+  /** E65: native XML ingest (the StAX source that moved into Spark 4
+    * core) — a documents sample round-tripped through XML with one row
+    * element per `rowTag` and read back with schema inference; the
+    * oracle reads the original parquet, so equality (keys, dims, and
+    * the md5 of the free text) proves the escape/parse round-trip is
+    * lossless, including entity-escaped characters in the body text.
+    * XML is the interchange format legacy enterprise feeds still
+    * arrive in; the source splits by row element, so a 100 TB drop of
+    * XML files scans in parallel like any other file source.
+    * `ignoreSurroundingSpaces` (reader default) trims text nodes, so
+    * the compared md5 trims on both sides.
+    */
+  def xmlScan(s: SparkSession, dir: String): DataFrame = {
+    val loc = s"/tmp/graft_xml_docs_${math.abs(dir.hashCode)}"
+    if (!new java.io.File(loc, "_SUCCESS").exists()) synchronized {
+      if (!new java.io.File(loc, "_SUCCESS").exists())
+        t(s, dir, "documents").filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id"), col("lang"), col("source"), col("text"))
+          .write.mode("overwrite")
+          .option("rowTag", "doc").format("xml").save(loc)
+    }
+    s.read.format("xml").option("rowTag", "doc").load(loc)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("lang"), col("source"),
+        md5(trim(col("text"))).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** E66: binaryFile ingestion — the opaque-bytes source a multimodal
+    * corpus lands through: each file becomes one row of (path,
+    * modificationTime, length, content BINARY) with NO decode on read,
+    * so image/audio blobs flow into the engine as columns and the
+    * typed metadata joins back by id parsed from the path. The content
+    * md5 and byte length are oracled against the same bytes in the
+    * documents table (files are staged as the UTF-8 encoding of the
+    * text column). Length/modificationTime predicates prune at the
+    * file-listing level before any byte is read — the scan discipline
+    * that matters when the blobs are 100 TB of media.
+    */
+  def binaryfileScan(s: SparkSession, dir: String): DataFrame = {
+    val loc = stageBinaryDocs(s, dir)
+    s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(loc)
+      .select(
+        regexp_extract(col("path"), "doc_([0-9]+)\\.bin", 1).cast("long").as("doc_id"),
+        col("length"),
+        md5(col("content")).as("content_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def stageBinaryDocs(s: SparkSession, dir: String): String = {
+    val loc = s"/tmp/graft_bin_docs_${math.abs(dir.hashCode)}"
+    val marker = new java.io.File(loc, "_STAGED")
+    if (!marker.exists()) synchronized {
+      if (!marker.exists()) {
+        new java.io.File(loc).mkdirs()
+        // bounded driver-side fixture write (the nation-fixture
+        // precedent): one file per sampled doc, bytes = UTF-8 text
+        t(s, dir, "documents").filter(col("doc_id") % 40 === 0)
+          .select(col("doc_id"), col("text")).collect()
+          .foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(loc, s"doc_${r.getLong(0)}.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      }
+    }
+    loc
+  }
+
+  /** S12 wrapper: run the keyed streaming aggregation to completion on
+    * a staged copy of the corpus events, then read the final per-user
+    * state DIRECTLY off the checkpoint with the `statestore` batch
+    * source — after the finite stream drains, the aggregation state IS
+    * the batch group-by, which is exactly what the oracle asserts.
+    */
+  def stateReader(s: SparkSession, dir: String): DataFrame = {
+    val tag = math.abs(dir.hashCode)
+    val src = java.nio.file.Paths.get(s"/tmp/graft_state_src_$tag")
+    if (!java.nio.file.Files.exists(src.resolve("events.parquet"))) synchronized {
+      if (!java.nio.file.Files.exists(src.resolve("events.parquet"))) {
+        java.nio.file.Files.createDirectories(src)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          src.resolve("events.parquet"))
+      }
+    }
+    graft.streaming.StreamingQueries
+      .runStateInspect(s, src.toString, s"/tmp/graft_state_ckpt_$tag")
+      .orderBy(col("user_id"))
+  }
+
   /** E25b: map functions — per-user event-type histogram built as a
     * MapType column (`map_from_entries`), then queried with
     * `element_at` / `map_keys` / `size`. The map projections are

@@ -214,6 +214,46 @@ object StreamingQueries {
     spark.read.parquet(targetDir)
   }
 
+  /** S12: offline state-store inspection — the `statestore` batch
+    * source reads a streaming query's keyed state directly off its
+    * checkpoint: run the per-user aggregation to completion (sink is a
+    * no-op foreachBatch; only the state matters), then query the final
+    * state with no streaming query running. This is the operational
+    * surface a production pipeline needs — state-size audits, skew
+    * diagnosis per `partition_id`, state migration dry-runs — and it
+    * reads the same HDFS-backed store files the executors wrote, one
+    * state row per aggregation key, partitioned exactly as the shuffle
+    * that produced them. The value struct carries the aggregation
+    * BUFFER fields in declaration order (count, sum), renamed
+    * positionally: buffer layout is the engine's, names are ours.
+    */
+  def runStateInspect(spark: SparkSession, eventsDir: String,
+      checkpointDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(checkpointDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(checkpointDir), true)
+    val agg = readEventsStream(spark, eventsDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("value_cents"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      // the sink must DRAIN every partition or the state stores never
+      // commit (commit validation counts per-partition store commits);
+      // the noop writer is the cheapest full pass
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.write.format("noop").mode("overwrite").save()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.format("statestore").option("path", checkpointDir).load()
+      .select(col("key.user_id").as("user_id"),
+        col("value.*"))
+      .toDF("user_id", "n_events", "value_cents")
+  }
+
   /** S5: arbitrary stateful processing — running per-user event count
     * and cumulative value via flatMapGroupsWithState.
     */
