@@ -50,12 +50,18 @@ object GraftFunctions {
   }
 
   /** Sequential left-to-right double dot product of two float vectors.
-    * Bitwise-deterministic: both Spark `aggregate` and DuckDB `list_sum`
-    * fold left-to-right over the same widened doubles.
+    * Bitwise-deterministic: the native [[VecDotExpr]] kernel, Spark's
+    * `aggregate(zip_with(...))` fold, and DuckDB `list_sum` all fold
+    * left-to-right over the same widened doubles — the kernel just does
+    * it inside whole-stage codegen instead of per-element interpreted
+    * lambdas (HOFs are CodegenFallback; measured ~4× on the pair
+    * loops). Requires [[register]] on the session (all X3/X17 query
+    * builders call it).
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Integer companion for the SQ8 path: wrapping 64-bit fold. */
+  def dotI64(a: Column, b: Column): Column = call_function("vec_dot_i64", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -109,6 +115,13 @@ object GraftFunctions {
       exprs => MinHashSigsExpr(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("simhash48",
       exprs => SimHash48Expr(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("vec_dot",
+      exprs => VecDotExpr(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("vec_dot_i64",
+      exprs => VecDotLongExpr(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("lsh_sign_bits",
+      exprs => LshSignBitsExpr(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 
   /** Register the clustered-convert range router with THIS convert's
@@ -131,6 +144,8 @@ object GraftFunctions {
   def zorder2(x: Column, y: Column): Column = call_function("zorder2", x, y)
   def minhashSigs(c: Column): Column = call_function("minhash_sigs", c)
   def simhash48(c: Column): Column = call_function("simhash48", c)
+  def lshSignBits(v: Column, nBits: Int): Column =
+    call_function("lsh_sign_bits", v, lit(nBits))
 }
 
 /** Bounded-memory top-k-per-key aggregate (E14b): keeps the k largest

@@ -258,6 +258,142 @@ case class SimHash48Expr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash48"
 }
 
+/** Float-vector dot product kernel (X3/X17 hot path): sequential
+  * left-to-right double accumulation over ARRAY<FLOAT> pairs — the
+  * EXACT IEEE operation order of the portable higher-order-function
+  * fold (`aggregate(zip_with(...))`, GraftFunctions.dot), so results
+  * are bitwise-identical to the DuckDB oracle's `list_sum` fold, but
+  * the loop runs inside whole-stage codegen instead of per-element
+  * interpreted lambda dispatch (HOFs are CodegenFallback). Every
+  * pairwise similarity in the ANN/kNN family funnels through this.
+  * Mismatched lengths yield null (zip_with pads with null, which
+  * nulls the fold); null ELEMENTS are out of contract (embeddings are
+  * dense) — kept cheap on purpose.
+  */
+object VecDot {
+  def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}
+
+/** vec_dot (X3): (ARRAY<FLOAT>, ARRAY<FLOAT>) → DOUBLE. See [[VecDot]]. */
+case class VecDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = VecDot.dot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    if (r == null) null else r.doubleValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.VecDot.dot($a, $b);
+      ${ev.isNull} = ${ev.value}_r == null;
+      ${ev.value} = ${ev.isNull} ? 0.0 : ${ev.value}_r.doubleValue();
+    """)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_dot"
+}
+
+/** Integer-vector dot product kernel (X3 SQ8 hot path): same contract
+  * as [[VecDot]] but over ARRAY<BIGINT> with 64-bit wrapping adds —
+  * identical to the non-ANSI `aggregate(zip_with(a,b,x*y),0L,+)` fold
+  * and to DuckDB's BIGINT arithmetic at the oracle's value range.
+  */
+object VecDotLong {
+  def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+}
+
+/** vec_dot_i64 (X3): (ARRAY<BIGINT>, ARRAY<BIGINT>) → BIGINT. */
+case class VecDotLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = VecDotLong.dot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    if (r == null) null else r.longValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Long ${ev.value}_r = graft.functions.VecDotLong.dot($a, $b);
+      ${ev.isNull} = ${ev.value}_r == null;
+      ${ev.value} = ${ev.isNull} ? 0L : ${ev.value}_r.longValue();
+    """)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotLongExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_dot_i64"
+}
+
+/** Sign-LSH plane projections (X3 scale path #1): all `nBits`
+  * pseudo-hyperplane sign bits of a float vector in one pass. Plane p's
+  * element j is sin(p·64 + j + 1) — the same deterministic
+  * pseudo-random plane family the HOF form builds with
+  * `zip_with(v, sequence(...), x·sin(j))`, evaluated with the same
+  * left-to-right double fold (Math.sin == Spark's SIN codegen), so
+  * bits are identical; the 24-fold interpreted per-plane evaluation
+  * collapses into one codegen'd loop nest.
+  */
+object LshSignBits {
+  def bits(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      nBits: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = new Array[Int](nBits)
+    var p = 0
+    while (p < nBits) {
+      var acc = 0.0
+      var j = 0
+      while (j < 64) {
+        acc += v.getFloat(j).toDouble * java.lang.Math.sin((p * 64 + j + 1).toDouble)
+        j += 1
+      }
+      out(p) = if (acc >= 0) 1 else 0
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** lsh_sign_bits (X3): (ARRAY<FLOAT>, nBits literal) → ARRAY<INT>. */
+case class LshSignBitsExpr(child: Expression, nBits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    LshSignBits.bits(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], nBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LshSignBits.bits($c, $nBits)")
+  override protected def withNewChildInternal(newChild: Expression): LshSignBitsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "lsh_sign_bits"
+}
+
 /** Bitcoin Core amount decompression (C3): BIGINT → BIGINT. */
 case class DecompressAmountExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

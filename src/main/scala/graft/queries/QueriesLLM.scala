@@ -221,6 +221,7 @@ object QueriesLLM {
     // norms precomputed per vector BEFORE the pair join: O(N·d) once
     // instead of O(N²·d) inside it; sqrt of the same sequential fold →
     // bitwise-identical sims, 3× less per-pair arithmetic
+    graft.functions.GraftFunctions.register(s) // native vec_dot kernel
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
@@ -250,6 +251,7 @@ object QueriesLLM {
     * smaller vec_id — fully deterministic.
     */
   def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // native vec_dot kernel
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
@@ -341,6 +343,7 @@ object QueriesLLM {
     * mirroring [[cosineTopk]].
     */
   def annQuantized(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // native vec_dot_i64 kernel
     val q8 = t(s, dir, "embeddings")
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -357,7 +360,7 @@ object QueriesLLM {
     qs.crossJoin(cs)
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        (aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y), lit(0L), (a, x) => a + x)
+        (dotI64(col("qa"), col("qb"))
           / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))).as("sim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
@@ -377,17 +380,14 @@ object QueriesLLM {
     * recall ≥ 0.5 vs [[cosineTopk]].
     */
   def annLsh(s: SparkSession, dir: String, tables: Int = 4, bitsPerTable: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = t(s, dir, "embeddings")
     val nBits = tables * bitsPerTable
-    // deterministic pseudo-hyperplanes: element j of plane p = sin(1 + p*64 + j)
+    // deterministic pseudo-hyperplanes: element j of plane p =
+    // sin(1 + p*64 + j), all nBits projections in one codegen kernel
+    // pass (the HOF form evaluated 24 interpreted folds per row)
     def bitArr(v: Column): Column =
-      array((0 until nBits).map { p =>
-        val proj = aggregate(
-          zip_with(v, sequence(lit(p * 64 + 1), lit(p * 64 + 64)),
-            (x, j) => x.cast("double") * sin(j.cast("double"))),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj >= 0, 1).otherwise(0)
-      }: _*)
+      graft.functions.GraftFunctions.lshSignBits(v, nBits)
     // materialize once: the candidate index and the probe side both fork
     // from this frame, and the 24 plane projections are the expensive
     // part (at corpus scale the index side would be a precomputed table)
@@ -439,6 +439,7 @@ object QueriesLLM {
     * Rows-only check; IvfSpec measures recall vs [[cosineTopk]].
     */
   def annIvf(s: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     import s.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.{Vector => MlVector}
@@ -492,6 +493,7 @@ object QueriesLLM {
     * all-pairs join.
     */
   def embedDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // native vec_dot kernel
     val e = t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0)
     // norms once per vector, not per pair (see cosineTopk)
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"),

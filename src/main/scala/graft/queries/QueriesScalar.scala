@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -70,10 +70,16 @@ object QueriesScalar {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** E24: array functions over embeddings (sequential double folds —
-    * bitwise-reproducible in the oracle).
+    * bitwise-reproducible in the oracle). This query deliberately KEEPS
+    * the built-in higher-order-function forms (`aggregate`/`zip_with`)
+    * — it is the declared HOF surface; the hot pair loops elsewhere use
+    * the bit-identical native vec_dot kernel.
     */
   def arrayFuncs(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.GraftFunctions.{dot, norm}
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    def norm(a: Column): Column = sqrt(dot(a, a))
     t(s, dir, "embeddings")
       .filter(col("vec_id") % 10 === 0)
       .select(

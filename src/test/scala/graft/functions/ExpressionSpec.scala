@@ -176,6 +176,50 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaKernel.filter(col("fp") < 0 || col("fp") >= (1L << 48)).count() == 0)
   }
 
+  test("vec_dot / vec_dot_i64 / lsh_sign_bits: bitwise-identical to the HOF folds") {
+    GraftFunctions.register(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+
+    // float dot: EXACT double equality (same IEEE op order), not approx
+    val dd = e.select(col("vec_id"),
+        hofDot(col("embedding"), col("embedding")).as("h"),
+        GraftFunctions.dot(col("embedding"), col("embedding")).as("k"))
+      .filter(col("h") =!= col("k")).count()
+    assert(dd == 0, s"$dd vectors differ between HOF and kernel dot")
+
+    // integer dot over the SQ8 arrays: exact long equality
+    val q = e.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10.0 + 0.5) AS BIGINT))").as("qv"))
+    val di = q.select(
+        aggregate(zip_with(col("qv"), col("qv"), (x, y) => x * y),
+          lit(0L), (a, x) => a + x).as("h"),
+        GraftFunctions.dotI64(col("qv"), col("qv")).as("k"))
+      .filter(col("h") =!= col("k")).count()
+    assert(di == 0, s"$di vectors differ between HOF and kernel i64 dot")
+
+    // sign-LSH bits: same plane family, same fold, same bits
+    val nBits = 24
+    val hofBits = array((0 until nBits).map { p =>
+      val proj = aggregate(
+        zip_with(col("embedding"), sequence(lit(p * 64 + 1), lit(p * 64 + 64)),
+          (x, j) => x.cast("double") * sin(j.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, 1).otherwise(0)
+    }: _*)
+    val db = e.select(hofBits.as("h"),
+        GraftFunctions.lshSignBits(col("embedding"), nBits).as("k"))
+      .filter(col("h") =!= col("k")).count()
+    assert(db == 0, s"$db vectors differ between HOF and kernel sign bits")
+
+    // mismatched lengths null out, mirroring zip_with's null padding
+    val bad = e.limit(1).select(
+      GraftFunctions.dot(col("embedding"), slice(col("embedding"), 1, 8)).as("d"))
+    assert(bad.head().isNullAt(0))
+  }
+
   test("native expressions stay inside whole-stage codegen (no ScalaUDF)") {
     GraftFunctions.register(spark)
     import spark.implicits._
