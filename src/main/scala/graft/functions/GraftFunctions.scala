@@ -39,15 +39,14 @@ object GraftFunctions {
   /** Word k-shingles of a text column: array of the n-k+1 space-joined
     * k-grams (empty when the text has fewer than k tokens). DuckDB
     * mirror: `list_transform(range(len(toks)-k+1), i ->
-    * array_to_string(toks[i+1:i+k], ' '))`.
+    * array_to_string(toks[i+1:i+k], ' '))`. Served by the native
+    * [[WordShinglesExpr]] kernel (identical strings, whole-stage
+    * codegen; the transform+slice HOF form it replaces is interpreted
+    * per element). Requires [[register]] — `Queries.t` registers on
+    * every session that touches a table.
     */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, k: Int): Column =
+    call_function("word_shingles", text, lit(k))
 
   /** Sequential left-to-right double dot product of two float vectors.
     * Bitwise-deterministic: the native [[VecDotExpr]] kernel, Spark's
@@ -101,6 +100,9 @@ object GraftFunctions {
     * one Aggregator.
     */
   def register(spark: SparkSession): Unit = {
+    // idempotent fast path: Queries.t calls this on every table read
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles"))) return
     spark.udf.register("geo_mean", udaf(GeoMean))
     spark.udf.register("top_k3",
       udaf(new TopKAgg(3), Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)))
@@ -121,6 +123,9 @@ object GraftFunctions {
       exprs => VecDotLongExpr(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("lsh_sign_bits",
       exprs => LshSignBitsExpr(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    registry.createOrReplaceTempFunction("word_shingles",
+      exprs => WordShinglesExpr(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 

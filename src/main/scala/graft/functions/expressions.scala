@@ -394,6 +394,48 @@ case class LshSignBitsExpr(child: Expression, nBits: Int)
   override def prettyName: String = "lsh_sign_bits"
 }
 
+/** Word k-shingle kernel (X2/X9 hot path): the array of n−k+1
+  * space-joined k-grams in one pass — same output strings as the HOF
+  * form (`transform(sequence(...), i -> concat_ws(' ', slice(toks,
+  * i+1, k)))`, GraftFunctions.shingles' original shape) and the DuckDB
+  * `list_transform` oracle mirror, including the empty array for texts
+  * with fewer than k tokens. String construction per shingle is
+  * unavoidable either way; what the kernel removes is the interpreted
+  * per-element lambda dispatch of transform+slice (CodegenFallback) on
+  * every near-dup/decontamination/collocation scan.
+  */
+object WordShingles {
+  private val SPACE = UTF8String.fromString(" ")
+
+  def shingles(text: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = text.split(SPACE, -1)
+    val n = toks.length - k + 1
+    if (n <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = UTF8String.concatWs(SPACE,
+        java.util.Arrays.copyOfRange(toks, i, i + k): _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** word_shingles (X2): (STRING, k literal) → ARRAY<STRING>. */
+case class WordShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    WordShingles.shingles(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.shingles($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingles"
+}
+
 /** Bitcoin Core amount decompression (C3): BIGINT → BIGINT. */
 case class DecompressAmountExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

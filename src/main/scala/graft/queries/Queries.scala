@@ -38,6 +38,9 @@ object Queries {
     // oracle parity requires UTC regardless of how the caller built the
     // session (NTZ→LTZ casts and epoch renders are TZ-sensitive)
     s.conf.set("spark.sql.session.timeZone", "UTC")
+    // every query builder funnels through here: make the native kernel
+    // functions (vec_dot, word_shingles, ...) resolvable everywhere
+    graft.functions.GraftFunctions.register(s)
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(s"$dir/$name.parquet")

@@ -220,6 +220,27 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.head().isNullAt(0))
   }
 
+  test("word_shingles kernel: identical strings to the transform+slice HOF form") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    def hofShingles(text: org.apache.spark.sql.Column, k: Int) = {
+      val toks = split(text, " ")
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+      .union(Seq("", "one", "one two", "a b c d e", "x  y").toDF("text"))
+    for (k <- Seq(2, 3, 5)) {
+      val diff = docs.select(hofShingles(col("text"), k).as("h"),
+          GraftFunctions.shingles(col("text"), k).as("n"))
+        .filter(col("h") =!= col("n")).count()
+      assert(diff == 0, s"k=$k: $diff texts disagree between kernel and HOF shingles")
+    }
+  }
+
   test("native expressions stay inside whole-stage codegen (no ScalaUDF)") {
     GraftFunctions.register(spark)
     import spark.implicits._
