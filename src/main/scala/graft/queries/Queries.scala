@@ -236,7 +236,7 @@ object Queries {
     "x_exact_dedup" -> (QueriesLLM.exactDedup _),
     "x_dedup_stats" -> (QueriesLLM.dedupStats _),
     "x_minhash_sig" -> (QueriesLLM.minhashSig _),
-    "x_minhash_lsh" -> (QueriesLLM.minhashLshPairs _),
+    "x_minhash_lsh" -> (QueriesLLM.minhashLshPairsUncached _),
     "x_ngram_jaccard" -> (QueriesLLM.ngramJaccard _),
     "x_simhash" -> (QueriesLLM.simhash _),
     "x_simhash_near_dup" -> (QueriesLLM.simhashNearDup _),
