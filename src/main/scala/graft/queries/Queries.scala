@@ -169,6 +169,8 @@ object Queries {
     "q_explode_outer" -> (QueriesScalar.explodeOuter _),
     "q_range_shard" -> (QueriesRel.rangeShard _),
     "q_sessionize" -> (QueriesRel.sessionize _),
+    "q_funnel" -> (QueriesRel.funnel _),
+    "q_cohort_retention" -> (QueriesRel.cohortRetention _),
     "x_dup_ngram_spans" -> (QueriesLLM.dupNgramSpans _),
     "x_near_dedup_keep" -> ((s: SparkSession, dir: String) =>
       QueriesLLM.nearDedupKeep(s, dir)),
@@ -832,6 +834,28 @@ object Queries {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS length,
         |  md5(text) AS content_md5
         |FROM documents WHERE doc_id % 40 = 0 ORDER BY doc_id""".stripMargin,
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |s1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ms END) AS t1
+        |       FROM ev GROUP BY user_id
+        |       HAVING min(CASE WHEN event_type = 'view' THEN ms END) IS NOT NULL),
+        |s2 AS (SELECT ev.user_id, t1,
+        |         min(CASE WHEN event_type = 'click' AND ms > t1 THEN ms END) AS t2
+        |       FROM ev JOIN s1 USING (user_id) GROUP BY ev.user_id, t1),
+        |s3 AS (SELECT ev.user_id, t1, t2,
+        |         min(CASE WHEN event_type = 'purchase' AND ms > t2 THEN ms END) AS t3
+        |       FROM ev JOIN s2 USING (user_id) GROUP BY ev.user_id, t1, t2)
+        |SELECT count(*) AS n_view, count(t2) AS n_view_click,
+        |  count(t3) AS n_full_funnel,
+        |  CAST(sum(CASE WHEN t3 IS NOT NULL THEN t3 - t1 END) AS BIGINT) AS sum_funnel_ms
+        |FROM s3""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, (epoch_ms(ts) // 86400000) // 7 AS week FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  count(DISTINCT ev.user_id) AS n_active_users
+        |FROM ev JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s_state_reader" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents

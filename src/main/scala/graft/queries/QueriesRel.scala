@@ -1423,6 +1423,59 @@ object QueriesRel {
       .orderBy(col("check_name"))
   }
 
+  /** E67: ordered funnel analysis — the product-analytics staple: how
+    * many users progress view → click → purchase IN ORDER. Each stage's
+    * entry time is the user's first qualifying event STRICTLY AFTER the
+    * previous stage's entry (a click before the first view doesn't
+    * count). Shape: one keyed aggregation for stage 1, then one
+    * key-partitioned join + aggregation per stage — every step shuffles
+    * on user_id only, so the funnel scales with users, and conditional
+    * `min(CASE ...)` aggregates keep each step a single pass. Counts
+    * are exact integers; timestamps compare as epoch millis.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val s1 = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ms"))).as("t1"))
+      .filter(col("t1").isNotNull)
+    val s2 = ev.join(s1, "user_id")
+      .groupBy(col("user_id"), col("t1"))
+      .agg(min(when(col("event_type") === "click" && col("ms") > col("t1"),
+        col("ms"))).as("t2"))
+    val s3 = ev.join(s2, "user_id")
+      .groupBy(col("user_id"), col("t1"), col("t2"))
+      .agg(min(when(col("event_type") === "purchase" && col("ms") > col("t2"),
+        col("ms"))).as("t3"))
+    s3.agg(
+        count(lit(1)).as("n_view"),
+        count(col("t2")).as("n_view_click"),
+        count(col("t3")).as("n_full_funnel"),
+        sum(when(col("t3").isNotNull, col("t3") - col("t1"))).as("sum_funnel_ms"))
+  }
+
+  /** E68: cohort retention — users grouped by first-activity week, each
+    * cohort's surviving actives counted at every week offset (the
+    * retention-curve matrix every growth dashboard draws). Two keyed
+    * aggregations: first-seen per user, then distinct (cohort, offset,
+    * user) → counts; both shuffle on bounded keys. Week arithmetic is
+    * explicit epoch-day division (identical in both engines, no
+    * WEEK() locale trap): week index = days-since-epoch DIV 7.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("(unix_millis(ts) div 86400000) div 7").as("week"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    ev.join(first, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** E46: equi-width histogram — bucket index as explicit floor
     * arithmetic (`least(floor(v / w), n-1)`) rather than an
     * engine-specific `width_bucket`: the same double division and floor
