@@ -36,7 +36,9 @@ object Bench {
     // round-3 widening: map-only classifier scan, VARIANT parse
     // throughput, iterative integer PageRank over the LSH graph,
     // runtime-pruned star join
-    "x_quality_classify", "q_variant", "x_pagerank", "q_join_dpp")
+    "x_quality_classify", "q_variant", "x_pagerank", "q_join_dpp",
+    // round-3 second pass: funnel + cohort analytics over events
+    "q_funnel", "q_cohort_retention")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -67,6 +69,11 @@ object Bench {
     try graft.queries.QueriesRel.bucketedTables(spark, sfDir) catch { case _: Throwable => () }
     try graft.queries.QueriesRel.zorderedLineitem(spark, sfDir) catch { case _: Throwable => () }
     try graft.queries.QueriesRel.partitionedOrders(spark, sfDir) catch { case _: Throwable => () }
+    // warm the shared LSH candidate-pair materialization (same pay-once
+    // rule as the layouts): its consumers (cluster dedup, PageRank)
+    // then time their own marginal work, while x_minhash_lsh itself
+    // times the full un-memoized build every iteration
+    try graft.queries.QueriesLLM.minhashLshPairs(spark, sfDir) catch { case _: Throwable => () }
 
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
