@@ -48,6 +48,10 @@ object GraftFunctions {
   def shingles(text: Column, k: Int): Column =
     call_function("word_shingles", text, lit(k))
 
+  /** Non-overlapping k-token chunks (see [[WordChunksExpr]]). */
+  def wordChunks(text: Column, k: Int): Column =
+    call_function("word_chunks", text, lit(k))
+
   /** Sequential left-to-right double dot product of two float vectors.
     * Bitwise-deterministic: the native [[VecDotExpr]] kernel, Spark's
     * `aggregate(zip_with(...))` fold, and DuckDB `list_sum` all fold
@@ -126,6 +130,9 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     registry.createOrReplaceTempFunction("word_shingles",
       exprs => WordShinglesExpr(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    registry.createOrReplaceTempFunction("word_chunks",
+      exprs => WordChunksExpr(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 

@@ -423,6 +423,42 @@ object WordShingles {
   }
 }
 
+/** Non-overlapping word chunks (X15 hot path): ceil(n/k) space-joined
+  * runs of up to k tokens — same strings as the
+  * `transform(sequence(...), i -> concat_ws(' ', slice(words, i·k+1,
+  * k)))` HOF build (including the final short chunk and the single
+  * empty chunk for empty text), one codegen pass.
+  */
+object WordChunks {
+  private val SPACE = UTF8String.fromString(" ")
+
+  def chunks(text: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = text.split(SPACE, -1)
+    val n = (toks.length + k - 1) / k
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = UTF8String.concatWs(SPACE, java.util.Arrays.copyOfRange(
+        toks, i * k, math.min(i * k + k, toks.length)): _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** word_chunks (X15): (STRING, k literal) → ARRAY<STRING>. */
+case class WordChunksExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    WordChunks.chunks(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordChunks.chunks($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): WordChunksExpr =
+    copy(child = newChild)
+  override def prettyName: String = "word_chunks"
+}
+
 /** word_shingles (X2): (STRING, k literal) → ARRAY<STRING>. */
 case class WordShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType =

@@ -1065,12 +1065,12 @@ object QueriesLLM {
       .select(col("doc_id"), col("words"),
         size(col("words")).cast("long").as("n_words"),
         size(array_distinct(col("words"))).cast("long").as("n_distinct_words"))
-    val top = base.filter(col("n_words") >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("words")) - 1),
-          i => concat_ws(" ",
-            element_at(col("words"), i),
-            element_at(col("words"), i + 1)))).as("bigram"))
+    // bigrams from the native word_shingles kernel (k=2): identical
+    // strings to the transform/element_at HOF build, zero interpreted
+    // per-element dispatch; texts with <2 tokens yield an empty array,
+    // which explode drops — the same rows the n_words>=2 filter kept
+    val top = t(s, dir, "documents")
+      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bigram"))
       .groupBy(col("doc_id"), col("bigram"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -1117,12 +1117,10 @@ object QueriesLLM {
     * is an ordinary distributive aggregate.
     */
   def chunkDedup(s: SparkSession, dir: String): DataFrame = {
+    // chunks from the native word_chunks kernel: identical strings to
+    // the transform+slice HOF build, zero interpreted dispatch
     val ch = t(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("words"))
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), (ceil(size(col("words")) / lit(8.0)).cast("int") - 1)),
-          i => concat_ws(" ", slice(col("words"), i * 8 + 1, lit(8))))))
+      .select(col("doc_id"), posexplode(wordChunks(col("text"), 8)))
       .select(col("doc_id"), col("pos"), col("col").as("chunk"))
     val owner = ch.groupBy(col("chunk"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("own"))

@@ -239,6 +239,20 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
         .filter(col("h") =!= col("n")).count()
       assert(diff == 0, s"k=$k: $diff texts disagree between kernel and HOF shingles")
     }
+
+    // word_chunks vs the transform+slice HOF build (incl. short tail
+    // chunk and the single empty chunk for empty text)
+    def hofChunks(text: org.apache.spark.sql.Column, k: Int) = {
+      val words = split(text, " ")
+      transform(sequence(lit(0), (ceil(size(words) / lit(k.toDouble)).cast("int") - 1)),
+        i => concat_ws(" ", slice(words, i * k + 1, lit(k))))
+    }
+    for (k <- Seq(3, 8)) {
+      val diff = docs.select(hofChunks(col("text"), k).as("h"),
+          GraftFunctions.wordChunks(col("text"), k).as("n"))
+        .filter(col("h") =!= col("n")).count()
+      assert(diff == 0, s"k=$k: $diff texts disagree between kernel and HOF chunks")
+    }
   }
 
   test("native expressions stay inside whole-stage codegen (no ScalaUDF)") {
