@@ -246,6 +246,7 @@ object Queries {
     "x_ann_lsh" -> ((s: SparkSession, dir: String) => QueriesLLM.annLsh(s, dir)),
     "x_ann_quantized" -> (QueriesLLM.annQuantized _),
     "x_ann_ivf" -> ((s: SparkSession, dir: String) => QueriesLLM.annIvf(s, dir)),
+    "x_ann_pq" -> ((s: SparkSession, dir: String) => QueriesLLM.annIvfPq(s, dir)),
     "x_embed_dedup" -> (QueriesLLM.embedDedup _),
     "x_lang_id" -> (QueriesLLM.langIdQuery _),
     "x_quality" -> (QueriesLLM.qualityQuery _),

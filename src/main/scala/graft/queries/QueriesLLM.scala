@@ -505,6 +505,106 @@ object QueriesLLM {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** X3 scale path #4: IVF-PQ — the FAISS-style composition that makes
+    * billion-vector search fit in memory: a coarse IVF index prunes the
+    * search to `nprobe` cells, and inside them candidates are scored
+    * against 8-byte PRODUCT-QUANTIZED codes (m=8 subspaces × 8 dims,
+    * 16 centroids each) instead of 256-byte float vectors — a 32×
+    * memory cut, which at 100 TB is the difference between an index
+    * that lives in RAM and one that pages. Scoring is asymmetric
+    * (ADC): the query stays float; each (query, subspace, code) partial
+    * dot is precomputed into a 128-entry-per-query lookup table
+    * (driver-small, broadcast), and a candidate's score is the sum of
+    * its 8 table hits. Ranking divides by the PQ-reconstructed
+    * candidate norm (the query norm is constant per query and cannot
+    * change its ranking). Codebooks are seeded KMeans — deterministic;
+    * rows-only (KMeans is not SQL-expressible); LshSpec pins a recall
+    * floor vs [[cosineTopk]] and the 8-byte code width.
+    */
+  def annIvfPq(s: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4,
+      m: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    val subDim = 64 / m
+    val e = t(s, dir, "embeddings")
+    val feat = e.withColumn("features",
+      org.apache.spark.ml.functions.array_to_vector(col("embedding")))
+      .localCheckpoint()
+    // coarse IVF quantizer (same family as annIvf)
+    val coarse = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features").fit(feat)
+    var assigned = coarse.transform(feat)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    // per-subspace codebooks + candidate codes: m seeded KMeans fits on
+    // the 8-dim slices; each transform appends one code column
+    val subModels = (0 until m).map { j =>
+      val sub = assigned.withColumn("subf",
+        org.apache.spark.ml.functions.array_to_vector(
+          slice(col("embedding"), j * subDim + 1, subDim)))
+      val model = new KMeans().setK(16).setSeed(42L + j).setMaxIter(5)
+        .setFeaturesCol("subf").setPredictionCol(s"code_$j").fit(sub)
+      assigned = model.transform(
+        assigned.withColumn("subf",
+          org.apache.spark.ml.functions.array_to_vector(
+            slice(col("embedding"), j * subDim + 1, subDim))))
+        .drop("subf")
+      model
+    }
+    val codes = assigned.select(col("vec_id").as("cand_id"), col("cell"),
+      array((0 until m).map(j => col(s"code_$j")): _*).as("codes"))
+      .localCheckpoint()
+    // codebook as a broadcastable (subspace, code, centroid, norm2) table
+    val book = subModels.zipWithIndex.flatMap { case (model, j) =>
+      model.clusterCenters.zipWithIndex.map { case (c, code) =>
+        val arr = c.toArray
+        (j, code, arr, arr.map(x => x * x).sum)
+      }
+    }.toSeq.toDF("j", "code", "centroid", "cnorm2")
+    // PQ-reconstructed candidate norm²: sum of its code centroids'
+    val candNorm = codes.select(col("cand_id"),
+        posexplode(col("codes")).as(Seq("j", "code")))
+      .join(broadcast(book.select(col("j"), col("code"), col("cnorm2"))), Seq("j", "code"))
+      .groupBy(col("cand_id")).agg(sum(col("cnorm2")).as("approx_norm2"))
+    // query side: float vectors, nprobe nearest coarse cells
+    val cents = coarse.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
+    val qs = feat.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))
+    val probes = qs.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cell"),
+        aggregate(zip_with(col("qv"), col("centroid"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (acc, v) => acc + v).as("d2"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    // ADC lookup table: <q_subvector, centroid> per (query, subspace,
+    // code) — queries × m × 16 rows, broadcast to the candidate join
+    val lut = qs.crossJoin(broadcast(book))
+      .select(col("query_id"), col("j"), col("code"),
+        graft.functions.GraftFunctions.dot(
+          slice(col("qv"), col("j") * subDim + 1, lit(subDim)),
+          col("centroid").cast("array<float>")).as("partial"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    probes.join(codes, "cell")
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        posexplode(col("codes")).as(Seq("j", "code")))
+      .join(broadcast(lut), Seq("query_id", "j", "code"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("partial")).as("adc_dot"))
+      .join(candNorm, "cand_id")
+      .withColumn("score", col("adc_dot") / sqrt(col("approx_norm2")))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("cand_id"), col("rnk"),
+        Queries.fround(col("score"), 4).as("pq_score"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** X2/X3: embedding-cosine near-dup dedup — the vector analogue of
     * [[exactDedup]]: every sampled vector with a lower-id neighbor at
     * cosine ≥ 0.3 is assigned that neighbor set's min id as canonical

@@ -158,6 +158,22 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.2, s"IVF recall $recall below floor")
   }
 
+  test("IVF-PQ ANN: 8-byte codes still recall brute-force neighbors") {
+    val exact = QueriesLLM.cosineTopk(spark, dir)
+      .select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = QueriesLLM.annIvfPq(spark, dir)
+    val rows = pq.collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every query answered with exactly top-3 candidates
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 3))
+    // PQ stacks quantization error on IVF's pruning (same nprobe/k as
+    // the IVF floor test) — random 64-dim data is the worst case for
+    // an 8x16 codebook, so the floor is modest but real
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.1, s"IVF-PQ recall $recall below floor")
+  }
+
   test("simhash near-dup property: identical docs get identical signatures") {
     val sigs = QueriesLLM.simhash(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
