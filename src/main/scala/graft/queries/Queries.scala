@@ -247,6 +247,7 @@ object Queries {
     "x_ann_quantized" -> (QueriesLLM.annQuantized _),
     "x_ann_ivf" -> ((s: SparkSession, dir: String) => QueriesLLM.annIvf(s, dir)),
     "x_ann_pq" -> ((s: SparkSession, dir: String) => QueriesLLM.annIvfPq(s, dir)),
+    "x_embed_centroid" -> (QueriesLLM.embedCentroid _),
     "x_embed_dedup" -> (QueriesLLM.embedDedup _),
     "x_lang_id" -> (QueriesLLM.langIdQuery _),
     "x_quality" -> (QueriesLLM.qualityQuery _),
@@ -835,6 +836,14 @@ object Queries {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS length,
         |  md5(text) AS content_md5
         |FROM documents WHERE doc_id % 40 = 0 ORDER BY doc_id""".stripMargin,
+    "x_embed_centroid" ->
+      """SELECT label, pos, count(*) AS n,
+        |  CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+        |    // count(*) AS BIGINT) AS centroid_micro
+        |FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+        |        unnest(embedding) AS v
+        |      FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "q_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
         |s1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ms END) AS t1

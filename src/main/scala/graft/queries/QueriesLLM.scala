@@ -605,6 +605,29 @@ object QueriesLLM {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** X30: per-group embedding centroid — element-wise mean vectors per
+    * label, the building block behind domain embeddings, class
+    * prototypes, and IVF codebook seeding. The scalable shape:
+    * posexplode to (group, position, value) — linear in corpus·dim —
+    * then ONE hash aggregation keyed on (group, position); never a
+    * collect-and-average on the driver, and never an array-typed
+    * aggregation buffer (which forces sort-based aggregation). Float
+    * sums are order-dependent, so values go through exact integer
+    * micro-units (half-up at 1e-6) — the same aggregate in any
+    * partition order and in DuckDB, making a FLOAT-vector mean fully
+    * oracle-checkable.
+    */
+  def embedCentroid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos"),
+        expr("CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)").as("micro"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("micro")).as("sum_micro"))
+      .withColumn("centroid_micro", expr("sum_micro DIV n"))
+      .select(col("label"), col("pos"), col("n"), col("centroid_micro"))
+      .orderBy(col("label"), col("pos"))
+
   /** X2/X3: embedding-cosine near-dup dedup — the vector analogue of
     * [[exactDedup]]: every sampled vector with a lower-id neighbor at
     * cosine ≥ 0.3 is assigned that neighbor set's min id as canonical
