@@ -605,6 +605,57 @@ object QueriesLLM {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** X31: BPE merge training — the tokenizer-training core, in the
+    * shape that scales: BPE trains on the WORD-FREQUENCY TABLE, not
+    * the raw corpus (one corpus aggregation up front; every merge
+    * round then touches vocabulary-sized data, which is why a 100 TB
+    * corpus trains in minutes once the vocab is built). Each round:
+    * adjacent symbol pairs from the space-joined symbol string (the
+    * word_shingles kernel, k=2) weighted by word count → one hash
+    * aggregation → the argmax pair (deterministic tie-break: count
+    * desc, pair asc) → greedy left-to-right merge applied with a
+    * boundary-safe regex (" a b" followed by a LOOKAHEAD space →
+    * " ab"): the leading space prevents cross-symbol matches like
+    * "xa b", and the lookahead keeps the trailing boundary unconsumed
+    * so back-to-back occurrences ("a b a b") all merge in one pass —
+    * exactly BPE's greedy left-to-right application. The driver sees
+    * ONE row per round (the chosen pair); the vocab table never
+    * collects. Rows-only (iterative argmax is not SQL-expressible);
+    * BpeSpec pins all rounds against an exact in-process reference.
+    */
+  def bpeTrain(s: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    // word-frequency table; symbols start as characters, space-joined
+    var vocab = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(col("c"), concat_ws(" ", split(col("w"), "")).as("sym"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (round <- 1 to nMerges) {
+      val best = vocab
+        .select(col("c"), explode(shingles(col("sym"), 2)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val pair = best(0).getString(0)
+        val n = best(0).getLong(1)
+        merges += ((round, pair, n))
+        val merged = pair.replace(" ", "")
+        vocab = vocab.select(col("c"),
+            trim(regexp_replace(concat(lit(" "), col("sym"), lit(" ")),
+              lit(" " + java.util.regex.Pattern.quote(pair) + "(?= )"),
+              lit(java.util.regex.Matcher.quoteReplacement(" " + merged)))).as("sym"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "pair", "n_occurrences")
+      .orderBy(col("merge_rank"))
+  }
+
   /** X30: per-group embedding centroid — element-wise mean vectors per
     * label, the building block behind domain embeddings, class
     * prototypes, and IVF codebook seeding. The scalable shape:

@@ -30,6 +30,39 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id", "source", "text")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
 
+  test("BPE merge training matches an exact in-process reference") {
+    // reference: textbook BPE on the word-frequency table, greedy
+    // left-to-right merge application, tie-break (count desc, pair asc)
+    val wf = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    rawDocs().foreach(_._3.split(" ", -1).filter(_.nonEmpty).foreach(w => wf(w) += 1))
+    def mergeGreedy(syms: List[String], a: String, b: String): List[String] = syms match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: mergeGreedy(rest, a, b)
+      case x :: rest => x :: mergeGreedy(rest, a, b)
+      case Nil => Nil
+    }
+    var vocab = wf.toSeq.map { case (w, c) => (w.map(_.toString).toList, c) }
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (r <- 1 to 10) {
+      val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).foreach { p => if (p.length == 2) counts(p.mkString(" ")) += c }
+      }
+      if (counts.nonEmpty) {
+        val best = counts.toSeq.minBy { case (pair, n) => (-n, pair) }
+        expect += ((r, best._1, best._2))
+        val Array(a, b) = best._1.split(" ", 2)
+        vocab = vocab.map { case (syms, c) => (mergeGreedy(syms, a, b), c) }
+      }
+    }
+    val got = QueriesLLM.bpeTrain(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == expect.toSeq,
+      s"merges diverge:\n got=${got.toSeq}\n want=${expect.toSeq}")
+    // merged tokens grow: later merges include earlier merge products
+    assert(got.exists(_._2.replace(" ", "").length > 2),
+      "10 rounds should produce at least one multi-char merge product")
+  }
+
   test("repetition signals match a plain-Scala recomputation per doc") {
     val expected = rawDocs().map { case (id, _, text) =>
       val words = text.split(" ", -1)
