@@ -409,12 +409,13 @@ object QueriesLLM {
     // pass (the HOF form evaluated 24 interpreted folds per row)
     def bitArr(v: Column): Column =
       graft.functions.GraftFunctions.lshSignBits(v, nBits)
-    // materialize once: the candidate index and the probe side both fork
-    // from this frame, and the 24 plane projections are the expensive
-    // part (at corpus scale the index side would be a precomputed table)
+    // both the candidate index and the probe side fork from this frame;
+    // with the kernel the 24 projections cost less than materializing
+    // checkpoint blocks would, so each fork just re-runs the codegen'd
+    // scan+projection (at corpus scale the index side would be a
+    // precomputed table)
     val withBits = e.select(col("vec_id"), col("embedding"),
-        norm(col("embedding")).as("nrm"), bitArr(col("embedding")).as("bits"))
-      .localCheckpoint()
+      norm(col("embedding")).as("nrm"), bitArr(col("embedding")).as("bits"))
 
     def tableKey(tb: Int, bits: Seq[Column]): Column =
       concat_ws(":", lit(tb).cast("string"), concat_ws("", bits.map(_.cast("string")): _*))
