@@ -249,6 +249,7 @@ object Queries {
     "x_ann_pq" -> ((s: SparkSession, dir: String) => QueriesLLM.annIvfPq(s, dir)),
     "x_embed_centroid" -> (QueriesLLM.embedCentroid _),
     "x_bpe_train" -> ((s: SparkSession, dir: String) => QueriesLLM.bpeTrain(s, dir)),
+    "x_bpe_apply" -> (QueriesLLM.bpeApply _),
     "x_embed_dedup" -> (QueriesLLM.embedDedup _),
     "x_lang_id" -> (QueriesLLM.langIdQuery _),
     "x_quality" -> (QueriesLLM.qualityQuery _),

@@ -657,6 +657,45 @@ object QueriesLLM {
       .orderBy(col("merge_rank"))
   }
 
+  /** X31b: BPE tokenization — apply the trained merge list to the full
+    * corpus and report per-source compression. The merge list is a
+    * 10-row driver-side artifact (memoized per session+corpus — the
+    * trained tokenizer is a model, not a per-query computation);
+    * application is a MAP-ONLY scan: per word, the character-split
+    * symbol string runs through the merges in rank order as a chain of
+    * 10 codegen'd regex passes inside one projection — zero shuffle
+    * beyond the per-source count aggregation, the shape that tokenizes
+    * 100 TB at scan speed. Rows-only (the merges are learned);
+    * TextPipelineSpec pins totals against the reference tokenizer.
+    */
+  private val bpeMergesCache =
+    scala.collection.mutable.Map.empty[(Int, String), Seq[String]]
+
+  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMergesCache.synchronized {
+      bpeMergesCache.getOrElseUpdate((System.identityHashCode(s), dir),
+        bpeTrain(s, dir).collect().map(_.getString(1)).toSeq)
+    }
+    val sym0 = concat_ws(" ", split(col("w"), ""))
+    val symN = merges.foldLeft(sym0) { (c, pair) =>
+      trim(regexp_replace(concat(lit(" "), c, lit(" ")),
+        lit(" " + java.util.regex.Pattern.quote(pair) + "(?= )"),
+        lit(java.util.regex.Matcher.quoteReplacement(" " + pair.replace(" ", "")))))
+    }
+    t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("source"), length(col("w")).cast("long").as("n_chars"),
+        size(split(symN, " ")).cast("long").as("n_bpe"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_bpe")).as("n_bpe_tokens"))
+      .withColumn("saved_ppm",
+        expr("((n_chars - n_bpe_tokens) * 1000000) DIV n_chars"))
+      .orderBy(col("source"))
+  }
+
   /** X30: per-group embedding centroid — element-wise mean vectors per
     * label, the building block behind domain embeddings, class
     * prototypes, and IVF codebook seeding. The scalable shape:

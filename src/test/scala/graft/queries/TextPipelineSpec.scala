@@ -63,6 +63,43 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "10 rounds should produce at least one multi-char merge product")
   }
 
+  test("BPE tokenization totals match the reference tokenizer") {
+    // reference merges (same algorithm as the training spec)
+    val wf = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    rawDocs().foreach(_._3.split(" ", -1).filter(_.nonEmpty).foreach(w => wf(w) += 1))
+    def mergeGreedy(syms: List[String], a: String, b: String): List[String] = syms match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: mergeGreedy(rest, a, b)
+      case x :: rest => x :: mergeGreedy(rest, a, b)
+      case Nil => Nil
+    }
+    var vocab = wf.toSeq.map { case (w, c) => (w, w.map(_.toString).toList, c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for (_ <- 1 to 10) {
+      val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      vocab.foreach { case (_, syms, c) =>
+        syms.sliding(2).foreach(p => if (p.length == 2) counts(p.mkString(" ")) += c)
+      }
+      if (counts.nonEmpty) {
+        val best = counts.toSeq.minBy { case (pair, n) => (-n, pair) }._1
+        val Array(a, b) = best.split(" ", 2)
+        merges += ((a, b))
+        vocab = vocab.map { case (w, syms, c) => (w, mergeGreedy(syms, a, b), c) }
+      }
+    }
+    val tokLen = vocab.map { case (w, syms, _) => w -> syms.length }.toMap
+    val want = rawDocs()
+      .flatMap { case (_, src, text) => text.split(" ", -1).filter(_.nonEmpty).map(src -> _) }
+      .groupBy(_._1).map { case (src, ws) =>
+        src -> (ws.length.toLong, ws.map(_._2.length.toLong).sum,
+          ws.map(w => tokLen(w._2).toLong).sum)
+      }
+    val got = QueriesLLM.bpeApply(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, s"per-source tokenization diverges:\n got=$got\n want=$want")
+    // merges must actually compress: fewer BPE tokens than characters
+    assert(got.values.forall { case (_, chars, bpe) => bpe < chars })
+  }
+
   test("repetition signals match a plain-Scala recomputation per doc") {
     val expected = rawDocs().map { case (id, _, text) =>
       val words = text.split(" ", -1)
