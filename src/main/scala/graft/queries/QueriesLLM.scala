@@ -780,10 +780,17 @@ object QueriesLLM {
     * corpus; rows-only at the driver (banding is not SQL-expressible).
     */
   def dedupClustersLsh(s: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    val cand = minhashLshPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    // shingle ONLY documents that appear in candidate pairs (semi-join
+    // pushdown): the verify stage's input is O(candidate docs), not the
+    // corpus — at 100 TB the difference between re-shingling everything
+    // and touching the few docs the bands actually flagged
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val d = t(s, dir, "documents")
+      .join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
-    val verified = minhashLshPairs(s, dir)
-      .select(col("doc_a"), col("doc_b"))
+    val verified = cand
       .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),

@@ -56,7 +56,15 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
       // non-SQL-expressible part); LshSpec pins both against exact
       // driver-side recomputations on the same edge set
       "x_pagerank",
-      "x_triangles")
+      "x_triangles",
+      // PQ codebooks come from seeded KMeans (not SQL); LshSpec pins a
+      // recall floor vs the oracled brute-force cosine
+      "x_ann_pq",
+      // BPE merges are an iterative argmax (not SQL); TextPipelineSpec
+      // pins training rounds and tokenization totals against an exact
+      // in-process reference
+      "x_bpe_train",
+      "x_bpe_apply")
     assert(rowsOnly == expected, s"rows-only drift: $rowsOnly")
   }
 
