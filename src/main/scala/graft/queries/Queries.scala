@@ -226,6 +226,7 @@ object Queries {
     "q_csv_json_scan" -> (QueriesScalar.csvJsonScan _),
     "q_orc_scan" -> (QueriesScalar.orcScan _),
     "q_xml_scan" -> (QueriesScalar.xmlScan _),
+    "q_jdbc_scan" -> (QueriesScalar.jdbcScan _),
     "q_binaryfile_scan" -> (QueriesScalar.binaryfileScan _),
     "s_state_reader" -> (QueriesScalar.stateReader _),
     "s_tumbling" -> (QueriesScalar.streamTumbling _),
@@ -834,6 +835,11 @@ object Queries {
     "q_xml_scan" ->
       """SELECT doc_id, lang, source, md5(trim(text)) AS text_md5
         |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin,
+    "q_jdbc_scan" ->
+      """SELECT CAST(s_nationkey AS INTEGER) AS nationkey, count(*) AS n,
+        |  CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM supplier WHERE s_nationkey < 15
+        |GROUP BY 1 ORDER BY nationkey""".stripMargin,
     "q_binaryfile_scan" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS length,
         |  md5(text) AS content_md5

@@ -211,6 +211,46 @@ object QueriesScalar {
     loc
   }
 
+  /** E69: JDBC source/sink (embedded Derby) — the operational-database
+    * federation surface: dimensions that live in an RDBMS are written
+    * once over JDBC and read back with a PARTITIONED parallel read
+    * (`partitionColumn`/`numPartitions` splits the key range into
+    * per-executor WHERE clauses — the only way a JDBC scan avoids the
+    * single-connection bottleneck; the same mechanism fans out against
+    * a production Postgres). Identifiers are uppercased before the
+    * write: Spark's Derby dialect quotes mixed-case names, and a
+    * quoted lowercase column cannot be referenced by the unquoted
+    * partition-clause SQL. Oracle reads the original parquet — the
+    * JDBC round-trip must be lossless.
+    */
+  def jdbcScan(s: SparkSession, dir: String): DataFrame = {
+    val db = s"/tmp/graft_derby_${math.abs(dir.hashCode)}"
+    val url = s"jdbc:derby:$db;create=true"
+    val marker = new java.io.File(db + "_STAGED")
+    if (!marker.exists()) synchronized {
+      if (!marker.exists()) {
+        t(s, dir, "supplier")
+          .select(col("s_suppkey").as("SUPPKEY"), col("s_name").as("NAME"),
+            col("s_nationkey").as("NATIONKEY"), col("s_acctbal").as("ACCTBAL"))
+          .write.mode("overwrite")
+          .format("jdbc").option("url", url).option("dbtable", "SUPPLIER").save()
+        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      }
+    }
+    val hi = t(s, dir, "supplier").agg(max(col("s_suppkey"))).head().getLong(0)
+    s.read.format("jdbc")
+      .option("url", url).option("dbtable", "SUPPLIER")
+      .option("partitionColumn", "SUPPKEY")
+      .option("lowerBound", "1").option("upperBound", (hi + 1).toString)
+      .option("numPartitions", "4")
+      .load()
+      .filter(col("NATIONKEY") < 15)
+      .groupBy(col("NATIONKEY").cast("int").as("nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(Queries.cents(col("ACCTBAL"))).as("bal_cents"))
+      .orderBy(col("nationkey"))
+  }
+
   /** S12 wrapper: run the keyed streaming aggregation to completion on
     * a staged copy of the corpus events, then read the final per-user
     * state DIRECTLY off the checkpoint with the `statestore` batch

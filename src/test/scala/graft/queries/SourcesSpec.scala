@@ -63,6 +63,29 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.count() < rows.length, "fixture must have a largest file to prune")
   }
 
+  test("E69 jdbc: Derby round-trip is lossless and the read is partitioned") {
+    val viaJdbc = QueriesScalar.jdbcScan(spark, dir)
+    val rows = viaJdbc.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val direct = Queries.t(spark, dir, "supplier")
+      .filter(col("s_nationkey") < 15)
+      .groupBy(col("s_nationkey").cast("int").as("k"))
+      .agg(count(lit(1)), sum(Queries.cents(col("s_acctbal"))))
+      .orderBy(col("k"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.toSeq == direct.toSeq)
+
+    // the JDBC relation must carry the 4-way key-range partitioning —
+    // a single-partition scan is the classic JDBC bottleneck
+    val scan = spark.read.format("jdbc")
+      .option("url", s"jdbc:derby:/tmp/graft_derby_${math.abs(dir.hashCode)}")
+      .option("dbtable", "SUPPLIER")
+      .option("partitionColumn", "SUPPKEY")
+      .option("lowerBound", "1").option("upperBound", "1000000")
+      .option("numPartitions", "4")
+      .load()
+    assert(scan.rdd.getNumPartitions == 4)
+  }
+
   test("S12 statestore: final aggregation state equals the batch group-by") {
     val state = QueriesScalar.stateReader(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
