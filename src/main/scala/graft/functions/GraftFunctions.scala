@@ -134,6 +134,9 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("word_chunks",
       exprs => WordChunksExpr(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    registry.createOrReplaceTempFunction("shingle_gen",
+      exprs => ShingleGenerator(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 
   /** Register the clustered-convert range router with THIS convert's

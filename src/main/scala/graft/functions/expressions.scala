@@ -472,6 +472,53 @@ case class WordShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "word_shingles"
 }
 
+/** Native generator UDTF (E70): emit word k-shingles as ROWS without
+  * ever materializing the per-document shingle ARRAY —
+  * `explode(word_shingles(text, k))` builds an n-element array per row
+  * before the Generate operator copies it out again; a long document
+  * allocates its whole shingle set at once. This Generator streams one
+  * shingle at a time from a lazily-advanced iterator, so peak memory
+  * per row is ONE shingle regardless of document length — the 100 TB
+  * outlier-document insurance. Plan-level extension tier (c): a custom
+  * Generator under GenerateExec, registered like any table-valued
+  * function; output rows are identical to the explode form
+  * (spec-pinned).
+  */
+case class ShingleGenerator(child: Expression, k: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def elementSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shingle", StringType, nullable = false)))
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val toks = v.asInstanceOf[UTF8String]
+      .split(UTF8String.fromString(" "), -1)
+    val n = toks.length - k + 1
+    if (n <= 0) return Iterator.empty
+    val SPACE = UTF8String.fromString(" ")
+    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+      private var i = 0
+      override def hasNext: Boolean = i < n
+      override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+        // fresh row per shingle: downstream operators may buffer rows
+        // (outer generate, limits), so the iterator must not alias
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        row.update(0, UTF8String.concatWs(SPACE,
+          java.util.Arrays.copyOfRange(toks, i, i + k): _*))
+        i += 1
+        row
+      }
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): ShingleGenerator =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_gen"
+}
+
 /** Bitcoin Core amount decompression (C3): BIGINT → BIGINT. */
 case class DecompressAmountExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

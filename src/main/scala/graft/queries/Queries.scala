@@ -227,6 +227,7 @@ object Queries {
     "q_orc_scan" -> (QueriesScalar.orcScan _),
     "q_xml_scan" -> (QueriesScalar.xmlScan _),
     "q_jdbc_scan" -> (QueriesScalar.jdbcScan _),
+    "q_generator_udtf" -> (QueriesScalar.generatorShingles _),
     "q_binaryfile_scan" -> (QueriesScalar.binaryfileScan _),
     "s_state_reader" -> (QueriesScalar.stateReader _),
     "s_tumbling" -> (QueriesScalar.streamTumbling _),
@@ -835,6 +836,12 @@ object Queries {
     "q_xml_scan" ->
       """SELECT doc_id, lang, source, md5(trim(text)) AS text_md5
         |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin,
+    "q_generator_udtf" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT unnest(list_transform(range(len(toks) - 2),
+        |         i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle FROM d)
+        |SELECT shingle, count(*) AS n FROM sh
+        |GROUP BY shingle ORDER BY n DESC, shingle LIMIT 30""".stripMargin,
     "q_jdbc_scan" ->
       """SELECT CAST(s_nationkey AS INTEGER) AS nationkey, count(*) AS n,
         |  CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents

@@ -211,6 +211,25 @@ object QueriesScalar {
     loc
   }
 
+  /** E70: native generator UDTF — corpus shingle frequencies via the
+    * custom [[graft.functions.ShingleGenerator]]: shingles stream out
+    * of a lazy per-row iterator under GenerateExec instead of being
+    * materialized as a per-document array first (explode's shape) —
+    * peak memory per row is ONE shingle regardless of document length,
+    * the outlier-document insurance at corpus scale. Output rows are
+    * identical to `explode(word_shingles(...))`, so the same SQL
+    * oracles it.
+    */
+  def generatorShingles(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .select(call_function("shingle_gen", col("text"), lit(3)))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("shingle"))
+      .limit(30)
+  }
+
   /** E69: JDBC source/sink (embedded Derby) — the operational-database
     * federation surface: dimensions that live in an RDBMS are written
     * once over JDBC and read back with a PARTITIONED parallel read

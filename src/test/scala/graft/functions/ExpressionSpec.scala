@@ -255,6 +255,28 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("shingle_gen generator: identical rows to explode(word_shingles), Generate plan") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .union(Seq((-1L, ""), (-2L, "one two"), (-3L, "a b c d")).toDF("doc_id", "text"))
+    val viaGen = docs.select(col("doc_id"),
+      call_function("shingle_gen", col("text"), lit(3)))
+    val viaExplode = docs.select(col("doc_id"),
+      explode(GraftFunctions.shingles(col("text"), 3)).as("shingle"))
+    val diff = viaGen.groupBy(col("doc_id"), col("shingle")).count().as("g")
+      .join(viaExplode.groupBy(col("doc_id"), col("shingle")).count().as("e"),
+        Seq("doc_id", "shingle"), "full_outer")
+      .filter(col("g.count").isNull || col("e.count").isNull ||
+        col("g.count") =!= col("e.count"))
+      .count()
+    assert(diff == 0, s"$diff (doc, shingle) groups differ between generator and explode")
+    // the generator runs under GenerateExec, like any table function
+    val plan = viaGen.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate") && plan.contains("shingle_gen"), plan)
+  }
+
   test("native expressions stay inside whole-stage codegen (no ScalaUDF)") {
     GraftFunctions.register(spark)
     import spark.implicits._
