@@ -134,6 +134,7 @@ object Queries {
     "q_join_asof" -> (QueriesRel.joinAsof _),
     "q_join_bucketed" -> (QueriesRel.joinBucketed _),
     "q_join_bloom" -> (QueriesRel.joinBloom _),
+    "q_join_range_binned" -> (QueriesRel.joinRangeBinned _),
     "q_partitioned_scan" -> (QueriesRel.partitionedScan _),
     "q_join_dpp" -> (QueriesRel.joinDpp _),
     "q_join_skew_aqe" -> (QueriesRel.joinSkewAqe _),
@@ -836,6 +837,14 @@ object Queries {
     "q_xml_scan" ->
       """SELECT doc_id, lang, source, md5(trim(text)) AS text_md5
         |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin,
+    "q_join_range_binned" ->
+      """WITH bands AS (SELECT i AS band, CAST(i * 500 AS DOUBLE) AS lo,
+        |                      CAST(i * 500 + 1500 AS DOUBLE) AS hi
+        |               FROM range(1200) t(i))
+        |SELECT CAST(band % 100 AS BIGINT) AS band_bucket, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_generator_udtf" ->
       """WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT unnest(list_transform(range(len(toks) - 2),

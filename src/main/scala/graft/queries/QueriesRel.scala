@@ -108,6 +108,42 @@ object QueriesRel {
       .orderBy(col("tier"))
   }
 
+  /** E9b: BINNED range join — the scale path when BOTH interval sides
+    * are too large to broadcast (E9's nested loop is right only for a
+    * tiny dim; a fact×fact interval join as BNLJ is quadratic). The
+    * standard rewrite: pick a bin width W, replicate each interval
+    * into the bins it covers (`explode(sequence(floor(lo/W),
+    * floor((hi-ε)/W)))` — here overlapping intervals of width 1500
+    * cover ≤ 3 bins each), map each fact value to its single bin, and
+    * EQUI-join on the bin with the residual range predicate as a
+    * post-filter. The join becomes a shuffled sort-merge on an integer
+    * key — linear, partitionable, AQE-skew-splittable — instead of a
+    * nested loop; the `merge` hint pins that plan at test scale where
+    * the 1 200-row side would otherwise be broadcast (at the target
+    * scale the optimizer chooses it unaided). Spec pins
+    * SortMergeJoin + no BNLJ; replication factor is W-bounded, not
+    * data-dependent.
+    */
+  def joinRangeBinned(s: SparkSession, dir: String): DataFrame = {
+    val w = 1000L
+    val bands = s.range(0, 1200).select(
+      col("id").as("band"),
+      (col("id") * 500).cast("double").as("lo"),
+      (col("id") * 500 + 1500).cast("double").as("hi"))
+    val binnedBands = bands.withColumn("bin",
+      explode(sequence((col("lo") / w).cast("long"),
+        ((col("hi") - 0.001) / w).cast("long"))))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("bin", floor(col("o_totalprice") / w).cast("long"))
+      .join(binnedBands.hint("merge"), Seq("bin"))
+      .filter(col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy((col("band") % 100).as("band_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(Queries.cents(col("o_totalprice"))).as("price_cents"))
+      .orderBy(col("band_bucket"))
+  }
+
   /** E10: explicit broadcast-hash join of dimension chain. */
   def joinBroadcast(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")

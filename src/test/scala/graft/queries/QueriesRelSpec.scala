@@ -23,6 +23,30 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("binned range join: equi sort-merge on the bin key, no nested loop") {
+    val binned = QueriesRel.joinRangeBinned(spark, dir)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected the binned equi-join plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must not fall back to a nested loop:\n$plan")
+    // values equal the direct interval join (the semantics the binning
+    // rewrite must preserve)
+    import spark.implicits._
+    val bands = spark.range(0, 1200).select(
+      col("id").as("band"),
+      (col("id") * 500).cast("double").as("lo"),
+      (col("id") * 500 + 1500).cast("double").as("hi"))
+    val direct = Queries.t(spark, dir, "orders")
+      .join(bands, col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy((col("band") % 100).as("band_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(Queries.cents(col("o_totalprice"))).as("price_cents"))
+      .orderBy(col("band_bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = binned.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == direct.toSeq)
+  }
+
   test("skew-salted join: shuffle join on (key, salt), values equal the plain join") {
     val salted = QueriesRel.joinSkewSalted(spark, dir)
     val plan = salted.queryExecution.executedPlan.toString
