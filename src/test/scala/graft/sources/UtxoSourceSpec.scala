@@ -26,6 +26,29 @@ class UtxoSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val knownScript = ScriptCodec.decompress(0, Array.tabulate[Byte](20)(i => (i + 1).toByte))
   private val knownHex = Hex.encode(knownScript)
 
+  test("truncated snapshot fails loudly, never returns partial rows silently") {
+    // a mid-coin truncation must surface as a job failure: at ingest
+    // scale a silent partial read IS data loss
+    val full = writeFixture()
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(full))
+    val cut = new java.io.File(tmp, "truncated.bin")
+    Files.write(cut.toPath, java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 7))
+    val e = intercept[Exception] {
+      spark.read.format("utxo").load(cut.getAbsolutePath).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).nonEmpty, "truncation must raise, not return short counts")
+
+    // corrupted magic: rejected before any coin is decoded
+    val badMagic = bytes.clone(); badMagic(0) = 'X'.toByte
+    val bad = new java.io.File(tmp, "badmagic.bin")
+    Files.write(bad.toPath, badMagic)
+    intercept[Exception] {
+      spark.read.format("utxo").load(bad.getAbsolutePath).count()
+    }
+  }
+
   /** Snapshot: 3 coins with a known P2PKH script at heights 30/10/20 in
     * distinct txid groups, plus 2000 synthetic noise coins.
     */
