@@ -270,6 +270,7 @@ object Queries {
     "x_stratified_sample" -> (QueriesLLM.stratifiedSample _),
     "x_decontaminate" -> (QueriesLLM.decontaminate _),
     "x_lm_score" -> (QueriesLLM.lmScore _),
+    "x_lm_bigram" -> (QueriesLLM.lmBigram _),
     "x_curation_pipeline" -> (QueriesLLM.curationPipeline _),
     "x_multimodal_meta" -> (QueriesLLM.multimodalMeta _),
     "x_multimodal_features" -> ((s: SparkSession, dir: String) =>
@@ -1210,6 +1211,27 @@ object Queries {
         |       WHERE t.doc_id % 20 = 0)
         |SELECT doc_id, count(*) AS n_tokens,
         |  floor((CAST(sum(lp) AS DOUBLE) / -1000000.0 / count(*)) * 1000000 + 0.5) / 1000000.0 AS nll_per_token
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_lm_bigram" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM tok),
+        |uni AS (SELECT token, count(*) AS c_w FROM tok GROUP BY token),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+        |         i -> array_to_string(toks[i+1:i+2], ' '))) AS bg_s FROM d),
+        |cb AS (SELECT bg_s, count(*) AS c_ab FROM bg GROUP BY bg_s),
+        |sc AS (SELECT b.doc_id,
+        |         CAST(floor(ln(0.7 * cb.c_ab / u1.c_w
+        |           + 0.3 * u2.c_w / tot.n_total) * 1000000) AS BIGINT) AS lp
+        |       FROM bg b
+        |       JOIN cb ON b.bg_s = cb.bg_s
+        |       JOIN uni u1 ON u1.token = string_split(b.bg_s, ' ')[1]
+        |       JOIN uni u2 ON u2.token = string_split(b.bg_s, ' ')[2]
+        |       CROSS JOIN tot
+        |       WHERE b.doc_id % 20 = 0)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  floor((CAST(sum(lp) AS DOUBLE) / -1000000.0 / count(*)) * 1000000 + 0.5) / 1000000.0 AS nll_per_bigram
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x_decontaminate" ->
       """WITH d AS (SELECT doc_id, source,

@@ -1268,6 +1268,43 @@ object QueriesLLM {
       .orderBy(col("doc_id"))
   }
 
+  /** X32: interpolated bigram LM scoring — the step past X10's unigram
+    * model and the standard cheap perplexity filter: per bigram,
+    * P(w2|w1) = λ·c(w1w2)/c(w1) + (1−λ)·c(w2)/N (λ=0.7), so unseen
+    * continuations back off to the unigram prior instead of zeroing
+    * the document. Three corpus-wide count tables (unigrams, bigrams,
+    * total) built in one pass each, then the SCORED sample joins them
+    * by key — every join is a hash join on a token/bigram key (the
+    * count tables are vocabulary-sized: too big to blindly broadcast
+    * at 100 TB, exactly right as shuffle-join sides). Per-bigram log
+    * probs go through floor(ln(p)·1e6) integer micro-logs, so the
+    * per-doc sum is exact-integer and partition-order-independent —
+    * the same portability trick as X10.
+    */
+  def lmBigram(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val total = toks.agg(count(lit(1)).cast("double").as("n_total"))
+    val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("c_w"))
+    val bi = docs.select(explode(shingles(col("text"), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
+    docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(bi, "bg")
+      .join(uni.select(col("token").as("w1"), col("c_w").as("c_w1")), "w1")
+      .join(uni.select(col("token").as("w2"), col("c_w").as("c_w2")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        floor(log(lit(0.7) * col("c_ab") / col("c_w1")
+          + lit(0.3) * col("c_w2") / col("n_total")) * 1e6).cast("long").as("lp_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        Queries.fround(sum(col("lp_micro")) / -1e6 / count(lit(1)), 6).as("nll_per_bigram"))
+      .orderBy(col("doc_id"))
+  }
+
   /** X13: repetition detection — Gopher-style per-document repetition
     * signals (duplicate-word fraction, most-frequent-bigram share), the
     * standard filter for boilerplate/spam pages before training. Two
