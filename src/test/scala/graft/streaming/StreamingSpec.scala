@@ -222,6 +222,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sortedRows(got) == sortedRows(batch))
   }
 
+  test("S13 Trigger.AvailableNow: bounded backfill stops on its own, result == batch") {
+    import java.nio.file.Files
+    // 3 chunk files + maxFilesPerTrigger=1: the trigger must take a
+    // snapshot of available data, drain it over MULTIPLE rate-limited
+    // micro-batches, then terminate WITHOUT processAllAvailable/stop —
+    // the batch-over-stream backfill mode (Trigger.Once's replacement
+    // that still honors rate limits)
+    val srcDir = Files.createTempDirectory("avnow-src")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    (0 until 3).foreach { i =>
+      val tmp = Files.createTempDirectory(s"avnow-chunk$i")
+      raw.filter(col("event_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, srcDir.resolve(s"chunk-$i.parquet"))
+    }
+    val ckpt = Files.createTempDirectory("avnow-ckpt").toString
+    val out = Files.createTempDirectory("avnow-out").toString + "/t"
+    val events = spark.readStream
+      .schema(StreamingQueries.EventsRawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = events
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // self-terminating: awaitTermination returns once available data is
+    // drained — no explicit stop, no processAllAvailable
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    // rate limit honored: one committed offset per chunk file
+    assert(new java.io.File(ckpt, "offsets").listFiles()
+      .count(!_.getName.startsWith(".")) >= 3)
+    val got = spark.read.parquet(out)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val batch = graft.queries.Queries.t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    assert(sortedRows(got) == sortedRows(batch))
+  }
+
   test("S5 flatMapGroupsWithState: final per-user totals == batch groupBy") {
     val events = StreamingQueries.readEventsStream(spark, eventsDir)
     val streamed = StreamingQueries.runToBatch(spark,
