@@ -267,6 +267,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sortedRows(got) == sortedRows(batch))
   }
 
+  test("S14 checkpoint recovery: a stopped query resumes exactly-once from its offsets") {
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("recov-src")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    (0 until 3).foreach { i =>
+      val tmp = Files.createTempDirectory(s"recov-chunk$i")
+      raw.filter(col("event_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, srcDir.resolve(s"chunk-$i.parquet"))
+    }
+    val ckpt = Files.createTempDirectory("recov-ckpt").toString
+    val out = Files.createTempDirectory("recov-out").toString + "/t"
+    def start() = spark.readStream
+      .schema(StreamingQueries.EventsRawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+    // first incarnation: let at least one micro-batch commit, then KILL
+    // it mid-stream (the crash/deploy case)
+    val q1 = start()
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (q1.recentProgress.length < 1 && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    q1.stop()
+    val committedBefore = new java.io.File(ckpt, "commits").listFiles()
+      .count(!_.getName.startsWith("."))
+    assert(committedBefore >= 1, "first incarnation must commit at least one batch")
+
+    // second incarnation on the SAME checkpoint: resumes from the
+    // recorded offsets and drains the rest — no reprocessing, no loss
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val batch = graft.queries.Queries.t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    // exactly-once across the restart: no duplicates, nothing missing
+    assert(sortedRows(got) == sortedRows(batch))
+  }
+
   test("S5 flatMapGroupsWithState: final per-user totals == batch groupBy") {
     val events = StreamingQueries.readEventsStream(spark, eventsDir)
     val streamed = StreamingQueries.runToBatch(spark,
