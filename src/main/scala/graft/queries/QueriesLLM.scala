@@ -63,13 +63,17 @@ object QueriesLLM {
     * per consumer. The cached frame is a localCheckpoint of the final
     * (small) pair list, not the intermediate signature/band frames.
     */
+  // weak session keys: when a session is dropped, its entries (and the
+  // checkpoint blocks their plans pin) become collectible — a plain map
+  // keyed by session id would leak blocks for the life of a long driver
   private val lshPairsCache =
-    scala.collection.mutable.Map.empty[(Int, String), DataFrame]
+    new scala.collection.mutable.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]
 
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame =
     lshPairsCache.synchronized {
-      lshPairsCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        minhashLshPairsUncached(s, dir).localCheckpoint())
+      lshPairsCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(dir, minhashLshPairsUncached(s, dir).localCheckpoint())
     }
 
   /** The un-memoized build — what the registry's `x_minhash_lsh` entry
@@ -668,13 +672,15 @@ object QueriesLLM {
     * 100 TB at scan speed. Rows-only (the merges are learned);
     * TextPipelineSpec pins totals against the reference tokenizer.
     */
+  // weak session keys for the same lifecycle reason as lshPairsCache
   private val bpeMergesCache =
-    scala.collection.mutable.Map.empty[(Int, String), Seq[String]]
+    new scala.collection.mutable.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, Seq[String]]]
 
   def bpeApply(s: SparkSession, dir: String): DataFrame = {
     val merges = bpeMergesCache.synchronized {
-      bpeMergesCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        bpeTrain(s, dir).collect().map(_.getString(1)).toSeq)
+      bpeMergesCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(dir, bpeTrain(s, dir).collect().map(_.getString(1)).toSeq)
     }
     val sym0 = concat_ws(" ", split(col("w"), ""))
     val symN = merges.foldLeft(sym0) { (c, pair) =>
