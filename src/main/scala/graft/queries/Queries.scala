@@ -264,6 +264,7 @@ object Queries {
       QueriesLLM.dedupClustersLsh(s, dir)),
     "x_repetition" -> (QueriesLLM.repetition _),
     "x_domain_mix" -> (QueriesLLM.domainMix _),
+    "x_mix_temperature" -> (QueriesLLM.mixTemperature _),
     "x_chunk_dedup" -> (QueriesLLM.chunkDedup _),
     "x_knn_classify" -> (QueriesLLM.knnClassify _),
     "x_pack_sequences" -> (QueriesLLM.packSequences _),
@@ -1283,6 +1284,19 @@ object Queries {
         |  CAST((total_tokens * 1000000) // (n_sources * n_tokens) AS BIGINT)
         |    AS uniform_weight_ppm
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+    "x_mix_temperature" ->
+      """WITH per AS (SELECT source,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |       FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per),
+        |sc AS (SELECT source, n_tokens,
+        |         CAST(floor(sqrt(CAST((n_tokens * 1000000) // total_tokens
+        |           AS DOUBLE)) * 1000000) AS BIGINT) AS s_micro
+        |       FROM per CROSS JOIN tot),
+        |nm AS (SELECT CAST(sum(s_micro) AS BIGINT) AS s_total FROM sc)
+        |SELECT source, n_tokens,
+        |  CAST((s_micro * 1000000) // s_total AS BIGINT) AS sample_ppm
+        |FROM sc CROSS JOIN nm ORDER BY source""".stripMargin,
     "x_knn_classify" ->
       """WITH q AS (SELECT vec_id AS query_id, label AS true_label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

@@ -1370,6 +1370,33 @@ object QueriesLLM {
       .orderBy(col("source"))
   }
 
+  /** X14b: temperature-scaled mixture weights — the multilingual/
+    * multi-domain sampling rule (mT5-style): sampling share ∝
+    * (token share)^(1/T) with T=2, boosting small domains without the
+    * uniform target's full flattening. Same one-aggregation +
+    * 1-row-broadcast shape as [[domainMix]]; the only float op is one
+    * sqrt per source, immediately floored to integer micro-units, so
+    * the normalizing sum and the final ppm weights are EXACT integer
+    * arithmetic — portable under any aggregation order.
+    */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total_tokens"))
+    val scaled = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        // integer token-share ppm, then one sqrt floored to micro units
+        expr("""CAST(floor(sqrt(CAST((n_tokens * 1000000) DIV total_tokens
+               AS DOUBLE)) * 1000000) AS BIGINT)""").as("s_micro"))
+    val norm = scaled.agg(sum(col("s_micro")).as("s_total"))
+    scaled.crossJoin(broadcast(norm))
+      .select(col("source"), col("n_tokens"),
+        expr("CAST((s_micro * 1000000) DIV s_total AS BIGINT)").as("sample_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** X15: chunk-level exact dedup — sub-document dedup at 8-word chunk
     * granularity (the paragraph/passage analogue for this single-line
     * corpus): every chunk keeps exactly one owner corpus-wide (the
