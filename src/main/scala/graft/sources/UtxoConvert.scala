@@ -43,8 +43,11 @@ object UtxoConvert {
     val conf = UtxoTable.hadoopConf()
     val files = UtxoTable.expand(input, conf)
     val samples = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    // distributed/sidecar-backed indexing — the driver only walks the
+    // (tiny) split lists, never the snapshot bytes
+    val indexed = graft.codec.SnapshotIndexer.indexAll(files, 64L * 1024, conf)
     files.foreach { file =>
-      val (_, splits) = graft.codec.SnapshotIndexer.index(file, conf = conf)
+      val splits = indexed(file)._2
       val step = math.max(1, splits.size / 32)
       splits.indices.by(step).foreach { i =>
         val in = graft.codec.SnapshotIndexer.open(file, conf, splits(i).offset)
@@ -83,21 +86,19 @@ object UtxoConvert {
     spark.sparkContext.hadoopConfiguration
       .set("parquet.writer.version", if (writerVersion == "v2") "PARQUET_2_0" else "PARQUET_1_0")
     // log the parsed header once (reference logs the resolved Network +
-    // block hash, `/root/reference/src/main.rs:182,194`); index() is
-    // memoized so the scan below reuses this pass
+    // block hash, `/root/reference/src/main.rs:182,194`); header-only
+    // reads are ~100 bytes — no full index pass on the driver
     val hconf = spark.sparkContext.hadoopConfiguration
     val files = UtxoTable.expand(input, hconf)
-    files.headOption.foreach { f =>
-      val (h, _) = graft.codec.SnapshotIndexer.index(f, conf = hconf)
+    val headers = files.map(f => graft.codec.SnapshotIndexer.readHeaderOnly(f, hconf))
+    headers.headOption.foreach { h =>
       println(s"[utxo-convert] network=${h.networkName} block=${h.blockHashHex} utxos=${h.numUtxos}")
     }
     // split sizing: the source's 64Ki-coin default (~4 MB files) is right
     // for small snapshots but would emit millions of tiny files at 177M+
     // coins; cap total splits at 8× parallelism so file sizes grow with
-    // the snapshot while every core stays busy (headers are memoized —
-    // this costs no extra pass)
-    val totalCoins = files.map(f =>
-      graft.codec.SnapshotIndexer.index(f, conf = hconf)._1.numUtxos).sum
+    // the snapshot while every core stays busy
+    val totalCoins = headers.map(_.numUtxos).sum
     val coinsPerSplit = math.max(64L * 1024, totalCoins / (8L * n))
     val df = spark.read.format("utxo")
       .option("coinsPerSplit", coinsPerSplit.toString)

@@ -66,8 +66,12 @@ object UtxoTable {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
+    def isSnapshot(name: String): Boolean =
+      !name.startsWith(".") && !name.startsWith("_") &&
+        !name.endsWith(SnapshotIndexer.SidecarSuffix) && !name.contains(".tmp-")
     if (st.isDirectory)
-      fs.listStatus(p).filter(_.isFile).map(_.getPath.toString).sorted.toSeq
+      fs.listStatus(p).filter(s => s.isFile && isSnapshot(s.getPath.getName))
+        .map(_.getPath.toString).sorted.toSeq
     else Seq(st.getPath.toString)
   }
 
@@ -105,14 +109,18 @@ class UtxoScan(path: String, required: StructType, indexed: Boolean, coinsPerSpl
     s"UtxoScan(path=$path, indexed=$indexed, columns=${required.fieldNames.mkString(",")})"
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = UtxoTable.hadoopConf()
-    UtxoTable.expand(path, conf).flatMap { file =>
-      if (indexed) {
-        val (_, splits) = SnapshotIndexer.index(file, coinsPerSplit, conf)
-        splits.map(s => UtxoInputPartition(file, s.offset, s.nCoins): InputPartition)
-      } else {
-        Seq(UtxoInputPartition(file, -1L, -1L): InputPartition)
-      }
-    }.toArray
+    val files = UtxoTable.expand(path, conf)
+    if (!indexed) {
+      files.map(f => UtxoInputPartition(f, -1L, -1L): InputPartition).toArray
+    } else {
+      // memo/sidecar hits resolve driver-side in O(splits); files with
+      // no valid sidecar index executor-side, one task per file — the
+      // driver never serializes on streaming snapshot bytes
+      val indexed = SnapshotIndexer.indexAll(files, coinsPerSplit, conf)
+      files.flatMap { file =>
+        indexed(file)._2.map(s => UtxoInputPartition(file, s.offset, s.nCoins): InputPartition)
+      }.toArray
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new UtxoReaderFactory(required.fieldNames,

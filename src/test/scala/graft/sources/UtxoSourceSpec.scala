@@ -236,6 +236,85 @@ class UtxoSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"cap never bound — byte size split first: $groups")
   }
 
+  test("split-index sidecar is written once and reused without re-walking the snapshot") {
+    val snap = new java.io.File(tmp, "sidecar.bin")
+    val out = new BufferedOutputStream(new FileOutputStream(snap))
+    try SnapshotGen.write(out, SnapshotGen.synthetic(3000, seed = 7L))
+    finally out.close()
+    val conf = spark.sparkContext.hadoopConfiguration
+    SnapshotIndexer.clearMemo()
+    val before = SnapshotIndexer.uncachedPasses.get
+    val (h1, s1) = SnapshotIndexer.index(snap.getAbsolutePath, 256, conf)
+    assert(SnapshotIndexer.uncachedPasses.get == before + 1)
+    assert(new java.io.File(snap.getAbsolutePath + SnapshotIndexer.SidecarSuffix).exists())
+    assert(s1.map(_.nCoins).sum == 3000)
+
+    // a fresh JVM (simulated by clearing the memo) loads the sidecar:
+    // identical header + splits, zero additional skip-parse passes
+    SnapshotIndexer.clearMemo()
+    val (h2, s2) = SnapshotIndexer.index(snap.getAbsolutePath, 256, conf)
+    assert(SnapshotIndexer.uncachedPasses.get == before + 1, "sidecar hit must not re-walk bytes")
+    assert(h2 == h1 && s2 == s1)
+
+    // a coarser request merges the finer sidecar (group-aligned merge),
+    // still without a pass, and still decodes losslessly end-to-end
+    SnapshotIndexer.clearMemo()
+    val (_, s3) = SnapshotIndexer.index(snap.getAbsolutePath, 1024, conf)
+    assert(SnapshotIndexer.uncachedPasses.get == before + 1)
+    assert(s3.size < s1.size && s3.map(_.nCoins).sum == 3000)
+    assert(s3.head.offset == s1.head.offset)
+    assert(spark.read.format("utxo").option("coinsPerSplit", "1024")
+      .load(snap.getAbsolutePath).count() == 3000)
+  }
+
+  test("a replaced snapshot invalidates its sidecar (fingerprint mismatch)") {
+    val snap = new java.io.File(tmp, "replaced.bin")
+    def writeSnap(n: Int, seed: Long): Unit = {
+      val out = new BufferedOutputStream(new FileOutputStream(snap))
+      try SnapshotGen.write(out, SnapshotGen.synthetic(n, seed))
+      finally out.close()
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    writeSnap(1000, 3L)
+    SnapshotIndexer.index(snap.getAbsolutePath, 128, conf)
+    writeSnap(1500, 4L) // different length → stale fingerprint
+    SnapshotIndexer.clearMemo()
+    val before = SnapshotIndexer.uncachedPasses.get
+    val (_, s) = SnapshotIndexer.index(snap.getAbsolutePath, 128, conf)
+    assert(SnapshotIndexer.uncachedPasses.get == before + 1, "stale sidecar must re-index")
+    assert(s.map(_.nCoins).sum == 1500)
+    assert(spark.read.format("utxo").load(snap.getAbsolutePath).count() == 1500)
+  }
+
+  test("multi-file snapshot directories index executor-side and ignore sidecar files") {
+    val dir = new java.io.File(tmp, "multi-idx")
+    dir.mkdirs()
+    def writeSnap(name: String, n: Int, seed: Long): java.io.File = {
+      val f = new java.io.File(dir, name)
+      val out = new BufferedOutputStream(new FileOutputStream(f))
+      try SnapshotGen.write(out, SnapshotGen.synthetic(n, seed))
+      finally out.close()
+      f
+    }
+    val a = writeSnap("a.bin", 800, 21L)
+    val b = writeSnap("b.bin", 900, 22L)
+    SnapshotIndexer.clearMemo()
+    // no sidecars yet → planInputPartitions routes through the
+    // one-task-per-file Spark job (indexAll distributed path)
+    val df = spark.read.format("utxo").option("coinsPerSplit", "200").load(dir.getAbsolutePath)
+    assert(df.count() == 1700)
+    assert(df.rdd.getNumPartitions >= 8)
+    // job path published both sidecars; a re-plan after memo loss reads
+    // them (directory listing must NOT treat them as snapshots)
+    assert(new java.io.File(a.getAbsolutePath + SnapshotIndexer.SidecarSuffix).exists())
+    assert(new java.io.File(b.getAbsolutePath + SnapshotIndexer.SidecarSuffix).exists())
+    SnapshotIndexer.clearMemo()
+    val before = SnapshotIndexer.uncachedPasses.get
+    assert(spark.read.format("utxo").option("coinsPerSplit", "200")
+      .load(dir.getAbsolutePath).count() == 1700)
+    assert(SnapshotIndexer.uncachedPasses.get == before, "re-plan must load sidecars, not re-walk")
+  }
+
   test("point lookup skips row groups (plain) and prunes to one file (clustered)") {
     // small row groups force several per file, so the footer min/max
     // stats — what a stats-aware reader skips on — are testable: the
