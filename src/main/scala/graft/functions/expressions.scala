@@ -364,11 +364,16 @@ object LshSignBits {
   def bits(v: org.apache.spark.sql.catalyst.util.ArrayData,
       nBits: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val out = new Array[Int](nBits)
+    // clamp at the vector's actual length: an UnsafeArrayData read past
+    // numElements is silent garbage, not an error — a short embedding
+    // must degrade to zero contributions (the HOF form's semantics),
+    // never to nondeterministic hash bits
+    val dim = math.min(64, v.numElements())
     var p = 0
     while (p < nBits) {
       var acc = 0.0
       var j = 0
-      while (j < 64) {
+      while (j < dim) {
         acc += v.getFloat(j).toDouble * java.lang.Math.sin((p * 64 + j + 1).toDouble)
         j += 1
       }

@@ -26,13 +26,36 @@ object Queries {
   val TableNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Collision-free, staleness-aware tag for /tmp staging dirs (and
+    * catalog table names) derived from a fixture dir: hex md5 of the
+    * canonical path plus the dir's (name, length, mtime) listing. The
+    * old `math.abs(dir.hashCode)` tag could collide across fixture
+    * dirs (silently serving one fixture's staged copy for another),
+    * is negative for `Int.MinValue`, and never noticed a regenerated
+    * fixture behind an existing _SUCCESS marker; fingerprinting the
+    * listing rebuilds staged data whenever the source changes.
+    */
+  def stageTag(dir: String): String = {
+    val f = new java.io.File(dir)
+    val canon = try f.getCanonicalPath catch { case _: Exception => dir }
+    val listing = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .sortBy(_.getName)
+      .map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+      .mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((canon + "\n" + listing).getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+  }
+
   /** Read one corpus table. Filters/pruning push into this scan.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * map to TimestampType; read it as raw nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild the (µs)
-    * timestamp — the corpus has no sub-µs components, so this is
-    * lossless and matches DuckDB's value exactly.
+    * `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (which
+    * Spark 4 refuses to map to TimestampType — read as raw nanos via
+    * `spark.sql.legacy.parquet.nanosAsLong` and rebuild the µs
+    * timestamp) and TIMESTAMP(MICROS) (arrives as NTZ — reinterpret as
+    * UTC instant). Normalize on the actual file schema, not an assumed
+    * generator layout: either way downstream sees TimestampType in UTC,
+    * the value DuckDB computes.
     */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     // oracle parity requires UTC regardless of how the caller built the
@@ -43,9 +66,23 @@ object Queries {
     graft.functions.GraftFunctions.register(s)
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = s.read.parquet(s"$dir/$name.parquet")
+      raw.withColumn("ts", normalizeTs("ts", raw.schema("ts").dataType))
     } else s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Normalize an events `ts` column to TimestampType (µs, UTC) from
+    * whichever physical layout the file carries: raw nanos LONG
+    * (TIMESTAMP(NANOS) under nanosAsLong — integer `div`, a double
+    * divide would lose precision above 2⁵³ ns), TIMESTAMP_NTZ (MICROS
+    * wall clock — reinterpret as UTC), or already-instant TIMESTAMP.
+    */
+  def normalizeTs(name: String, dt: org.apache.spark.sql.types.DataType): Column = dt match {
+    case org.apache.spark.sql.types.LongType =>
+      expr(s"timestamp_micros(`$name` div 1000)")
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      col(name).cast(org.apache.spark.sql.types.TimestampType)
+    case _ => col(name)
   }
 
   /** Determinism helpers. `round()` implementations diverge between

@@ -64,17 +64,31 @@ object QueriesLLM {
     * (small) pair list, not the intermediate signature/band frames.
     */
   // weak session keys: when a session is dropped, its entries (and the
-  // checkpoint blocks their plans pin) become collectible — a plain map
-  // keyed by session id would leak blocks for the life of a long driver
+  // checkpoint blocks they pin) become collectible — a plain map keyed
+  // by session id would leak blocks for the life of a long driver.
+  // The VALUE must not be a DataFrame: a frame's QueryExecution strongly
+  // references its SparkSession, which would keep the weak KEY reachable
+  // forever and turn the weak map into a plain one. Cache the
+  // materialized (schema, RDD[Row]) instead — an RDD references only the
+  // SparkContext — and rebuild the cheap frame wrapper per call.
   private val lshPairsCache =
     new scala.collection.mutable.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]
+      scala.collection.mutable.Map[String,
+        (org.apache.spark.sql.types.StructType,
+          org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])]]
 
-  def minhashLshPairs(s: SparkSession, dir: String): DataFrame =
-    lshPairsCache.synchronized {
+  def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val (schema, rdd) = lshPairsCache.synchronized {
       lshPairsCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(dir, minhashLshPairsUncached(s, dir).localCheckpoint())
+        .getOrElseUpdate(dir, {
+          val df = minhashLshPairsUncached(s, dir)
+          val r = df.rdd.localCheckpoint()
+          r.count() // materialize eagerly, once, under the lock
+          (df.schema, r)
+        })
     }
+    s.createDataFrame(rdd, schema)
+  }
 
   /** The un-memoized build — what the registry's `x_minhash_lsh` entry
     * and the bench time (the cache must never make the MEASURED query a

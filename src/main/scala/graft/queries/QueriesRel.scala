@@ -754,7 +754,7 @@ object QueriesRel {
     * true per-bucket order.
     */
   def bucketedTables(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val tag = math.abs(dir.hashCode).toString
+    val tag = Queries.stageTag(dir)
     val liName = s"graft_li_bucketed_$tag"
     val oName = s"graft_orders_bucketed_$tag"
     def ensure(name: String, table: String, key: String): Unit =
@@ -789,7 +789,7 @@ object QueriesRel {
 
   /** Year-partitioned copy of orders, written once per source dir. */
   def partitionedOrders(s: SparkSession, dir: String): DataFrame = {
-    val loc = s"/tmp/graft_part_orders_${math.abs(dir.hashCode)}"
+    val loc = s"/tmp/graft_part_orders_${Queries.stageTag(dir)}"
     if (!new java.io.File(loc, "_SUCCESS").exists()) synchronized {
       if (!new java.io.File(loc, "_SUCCESS").exists())
         t(s, dir, "orders")
@@ -811,7 +811,7 @@ object QueriesRel {
     */
   def zorderedLineitem(s: SparkSession, dir: String): String = {
     graft.functions.GraftFunctions.register(s)
-    val loc = s"/tmp/graft_zorder_li_${math.abs(dir.hashCode)}"
+    val loc = s"/tmp/graft_zorder_li_${Queries.stageTag(dir)}"
     if (!new java.io.File(loc, "_SUCCESS").exists()) synchronized {
       if (!new java.io.File(loc, "_SUCCESS").exists())
         t(s, dir, "lineitem")
@@ -849,7 +849,7 @@ object QueriesRel {
     * sizing, sorted by l_partkey alone.
     */
   def partkeySortedLineitem(s: SparkSession, dir: String): String = {
-    val loc = s"/tmp/graft_pksort_li_${math.abs(dir.hashCode)}"
+    val loc = s"/tmp/graft_pksort_li_${Queries.stageTag(dir)}"
     if (!new java.io.File(loc, "_SUCCESS").exists()) synchronized {
       if (!new java.io.File(loc, "_SUCCESS").exists())
         t(s, dir, "lineitem")
@@ -1281,7 +1281,7 @@ object QueriesRel {
     */
   def compactSmallFiles(s: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
-    val base = s"/tmp/graft_compact_${math.abs(dir.hashCode)}"
+    val base = s"/tmp/graft_compact_${Queries.stageTag(dir)}"
     val fragDir = s"$base/frag"
     val outDir = s"$base/compact"
     val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -128,7 +128,7 @@ object QueriesScalar {
     * original table: equality proves the roundtrip is lossless.
     */
   def orcScan(s: SparkSession, dir: String): DataFrame = {
-    val loc = s"/tmp/graft_orc_supplier_${math.abs(dir.hashCode)}"
+    val loc = s"/tmp/graft_orc_supplier_${Queries.stageTag(dir)}"
     if (!new java.io.File(loc, "_SUCCESS").exists()) synchronized {
       if (!new java.io.File(loc, "_SUCCESS").exists())
         t(s, dir, "supplier").write.mode("overwrite").orc(loc)
@@ -154,7 +154,7 @@ object QueriesScalar {
     * the compared md5 trims on both sides.
     */
   def xmlScan(s: SparkSession, dir: String): DataFrame = {
-    val loc = s"/tmp/graft_xml_docs_${math.abs(dir.hashCode)}"
+    val loc = s"/tmp/graft_xml_docs_${Queries.stageTag(dir)}"
     if (!new java.io.File(loc, "_SUCCESS").exists()) synchronized {
       if (!new java.io.File(loc, "_SUCCESS").exists())
         t(s, dir, "documents").filter(col("doc_id") % 20 === 0)
@@ -191,7 +191,7 @@ object QueriesScalar {
   }
 
   private def stageBinaryDocs(s: SparkSession, dir: String): String = {
-    val loc = s"/tmp/graft_bin_docs_${math.abs(dir.hashCode)}"
+    val loc = s"/tmp/graft_bin_docs_${Queries.stageTag(dir)}"
     val marker = new java.io.File(loc, "_STAGED")
     if (!marker.exists()) synchronized {
       if (!marker.exists()) {
@@ -243,7 +243,7 @@ object QueriesScalar {
     * JDBC round-trip must be lossless.
     */
   def jdbcScan(s: SparkSession, dir: String): DataFrame = {
-    val db = s"/tmp/graft_derby_${math.abs(dir.hashCode)}"
+    val db = s"/tmp/graft_derby_${Queries.stageTag(dir)}"
     val url = s"jdbc:derby:$db;create=true"
     val marker = new java.io.File(db + "_STAGED")
     if (!marker.exists()) synchronized {
@@ -277,7 +277,7 @@ object QueriesScalar {
     * the batch group-by, which is exactly what the oracle asserts.
     */
   def stateReader(s: SparkSession, dir: String): DataFrame = {
-    val tag = math.abs(dir.hashCode)
+    val tag = Queries.stageTag(dir)
     val src = java.nio.file.Paths.get(s"/tmp/graft_state_src_$tag")
     if (!java.nio.file.Files.exists(src.resolve("events.parquet"))) synchronized {
       if (!java.nio.file.Files.exists(src.resolve("events.parquet"))) {
@@ -492,7 +492,7 @@ object QueriesScalar {
     * staged once per source dir.
     */
   def streamUpsert(s: SparkSession, dir: String): DataFrame = {
-    val tag = math.abs(dir.hashCode)
+    val tag = Queries.stageTag(dir)
     val src = java.nio.file.Paths.get(s"/tmp/graft_upsert_src_$tag")
     if (!java.nio.file.Files.exists(src.resolve("events.parquet"))) {
       java.nio.file.Files.createDirectories(src)

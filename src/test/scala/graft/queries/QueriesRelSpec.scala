@@ -314,7 +314,7 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("CBO: analyzed statistics flow to plans and drive join reordering") {
     // catalog tables + ANALYZE: the statistics half of a 100 TB deployment
     // (AQE re-plans at runtime; CBO plans right the first time)
-    val tag = math.abs(dir.hashCode).toString
+    val tag = graft.queries.Queries.stageTag(dir)
     Seq("customer", "orders", "nation").foreach { tbl =>
       val name = s"cbo_${tbl}_$tag"
       if (!spark.catalog.tableExists(name)) {
@@ -916,7 +916,7 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected >=8x fewer files, got ${digest.getInt(1)}")
     assert(digest.getLong(2) == digest.getLong(3), "rows must be conserved")
     // range layout: per-file [min,max] orderkey intervals don't overlap
-    val outDir = s"/tmp/graft_compact_${math.abs(dir.hashCode)}/compact"
+    val outDir = s"/tmp/graft_compact_${graft.queries.Queries.stageTag(dir)}/compact"
     val ranges = spark.read.parquet(outDir)
       .groupBy(input_file_name().as("f"))
       .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"))
