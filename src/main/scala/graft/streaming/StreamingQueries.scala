@@ -19,16 +19,27 @@ import org.apache.spark.sql.types._
 object StreamingQueries {
 
   /** File-based streaming source over the corpus events table. The raw
-    * parquet carries TIMESTAMP(NANOS) (read as long, see Queries.t);
-    * schema must be explicit for streaming reads.
+    * parquet has shipped as both TIMESTAMP(NANOS) (readable only as
+    * long under nanosAsLong) and TIMESTAMP(MICROS) (arrives NTZ);
+    * streaming reads need an explicit schema, so probe the actual file
+    * layout with a batch schema read of the same directory and declare
+    * `ts` accordingly — generator layout must never be assumed.
     */
-  val EventsRawSchema: StructType = StructType(Seq(
+  def eventsRawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (legacy nanosAsLong)
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Actual physical `ts` type of the events parquet in `eventsDir`
+    * (LongType for nanos files, TimestampNTZType for micros files).
+    */
+  def eventsTsType(spark: SparkSession, eventsDir: String): DataType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(eventsDir).schema("ts").dataType
+  }
 
   /** `eventsDir` must be a DIRECTORY of events parquet files (Spark's
     * file streaming source watches directories, not single files) —
@@ -36,10 +47,12 @@ object StreamingQueries {
     */
   def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val tsType = eventsTsType(spark, eventsDir)
     spark.readStream
-      .schema(EventsRawSchema)
+      .schema(eventsRawSchema(tsType))
       .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", graft.queries.Queries.normalizeTs("ts", tsType))
   }
 
   /** S1: tumbling 1-hour window counts/sums with a 2-hour watermark. */
@@ -197,10 +210,11 @@ object StreamingQueries {
     fs.delete(new Path(targetDir), true)
     fs.delete(new Path(checkpointDir), true)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(EventsRawSchema)
+    val tsType = eventsTsType(spark, eventsDir)
+    val reader = spark.readStream.schema(eventsRawSchema(tsType))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val events = reader.parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", graft.queries.Queries.normalizeTs("ts", tsType))
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
     val q = events.writeStream
       .outputMode(OutputMode.Append)

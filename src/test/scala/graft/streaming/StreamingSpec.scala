@@ -241,11 +241,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val ckpt = Files.createTempDirectory("avnow-ckpt").toString
     val out = Files.createTempDirectory("avnow-out").toString + "/t"
+    val tsType = StreamingQueries.eventsTsType(spark, srcDir.toString)
     val events = spark.readStream
-      .schema(StreamingQueries.EventsRawSchema)
+      .schema(StreamingQueries.eventsRawSchema(tsType))
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", graft.queries.Queries.normalizeTs("ts", tsType))
     val q = events
       .select(col("event_id"), col("user_id"), col("event_type"))
       .writeStream
@@ -282,7 +283,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ckpt = Files.createTempDirectory("recov-ckpt").toString
     val out = Files.createTempDirectory("recov-out").toString + "/t"
     def start() = spark.readStream
-      .schema(StreamingQueries.EventsRawSchema)
+      .schema(StreamingQueries.eventsRawSchema(
+        StreamingQueries.eventsTsType(spark, srcDir.toString)))
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir.toString)
       .select(col("event_id"), col("user_id"), col("event_type"))
