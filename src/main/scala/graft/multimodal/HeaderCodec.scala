@@ -1,0 +1,307 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.{CRC32, Deflater}
+
+import Multimodal.MediaHeader
+
+/** Pure-JVM media container header codec: PNG IHDR, JPEG SOF, WAV
+  * fmt/data, MP4 (ISO-BMFF) mvhd/tkhd — all plain byte arithmetic, no
+  * codec library. `decode` sniffs the container from magic bytes (a real
+  * ingest never trusts a `kind` column) and returns the typed geometry;
+  * the `synth*` builders emit honest minimal containers (valid
+  * signatures, CRC'd chunks, zlib IDAT, correct RIFF sizes, nested
+  * boxes) for fixture and pipeline synthesis.
+  *
+  * Only HEADERS are decoded here. Pixel/sample payload decode — the part
+  * that genuinely needs libpng/libjpeg/FFmpeg — stays behind the
+  * declared stub boundary ([[Multimodal.resizeStub]]).
+  */
+object HeaderCodec {
+
+  // ---------- decode ----------
+
+  /** Sniff + parse. None for truncated, unknown, or malformed content —
+    * callers quarantine rather than throw (mid-scan failure on one bad
+    * object must not kill a 100 TB job).
+    */
+  def decode(b: Array[Byte]): Option[MediaHeader] =
+    try {
+      if (isPng(b)) decodePng(b)
+      else if (isJpeg(b)) decodeJpeg(b)
+      else if (isWav(b)) decodeWav(b)
+      else if (isMp4(b)) decodeMp4(b)
+      else None
+    } catch { case _: Exception => None }
+
+  def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a
+
+  def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff
+
+  def isWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  def isMp4(b: Array[Byte]): Boolean =
+    b.length >= 8 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  /** PNG: the IHDR chunk is REQUIRED to be first (offset 8): 4-byte
+    * length, "IHDR", then width/height (BE32), bit depth, color type.
+    * Channels derive from color type: 0 gray→1, 2 truecolor→3,
+    * 3 palette→1, 4 gray+alpha→2, 6 truecolor+alpha→4.
+    */
+  def decodePng(b: Array[Byte]): Option[MediaHeader] = {
+    if (b.length < 8 + 8 + 13) return None
+    if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) return None
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    val colorType = b(25) & 0xff
+    val ch = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return None
+    }
+    if (w <= 0 || h <= 0) return None
+    Some(MediaHeader("png", w, h, 0L, ch))
+  }
+
+  /** JPEG: walk marker segments (FF xx + BE16 length including itself)
+    * from SOI until a frame header — SOF0 baseline, SOF1 extended, SOF2
+    * progressive — then precision(1), height(BE16), width(BE16),
+    * component count(1).
+    */
+  def decodeJpeg(b: Array[Byte]): Option[MediaHeader] = {
+    var o = 2
+    while (o + 4 <= b.length) {
+      if ((b(o) & 0xff) != 0xff) return None
+      val marker = b(o + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { o += 2 } // standalone
+      else {
+        val len = be16(b, o + 2)
+        if (len < 2 || o + 2 + len > b.length) return None
+        if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+          if (len < 8) return None
+          val h = be16(b, o + 5)
+          val w = be16(b, o + 7)
+          val ncomp = b(o + 9) & 0xff
+          if (w <= 0 || h <= 0) return None
+          return Some(MediaHeader("jpeg", w, h, 0L, ncomp))
+        }
+        if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS before any SOF
+        o += 2 + len
+      }
+    }
+    None
+  }
+
+  /** WAV: RIFF/WAVE chunk walk. "fmt " gives channels (LE16 at +2),
+    * sample rate (LE32 at +4), byte rate (LE32 at +8); "data" gives the
+    * payload size, so duration_ms = dataSize * 1000 / byteRate.
+    */
+  def decodeWav(b: Array[Byte]): Option[MediaHeader] = {
+    var o = 12
+    var channels = 0
+    var byteRate = 0
+    var dataSize = -1L
+    while (o + 8 <= b.length && (channels == 0 || dataSize < 0)) {
+      val id = new String(b, o, 4, "US-ASCII")
+      val size = le32(b, o + 4).toLong & 0xffffffffL
+      if (id == "fmt " && o + 8 + 16 <= b.length) {
+        channels = le16(b, o + 10)
+        byteRate = le32(b, o + 16)
+      } else if (id == "data") {
+        dataSize = size
+      }
+      o += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || byteRate <= 0 || dataSize < 0) return None
+    Some(MediaHeader("wav", 0, 0, dataSize * 1000 / byteRate, channels))
+  }
+
+  /** MP4 (ISO-BMFF): walk top-level boxes to `moov`, then inside it
+    * `mvhd` (version 0: timescale BE32 at +12, duration BE32 at +16
+    * after the box header) for duration and the first `trak`→`tkhd`
+    * (width/height as 16.16 fixed point in the last 8 bytes) for
+    * dimensions. Channels: video content reports 0 (audio tracks would
+    * carry an stsd entry — out of header-walk scope).
+    */
+  def decodeMp4(b: Array[Byte]): Option[MediaHeader] = {
+    var durMs = -1L
+    var w = 0
+    var h = 0
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      var o = from
+      while (o + 8 <= to) {
+        val size = be32(b, o).toLong & 0xffffffffL
+        if (size < 8) return
+        val id = new String(b, o + 4, 4, "US-ASCII")
+        val end = math.min(to.toLong, o + size).toInt
+        id match {
+          case "moov" | "trak" if depth < 4 => walk(o + 8, end, depth + 1)
+          case "mvhd" if o + 8 + 20 <= to =>
+            val version = b(o + 8) & 0xff
+            if (version == 0) {
+              val timescale = be32(b, o + 8 + 12)
+              val dur = be32(b, o + 8 + 16).toLong & 0xffffffffL
+              if (timescale > 0) durMs = dur * 1000 / timescale
+            }
+          case "tkhd" if w == 0 && size >= 8 + 84 =>
+            // v0 tkhd payload is 84 bytes; width/height are the final 8
+            w = be32(b, end - 8) >>> 16
+            h = be32(b, end - 4) >>> 16
+          case _ => ()
+        }
+        o = end
+      }
+    }
+    walk(0, b.length, 0)
+    if (durMs < 0) None else Some(MediaHeader("mp4", w, h, durMs, 0))
+  }
+
+  // ---------- synthesis (honest minimal containers) ----------
+
+  /** Valid PNG: signature, CRC'd IHDR (8-bit truecolor), one zlib
+    * IDAT carrying the payload (not w*h pixels — header-complete,
+    * payload-synthetic), IEND.
+    */
+  def synthPng(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+    ihdr.put(8.toByte) // bit depth
+    ihdr.put(2.toByte) // color type: truecolor (3 channels)
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+    writeChunk(out, "IHDR", ihdr.array())
+    writeChunk(out, "IDAT", deflate(payload))
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  private def writeChunk(out: ByteArrayOutputStream, typ: String, data: Array[Byte]): Unit = {
+    val len = ByteBuffer.allocate(4).putInt(data.length).array()
+    out.write(len, 0, 4)
+    val t = typ.getBytes("US-ASCII")
+    out.write(t, 0, 4)
+    out.write(data, 0, data.length)
+    val crc = new CRC32()
+    crc.update(t)
+    crc.update(data)
+    out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array(), 0, 4)
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(data); d.finish()
+    val buf = new Array[Byte](math.max(64, data.length + 64))
+    val out = new ByteArrayOutputStream()
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Valid JPEG: SOI, APP0 JFIF, COM carrying the payload, SOF0
+    * (baseline, 3 components, h/w BE16), EOI.
+    */
+  def synthJpeg(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    val jfif = "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 2, 0, 0, 1, 0, 1, 0, 0)
+    writeSegment(out, 0xe0, jfif)
+    writeSegment(out, 0xfe, java.util.Arrays.copyOf(payload, math.min(payload.length, 60000)))
+    val sof = ByteBuffer.allocate(15)
+    sof.put(8.toByte) // precision
+    sof.putShort(h.toShort).putShort(w.toShort)
+    sof.put(3.toByte) // components
+    // (id, sampling, qtable) per component
+    Seq(1, 2, 3).foreach { c => sof.put(c.toByte).put(0x11.toByte).put(0.toByte) }
+    writeSegment(out, 0xc0, sof.array())
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  private def writeSegment(out: ByteArrayOutputStream, marker: Int, data: Array[Byte]): Unit = {
+    out.write(0xff); out.write(marker)
+    val len = data.length + 2
+    out.write((len >> 8) & 0xff); out.write(len & 0xff)
+    out.write(data, 0, data.length)
+  }
+
+  /** Valid WAV: RIFF size, PCM16 fmt chunk, data chunk with real
+    * deterministic sample bytes sized exactly to `durMs` at the given
+    * rate — duration decodes back exactly (dataSize*1000/byteRate).
+    */
+  def synthWav(channels: Int, sampleRate: Int, durMs: Long): Array[Byte] = {
+    val byteRate = sampleRate * channels * 2
+    val dataSize = (durMs * byteRate / 1000).toInt
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate).putInt(byteRate)
+      .putShort((channels * 2).toShort).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < dataSize) { buf.put(((i * 31 + channels * 7) & 0xff).toByte); i += 1 }
+    buf.array()
+  }
+
+  /** Valid minimal MP4: ftyp, moov(mvhd v0 timescale=1000 + trak(tkhd
+    * v0 with 16.16 width/height)), mdat carrying the payload.
+    */
+  def synthMp4(w: Int, h: Int, durMs: Long, payload: Array[Byte]): Array[Byte] = {
+    def box(id: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(id.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val ftyp = box("ftyp", {
+      val b = ByteBuffer.allocate(16)
+      b.put("isom".getBytes("US-ASCII")).putInt(512)
+        .put("isom".getBytes("US-ASCII")).put("mp41".getBytes("US-ASCII"))
+      b.array()
+    })
+    val mvhd = box("mvhd", {
+      val b = ByteBuffer.allocate(100)
+      b.putInt(0) // version 0 + flags
+      b.putInt(0).putInt(0) // ctime/mtime
+      b.putInt(1000) // timescale
+      b.putInt(durMs.toInt) // duration (timescale=1000 → ms)
+      b.putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate/volume/reserved
+      b.position(b.position() + 8) // reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(v => b.putInt(v))
+      b.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0) // predefined
+      b.putInt(2) // next track id
+      b.array()
+    })
+    val tkhd = box("tkhd", {
+      val b = ByteBuffer.allocate(84)
+      b.putInt(0x00000007) // version 0, flags: enabled|in-movie|in-preview
+      b.putInt(0).putInt(0) // ctime/mtime
+      b.putInt(1).putInt(0) // track id, reserved
+      b.putInt(durMs.toInt) // duration
+      b.putInt(0).putInt(0) // reserved
+      b.putShort(0).putShort(0).putShort(0).putShort(0) // layer/altgroup/volume/reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(v => b.putInt(v))
+      b.putInt(w << 16).putInt(h << 16) // 16.16 fixed point
+      b.array()
+    })
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    val mdat = box("mdat", java.util.Arrays.copyOf(payload, math.min(payload.length, 1 << 20)))
+    ftyp ++ moov ++ mdat
+  }
+}
