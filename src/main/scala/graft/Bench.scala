@@ -36,7 +36,7 @@ object Bench {
     // round-3 widening: map-only classifier scan, VARIANT parse
     // throughput, iterative integer PageRank over the LSH graph,
     // runtime-pruned star join
-    "x_quality_classify", "q_variant", "x_pagerank", "q_join_dpp",
+    "x_quality_classify", "q_variant", "x_pagerank_lsh", "q_join_dpp",
     // round-3 second pass: funnel + cohort analytics over events
     "q_funnel", "q_cohort_retention")
 

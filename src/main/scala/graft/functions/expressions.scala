@@ -219,14 +219,37 @@ case class MinHashSigsExpr(child: Expression) extends UnaryExpression {
 object SimHash48 {
   private val SPACE = UTF8String.fromString(" ")
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Per-token 60-bit hash: the first 15 hex chars of md5 as an
+    * integer — i.e. the digest's first 8 bytes big-endian, >>> 4.
+    * Identical to the engine's portable `hash64`
+    * (`conv(substring(md5(c), 1, 15), 16, 10)`) and DuckDB's
+    * `('0x' || substr(md5(tok), 1, 15))::BIGINT`, which keeps every
+    * simhash consumer — including the banded near-dup join — fully
+    * oracle-expressible. (xxhash64 would be ~5× cheaper per token but
+    * has no DuckDB twin; fingerprints that can't be cross-checked are
+    * worth less than the cycles they save.)
+    */
+  def md5h60(t: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(t.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
   def fingerprint(text: UTF8String): Long = {
     val toks = text.split(SPACE, -1)
     val counts = new Array[Int](48)
     var i = 0
     while (i < toks.length) {
-      val t = toks(i)
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      val h = md5h60(toks(i))
       var b = 0
       while (b < 48) {
         counts(b) += ((h >>> b) & 1L).toInt

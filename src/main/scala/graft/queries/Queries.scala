@@ -227,7 +227,9 @@ object Queries {
     "x_compact_files" -> (QueriesRel.compactSmallFiles _),
     "s_join_left" -> (QueriesScalar.streamJoinLeft _),
     "x_pagerank" -> (QueriesLLM.pagerank _),
+    "x_pagerank_lsh" -> (QueriesLLM.pagerankLsh _),
     "x_triangles" -> (QueriesLLM.triangleCount _),
+    "x_triangles_lsh" -> (QueriesLLM.triangleCountLsh _),
     "q_interpolate" -> (QueriesRel.interpolate _),
     "q_window_distinct" -> (QueriesRel.windowDistinct _),
     "q_null_semantics" -> (QueriesRel.nullSemantics _),
@@ -1134,6 +1136,31 @@ object Queries {
         |SELECT doc_id,
         |  string_agg(CASE WHEN balance > 0 THEN '1' ELSE '0' END, '' ORDER BY bit_pos) AS simhash_bits
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the FULL banded near-dup pipeline replicated relationally: same
+    // portable md5-derived per-token hash as x_simhash (and as the
+    // simhash48 kernel), 4x12-bit band keys via shift/mask, candidate
+    // pairs sharing any band, exact hamming via bit_count(xor) <= 6 —
+    // band membership, not just fingerprints, is cross-checked.
+    "x_simhash_near_dup" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h64 FROM tok),
+        |bits AS (SELECT doc_id, CAST(b AS INTEGER) AS bp,
+        |    sum(((h64 >> CAST(b AS INTEGER)) % 2) * 2 - 1) AS bal
+        |  FROM h, range(48) t(b) GROUP BY doc_id, b),
+        |f AS (SELECT doc_id,
+        |        CAST(sum(CASE WHEN bal > 0 THEN 1::BIGINT << bp ELSE 0 END) AS BIGINT) AS fp
+        |      FROM bits GROUP BY doc_id),
+        |bands AS (SELECT doc_id, fp, CAST(i AS INTEGER) AS band,
+        |        (fp >> (12 * CAST(i AS INTEGER))) & 4095 AS key
+        |      FROM f, range(4) t(i)),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |                x.fp AS fa, y.fp AS fb
+        |         FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+        |           AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(fa, fb)) <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "x_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
@@ -1238,6 +1265,57 @@ object Queries {
         |  SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src)
         |SELECT node AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // 5 fixed integer-ppm PageRank iterations as chained CTEs over the
+    // SAME exact Jaccard >= 0.2 pair graph as x_dedup_clusters; all
+    // arithmetic is integer floor-div, so aggregation order can't move
+    // a single ulp on either engine.
+    "x_pagerank" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(len(string_split(text, ' ')) - 2),
+        |      i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' '))) AS sh
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |      FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |      WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0 /
+        |            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION ALL SELECT doc_b, doc_a FROM p),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+        |r1 AS (SELECT e.dst AS node,
+        |         CAST(150000 + (850 * sum(r.rank // g.deg)) // 1000 AS BIGINT) AS rank
+        |       FROM e JOIN deg g USING (src) JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS node,
+        |         CAST(150000 + (850 * sum(r.rank // g.deg)) // 1000 AS BIGINT) AS rank
+        |       FROM e JOIN deg g USING (src) JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS node,
+        |         CAST(150000 + (850 * sum(r.rank // g.deg)) // 1000 AS BIGINT) AS rank
+        |       FROM e JOIN deg g USING (src) JOIN r2 r ON r.node = e.src GROUP BY e.dst),
+        |r4 AS (SELECT e.dst AS node,
+        |         CAST(150000 + (850 * sum(r.rank // g.deg)) // 1000 AS BIGINT) AS rank
+        |       FROM e JOIN deg g USING (src) JOIN r3 r ON r.node = e.src GROUP BY e.dst),
+        |r5 AS (SELECT e.dst AS node,
+        |         CAST(150000 + (850 * sum(r.rank // g.deg)) // 1000 AS BIGINT) AS rank
+        |       FROM e JOIN deg g USING (src) JOIN r4 r ON r.node = e.src GROUP BY e.dst)
+        |SELECT node AS doc_id, rank AS rank_x1e6
+        |FROM r5 ORDER BY rank_x1e6 DESC, doc_id""".stripMargin,
+    // plain canonical (a<b) three-way self-join over the same exact
+    // pair graph: hash equality against the Spark side proves the
+    // degree-ordered orientation rewrite counts identically.
+    "x_triangles" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(len(string_split(text, ' ')) - 2),
+        |      i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' '))) AS sh
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |      FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |      WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0 /
+        |            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
+        |nodes AS (SELECT a AS n FROM p UNION SELECT b FROM p)
+        |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+        |       (SELECT count(*) FROM p) AS n_edges,
+        |       (SELECT count(*) FROM p x JOIN p y ON x.b = y.a
+        |          JOIN p z ON z.a = x.a AND z.b = y.b) AS n_triangles""".stripMargin,
     "x_lm_score" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |             FROM documents),

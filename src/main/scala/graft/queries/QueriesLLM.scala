@@ -204,8 +204,10 @@ object QueriesLLM {
     * exact hamming distance filters candidates to ≤ [[SimhashTau]].
     * Exact-duplicate texts have identical fingerprints, so they share
     * every band: the candidate set provably contains all hamming-0
-    * pairs (spec-pinned). Rows-only (band membership is engine-layout
-    * specific); SimhashSpec checks the contract.
+    * pairs (spec-pinned). Fully oracled: fingerprints use the portable
+    * md5-derived per-token hash, and the band keys are plain shift/mask
+    * arithmetic, so DuckDB replicates banding, candidates, and hamming
+    * bit-for-bit.
     */
   val SimhashTau = 6
   def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
@@ -775,18 +777,28 @@ object QueriesLLM {
     * [[dedupClustersLsh]], whose edges come from the LSH candidate
     * buckets. Clustering is [[minLabelPropagate]].
     */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    minLabelPropagate(exactJaccardPairs(s, dir))
+
+  /** The exact all-pairs 3-shingle Jaccard ≥ `tau` pair graph — the
+    * declared ORACLE-CONTRACT edge set shared by [[dedupClusters]],
+    * [[pagerank]], and [[triangleCount]] (fully SQL-expressible, so all
+    * three consumers hash-check against DuckDB); the shipped scale
+    * paths build the same downstream operators over LSH-candidate
+    * edges instead ([[dedupClustersLsh]], [[pagerankLsh]],
+    * [[triangleCountLsh]]).
+    */
+  def exactJaccardPairs(s: SparkSession, dir: String, tau: Double = 0.2): DataFrame = {
     val d = t(s, dir, "documents")
       .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
     val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val pairs = a.join(b, col("doc_a") < col("doc_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("j"))
-      .filter(col("j") >= 0.2)
+      .filter(col("j") >= tau)
       .select(col("doc_a"), col("doc_b"))
-    minLabelPropagate(pairs)
   }
 
   /** X6 scale path: same cluster assignment, edge set from the LSH
@@ -967,9 +979,19 @@ object QueriesLLM {
     * (X2), so the whole chain — shingle → band → verify → graph —
     * stays linear in candidates.
     */
-  def pagerank(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLshPairs(s, dir).filter(col("est_jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
+  def pagerank(s: SparkSession, dir: String): DataFrame =
+    pagerankOn(exactJaccardPairs(s, dir))
+
+  /** Scale path: same 5 integer iterations over the LSH candidate
+    * graph (X2) — shingle → band → graph stays linear in candidates.
+    * Rows-only (banding is not SQL-expressible); the oracled
+    * [[pagerank]] pins the iteration arithmetic on the exact graph.
+    */
+  def pagerankLsh(s: SparkSession, dir: String): DataFrame =
+    pagerankOn(minhashLshPairs(s, dir).filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b")))
+
+  private def pagerankOn(pairs: DataFrame): DataFrame = {
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -985,25 +1007,56 @@ object QueriesLLM {
       .orderBy(col("rank_x1e6").desc, col("doc_id"))
   }
 
-  /** X28: triangle counting on the same canonical (a<b) edge set — the
-    * clustering-coefficient numerator used to characterize near-dup
-    * graph structure: wedges from an edge-edge self-join on the shared
-    * middle vertex (each triangle a<b<c built exactly once), closed by
-    * a hash join back against the edge set. This is the standard
-    * distributed triangle count; the canonical orientation bounds the
-    * wedge fan-out by forward-degree (the full mitigation at 100 TB is
-    * degree-ordered orientation, which caps wedge work at O(m^1.5)).
+  /** X28: triangle counting — the clustering-coefficient numerator used
+    * to characterize near-dup graph structure. Edges are DEGREE-ORDERED
+    * before the wedge join: each undirected edge orients from its
+    * lower-(degree, id) endpoint to the higher one, so a node's wedge
+    * fan-out is bounded by its FORWARD degree — max forward degree is
+    * O(√m) on any graph, capping total wedge work at O(m^1.5) (the
+    * compact-forward bound) where the raw canonical (a<b) orientation
+    * degenerates to O(Σ deg²) on skewed graphs: a 10M-follower hub node
+    * must not build 10¹⁴ wedges. Each triangle is still counted exactly
+    * once (its two lowest-ordered endpoints form the wedge; the closing
+    * edge is checked oriented). Oracled: the DuckDB mirror counts the
+    * same graph's triangles with the plain canonical three-way
+    * self-join, so hash equality proves the orientation rewrite exact.
     */
-  def triangleCount(s: SparkSession, dir: String): DataFrame = {
-    val e = minhashLshPairs(s, dir).filter(col("est_jaccard") >= 0.5)
-      .select(col("doc_a").as("a"), col("doc_b").as("b")).localCheckpoint()
-    val wedges = e.as("x").join(e.as("y"), col("x.b") === col("y.a"))
-      .select(col("x.a").as("wa"), col("x.b").as("wb"), col("y.b").as("wc"))
+  def triangleCount(s: SparkSession, dir: String): DataFrame =
+    triangleCountOn(exactJaccardPairs(s, dir))
+
+  /** Scale path: same oriented count over the LSH candidate graph
+    * (rows-only — banding is not SQL-expressible).
+    */
+  def triangleCountLsh(s: SparkSession, dir: String): DataFrame =
+    triangleCountOn(minhashLshPairs(s, dir).filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b")))
+
+  private[queries] def triangleCountOn(pairs: DataFrame): DataFrame = {
+    val raw = pairs.select(col("doc_a").as("a"), col("doc_b").as("b")).localCheckpoint()
+    // undirected degree per node, joined back to both endpoints: the
+    // degree join IS the orientation input (plan-visible)
+    val deg = raw.select(col("a").as("n")).union(raw.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val ra = struct(col("da").as("d"), col("a").as("i"))
+    val rb = struct(col("db").as("d"), col("b").as("i"))
+    val e = raw
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(ra < rb, col("a")).otherwise(col("b")).as("u"),
+        when(ra < rb, rb).otherwise(ra).as("vr"))
+      .select(col("u"), col("vr.i").as("v"), col("vr").as("vrank"))
+      .localCheckpoint()
+    // wedges from a common low vertex u, ordered v ≺ w by (deg, id);
+    // closed by the oriented edge v→w
+    val wedges = e.as("x").join(e.as("y"),
+        col("x.u") === col("y.u") && col("x.vrank") < col("y.vrank"))
+      .select(col("x.v").as("wv"), col("y.v").as("ww"))
     val tris = wedges.join(e.as("z"),
-      col("wa") === col("z.a") && col("wc") === col("z.b"))
-    val nodes = e.select(col("a").as("n")).union(e.select(col("b").as("n"))).distinct()
+      col("wv") === col("z.u") && col("ww") === col("z.v"))
+    val nodes = raw.select(col("a").as("n")).union(raw.select(col("b").as("n"))).distinct()
     tris.agg(count(lit(1)).as("n_triangles"))
-      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(raw.agg(count(lit(1)).as("n_edges"))))
       .crossJoin(broadcast(nodes.agg(count(lit(1)).as("n_nodes"))))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }

@@ -33,7 +33,7 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set("q_agg_approx_distinct", "q_agg_approx_percentile",
       "x_minhash_lsh", "x_ann_lsh", "x_ann_ivf", "x_multimodal_features",
-      "x_stratified_sample", "q_table_sample", "x_simhash_near_dup",
+      "x_stratified_sample", "q_table_sample",
       // LSH-sourced edges: banding is not SQL-expressible; LshSpec pins
       // cluster equality vs the oracled exact-edge x_dedup_clusters
       "x_dedup_clusters_lsh",
@@ -52,11 +52,12 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
       // file counts are physical layout, not SQL; QueriesRelSpec pins
       // compaction (fewer files, rows conserved, ranges disjoint)
       "x_compact_files",
-      // graph ops ride the LSH candidate pipeline (banding join is the
-      // non-SQL-expressible part); LshSpec pins both against exact
-      // driver-side recomputations on the same edge set
-      "x_pagerank",
-      "x_triangles",
+      // graph-op SCALE paths ride the LSH candidate pipeline (banding
+      // join is the non-SQL-expressible part); the oracled x_pagerank /
+      // x_triangles pin the same operators on the exact edge graph, and
+      // LshSpec pins driver-side recomputations on the LSH edge set
+      "x_pagerank_lsh",
+      "x_triangles_lsh",
       // PQ codebooks come from seeded KMeans (not SQL); LshSpec pins a
       // recall floor vs the oracled brute-force cosine
       "x_ann_pq",

@@ -149,8 +149,9 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("simhash48 kernel: bit-identical to the 48-accumulator aggregate form") {
     GraftFunctions.register(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    // reference recomputation: the round-2 explode+groupBy shape with the
-    // same per-token xxhash64(seed 42) the kernel uses
+    // reference recomputation: the explode+groupBy shape with the same
+    // portable md5-derived 60-bit per-token hash the kernel uses (==
+    // GraftFunctions.hash64 == DuckDB's substr(md5, 1, 15) cast)
     val bitSums = (0 until 48).map(b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"s$b"))
     val fpFromSums = (0 until 48).map(b =>
@@ -158,7 +159,7 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
         .reduce(_.bitwiseOR(_))
     val viaAgg = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), GraftFunctions.hash64(col("tok")).as("h"))
       .groupBy(col("doc_id"))
       .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n_tok")): _*)
       .select(col("doc_id"), fpFromSums.as("fp"))

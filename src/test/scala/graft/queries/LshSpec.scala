@@ -36,7 +36,7 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       rank = adj.keys.map(n => n -> (150000L + 850L * contrib(n) / 1000L)).toMap
     }
-    val got = QueriesLLM.pagerank(spark, dir).collect()
+    val got = QueriesLLM.pagerankLsh(spark, dir).collect()
     assert(got.nonEmpty && got.length == rank.size)
     got.foreach(r => assert(r.getLong(1) == rank(r.getLong(0)),
       s"rank for doc ${r.getLong(0)}"))
@@ -54,10 +54,30 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
       (a, b) <- pairs
       (b2, c) <- pairs if b2 == b && edgeSet.contains((a, c))
     } yield 1).length.toLong
-    val r = QueriesLLM.triangleCount(spark, dir).collect().head
+    val r = QueriesLLM.triangleCountLsh(spark, dir).collect().head
     assert(r.getLong(0) == nodes.length.toLong)
     assert(r.getLong(1) == pairs.length.toLong)
     assert(r.getLong(2) == expectedTris)
+  }
+
+  test("degree-ordered triangle orientation counts identically to the unoriented form") {
+    val pairs = QueriesLLM.minhashLshPairs(spark, dir)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("doc_a", "doc_b")
+    // the pre-orientation shape: canonical (a<b) wedge join closed
+    // against the canonical edge set
+    val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val unoriented = e.as("x").join(e.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("wa"), col("y.b").as("wc"))
+      .join(e.as("z"), col("wa") === col("z.a") && col("wc") === col("z.b"))
+      .count()
+    val oriented = QueriesLLM.triangleCountOn(pairs).collect().head
+    assert(oriented.getLong(2) == unoriented,
+      s"oriented=${oriented.getLong(2)} unoriented=$unoriented")
+    // the orientation input is plan-visible: the degree aggregation
+    // feeds the edge build (two joins against the degree table)
+    val plan = QueriesLLM.triangleCountOn(pairs).queryExecution.optimizedPlan.toString
+    assert(plan.toLowerCase.contains("aggregate"), plan.take(2000))
   }
 
   test("MinHash-LSH candidates include every truly-high-Jaccard pair") {
