@@ -52,7 +52,7 @@ object QueriesUtxo {
     */
   def e2ePointLookup(s: SparkSession, dir: String): DataFrame = {
     val parquet = ensureConverted(s)
-    s.read.parquet(parquet)
+    UtxoConvert.readConverted(s, parquet)
       .filter(col("script") === unhex(lit(knownHex)))
       .select(col("txid"), col("vout"), col("amount"), col("height"))
       .orderBy(col("height"))
@@ -64,7 +64,7 @@ object QueriesUtxo {
   def e2eScriptTypes(s: SparkSession, dir: String): DataFrame = {
     val parquet = ensureConverted(s)
     graft.functions.GraftFunctions.register(s)
-    s.read.parquet(parquet)
+    UtxoConvert.readConverted(s, parquet)
       .groupBy(callUDF("script_type", col("script")).as("script_class"))
       .agg(count(lit(1)).as("n"), sum(col("amount")).as("total_sats"))
       .orderBy(col("script_class"))

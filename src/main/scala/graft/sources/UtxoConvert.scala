@@ -149,15 +149,34 @@ object UtxoConvert {
     // footer sortingColumns (reference src/main.rs:212): Spark can't
     // write the field, so stamp it post-write — local outputs only
     // (in-place tail rewrite; see FooterSort for the DFS story)
+    // ... and UINT_64 logical annotations on vout/height/amount (the
+    // reference schema declares them UInt64, src/main.rs:199-206;
+    // values are non-negative so signed page order == unsigned order)
     val outUri = new org.apache.hadoop.fs.Path(output).toUri
     if (outUri.getScheme == null || outUri.getScheme == "file")
-      graft.tools.FooterSort.stamp(outUri.getPath, Seq("script"))
+      graft.tools.FooterSort.stamp(outUri.getPath, Seq("script"),
+        unsigned = Seq("vout", "height", "amount"))
     val m = obs.get
     def longOf(k: String): Long =
       m.get(k).collect { case v: java.lang.Number => v.longValue() }.getOrElse(0L)
     val stats = ConvertStats(longOf("rows"), longOf("max_height"))
     println(s"[utxo-convert] rows=${stats.rows} max_height=${stats.maxHeight} -> $output")
     stats
+  }
+
+  /** Read back a converted output with the reference's logical schema
+    * normalized for Spark: the stamped footer annotates
+    * vout/height/amount as UINT_64, which Spark (lacking an unsigned
+    * 64-bit type) surfaces as DECIMAL(20,0); every value fits in a
+    * signed long, so the cast back to LongType is lossless. DuckDB and
+    * other unsigned-aware readers see `uint64` exactly like the
+    * reference's files.
+    */
+  def readConverted(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    val df = spark.read.parquet(path)
+    Seq("vout", "height", "amount").foldLeft(df) { (d, c) =>
+      if (d.schema.fieldNames.contains(c)) d.withColumn(c, col(c).cast("long")) else d
+    }
   }
 
   /** CLI parity with the reference binary (`-i snapshot -o parquet`). */

@@ -2,7 +2,7 @@ package graft.tools
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.parquet.format.{SortingColumn, Util}
+import org.apache.parquet.format.{ConvertedType, IntType, LogicalType, SortingColumn, Util}
 
 /** Post-write footer rewrite stamping `sorting_columns` into every row
   * group's metadata — the reference writes this field natively
@@ -22,15 +22,27 @@ object FooterSort {
 
   private val MagicTail = "PAR1".getBytes("US-ASCII")
 
-  /** Stamp all .parquet files in `dir`; returns files stamped. */
-  def stamp(dir: String, sortedBy: Seq[String]): Int = {
+  /** Stamp all .parquet files in `dir`; returns files stamped.
+    *
+    * `unsigned` columns additionally get the UINT_64 logical/converted
+    * annotation on their INT64 leaves — the reference schema declares
+    * vout/height/amount as UInt64 (`/root/reference/src/main.rs:199-206`)
+    * and DuckDB surfaces them as `uint64`, but Spark's writer cannot
+    * annotate unsigned. Safe as a pure footer rewrite: every annotated
+    * value is non-negative, so the signed byte order the pages and
+    * min/max statistics were written with coincides with the unsigned
+    * order — data pages, dictionaries, and stats all stay valid.
+    */
+  def stamp(dir: String, sortedBy: Seq[String],
+      unsigned: Seq[String] = Seq.empty): Int = {
     val files = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".parquet"))
-    files.foreach(stampFile(_, sortedBy))
+    files.foreach(stampFile(_, sortedBy, unsigned))
     files.length
   }
 
-  def stampFile(f: java.io.File, sortedBy: Seq[String]): Unit = {
+  def stampFile(f: java.io.File, sortedBy: Seq[String],
+      unsigned: Seq[String] = Seq.empty): Unit = {
     val raf = new java.io.RandomAccessFile(f, "rw")
     try {
       val len = raf.length()
@@ -56,6 +68,27 @@ object FooterSort {
       }
       md.getRow_groups.asScala.foreach(_.setSorting_columns(cols.asJava))
 
+      if (unsigned.nonEmpty) {
+        val uint64 = new LogicalType()
+        uint64.setINTEGER(new IntType(64.toByte, false))
+        md.getSchema.asScala.drop(1).foreach { se =>
+          if (unsigned.contains(se.getName)) {
+            se.setConverted_type(ConvertedType.UINT_64)
+            se.setLogicalType(uint64)
+          }
+        }
+        // drop Spark's embedded row.metadata: it still says LONG, and a
+        // reader that trusts it over the (now unsigned) parquet types
+        // crashes on dictionary pages expecting a decimal conversion.
+        // Removing it also matches the reference file byte-for-byte in
+        // spirit — no engine-private schema, parquet types are the truth.
+        if (md.getKey_value_metadata != null) {
+          val filtered = md.getKey_value_metadata.asScala
+            .filterNot(_.getKey == "org.apache.spark.sql.parquet.row.metadata")
+          md.setKey_value_metadata(filtered.asJava)
+        }
+      }
+
       val out = new java.io.ByteArrayOutputStream(footerLen + 64)
       Util.writeFileMetaData(md, out)
       val newFooter = out.toByteArray
@@ -74,6 +107,29 @@ object FooterSort {
     // produced file)
     val crc = new java.io.File(f.getParentFile, "." + f.getName + ".crc")
     if (crc.exists()) crc.delete()
+  }
+
+  /** Read back (leaf name → converted-type name) for audit/spec. */
+  def convertedTypesOf(file: java.io.File): Map[String, String] = {
+    val md = readFooter(file)
+    md.getSchema.asScala.drop(1).map(se =>
+      se.getName -> Option(se.getConverted_type).map(_.name).getOrElse("")).toMap
+  }
+
+  private def readFooter(file: java.io.File): org.apache.parquet.format.FileMetaData = {
+    val raf = new java.io.RandomAccessFile(file, "r")
+    try {
+      val len = raf.length()
+      raf.seek(len - 8)
+      val tail = new Array[Byte](8)
+      raf.readFully(tail)
+      val footerLen = (tail(0) & 0xff) | ((tail(1) & 0xff) << 8) |
+        ((tail(2) & 0xff) << 16) | ((tail(3) & 0xff) << 24)
+      raf.seek(len - 8 - footerLen)
+      val footerBytes = new Array[Byte](footerLen)
+      raf.readFully(footerBytes)
+      Util.readFileMetaData(new java.io.ByteArrayInputStream(footerBytes))
+    } finally raf.close()
   }
 
   /** Read back the stamped field (test/audit side). */

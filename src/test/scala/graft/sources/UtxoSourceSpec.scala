@@ -165,8 +165,19 @@ class UtxoSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // R3/C7 observed metrics: row count and running max(height) ride the job
     assert(stats.rows == 2003)
     assert(stats.maxHeight >= 30)
-    val back = spark.read.parquet(outDir)
+    // the footer carries the reference's unsigned annotations (external
+    // readers — DuckDB, pyarrow — see uint64) and Spark's stale
+    // row.metadata is stripped, so a raw Spark read surfaces UINT_64 as
+    // DECIMAL(20,0) (Spark has no unsigned long); readConverted
+    // normalizes back to LONG losslessly
+    val raw = spark.read.parquet(outDir)
+    assert(Seq("vout", "height", "amount").forall(c =>
+      raw.schema(c).dataType == org.apache.spark.sql.types.DecimalType(20, 0)),
+      s"expected unsigned-annotated columns, got ${raw.schema}")
+    val back = UtxoConvert.readConverted(spark, outDir)
     assert(back.count() == 2003)
+    assert(Seq("vout", "height", "amount").forall(c =>
+      back.schema(c).dataType == org.apache.spark.sql.types.LongType))
 
     // the reference README query shape (Q3+Q4+Q2) over the known script
     val res = back
@@ -176,6 +187,15 @@ class UtxoSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
     assert(res.map(_.getLong(3)).toSeq == Seq(10L, 20L, 30L))
     assert(res.map(_.getLong(2)).toSeq == Seq(7000L, 9000L, 5000L))
+
+    // the UINT_64 annotation is in the footer schema for exactly the
+    // reference's unsigned columns (src/main.rs:199-206)
+    new java.io.File(outDir).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      val ann = graft.tools.FooterSort.convertedTypesOf(f)
+      Seq("vout", "height", "amount").foreach(c =>
+        assert(ann.get(c).contains("UINT_64"), s"$c not UINT_64 in ${f.getName}: $ann"))
+      assert(!ann.get("coinbase").contains("UINT_64"))
+    }
 
     // layout: zstd codec + statistics on script present in the footer +
     // the v2 prefix-eliding encodings on the sorted columns (the
@@ -347,7 +367,7 @@ class UtxoSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // and Spark's scan actually exploits it: the filtered read over the
     // clustered layout returns the 3 marked coins
-    val res = spark.read.parquet(clusDir)
+    val res = UtxoConvert.readConverted(spark, clusDir)
       .filter(col("script") === unhex(lit(knownHex)))
       .select("height").orderBy("height").collect().map(_.getLong(0)).toSeq
     assert(res == Seq(10L, 20L, 30L))
