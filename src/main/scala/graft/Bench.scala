@@ -117,12 +117,26 @@ object Bench {
     def syncFs(): Unit =
       try Runtime.getRuntime.exec(Array("sync")).waitFor()
       catch { case _: Throwable => () }
-    def runs3(f: => Double): Seq[Double] = (1 to 3).map { _ => syncFs(); f }
     val rawRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
-    def min3(name: String)(f: => Double): Double = {
-      val rs = runs3(f)
+    def minN(name: String, n: Int)(f: => Double): Double = {
+      val rs = (1 to n).map { _ => syncFs(); f }
       rawRuns(name) = rs
       rs.min
+    }
+    def min3(name: String)(f: => Double): Double = minN(name, 3)(f)
+
+    // timed convert outputs go to tmpfs when available: writing the
+    // measured artifact to RAM takes host-disk writeback weather out of
+    // the measurement entirely (round-3 convert_runs spread 3.1× on
+    // /tmp; the min was the engine, the spread was the disk). The
+    // snapshot INPUTS stay on /tmp — they are written once, read
+    // through the page cache, and survive across bench invocations.
+    val scratch = {
+      val shm = new java.io.File("/dev/shm")
+      val base = if (shm.isDirectory && shm.canWrite)
+        new java.io.File(shm, "graft_bench") else new java.io.File("/tmp/graft_bench_scratch")
+      base.mkdirs()
+      base.getAbsolutePath
     }
 
     val convert = try {
@@ -139,12 +153,15 @@ object Bench {
           partitions = cpus.toInt, rangePartition = range)
         (System.nanoTime() - t0) / 1e9
       }
-      val convertSec = min3("utxo_convert_2m")(
-        timeConvert(snap, "/tmp/graft_bench_convert_out", range = false))
+      // convert family: 5 runs each (vs 3 for queries) — with tmpfs
+      // outputs the residual spread is scheduler jitter, and 5 samples
+      // make the published trimmed median meaningful
+      val convertSec = minN("utxo_convert_2m", 5)(
+        timeConvert(snap, s"$scratch/convert_out", range = false))
       // globally script-clustered variant: pays one range shuffle at
       // convert, buys single-file point lookups (the 100 TB layout)
-      val convertClusteredSec = min3("utxo_convert_2m_clustered")(
-        timeConvert(snap, "/tmp/graft_bench_convert_clustered", range = true))
+      val convertClusteredSec = minN("utxo_convert_2m_clustered", 5)(
+        timeConvert(snap, s"$scratch/convert_clustered", range = true))
 
       // sustained throughput: 10M coins — long enough that JVM warmup
       // stops dominating (the reference's headline is a 177.5M-row
@@ -158,11 +175,11 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val convert10Sec = min3("utxo_convert_10m")(
-        timeConvert(snap10, "/tmp/graft_bench_convert10_out", range = false))
+      val convert10Sec = minN("utxo_convert_10m", 5)(
+        timeConvert(snap10, s"$scratch/convert10_out", range = false))
 
       // lookups measured after ALL converts (writeback shadow, above)
-      val parq = spark.read.parquet("/tmp/graft_bench_convert_out")
+      val parq = spark.read.parquet(s"$scratch/convert_out")
       val someScript = parq.select(hex(col("script")))
         .limit(1).collect()(0).getString(0)
       def lookup(name: String, path: String): Double = min3(name) {
@@ -174,8 +191,11 @@ object Bench {
           .collect()
         (System.nanoTime() - t) / 1e9
       }
-      val lookupSec = lookup("utxo_point_lookup", "/tmp/graft_bench_convert_out")
-      val lookupClusteredSec = lookup("utxo_point_lookup_clustered", "/tmp/graft_bench_convert_clustered")
+      val lookupSec = lookup("utxo_point_lookup", s"$scratch/convert_out")
+      val lookupClusteredSec = lookup("utxo_point_lookup_clustered", s"$scratch/convert_clustered")
+      // free the tmpfs scratch once every measurement that reads it is
+      // done — RAM-backed artifacts must not outlive the bench
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
       Seq("utxo_convert_2m" -> convertSec, "utxo_point_lookup" -> lookupSec,
         "utxo_convert_2m_clustered" -> convertClusteredSec,
         "utxo_point_lookup_clustered" -> lookupClusteredSec,
@@ -195,7 +215,14 @@ object Bench {
     val runsJson = rawRuns.map { case (k, rs) =>
       "\"" + k + "\":[" + rs.map(r => f"$r%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","convert_rows_per_s":$rowsPerSec,"convert_runs":$runsJson}""")
+    // trimmed median (drop min+max, take median of the rest) per
+    // multi-run entry: a robust central tendency published beside the
+    // min so outliers are attributable, not hidden
+    val trimmedJson = rawRuns.map { case (k, rs) =>
+      val central = if (rs.size > 2) rs.sorted.drop(1).dropRight(1) else rs.sorted
+      "\"" + k + "\":" + f"${central(central.size / 2)}%.3f"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","convert_rows_per_s":$rowsPerSec,"convert_runs":$runsJson,"convert_trimmed_median":$trimmedJson}""")
     spark.stop()
   }
 }
