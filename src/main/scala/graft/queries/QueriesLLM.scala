@@ -771,29 +771,47 @@ object QueriesLLM {
   /** X5: near-dup cluster assignment — connected components over the
     * exact 3-shingle Jaccard ≥ 0.2 pair graph, each document labeled
     * with the minimum doc_id reachable through near-dup edges (the
-    * canonical representative a keep-first dedup retains). Edge
-    * generation here is the exact all-pairs graph — the oracle contract,
-    * same declared role as [[cosineTopk]]; the shipped scale path is
+    * canonical representative a keep-first dedup retains). Edges are
+    * [[exactJaccardPairs]] — exact (inverted-index-pruned, provably
+    * equal to all-pairs) and the oracle contract, same declared role as
+    * [[cosineTopk]]; the shipped approximate scale path is
     * [[dedupClustersLsh]], whose edges come from the LSH candidate
     * buckets. Clustering is [[minLabelPropagate]].
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     minLabelPropagate(exactJaccardPairs(s, dir))
 
-  /** The exact all-pairs 3-shingle Jaccard ≥ `tau` pair graph — the
-    * declared ORACLE-CONTRACT edge set shared by [[dedupClusters]],
+  /** The EXACT 3-shingle Jaccard ≥ `tau` pair graph — the declared
+    * ORACLE-CONTRACT edge set shared by [[dedupClusters]],
     * [[pagerank]], and [[triangleCount]] (fully SQL-expressible, so all
-    * three consumers hash-check against DuckDB); the shipped scale
-    * paths build the same downstream operators over LSH-candidate
-    * edges instead ([[dedupClustersLsh]], [[pagerankLsh]],
-    * [[triangleCountLsh]]).
+    * three consumers hash-check against DuckDB's all-pairs form).
+    *
+    * Exact does NOT mean all-pairs: candidates come from a
+    * shared-shingle inverted-index self-join — a pair sharing ZERO
+    * shingles has Jaccard 0 and can never reach τ > 0, so pruning to
+    * pairs with ≥ 1 common shingle is output-identical while replacing
+    * the O(N²) single-partition nested-loop join (which serializes the
+    * whole corpus through one task) with a shuffled hash join that
+    * parallelizes and touches only Σ|posting|² candidate pairs. At
+    * web-scale shingle skew the refinement is AllPairs/PPJoin prefix
+    * filtering (join only on each doc's ⌊(1−τ)|sh|⌋+1 rarest
+    * shingles — still exact); this corpus's max posting list is small
+    * enough that the plain inverted index wins. The shipped
+    * approximate scale paths ride LSH-candidate edges instead
+    * ([[dedupClustersLsh]], [[pagerankLsh]], [[triangleCountLsh]]).
     */
   def exactJaccardPairs(s: SparkSession, dir: String, tau: Double = 0.2): DataFrame = {
     val d = t(s, dir, "documents")
       .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
-    val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, col("doc_a") < col("doc_b"))
+      .localCheckpoint() // shingled once: feeds postings AND both verify sides
+    val post = d.select(col("doc_id"), explode(col("sh")).as("s"))
+    val cand = post.as("x").join(post.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("j"))

@@ -60,6 +60,30 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(2) == expectedTris)
   }
 
+  test("inverted-index exact-Jaccard pairs equal the naive all-pairs join") {
+    import graft.functions.GraftFunctions._
+    val d = Queries.t(spark, dir, "documents")
+      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+    val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val naive = a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("j"))
+      .filter(col("j") >= 0.2)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = QueriesLLM.exactJaccardPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == naive, s"missing=${naive -- pruned} extra=${pruned -- naive}")
+    assert(naive.nonEmpty, "fixture has no near-dup pairs — test is vacuous")
+    // and the plan is a shuffled hash/sort-merge join on the shingle
+    // key, never a single-partition nested loop over all pairs
+    val plan = QueriesLLM.exactJaccardPairs(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("degree-ordered triangle orientation counts identically to the unoriented form") {
     val pairs = QueriesLLM.minhashLshPairs(spark, dir)
       .filter(col("est_jaccard") >= 0.5)
