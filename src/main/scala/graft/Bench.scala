@@ -38,7 +38,10 @@ object Bench {
     // runtime-pruned star join
     "x_quality_classify", "q_variant", "x_pagerank_lsh", "q_join_dpp",
     // round-3 second pass: funnel + cohort analytics over events
-    "q_funnel", "q_cohort_retention")
+    "q_funnel", "q_cohort_retention",
+    // round-4: fully-oracled banded simhash near-dup (md5 kernel) and
+    // degree-oriented triangle count over the inverted-index exact graph
+    "x_simhash_near_dup", "x_triangles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
