@@ -228,6 +228,9 @@ object Queries {
     "s_join_left" -> (QueriesScalar.streamJoinLeft _),
     "x_pagerank" -> (QueriesLLM.pagerank _),
     "x_pagerank_lsh" -> (QueriesLLM.pagerankLsh _),
+    "x_jaccard_pairs_prefix" -> ((s: SparkSession, dir: String) =>
+      QueriesLLM.exactJaccardPairsPrefix(s, dir)
+        .orderBy(col("doc_a"), col("doc_b"))),
     "x_triangles" -> (QueriesLLM.triangleCount _),
     "x_triangles_lsh" -> (QueriesLLM.triangleCountLsh _),
     "q_interpolate" -> (QueriesRel.interpolate _),
@@ -1265,6 +1268,20 @@ object Queries {
         |  SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src)
         |SELECT node AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // the prefix-filtered set-similarity join must produce EXACTLY the
+    // all-pairs Jaccard >= 0.2 pair set (the AllPairs/PPJoin prefix
+    // bound is exact, not approximate) — the oracle is the plain
+    // all-pairs formulation.
+    "x_jaccard_pairs_prefix" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(len(string_split(text, ' ')) - 2),
+        |      i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' '))) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0 /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // 5 fixed integer-ppm PageRank iterations as chained CTEs over the
     // SAME exact Jaccard >= 0.2 pair graph as x_dedup_clusters; all
     // arithmetic is integer floor-div, so aggregation order can't move

@@ -809,6 +809,52 @@ object QueriesLLM {
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    verifyJaccard(d, cand, tau)
+  }
+
+  /** AllPairs/PPJoin-style PREFIX-FILTERED exact Jaccard join — the
+    * declared web-scale refinement of [[exactJaccardPairs]] when
+    * shingle skew makes full posting lists explode (a boilerplate
+    * shingle in 10M docs yields 5·10¹³ candidate pairs from that one
+    * posting alone). Exactness argument: order each doc's shingles by
+    * GLOBAL ascending frequency (ties by shingle); for Jaccard ≥ τ a
+    * pair must share ≥ 1 of each side's first ⌊(1−τ)·|sh|⌋+1 shingles
+    * in that order (if all shared shingles sat outside one side's
+    * prefix, overlap ≤ (1−τ)·|sh| < τ/(1+τ)·(|a|+|b|) is impossible at
+    * the threshold — the classic AllPairs bound), so joining only on
+    * prefix shingles loses no qualifying pair while hot shingles drop
+    * out of most prefixes. Posting lists shrink from |posting| to the
+    * docs that carry the shingle IN PREFIX position — the candidate
+    * count bound becomes Σ|prefix-posting|², which skew can no longer
+    * blow up. Spec pins output equality with [[exactJaccardPairs]].
+    */
+  def exactJaccardPairsPrefix(s: SparkSession, dir: String, tau: Double = 0.2): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+      .localCheckpoint()
+    val post = d.select(col("doc_id"), explode(col("sh")).as("s"))
+    // global shingle frequency — ONE corpus-wide count aggregation,
+    // broadcast-free (joined back by shingle key)
+    val freq = post.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("s"))
+    val prefix = post.join(freq, Seq("s"))
+      .withColumn("pos", row_number().over(w))
+      .withColumn("plen",
+        floor(count(lit(1)).over(Window.partitionBy(col("doc_id"))) * (1.0 - tau)) + 1)
+      .filter(col("pos") <= col("plen"))
+      .select(col("doc_id"), col("s"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(d, cand, tau)
+  }
+
+  /** Shared exact-verification stage: join candidate pairs back to
+    * their shingle sets, compute the exact Jaccard, keep ≥ `tau`.
+    */
+  private def verifyJaccard(d: DataFrame, cand: DataFrame, tau: Double): DataFrame =
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -817,7 +863,6 @@ object QueriesLLM {
           size(array_union(col("sh_a"), col("sh_b")))).as("j"))
       .filter(col("j") >= tau)
       .select(col("doc_a"), col("doc_b"))
-  }
 
   /** X6 scale path: same cluster assignment, edge set from the LSH
     * pipeline instead of the all-pairs join — [[minhashLshPairs]]

@@ -133,23 +133,9 @@ object FooterSort {
   }
 
   /** Read back the stamped field (test/audit side). */
-  def sortingColumnsOf(file: java.io.File): Seq[Seq[(Int, Boolean, Boolean)]] = {
-    val raf = new java.io.RandomAccessFile(file, "r")
-    try {
-      val len = raf.length()
-      raf.seek(len - 8)
-      val tail = new Array[Byte](8)
-      raf.readFully(tail)
-      val footerLen = (tail(0) & 0xff) | ((tail(1) & 0xff) << 8) |
-        ((tail(2) & 0xff) << 16) | ((tail(3) & 0xff) << 24)
-      raf.seek(len - 8 - footerLen)
-      val footerBytes = new Array[Byte](footerLen)
-      raf.readFully(footerBytes)
-      val md = Util.readFileMetaData(new java.io.ByteArrayInputStream(footerBytes))
-      md.getRow_groups.asScala.toSeq.map { rg =>
-        Option(rg.getSorting_columns).map(_.asScala.toSeq).getOrElse(Seq.empty)
-          .map(sc => (sc.column_idx, sc.descending, sc.nulls_first))
-      }
-    } finally raf.close()
-  }
+  def sortingColumnsOf(file: java.io.File): Seq[Seq[(Int, Boolean, Boolean)]] =
+    readFooter(file).getRow_groups.asScala.toSeq.map { rg =>
+      Option(rg.getSorting_columns).map(_.asScala.toSeq).getOrElse(Seq.empty)
+        .map(sc => (sc.column_idx, sc.descending, sc.nulls_first))
+    }
 }

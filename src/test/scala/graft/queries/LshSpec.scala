@@ -77,6 +77,11 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pruned == naive, s"missing=${naive -- pruned} extra=${pruned -- naive}")
     assert(naive.nonEmpty, "fixture has no near-dup pairs — test is vacuous")
+    // the AllPairs/PPJoin prefix-filtered variant is exact too: same
+    // pair set from frequency-ordered prefix postings only
+    val prefix = QueriesLLM.exactJaccardPairsPrefix(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prefix == naive, s"prefix filter broke exactness: missing=${naive -- prefix} extra=${prefix -- naive}")
     // and the plan is a shuffled hash/sort-merge join on the shingle
     // key, never a single-partition nested loop over all pairs
     val plan = QueriesLLM.exactJaccardPairs(spark, dir)
