@@ -803,13 +803,24 @@ object QueriesLLM {
   def exactJaccardPairs(s: SparkSession, dir: String, tau: Double = 0.2): DataFrame = {
     val d = t(s, dir, "documents")
       .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
-      .localCheckpoint() // shingled once: feeds postings AND both verify sides
+      .localCheckpoint() // shingled once: feeds postings AND the size side
     val post = d.select(col("doc_id"), explode(col("sh")).as("s"))
-    val cand = post.as("x").join(post.as("y"),
+    // count-based Jaccard: the shingle sets are distinct, so the number
+    // of matching postings IS |a∩b| and |a∪b| = |a|+|b|−|a∩b| — the
+    // postings self-join + one count aggregation replaces the
+    // array_intersect/array_union verify entirely (no array column ever
+    // shuffles, the candidate `distinct` folds into the groupBy)
+    val common = post.as("x").join(post.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    verifyJaccard(d, cand, tau)
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common")) >= tau)
+      .select(col("doc_a"), col("doc_b"))
   }
 
   /** AllPairs/PPJoin-style PREFIX-FILTERED exact Jaccard join — the
