@@ -223,7 +223,12 @@ object Bench {
     // min so outliers are attributable, not hidden
     val trimmedJson = rawRuns.map { case (k, rs) =>
       val central = if (rs.size > 2) rs.sorted.drop(1).dropRight(1) else rs.sorted
-      "\"" + k + "\":" + f"${central(central.size / 2)}%.3f"
+      // true median: average the two middles when the central list has
+      // even length (upper-middle alone would bias the figure high)
+      val med =
+        if (central.size % 2 == 1) central(central.size / 2)
+        else (central(central.size / 2 - 1) + central(central.size / 2)) / 2.0
+      "\"" + k + "\":" + f"$med%.3f"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","convert_rows_per_s":$rowsPerSec,"convert_runs":$runsJson,"convert_trimmed_median":$trimmedJson}""")
     spark.stop()

@@ -118,24 +118,36 @@ object HeaderCodec {
     while (o + 8 <= b.length && (channels == 0 || dataSize < 0)) {
       val id = new String(b, o, 4, "US-ASCII")
       val size = le32(b, o + 4).toLong & 0xffffffffL
+      // untrusted ingest: a crafted chunk size near 2^32 would make the
+      // word-aligned step wrap to zero (or negative) and spin forever —
+      // quarantine instead (sizes beyond the buffer are equally bogus)
+      if (size > b.length.toLong) return None
       if (id == "fmt " && o + 8 + 16 <= b.length) {
         channels = le16(b, o + 10)
         byteRate = le32(b, o + 16)
       } else if (id == "data") {
         dataSize = size
       }
-      o += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      val step = 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      if (step <= 0) return None
+      o += step
     }
     if (channels <= 0 || byteRate <= 0 || dataSize < 0) return None
     Some(MediaHeader("wav", 0, 0, dataSize * 1000 / byteRate, channels))
   }
 
+  private def be64(b: Array[Byte], o: Int): Long =
+    ((be32(b, o).toLong & 0xffffffffL) << 32) | (be32(b, o + 4).toLong & 0xffffffffL)
+
   /** MP4 (ISO-BMFF): walk top-level boxes to `moov`, then inside it
-    * `mvhd` (version 0: timescale BE32 at +12, duration BE32 at +16
-    * after the box header) for duration and the first `trak`→`tkhd`
-    * (width/height as 16.16 fixed point in the last 8 bytes) for
-    * dimensions. Channels: video content reports 0 (audio tracks would
-    * carry an stsd entry — out of header-walk scope).
+    * `mvhd` (v0: timescale BE32 at +12, duration BE32 at +16 after the
+    * version byte; v1: timescale at +20, duration BE64 at +24) for
+    * duration and the first `trak`→`tkhd` (width/height as 16.16 fixed
+    * point in the last 8 bytes of either version's payload) for
+    * dimensions. `size == 1` boxes carry a BE64 largesize after the
+    * type (16-byte header); `size == 0` means "extends to end of
+    * enclosing box". Channels: video content reports 0 (audio tracks
+    * would carry an stsd entry — out of header-walk scope).
     */
   def decodeMp4(b: Array[Byte]): Option[MediaHeader] = {
     var durMs = -1L
@@ -144,21 +156,35 @@ object HeaderCodec {
     def walk(from: Int, to: Int, depth: Int): Unit = {
       var o = from
       while (o + 8 <= to) {
-        val size = be32(b, o).toLong & 0xffffffffL
-        if (size < 8) return
+        val size32 = be32(b, o).toLong & 0xffffffffL
         val id = new String(b, o + 4, 4, "US-ASCII")
+        // resolve the three ISO-BMFF size encodings to (header, end)
+        val (hdr, size) =
+          if (size32 == 1) {
+            if (o + 16 > to) return
+            (16, be64(b, o + 8))
+          } else if (size32 == 0) (8, (to - o).toLong) // to end of parent
+          else (8, size32)
+        if (size < hdr) return
+        val p = o + hdr // payload start
         val end = math.min(to.toLong, o + size).toInt
         id match {
-          case "moov" | "trak" if depth < 4 => walk(o + 8, end, depth + 1)
-          case "mvhd" if o + 8 + 20 <= to =>
-            val version = b(o + 8) & 0xff
+          case "moov" | "trak" if depth < 4 => walk(p, end, depth + 1)
+          case "mvhd" if p + 20 <= to =>
+            val version = b(p) & 0xff
             if (version == 0) {
-              val timescale = be32(b, o + 8 + 12)
-              val dur = be32(b, o + 8 + 16).toLong & 0xffffffffL
+              val timescale = be32(b, p + 12)
+              val dur = be32(b, p + 16).toLong & 0xffffffffL
               if (timescale > 0) durMs = dur * 1000 / timescale
+            } else if (version == 1 && p + 32 <= to) {
+              // v1: ctime/mtime are 64-bit → timescale at +20, dur BE64
+              val timescale = be32(b, p + 20)
+              val dur = be64(b, p + 24)
+              if (timescale > 0 && dur >= 0) durMs = dur * 1000 / timescale
             }
-          case "tkhd" if w == 0 && size >= 8 + 84 =>
-            // v0 tkhd payload is 84 bytes; width/height are the final 8
+          case "tkhd" if w == 0 && size >= hdr + 84 =>
+            // v0 payload is 84 bytes, v1 is 96; width/height are the
+            // final 8 bytes of the payload in both versions
             w = be32(b, end - 8) >>> 16
             h = be32(b, end - 4) >>> 16
           case _ => ()

@@ -244,8 +244,10 @@ object QueriesLLM {
     * shuffled row per token — ~L rows per document at 100 TB); the
     * kernel keeps the identical majority semantics (bit b set iff
     * 2·Σ bit_b > n_tokens, term frequency = weight) with no shuffle at
-    * all. Rows-only path → free to use native xxhash64 over the
-    * md5-derived portable hash64 (the oracled [[simhash]] keeps md5).
+    * all. The kernel hashes tokens with the md5-derived portable
+    * md5h60 (same function as the oracled [[simhash]]), which is what
+    * makes every simhash consumer — including the banded
+    * `x_simhash_near_dup` — oracle-expressible in DuckDB.
     */
   def simhashAll(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)

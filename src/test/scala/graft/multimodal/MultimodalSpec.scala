@@ -65,6 +65,60 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains(Multimodal.MediaHeader("mp4", 1280, 720, 30000L, 0)))
   }
 
+  test("corrupt RIFF chunk sizes quarantine instead of spinning (zero/negative step)") {
+    // chunk size 0xFFFFFFF8 makes the word-aligned step 8 + (-8) + 0 == 0:
+    // before the guard this walked in place forever
+    val wav = HeaderCodec.synthWav(1, 8000, 100)
+    val evil = wav.clone()
+    val bb = java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, 0xfffffff8) // fmt chunk size field
+    assert(HeaderCodec.decode(evil).isEmpty)
+    // a merely-too-large size (beyond the buffer) also quarantines
+    val evil2 = wav.clone()
+    java.nio.ByteBuffer.wrap(evil2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, wav.length + 100)
+    assert(HeaderCodec.decode(evil2).isEmpty)
+  }
+
+  test("MP4 largesize (size==1) and version-1 mvhd/tkhd boxes parse") {
+    // rebuild the synthesized MP4's top-level moov with a 64-bit largesize
+    // header and upgrade mvhd/tkhd to version 1 (64-bit times/duration)
+    def box64(id: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(16 + payload.length)
+      b.putInt(1).put(id.getBytes("US-ASCII")).putLong(16L + payload.length).put(payload)
+      b.array()
+    }
+    def box(id: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(id.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val mvhdV1 = {
+      val b = java.nio.ByteBuffer.allocate(112)
+      b.putInt(0x01000000) // version 1 + flags
+      b.putLong(0L).putLong(0L) // ctime/mtime (64-bit)
+      b.putInt(1000) // timescale
+      b.putLong(45000L) // duration (BE64)
+      b.position(b.capacity()); b.array()
+    }
+    val tkhdV1 = {
+      val b = java.nio.ByteBuffer.allocate(96)
+      b.putInt(0x01000007)
+      b.putLong(0L).putLong(0L) // ctime/mtime
+      b.putInt(1).putInt(0) // track id, reserved
+      b.putLong(45000L) // duration (BE64)
+      b.putInt(0).putInt(0)
+      b.putShort(0).putShort(0).putShort(0).putShort(0)
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(v => b.putInt(v))
+      b.putInt(1920 << 16).putInt(1080 << 16)
+      b.array()
+    }
+    val ftyp = box("ftyp", "isomxxxxisommp41".getBytes("US-ASCII"))
+    val full = ftyp ++ box64("moov", box("mvhd", mvhdV1) ++ box("trak", box("tkhd", tkhdV1)))
+    assert(HeaderCodec.decode(full)
+      .contains(Multimodal.MediaHeader("mp4", 1920, 1080, 45000L, 0)))
+  }
+
   test("undecodable content quarantines as None, never throws") {
     assert(HeaderCodec.decode(Array.emptyByteArray).isEmpty)
     assert(HeaderCodec.decode("plain text, no container".getBytes).isEmpty)
