@@ -14,9 +14,9 @@ import Multimodal.MediaHeader
   * signatures, CRC'd chunks, zlib IDAT, correct RIFF sizes, nested
   * boxes) for fixture and pipeline synthesis.
   *
-  * Only HEADERS are decoded here. Pixel/sample payload decode — the part
-  * that genuinely needs libpng/libjpeg/FFmpeg — stays behind the
-  * declared stub boundary ([[Multimodal.resizeStub]]).
+  * Only HEADERS are decoded here; pixel/sample payload decode lives in
+  * [[PixelCodec]] (real for PNG scanlines and WAV PCM16; JPEG/MP4
+  * entropy-coded payloads are the documented codec-library boundary).
   */
 object HeaderCodec {
 
@@ -212,6 +212,26 @@ object HeaderCodec {
     ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
     writeChunk(out, "IHDR", ihdr.array())
     writeChunk(out, "IDAT", deflate(payload))
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Assemble a PNG container around an already-filtered raw scanline
+    * stream: signature, CRC'd IHDR with the given depth/color type, one
+    * zlib IDAT, IEND. [[PixelCodec.encodePng]] supplies real filtered
+    * scanlines; [[synthPng]] supplies a synthetic payload (header-only
+    * fixtures).
+    */
+  private[multimodal] def buildPng(w: Int, h: Int, depth: Int, colorType: Int,
+      rawScanlines: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+    ihdr.put(depth.toByte).put(colorType.toByte)
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
+    writeChunk(out, "IHDR", ihdr.array())
+    writeChunk(out, "IDAT", deflate(rawScanlines))
     writeChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
   }

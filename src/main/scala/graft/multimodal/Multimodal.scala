@@ -13,13 +13,19 @@ import org.apache.spark.sql.functions._
   * genuine containers (valid signatures, chunk CRCs, zlib IDAT, RIFF
   * sizes, ISO-BMFF boxes) because the sandbox has no media files, so
   * the extraction pipeline exercises the same parse a production ingest
-  * would run. The one remaining stub is PIXEL/SAMPLE decode
-  * ([[resizeStub]] stands in for a pixel-buffer resize): decompressing
-  * image pixels or PCM frames needs a real codec library and is the
-  * single component swapped for a JNI/FFmpeg/PIL-backed implementation
-  * (in PySpark this stage would be `mapInPandas`; the Scala-native
-  * equivalent is `mapPartitions` over an Encoder'd case class, used
-  * here).
+  * would run.
+  *
+  * The PIXEL/SAMPLE decode is real too ([[PixelCodec]]): PNG content
+  * carries genuinely filtered zlib scanlines that [[extractFeatures]]
+  * inflates, unfilters, and reduces to pixel statistics, and [[resize]]
+  * box-filters into real resized PNGs; WAV content carries PCM16 frames
+  * that decode to sample statistics and box-resampled audio. The
+  * remaining documented boundary is entropy-coded payloads only — JPEG
+  * (Huffman+DCT) and MP4 video (H.264) need a codec library this
+  * container lacks, so those rows flow through with
+  * `payload_ok = false` (in PySpark this swap-in stage would be
+  * `mapInPandas`; the Scala-native equivalent is `mapPartitions` over
+  * an Encoder'd case class, used here).
   */
 object Multimodal {
 
@@ -41,7 +47,13 @@ object Multimodal {
       duration_ms: Long,
       channels: Int,
       content_hash: String,
-      n_frames_sampled: Int)
+      n_frames_sampled: Int,
+      // real payload statistics: decoded PNG pixels (0..255) or WAV
+      // PCM16 samples; None for entropy-coded payloads (jpeg/mp4)
+      payload_ok: Boolean,
+      sample_mean: Option[Double],
+      sample_rms: Option[Double],
+      sample_peak: Option[Double])
 
   /** Parsed container header: the typed metadata a real pipeline
     * extracts before any pixel/sample decode.
@@ -52,13 +64,28 @@ object Multimodal {
 
   /** Deterministic per-doc media geometry (dims/duration/channels are a
     * pure function of doc_id so specs can recompute them exactly).
+    * Image dims are sized so REAL pixel buffers (w·h·3 bytes, generated,
+    * deflated, re-inflated per pass) stay cheap at bench scale: max
+    * 144×108×3 ≈ 46 KiB raw per image.
     */
   private[multimodal] def geom(id: Long): (Int, Int, Long, Int) = {
-    val w = 160 + (id % 8).toInt * 80 // 160..720
-    val h = 120 + ((id / 8) % 8).toInt * 60 // 120..540
+    val w = 32 + (id % 8).toInt * 16 // 32..144
+    val h = 24 + ((id / 8) % 8).toInt * 12 // 24..108
     val durMs = 100L + (id % 50) * 10 // 100..590 (audio), scaled for video
     val ch = 1 + (id % 2).toInt
     (w, h, durMs, ch)
+  }
+
+  /** Deterministic pixel field for media `id`: byte i of the interleaved
+    * buffer is (i·31 + id·17 + 7) mod 256 — structured enough that every
+    * PNG filter type changes the wire bytes, trivially recomputable in
+    * specs.
+    */
+  private[multimodal] def pixelsFor(id: Long, w: Int, h: Int, ch: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h * ch)
+    var i = 0
+    while (i < out.length) { out(i) = ((i * 31 + id * 17 + 7) & 0xff).toByte; i += 1 }
+    out
   }
 
   /** Build a deterministic media table from the documents corpus: text
@@ -80,9 +107,12 @@ object Multimodal {
       .mapPartitions(_.map { r =>
         val (w, h, durMs, ch) = geom(r.media_id)
         val bytes = r.kind match {
-          case "image" if r.media_id % 2 == 0 => HeaderCodec.synthPng(w, h, r.content)
+          case "image" if r.media_id % 2 == 0 =>
+            // REAL pixels: filtered zlib scanlines the feature/resize
+            // stages genuinely decode (not a payload-synthetic stand-in)
+            PixelCodec.encodePng(PixelCodec.PixelImage(w, h, 3, pixelsFor(r.media_id, w, h, 3)))
           case "image" => HeaderCodec.synthJpeg(w, h, r.content)
-          case "audio" => HeaderCodec.synthWav(ch, 8000, durMs)
+          case "audio" => HeaderCodec.synthWav(ch, 8000, durMs) // real PCM16 payload
           case _ => HeaderCodec.synthMp4(w, h, durMs * 20, r.content)
         }
         r.copy(content = bytes)
@@ -108,6 +138,26 @@ object Multimodal {
             case None => (0, 0, 0L, 0)
           }
           val frames = if (dur == 0) 1 else (1 + dur / frameEveryMs).toInt
+          // real payload decode: PNG → pixel bytes (0..255), WAV → PCM16
+          // samples; jpeg/mp4 are entropy-coded (documented boundary)
+          val samples: Option[Array[Double]] = hdr.map(_.container) match {
+            case Some("png") =>
+              PixelCodec.decodePng(r.content).map(_.pixels.map(p => (p & 0xff).toDouble))
+            case Some("wav") =>
+              PixelCodec.decodeWavPcm16(r.content).map(_.samples.map(_.toDouble))
+            case _ => None
+          }
+          val stats = samples.filter(_.nonEmpty).map { s =>
+            val n = s.length
+            var sum = 0.0; var sumSq = 0.0; var peak = 0.0
+            var i = 0
+            while (i < n) {
+              val v = s(i); sum += v; sumSq += v * v
+              val a = math.abs(v); if (a > peak) peak = a
+              i += 1
+            }
+            (sum / n, math.sqrt(sumSq / n), peak)
+          }
           md5.reset()
           MediaFeatures(
             media_id = r.media_id,
@@ -117,28 +167,51 @@ object Multimodal {
             n_bytes = r.content.length,
             width = w, height = h, duration_ms = dur, channels = ch,
             content_hash = graft.codec.Hex.encode(md5.digest(r.content)),
-            n_frames_sampled = frames)
+            n_frames_sampled = frames,
+            payload_ok = stats.isDefined,
+            sample_mean = stats.map(_._1),
+            sample_rms = stats.map(_._2),
+            sample_peak = stats.map(_._3))
         }
       }
       .toDF()
   }
 
-  /** "Resize" stage — the one REMAINING stub, and deliberately so:
-    * producing resized pixel buffers requires decompressing IDAT/DCT/PCM
-    * payloads, which needs a codec library this container lacks. The
-    * binary→binary partition transform around it (the Spark shape) is
-    * real; a production build swaps the payload function only.
+  final case class ResizedRow(
+      media_id: Long,
+      kind: String,
+      resized_ok: Boolean, // real payload resize happened
+      content_resized: Array[Byte],
+      source: String)
+
+  /** Resize stage — REAL payload work, no stub: PNG content is pixel-
+    * decoded ([[PixelCodec.decodePng]]: inflate + unfilter), box-filter
+    * resized to `targetW`×`targetH`, and re-encoded as a real filtered
+    * PNG; WAV content is PCM16-decoded and box-resampled to
+    * `targetFrames` frames. Entropy-coded payloads (JPEG/MP4 — the
+    * documented codec-library boundary) pass through unchanged with
+    * `resized_ok = false`, the dead-letter discipline of the decode
+    * stage. Binary→binary partition transform: one pass, no driver
+    * collection, fixed output schema.
     */
-  def resizeStub(spark: SparkSession, media: DataFrame, targetBytes: Int = 256): DataFrame = {
+  def resize(spark: SparkSession, media: DataFrame,
+      targetW: Int = 16, targetH: Int = 16, targetFrames: Int = 400): DataFrame = {
     import spark.implicits._
     media.select("media_id", "kind", "content", "source").as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val out = java.util.Arrays.copyOf(r.content, targetBytes)
-          r.copy(content = out)
+          val resized: Option[Array[Byte]] =
+            if (HeaderCodec.isPng(r.content))
+              PixelCodec.decodePng(r.content)
+                .map(img => PixelCodec.encodePng(PixelCodec.boxResize(img, targetW, targetH)))
+            else if (HeaderCodec.isWav(r.content))
+              PixelCodec.decodeWavPcm16(r.content)
+                .map(a => PixelCodec.encodeWav(PixelCodec.boxResample(a, targetFrames)))
+            else None
+          ResizedRow(r.media_id, r.kind, resized.isDefined,
+            resized.getOrElse(r.content), r.source)
         }
       }
       .toDF()
-      .withColumnRenamed("content", "content_resized")
   }
 }

@@ -319,6 +319,12 @@ object Queries {
     "x_multimodal_features" -> ((s: SparkSession, dir: String) =>
       graft.multimodal.Multimodal.extractFeatures(s,
         graft.multimodal.Multimodal.mediaFromDocuments(s, dir)).orderBy("media_id")),
+    "x_multimodal_resize" -> ((s: SparkSession, dir: String) =>
+      graft.multimodal.Multimodal.resize(s,
+          graft.multimodal.Multimodal.mediaFromDocuments(s, dir))
+        .select(col("media_id"), col("kind"), col("resized_ok"),
+          length(col("content_resized")).as("n_bytes_out"))
+        .orderBy("media_id")),
     "utxo_e2e_point_lookup" -> (QueriesUtxo.e2ePointLookup _),
     "utxo_e2e_script_types" -> (QueriesUtxo.e2eScriptTypes _)
   )

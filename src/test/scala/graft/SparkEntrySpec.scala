@@ -33,6 +33,9 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set("q_agg_approx_distinct", "q_agg_approx_percentile",
       "x_minhash_lsh", "x_ann_lsh", "x_ann_ivf", "x_multimodal_features",
+      // pixel/sample payload transforms (inflate+unfilter+box filter)
+      // are not SQL; MultimodalSpec pins decodes on hand-built vectors
+      "x_multimodal_resize",
       "x_stratified_sample", "q_table_sample",
       // LSH-sourced edges: banding is not SQL-expressible; LshSpec pins
       // cluster equality vs the oracled exact-edge x_dedup_clusters

@@ -169,11 +169,127 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats.filter(col("kind") === "image" && col("n_frames_sampled") =!= 1).count() == 0)
   }
 
-  test("resize stub preserves ids and produces fixed-size payloads") {
+  // ------------------------------------------------------- pixel codec
+
+  test("PNG pixel decode: hand-filtered scanline vectors (Sub/Up/Average/Paeth)") {
+    import PixelCodec._
+    // 2×2 gray, pixels [10,20,30,40]; filter bytes computed BY HAND per
+    // the PNG spec §9 and pinned here — the decoder must invert them.
+    def png(raw: Array[Byte]): Array[Byte] =
+      HeaderCodec.buildPng(2, 2, 8, 0, raw)
+    val px = Array[Byte](10, 20, 30, 40)
+    // row0 Sub: 10-0=10, 20-10=10 · row1 Up: 30-10=20, 40-20=20
+    assert(decodePng(png(Array[Byte](1, 10, 10, 2, 20, 20))).map(_.pixels.toSeq)
+      .contains(px.toSeq))
+    // row0 None · row1 Average: 30-(0+10)/2=25, 40-(30+20)/2=15
+    assert(decodePng(png(Array[Byte](0, 10, 20, 3, 25, 15))).map(_.pixels.toSeq)
+      .contains(px.toSeq))
+    // row0 None · row1 Paeth: paeth(0,10,0)=10 → 30-10=20;
+    // paeth(30,20,10): p=40, |p-a|=10 smallest → 40-30=10
+    assert(decodePng(png(Array[Byte](0, 10, 20, 4, 20, 10))).map(_.pixels.toSeq)
+      .contains(px.toSeq))
+    val img = decodePng(png(Array[Byte](1, 10, 10, 2, 20, 20))).get
+    assert(img.width == 2 && img.height == 2 && img.channels == 1)
+  }
+
+  test("PNG encode/decode roundtrip exercises all five filters; malformed quarantines") {
+    import PixelCodec._
+    // 7 rows → encoder cycles filters 0,1,2,3,4,0,1
+    for (ch <- Seq(1, 2, 3, 4)) {
+      val src = PixelImage(5, 7, ch, Multimodal.pixelsFor(ch * 13 + 1, 5, 7, ch))
+      val round = decodePng(encodePng(src))
+      assert(round.contains(src.copy(pixels = round.get.pixels)) &&
+        round.get.pixels.toSeq == src.pixels.toSeq, s"roundtrip failed for channels=$ch")
+    }
+    // truncation INTO the IDAT (half the container) quarantines, never throws
+    val whole = encodePng(PixelImage(4, 4, 3, Multimodal.pixelsFor(9, 4, 4, 3)))
+    assert(decodePng(whole.take(whole.length / 2)).isEmpty)
+    assert(decodePng("not a png".getBytes).isEmpty)
+    // header-only synthetic payload (synthPng) quarantines at pixel level
+    assert(decodePng(HeaderCodec.synthPng(10, 10, payload)).isEmpty)
+  }
+
+  test("box resize: known 4×4 → 2×2 quadrant means, box resample: per-channel frame means") {
+    import PixelCodec._
+    val img = PixelImage(4, 4, 1, (0 until 16).map(_.toByte).toArray)
+    val rz = boxResize(img, 2, 2)
+    // quadrant sums 10/18/42/50, rounded means (sum+2)/4
+    assert(rz.pixels.map(_ & 0xff).toSeq == Seq(3, 5, 11, 13))
+    val audio = PcmAudio(2, 8000, Array[Short](10, -10, 20, -20, 30, -30, 50, -50))
+    val rs = boxResample(audio, 2)
+    assert(rs.samples.toSeq == Seq[Short](15, -15, 40, -40))
+  }
+
+  test("WAV PCM16 decode matches the generator's sample formula; encode roundtrips") {
+    import PixelCodec._
+    // synthWav writes byte i = (i·31 + channels·7) mod 256 — recompute
+    // the LE16 samples independently of the decoder
+    val wav = HeaderCodec.synthWav(1, 8000, 1) // 16 data bytes → 8 samples
+    val got = decodeWavPcm16(wav).get
+    assert(got.channels == 1 && got.sampleRate == 8000)
+    val expect = (0 until 8).map { i =>
+      val lo = (2 * i * 31 + 7) & 0xff
+      val hi = ((2 * i + 1) * 31 + 7) & 0xff
+      (lo | (hi << 8)).toShort
+    }
+    assert(got.samples.toSeq == expect)
+    val custom = PcmAudio(2, 44100, Array[Short](100, -200, 300, -400, Short.MaxValue, Short.MinValue))
+    assert(decodeWavPcm16(encodeWav(custom)).contains(custom.copy(samples = custom.samples)) ||
+      decodeWavPcm16(encodeWav(custom)).get.samples.toSeq == custom.samples.toSeq)
+  }
+
+  test("feature extraction computes REAL payload statistics (png pixels, wav samples)") {
     val media = Multimodal.mediaFromDocuments(spark, dir)
-    val resized = Multimodal.resizeStub(spark, media, targetBytes = 128)
-    assert(resized.count() == media.count())
-    val lens = resized.select(length(col("content_resized"))).distinct().collect()
-    assert(lens.map(_.getInt(0)).toSeq == Seq(128))
+    val feats = Multimodal.extractFeatures(spark, media)
+      .select("media_id", "container", "payload_ok", "sample_mean", "sample_rms", "sample_peak")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(feats.nonEmpty)
+    feats.values.foreach { r =>
+      r.getString(1) match {
+        case "png" | "wav" => assert(r.getBoolean(2), s"payload not decoded: $r")
+        case _ => assert(!r.getBoolean(2), s"entropy-coded payload claimed decoded: $r")
+      }
+    }
+    // pin one PNG row's stats against the GENERATOR pixels (no decoder in
+    // the expected side): decode must have inverted filter+zlib exactly
+    val pngId = feats.collect { case (id, r) if r.getString(1) == "png" => id }.min
+    val (w, h, _, _) = Multimodal.geom(pngId)
+    val px = Multimodal.pixelsFor(pngId, w, h, 3).map(p => (p & 0xff).toDouble)
+    val r = feats(pngId)
+    assert(math.abs(r.getDouble(3) - px.sum / px.length) < 1e-9)
+    assert(math.abs(r.getDouble(4) - math.sqrt(px.map(v => v * v).sum / px.length)) < 1e-9)
+    assert(r.getDouble(5) == px.max)
+  }
+
+  test("resize really resizes: PNGs decode to target dims, WAV to target frames, jpeg/mp4 pass through") {
+    val media = Multimodal.mediaFromDocuments(spark, dir)
+    val rz = Multimodal.resize(spark, media, targetW = 16, targetH = 12, targetFrames = 100)
+    assert(rz.count() == media.count())
+    val rows = rz.select("media_id", "kind", "resized_ok", "content_resized").collect()
+    rows.foreach { r =>
+      val id = r.getLong(0); val bytes = r.getAs[Array[Byte]](3)
+      r.getString(1) match {
+        case "image" if id % 2 == 0 =>
+          assert(r.getBoolean(2))
+          val img = PixelCodec.decodePng(bytes).get
+          assert(img.width == 16 && img.height == 12 && img.channels == 3)
+        case "audio" =>
+          assert(r.getBoolean(2))
+          val a = PixelCodec.decodeWavPcm16(bytes).get
+          assert(a.samples.length == 100 * a.channels)
+        case _ => // jpeg (odd image ids), mp4: entropy-coded → passthrough
+          assert(!r.getBoolean(2))
+      }
+    }
+    // one pinned content check: resized pixels equal a driver-side
+    // boxResize of the generator pixels (whole chain is deterministic)
+    val pngRow = rows.filter(r => r.getString(1) == "image" && r.getLong(0) % 2 == 0)
+      .minBy(_.getLong(0))
+    val id = pngRow.getLong(0)
+    val (w, h, _, _) = Multimodal.geom(id)
+    val expect = PixelCodec.boxResize(
+      PixelCodec.PixelImage(w, h, 3, Multimodal.pixelsFor(id, w, h, 3)), 16, 12)
+    assert(PixelCodec.decodePng(pngRow.getAs[Array[Byte]](3)).get.pixels.toSeq
+      == expect.pixels.toSeq)
   }
 }
