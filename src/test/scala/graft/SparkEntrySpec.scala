@@ -40,9 +40,10 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
       // LSH-sourced edges: banding is not SQL-expressible; LshSpec pins
       // cluster equality vs the oracled exact-edge x_dedup_clusters
       "x_dedup_clusters_lsh",
-      // keep-list composes the LSH cluster map → rows-only by the same
-      // argument; TextPipelineSpec pins survivor counts
-      "x_near_dedup_keep",
+      // keep-list SCALE path composes the LSH cluster map → rows-only
+      // by the same argument (the exact-map x_near_dedup_keep is fully
+      // oracled); TextPipelineSpec pins survivor counts for both
+      "x_near_dedup_keep_lsh",
       // shard boundaries come from reservoir sampling (engine-specific);
       // QueriesRelSpec pins disjointness + coverage + balance
       "q_range_shard",
@@ -63,12 +64,7 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
       "x_triangles_lsh",
       // PQ codebooks come from seeded KMeans (not SQL); LshSpec pins a
       // recall floor vs the oracled brute-force cosine
-      "x_ann_pq",
-      // BPE merges are an iterative argmax (not SQL); TextPipelineSpec
-      // pins training rounds and tokenization totals against an exact
-      // in-process reference
-      "x_bpe_train",
-      "x_bpe_apply")
+      "x_ann_pq")
     assert(rowsOnly == expected, s"rows-only drift: $rowsOnly")
   }
 

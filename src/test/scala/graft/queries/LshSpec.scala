@@ -83,8 +83,10 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(prefix == naive, s"prefix filter broke exactness: missing=${naive -- prefix} extra=${prefix -- naive}")
     // and the plan is a shuffled hash/sort-merge join on the shingle
-    // key, never a single-partition nested loop over all pairs
-    val plan = QueriesLLM.exactJaccardPairs(spark, dir)
+    // key, never a single-partition nested loop over all pairs (the
+    // UNCACHED builder — the memoized wrapper returns an RDD-backed
+    // frame whose plan no longer shows the join)
+    val plan = QueriesLLM.exactJaccardPairsUncached(spark, dir)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }

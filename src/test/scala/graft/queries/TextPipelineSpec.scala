@@ -239,16 +239,21 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("near-dedup keep-list: one survivor per cluster, unclustered docs all kept") {
-    val clusters = QueriesLLM.dedupClustersLsh(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    val nMembers = clusters.length.toLong
-    val nClusters = clusters.map(_._2).distinct.length.toLong
+    // both variants: (cluster source, keep-list under test)
+    val variants = Seq(
+      QueriesLLM.dedupClusters(spark, dir) -> QueriesLLM.nearDedupKeep(spark, dir),
+      QueriesLLM.dedupClustersLsh(spark, dir) -> QueriesLLM.nearDedupKeepLsh(spark, dir))
     val total = Queries.t(spark, dir, "documents").count()
-    val kept = QueriesLLM.nearDedupKeep(spark, dir).collect()
-    assert(kept.map(_.getLong(1)).sum == total)
-    // removed = members minus one canonical survivor per cluster
-    assert(kept.map(_.getLong(2)).sum == total - (nMembers - nClusters))
-    kept.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    for ((clusterDf, keepDf) <- variants) {
+      val clusters = clusterDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val nMembers = clusters.length.toLong
+      val nClusters = clusters.map(_._2).distinct.length.toLong
+      val kept = keepDf.collect()
+      assert(kept.map(_.getLong(1)).sum == total)
+      // removed = members minus one canonical survivor per cluster
+      assert(kept.map(_.getLong(2)).sum == total - (nMembers - nClusters))
+      kept.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    }
   }
 
   test("percent-of-total shares sum to ~1e6 ppm and match exact arithmetic") {
