@@ -33,31 +33,50 @@ object UtxoConvert {
   def load(spark: SparkSession, input: String): DataFrame =
     spark.read.format("utxo").load(input)
 
-  /** Approximate script-range bounds from a cheap driver-side sample:
-    * decode ~`perSplit` coins at the head of every k-th indexed split
-    * instead of `repartitionByRange`'s full second decode of the whole
-    * snapshot (at 100 TB the sampling pass would cost as much as the
-    * convert itself). Returns n-1 sorted cut points.
+  /** Approximate script-range bounds from a cheap sample: decode
+    * ~`perSplit` coins at the head of every k-th indexed split instead
+    * of `repartitionByRange`'s full second decode of the whole snapshot
+    * (at 100 TB the sampling pass would cost as much as the convert
+    * itself). The per-split decodes run as a Spark job when a session
+    * is active — the driver handles only split metadata and the
+    * collected sample scripts (bounded: ≤ 32·files·perSplit rows), so
+    * NO driver code path ever streams snapshot bytes (same discipline
+    * as [[graft.codec.SnapshotIndexer.indexAll]]); sequential fallback
+    * without a session (plain library use). Sample positions are
+    * deterministic, so executor and fallback paths produce identical
+    * bounds. Returns n-1 sorted cut points.
     */
   def sampleScriptBounds(input: String, n: Int, perSplit: Int = 512): Array[Array[Byte]] = {
     val conf = UtxoTable.hadoopConf()
     val files = UtxoTable.expand(input, conf)
-    val samples = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     // distributed/sidecar-backed indexing — the driver only walks the
     // (tiny) split lists, never the snapshot bytes
     val indexed = graft.codec.SnapshotIndexer.indexAll(files, 64L * 1024, conf)
-    files.foreach { file =>
+    val tasks: Seq[(String, Long, Long)] = files.flatMap { file =>
       val splits = indexed(file)._2
       val step = math.max(1, splits.size / 32)
-      splits.indices.by(step).foreach { i =>
-        val in = graft.codec.SnapshotIndexer.open(file, conf, splits(i).offset)
-        try {
-          val r = new graft.codec.ByteReader(in)
-          val it = graft.codec.SnapshotCodec.coins(r, math.min(perSplit.toLong, splits(i).nCoins), renderTxid = false)
-          it.foreach(c => samples += c.script)
-        } finally in.close()
+      splits.indices.by(step).map { i =>
+        (file, splits(i).offset, math.min(perSplit.toLong, splits(i).nCoins))
       }
     }
+    def sampleOne(conf: org.apache.hadoop.conf.Configuration)(
+        t: (String, Long, Long)): Seq[Array[Byte]] = {
+      val (file, offset, nCoins) = t
+      val in = graft.codec.SnapshotIndexer.open(file, conf, offset)
+      try graft.codec.SnapshotCodec.coins(new graft.codec.ByteReader(in),
+        nCoins, renderTxid = false).map(_.script).toSeq
+      finally in.close()
+    }
+    val samples: Seq[Array[Byte]] =
+      org.apache.spark.sql.SparkSession.getActiveSession match {
+        case Some(s) if tasks.nonEmpty =>
+          val ser = new org.apache.spark.util.SerializableConfiguration(conf)
+          s.sparkContext
+            .parallelize(tasks, math.min(tasks.size, s.sparkContext.defaultParallelism))
+            .flatMap(t => sampleOne(ser.value)(t))
+            .collect().toSeq
+        case _ => tasks.flatMap(sampleOne(conf))
+      }
     val sorted = samples.sortWith(graft.codec.UnsignedBytes(_, _) < 0)
     (1 until n).map(i => sorted((i.toLong * sorted.size / n).toInt min (sorted.size - 1))).toArray
   }

@@ -131,6 +131,37 @@ class UtxoSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("utxo").load(empty.getAbsolutePath).count() == 0)
   }
 
+  test("executor-side script-bound sampling matches a sequential recompute") {
+    // the executor job decodes the same deterministic positions (head
+    // perSplit coins of every step-th split) as the no-session
+    // sequential fallback, so the cut points must be identical — pins
+    // that moving the decode off the driver changed nothing
+    val conf = UtxoTable.hadoopConf()
+    val files = UtxoTable.expand(fixturePath, conf)
+    val indexed = graft.codec.SnapshotIndexer.indexAll(files, 64L * 1024, conf)
+    val seq = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    files.foreach { file =>
+      val splits = indexed(file)._2
+      val step = math.max(1, splits.size / 32)
+      splits.indices.by(step).foreach { i =>
+        val in = graft.codec.SnapshotIndexer.open(file, conf, splits(i).offset)
+        try graft.codec.SnapshotCodec.coins(new graft.codec.ByteReader(in),
+          math.min(512L, splits(i).nCoins), renderTxid = false)
+          .foreach(c => seq += c.script)
+        finally in.close()
+      }
+    }
+    val sorted = seq.sortWith(graft.codec.UnsignedBytes(_, _) < 0)
+    val n = 4
+    val expected = (1 until n).map(i =>
+      sorted((i.toLong * sorted.size / n).toInt min (sorted.size - 1)))
+    val got = UtxoConvert.sampleScriptBounds(fixturePath, n)
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(java.util.Arrays.equals(g, e), "bounds diverged")
+    }
+  }
+
   test("range-partitioned convert globally clusters scripts across files") {
     val outDir = new java.io.File(tmp, "clustered").getAbsolutePath
     UtxoConvert.convert(spark, fixturePath, outDir, partitions = 4, rangePartition = true)
