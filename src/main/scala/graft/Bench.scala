@@ -149,10 +149,14 @@ object Bench {
 
     // -1 = multi-file convert never ran; 4 = all sidecars hit/written
     var multiSidecarsSeen: Int = -1
+    // (total, stats-candidate, bloom-possible) row groups for the bench
+    // point lookup on the bloom-filtered plain output; -1 = never ran
+    var bloomRowGroups: (Int, Int, Int) = (-1, -1, -1)
     val convert = try {
       val snap = ensureSnapshot("/tmp/graft_bench_snap.bin", 2000000, seed = 42L)
       val snap10 = ensureSnapshot("/tmp/graft_bench_snap10.bin", 10000000, seed = 43L)
-      def timeConvert(in: String, out: String, range: Boolean): Double = {
+      def timeConvert(in: String, out: String, range: Boolean,
+          bloom: Boolean = false): Double = {
         // pre-delete the previous run's output OUTSIDE the timed region:
         // overwriting a dirty multi-GB dir bills its delete + writeback
         // to the convert. Re-create the empty dir up front so the timed
@@ -163,7 +167,8 @@ object Bench {
         syncFs()
         val t0 = System.nanoTime()
         graft.sources.UtxoConvert.convert(spark, in, out,
-          partitions = cpus.toInt, rangePartition = range)
+          partitions = cpus.toInt, rangePartition = range,
+          bloomFilterScript = bloom)
         (System.nanoTime() - t0) / 1e9
       }
       // untimed warmup converts: the first convert of each shape pays
@@ -217,6 +222,15 @@ object Bench {
       }
       val convertMultiSec = minN("utxo_convert_multi4", 5)(
         timeConvert(multiDir, s"$scratch/convert_multi_out", range = false))
+
+      // bloom-filtered plain convert: same layout + a split-block bloom
+      // on script. The write-side cost rides the timing; the read-side
+      // payoff is published as row-group counters below (at 2M/32
+      // files the wall-clock delta is noise; the counter is the part
+      // that scales — stats leave ~1 candidate group per FILE, bloom
+      // leaves only the groups that truly hold the key)
+      val convertBloomSec = minN("utxo_convert_2m_bloom", 3)(
+        timeConvert(snap, s"$scratch/convert_bloom", range = false, bloom = true))
       multiSidecarsSeen = new java.io.File(multiDir).listFiles()
         .count(_.getName.endsWith(graft.codec.SnapshotIndexer.SidecarSuffix))
 
@@ -235,12 +249,25 @@ object Bench {
       }
       val lookupSec = lookup("utxo_point_lookup", s"$scratch/convert_out")
       val lookupClusteredSec = lookup("utxo_point_lookup_clustered", s"$scratch/convert_clustered")
+      val lookupBloomSec = lookup("utxo_point_lookup_bloom", s"$scratch/convert_bloom")
+      // the scale-relevant observable: candidate row groups for the
+      // looked-up key under stats-only vs bloom skipping on the SAME
+      // bloom-filtered output
+      bloomRowGroups = try {
+        val (tot, stats) = graft.tools.LayoutReport.statsMatch(
+          s"$scratch/convert_bloom", "script", someScript)
+        val (_, bloomPoss) = graft.tools.LayoutReport.bloomMatch(
+          s"$scratch/convert_bloom", "script", someScript)
+        (tot, stats, bloomPoss)
+      } catch { case _: Throwable => (-1, -1, -1) }
       // free the tmpfs scratch once every measurement that reads it is
       // done — RAM-backed artifacts must not outlive the bench
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
       Seq("utxo_convert_2m" -> convertSec, "utxo_point_lookup" -> lookupSec,
         "utxo_convert_2m_clustered" -> convertClusteredSec,
         "utxo_point_lookup_clustered" -> lookupClusteredSec,
+        "utxo_convert_2m_bloom" -> convertBloomSec,
+        "utxo_point_lookup_bloom" -> lookupBloomSec,
         "utxo_decode_10m" -> decode10Sec,
         "utxo_convert_10m" -> convert10Sec,
         "utxo_convert_multi4" -> convertMultiSec)
@@ -270,7 +297,7 @@ object Bench {
         else (central(central.size / 2 - 1) + central(central.size / 2)) / 2.0
       "\"" + k + "\":" + f"$med%.3f"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","convert_rows_per_s":$rowsPerSec,"convert_runs":$runsJson,"convert_trimmed_median":$trimmedJson,"multi_sidecars":$multiSidecarsSeen}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","convert_rows_per_s":$rowsPerSec,"convert_runs":$runsJson,"convert_trimmed_median":$trimmedJson,"multi_sidecars":$multiSidecarsSeen,"bloom_rowgroups":{"total":${bloomRowGroups._1},"stats_candidates":${bloomRowGroups._2},"bloom_possible":${bloomRowGroups._3}}}""")
     spark.stop()
   }
 }

@@ -91,7 +91,8 @@ object UtxoConvert {
       blockSizeBytes: Long = 16L * 1024 * 1024,
       rowGroupRows: Int = 64 * 1024,
       zstdLevel: Int = 1,
-      writerVersion: String = "v2"): ConvertStats = {
+      writerVersion: String = "v2",
+      bloomFilterScript: Boolean = false): ConvertStats = {
     val n = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
     // level 1 keeps the convert CPU-bound on decode, not the codec;
@@ -155,7 +156,7 @@ object UtxoConvert {
     // the Spark-native form of the reference's progress log + running
     // max(height) (`/root/reference/src/main.rs:229,269-273`)
     val obs = org.apache.spark.sql.Observation()
-    shaped
+    val writer = shaped
       .observe(obs, count(lit(1)).as("rows"), max(col("height")).as("max_height"))
       .sortWithinPartitions("script")
       .write
@@ -164,6 +165,20 @@ object UtxoConvert {
       .option("parquet.block.size", blockSizeBytes.toString)
       .option("parquet.block.row.count.limit", rowGroupRows.toString)
       .option("parquet.page.size", (64 * 1024).toString)
+    // opt-in split-block bloom filter on `script`: the plain (per-task
+    // sorted) layout leaves one stats-candidate row group PER FILE for
+    // a point lookup — at 100 TB that is thousands of row-group reads
+    // for a key that lives in exactly one. A bloom per row group lets
+    // both parquet-mr (Spark) and DuckDB drop non-matching files
+    // without touching data pages. NDV = row-group cap (scripts are
+    // near-unique per group); v2's DELTA_BYTE_ARRAY script encoding has
+    // no dictionary page, so bloom is the only exact-membership skip
+    // available. The clustered layout doesn't need it (disjoint ranges
+    // prune to one file by min/max alone).
+    (if (bloomFilterScript)
+       writer.option("parquet.bloom.filter.enabled#script", "true")
+         .option("parquet.bloom.filter.expected.ndv#script", rowGroupRows.toString)
+     else writer)
       .parquet(output)
     // footer sortingColumns (reference src/main.rs:212): Spark can't
     // write the field, so stamp it post-write — local outputs only

@@ -74,6 +74,13 @@ object LargeConvertBench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // untimed warmups, one per shape: the first convert in a fresh JVM
+    // pays ~30 s of codegen/writer init at 100M coins, which is
+    // cold-start, not steady-state throughput (same policy as Bench)
+    timeConvert(s"$scratch/warm", range = false)
+    timeConvert(s"$scratch/warm", range = true)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$scratch/warm"))
+
     val plain = (1 to runs).map(_ => timeConvert(s"$scratch/plain", range = false))
     val clustered = (1 to runs).map(_ => timeConvert(s"$scratch/clustered", range = true))
     val outBytes = org.apache.commons.io.FileUtils

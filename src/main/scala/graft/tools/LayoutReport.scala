@@ -76,6 +76,40 @@ object LayoutReport {
     (total, matching)
   }
 
+  /** Count (rowGroupsTotal, rowGroupsPossible) for a binary point value
+    * on `column` using the split-block bloom filters written by
+    * `UtxoConvert(bloomFilterScript = true)` — the exact-membership
+    * skip a bloom-aware reader (parquet-mr / Spark, DuckDB ≥ 1.2)
+    * achieves on the PLAIN layout, where every file spans the full key
+    * range and min/max stats leave ~one candidate row group per file.
+    * A row group with no bloom filter on the column counts as possible
+    * (a reader cannot skip what it cannot test).
+    */
+  def bloomMatch(dirOrFile: String, column: String, valueHex: String): (Int, Int) = {
+    val target = graft.codec.Hex.decode(valueHex)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val d = new java.io.File(dirOrFile)
+    val parts =
+      if (d.isDirectory) d.listFiles().filter(_.getName.endsWith(".parquet"))
+      else Array(d)
+    var total = 0
+    var possible = 0
+    parts.foreach { part =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf))
+      try reader.getFooter.getBlocks.asScala.foreach { b =>
+        total += 1
+        val col = b.getColumns.asScala.find(_.getPath.toDotString == column).get
+        val bf = reader.getBloomFilterDataReader(b).readBloomFilter(col)
+        if (bf == null ||
+            bf.findHash(bf.hash(org.apache.parquet.io.api.Binary.fromConstantByteArray(target))))
+          possible += 1
+      } finally reader.close()
+    }
+    (total, possible)
+  }
+
   /** Count (rowGroupsTotal, rowGroupsOverlapping) for a binary range
     * [loHex, hiHex) on `column` using footer min/max stats — what a
     * stats-aware reader skips for a sargable range predicate (e.g. the

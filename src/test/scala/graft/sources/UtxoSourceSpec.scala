@@ -403,4 +403,51 @@ class UtxoSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("height").orderBy("height").collect().map(_.getLong(0)).toSeq
     assert(res == Seq(10L, 20L, 30L))
   }
+
+  test("script bloom filters give exact-membership row-group skipping on the plain layout") {
+    // plain layout weakness: every file spans the full script range, so
+    // min/max stats leave >= 1 candidate row group per file even for a
+    // key the file does not hold — at 100 TB that is thousands of
+    // wasted row-group reads per point lookup. The opt-in split-block
+    // bloom on `script` must (a) survive the FooterSort in-place stamp,
+    // (b) admit the present key, (c) reject an absent key stats cannot.
+    val bloomDir = new java.io.File(tmp, "skip-bloom").getAbsolutePath
+    UtxoConvert.convert(spark, fixturePath, bloomDir, partitions = 2,
+      blockSizeBytes = 8 * 1024, bloomFilterScript = true)
+
+    // an absent-but-in-range script: same P2PKH shape, different hash160
+    val absentScript = ScriptCodec.decompress(0, Array.tabulate[Byte](20)(i => (i + 101).toByte))
+    val absentHex = Hex.encode(absentScript)
+    assert(UtxoConvert.readConverted(spark, bloomDir)
+      .filter(col("script") === unhex(lit(absentHex))).count() == 0L)
+
+    val (total, presentPossible) =
+      graft.tools.LayoutReport.bloomMatch(bloomDir, "script", knownHex)
+    assert(total >= 8, s"fixture too small to form row groups: $total")
+    assert(presentPossible >= 1, "bloom must admit a present key")
+    assert(presentPossible <= 3, // the 3 marked coins bound the true row groups
+      s"bloom-possible groups for a 3-row key: $presentPossible of $total")
+    val (_, absentPossible) =
+      graft.tools.LayoutReport.bloomMatch(bloomDir, "script", absentHex)
+    assert(absentPossible == 0,
+      s"bloom must reject the absent key everywhere, got $absentPossible groups")
+    // ... which stats alone cannot do for an in-range key
+    val (_, absentStats) =
+      graft.tools.LayoutReport.statsMatch(bloomDir, "script", absentHex)
+    assert(absentStats >= 1, "absent key chosen outside all min/max ranges defeats the point of this spec")
+
+    // a bloom-less convert cannot skip anything by membership
+    val noBloomDir = new java.io.File(tmp, "skip-nobloom").getAbsolutePath
+    UtxoConvert.convert(spark, fixturePath, noBloomDir, partitions = 2,
+      blockSizeBytes = 8 * 1024)
+    val (nbTotal, nbPossible) =
+      graft.tools.LayoutReport.bloomMatch(noBloomDir, "script", absentHex)
+    assert(nbPossible == nbTotal, "no bloom filter -> every group stays a candidate")
+
+    // correctness through the bloom + stamped footer: results unchanged
+    val viaBloom = UtxoConvert.readConverted(spark, bloomDir)
+      .filter(col("script") === unhex(lit(knownHex)))
+      .select("height").orderBy("height").collect().map(_.getLong(0)).toSeq
+    assert(viaBloom == Seq(10L, 20L, 30L))
+  }
 }
