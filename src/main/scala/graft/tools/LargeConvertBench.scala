@@ -32,11 +32,24 @@ object LargeConvertBench {
     val nCoins = args.headOption.map(_.toInt).getOrElse(100000000)
     val runs = args.drop(1).headOption.map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle spill to tmpfs when available: the clustered convert
+    // shuffles the whole decoded snapshot once (~1.3× snapshot bytes),
+    // and on this host the default /tmp spill dir billed /dev/vda
+    // writeback to the measurement (observed 121 s vs 26 s for the
+    // same shuffle at 100M coins). A production cluster spills to
+    // dedicated NVMe; tmpfs is the local-mode stand-in that measures
+    // the engine.
+    val shmSpill = new java.io.File("/dev/shm")
+    val localDir = if (shmSpill.isDirectory && shmSpill.canWrite) {
+      val d = new java.io.File(shmSpill, "graft_large_spill")
+      d.mkdirs(); d.getAbsolutePath
+    } else System.getProperty("java.io.tmpdir")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-large-convert")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -99,5 +112,6 @@ object LargeConvertBench {
       f""""plain_spread":${plain.max / bestPlain}%.2f,"clustered_spread":${clustered.max / bestClustered}%.2f,""" +
       s""""peak_rss_bytes":${peakRssBytes()}}""")
     spark.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/dev/shm/graft_large_spill"))
   }
 }
