@@ -159,11 +159,10 @@ object Bench {
           bloom: Boolean = false): Double = {
         // pre-delete the previous run's output OUTSIDE the timed region:
         // overwriting a dirty multi-GB dir bills its delete + writeback
-        // to the convert. Re-create the empty dir up front so the timed
-        // region never pays first-touch directory creation on the
-        // scratch FS.
+        // to the convert. (No point pre-creating the dir: the
+        // SaveMode.Overwrite write deletes and recreates the path
+        // inside the timed region regardless.)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
-        new java.io.File(out).mkdirs()
         syncFs()
         val t0 = System.nanoTime()
         graft.sources.UtxoConvert.convert(spark, in, out,

@@ -49,13 +49,13 @@ object HeaderCodec {
   def isMp4(b: Array[Byte]): Boolean =
     b.length >= 8 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
 
-  private def be32(b: Array[Byte], o: Int): Int =
+  private[multimodal] def be32(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
-  private def be16(b: Array[Byte], o: Int): Int =
+  private[multimodal] def be16(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
-  private def le32(b: Array[Byte], o: Int): Int =
+  private[multimodal] def le32(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
-  private def le16(b: Array[Byte], o: Int): Int =
+  private[multimodal] def le16(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
 
   /** PNG: the IHDR chunk is REQUIRED to be first (offset 8): 4-byte

@@ -139,24 +139,27 @@ object Multimodal {
           }
           val frames = if (dur == 0) 1 else (1 + dur / frameEveryMs).toInt
           // real payload decode: PNG → pixel bytes (0..255), WAV → PCM16
-          // samples; jpeg/mp4 are entropy-coded (documented boundary)
-          val samples: Option[Array[Double]] = hdr.map(_.container) match {
-            case Some("png") =>
-              PixelCodec.decodePng(r.content).map(_.pixels.map(p => (p & 0xff).toDouble))
-            case Some("wav") =>
-              PixelCodec.decodeWavPcm16(r.content).map(_.samples.map(_.toDouble))
-            case _ => None
-          }
-          val stats = samples.filter(_.nonEmpty).map { s =>
-            val n = s.length
-            var sum = 0.0; var sumSq = 0.0; var peak = 0.0
-            var i = 0
-            while (i < n) {
-              val v = s(i); sum += v; sumSq += v * v
-              val a = math.abs(v); if (a > peak) peak = a
-              i += 1
+          // samples; jpeg/mp4 are entropy-coded (documented boundary).
+          // Stats stream over the primitive buffers in place — mapping
+          // to an intermediate Array[Double] first would allocate ~8×
+          // the payload per row in this hot partition loop.
+          def statsOf(n: Int, at: Int => Double): Option[(Double, Double, Double)] =
+            if (n == 0) None else {
+              var sum = 0.0; var sumSq = 0.0; var peak = 0.0
+              var i = 0
+              while (i < n) {
+                val v = at(i); sum += v; sumSq += v * v
+                val a = math.abs(v); if (a > peak) peak = a
+                i += 1
+              }
+              Some((sum / n, math.sqrt(sumSq / n), peak))
             }
-            (sum / n, math.sqrt(sumSq / n), peak)
+          val stats: Option[(Double, Double, Double)] = hdr.map(_.container) match {
+            case Some("png") => PixelCodec.decodePng(r.content)
+              .flatMap(img => statsOf(img.pixels.length, i => (img.pixels(i) & 0xff).toDouble))
+            case Some("wav") => PixelCodec.decodeWavPcm16(r.content)
+              .flatMap(a => statsOf(a.samples.length, i => a.samples(i).toDouble))
+            case _ => None
           }
           md5.reset()
           MediaFeatures(

@@ -29,12 +29,8 @@ object PixelCodec {
   /** Interleaved PCM16 frames. */
   final case class PcmAudio(channels: Int, sampleRate: Int, samples: Array[Short])
 
-  private def be32(b: Array[Byte], o: Int): Int =
-    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
-  private def le32(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
-  private def le16(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  // endian decode shared with HeaderCodec (one copy per package)
+  import HeaderCodec.{be32, le16, le32}
 
   // ------------------------------------------------------------- PNG
 
@@ -74,8 +70,16 @@ object PixelCodec {
         o += 12 + len
       }
       if (w <= 0 || h <= 0 || ch < 0 || idat.size() == 0) return None
+      // allocation bound BEFORE trusting IHDR dimensions: a ~100-byte
+      // PNG declaring 20000×20000×4 would otherwise allocate ~1.6 GB
+      // and die with an OutOfMemoryError — an Error, not an Exception,
+      // so it would escape the quarantine catch and kill the task. Cap
+      // the raw buffer at 64 MB and at deflate's theoretical maximum
+      // expansion (~1032:1) of the IDAT actually present.
+      val rawLenL = h.toLong * (w.toLong * ch + 1) // +1 filter byte per scanline
+      if (rawLenL > (64L << 20) || rawLenL > idat.size().toLong * 1032L + 64L) return None
       val stride = w * ch
-      val rawLen = h * (stride + 1) // +1 filter byte per scanline
+      val rawLen = rawLenL.toInt
       val raw = inflate(idat.toByteArray, rawLen)
       if (raw == null || raw.length != rawLen) return None
       val out = new Array[Byte](h * stride)
@@ -120,7 +124,11 @@ object PixelCodec {
     var off = 0
     while (off < expect && !inf.finished()) {
       val n = inf.inflate(out, off, expect - off)
-      if (n == 0 && inf.needsInput()) { inf.end(); return null } // truncated stream
+      // truncated stream, or a preset-dictionary (FDICT) stream we
+      // don't supply — needsDictionary() makes inflate() return 0 with
+      // needsInput() still false, so checking needsInput alone would
+      // spin this loop forever on a crafted header
+      if (n == 0 && (inf.needsInput() || inf.needsDictionary())) { inf.end(); return null }
       off += n
     }
     inf.end()

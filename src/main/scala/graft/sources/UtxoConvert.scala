@@ -78,6 +78,10 @@ object UtxoConvert {
         case _ => tasks.flatMap(sampleOne(conf))
       }
     val sorted = samples.sortWith(graft.codec.UnsignedBytes(_, _) < 0)
+    // empty snapshot (zero coins in every file): no bounds — the caller
+    // skips range routing; indexing `sorted(-1)` here would turn a
+    // legitimately empty input into an opaque IndexOutOfBounds
+    if (sorted.isEmpty) return Array.empty
     (1 until n).map(i => sorted((i.toLong * sorted.size / n).toInt min (sorted.size - 1))).toArray
   }
 
@@ -130,7 +134,11 @@ object UtxoConvert {
     // re-decode the entire snapshot just to sample).
     val shaped =
       if (rangePartition) {
+        if (n == 1) df.repartition(1) // one bucket: funnel, no routing
+        else {
         val bounds = sampleScriptBounds(input, n)
+        if (bounds.isEmpty) df // empty snapshot: nothing to cluster
+        else {
         // repartition(n, c) routes by pmod(murmur3(c), n): choose one
         // token per bucket whose hash lands on exactly that partition,
         // so bucket i → partition i and per-file script ranges stay
@@ -151,6 +159,8 @@ object UtxoConvert {
         // codegen — see graft.functions.ScriptRouteExpr
         df.repartition(n,
           graft.functions.GraftFunctions.scriptRoute(spark, bounds, tokens, col("script")))
+        }
+        }
       } else df
     // R3/C7: observed metrics ride the job for free (no extra pass) —
     // the Spark-native form of the reference's progress log + running

@@ -52,28 +52,41 @@ object LayoutReport {
     */
   def statsMatch(dirOrFile: String, column: String, valueHex: String): (Int, Int) = {
     val target = graft.codec.Hex.decode(valueHex)
+    countRowGroups(dirOrFile, column) { (_, _, col) =>
+      val st = col.getStatistics
+      val cmp = graft.codec.UnsignedBytes
+      cmp(st.getMinBytes, target) <= 0 && cmp(target, st.getMaxBytes) <= 0
+    }
+  }
+
+  /** Shared per-row-group walk: counts (total, groups where `possible`
+    * holds) for `column` over every .parquet part of a dir or a single
+    * file. All point-value counters differ only in the predicate.
+    */
+  private def countRowGroups(dirOrFile: String, column: String)(
+      possible: (org.apache.parquet.hadoop.ParquetFileReader,
+        org.apache.parquet.hadoop.metadata.BlockMetaData,
+        org.apache.parquet.hadoop.metadata.ColumnChunkMetaData) => Boolean): (Int, Int) = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val d = new java.io.File(dirOrFile)
     val parts =
       if (d.isDirectory) d.listFiles().filter(_.getName.endsWith(".parquet"))
       else Array(d)
     var total = 0
-    var matching = 0
+    var n = 0
     parts.foreach { part =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf))
       try reader.getFooter.getBlocks.asScala.foreach { b =>
         total += 1
-        val col = b.getColumns.asScala.find(_.getPath.toDotString == column).get
-        val st = col.getStatistics
-        val lo = st.getMinBytes
-        val hi = st.getMaxBytes
-        val cmp = graft.codec.UnsignedBytes
-        if (cmp(lo, target) <= 0 && cmp(target, hi) <= 0) matching += 1
+        val col = b.getColumns.asScala.find(_.getPath.toDotString == column)
+          .getOrElse(throw new IllegalArgumentException(
+            s"column $column not in ${part.getName}"))
+        if (possible(reader, b, col)) n += 1
       } finally reader.close()
     }
-    (total, matching)
+    (total, n)
   }
 
   /** Count (rowGroupsTotal, rowGroupsPossible) for a binary point value
@@ -87,27 +100,11 @@ object LayoutReport {
     */
   def bloomMatch(dirOrFile: String, column: String, valueHex: String): (Int, Int) = {
     val target = graft.codec.Hex.decode(valueHex)
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val d = new java.io.File(dirOrFile)
-    val parts =
-      if (d.isDirectory) d.listFiles().filter(_.getName.endsWith(".parquet"))
-      else Array(d)
-    var total = 0
-    var possible = 0
-    parts.foreach { part =>
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf))
-      try reader.getFooter.getBlocks.asScala.foreach { b =>
-        total += 1
-        val col = b.getColumns.asScala.find(_.getPath.toDotString == column).get
-        val bf = reader.getBloomFilterDataReader(b).readBloomFilter(col)
-        if (bf == null ||
-            bf.findHash(bf.hash(org.apache.parquet.io.api.Binary.fromConstantByteArray(target))))
-          possible += 1
-      } finally reader.close()
+    countRowGroups(dirOrFile, column) { (reader, b, col) =>
+      val bf = reader.getBloomFilterDataReader(b).readBloomFilter(col)
+      bf == null ||
+        bf.findHash(bf.hash(org.apache.parquet.io.api.Binary.fromConstantByteArray(target)))
     }
-    (total, possible)
   }
 
   /** Count (rowGroupsTotal, rowGroupsOverlapping) for a binary range
@@ -119,27 +116,12 @@ object LayoutReport {
       loHex: String, hiHex: String): (Int, Int) = {
     val lo = graft.codec.Hex.decode(loHex)
     val hi = graft.codec.Hex.decode(hiHex)
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val d = new java.io.File(dirOrFile)
-    val parts =
-      if (d.isDirectory) d.listFiles().filter(_.getName.endsWith(".parquet"))
-      else Array(d)
-    var total = 0
-    var matching = 0
-    parts.foreach { part =>
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf))
-      try reader.getFooter.getBlocks.asScala.foreach { b =>
-        total += 1
-        val col = b.getColumns.asScala.find(_.getPath.toDotString == column).get
-        val st = col.getStatistics
-        val cmp = graft.codec.UnsignedBytes
-        // row group [min, max] overlaps [lo, hi) iff max >= lo && min < hi
-        if (cmp(st.getMaxBytes, lo) >= 0 && cmp(st.getMinBytes, hi) < 0) matching += 1
-      } finally reader.close()
+    countRowGroups(dirOrFile, column) { (_, _, col) =>
+      val st = col.getStatistics
+      val cmp = graft.codec.UnsignedBytes
+      // row group [min, max] overlaps [lo, hi) iff max >= lo && min < hi
+      cmp(st.getMaxBytes, lo) >= 0 && cmp(st.getMinBytes, hi) < 0
     }
-    (total, matching)
   }
 
   /** Count (rowGroupsTotal, rowGroupsOverlapping) for a LONG-typed
@@ -147,29 +129,13 @@ object LayoutReport {
     * skipping a reader achieves for integer range predicates (used by
     * the Z-order layout spec to measure per-dimension skipping).
     */
-  def longStatsRange(dirOrFile: String, column: String, lo: Long, hi: Long): (Int, Int) = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val d = new java.io.File(dirOrFile)
-    val parts =
-      if (d.isDirectory) d.listFiles().filter(_.getName.endsWith(".parquet"))
-      else Array(d)
-    var total = 0
-    var matching = 0
-    parts.foreach { part =>
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf))
-      try reader.getFooter.getBlocks.asScala.foreach { b =>
-        total += 1
-        val col = b.getColumns.asScala.find(_.getPath.toDotString == column).get
-        val st = col.getStatistics
-        val min = st.genericGetMin.asInstanceOf[Number].longValue
-        val max = st.genericGetMax.asInstanceOf[Number].longValue
-        if (max >= lo && min < hi) matching += 1
-      } finally reader.close()
+  def longStatsRange(dirOrFile: String, column: String, lo: Long, hi: Long): (Int, Int) =
+    countRowGroups(dirOrFile, column) { (_, _, col) =>
+      val st = col.getStatistics
+      val min = st.genericGetMin.asInstanceOf[Number].longValue
+      val max = st.genericGetMax.asInstanceOf[Number].longValue
+      max >= lo && min < hi
     }
-    (total, matching)
-  }
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)

@@ -209,6 +209,24 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(decodePng(HeaderCodec.synthPng(10, 10, payload)).isEmpty)
   }
 
+  test("hostile PNGs quarantine: FDICT zlib stream and giant declared IHDR dims") {
+    import PixelCodec._
+    // zlib header with the FDICT bit set (0x78 0x20: (120·256+32) % 31
+    // == 0, bit 5 on) + a dict id: Inflater.inflate returns 0 with
+    // needsDictionary()==true and needsInput()==false — a
+    // needsInput-only guard spins forever on this input
+    val fdict = Array(0x78, 0x20, 0x00, 0x00, 0x00, 0x01, 0x55).map(_.toByte)
+    assert(decodePng(HeaderCodec.synthPng(2, 2, fdict)).isEmpty)
+    // a ~100-byte container declaring 20000×20000: the raw-buffer
+    // allocation must be rejected by the pre-allocation bound (an
+    // OutOfMemoryError is not an Exception and would escape the
+    // quarantine catch), not attempted
+    assert(decodePng(HeaderCodec.synthPng(20000, 20000, payload)).isEmpty)
+    // and dims whose raw length overflows Int must not wrap into a
+    // small positive allocation
+    assert(decodePng(HeaderCodec.synthPng(60000, 60000, payload)).isEmpty)
+  }
+
   test("box resize: known 4×4 → 2×2 quadrant means, box resample: per-channel frame means") {
     import PixelCodec._
     val img = PixelImage(4, 4, 1, (0 until 16).map(_.toByte).toArray)
