@@ -48,6 +48,10 @@ object SnapshotCodec {
     require(java.util.Arrays.equals(magic, Magic),
       s"bad snapshot magic: ${Hex.encode(magic)}")
     val version = r.readU16LE()
+    // v2 is the only layout this codec (and the reference) understands;
+    // a future dumptxoutset version with the same magic must fail here
+    // with a named error, not misparse the body downstream
+    require(version == 2, s"unsupported snapshot version $version (expected 2)")
     val networkMagic = r.readU32LE()
     val blockHash = r.readFully(32)
     val numUtxos = r.readU64LE()
@@ -159,7 +163,13 @@ object Hex {
     val out = new Array[Byte](hex.length / 2)
     var i = 0
     while (i < out.length) {
-      out(i) = Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte
+      // per-nibble Character.digit, not parseInt: parseInt accepts sign
+      // characters, so "+f" would silently decode as 0x0f instead of
+      // rejecting the malformed string
+      val hi = Character.digit(hex.charAt(2 * i), 16)
+      val lo = Character.digit(hex.charAt(2 * i + 1), 16)
+      require(hi >= 0 && lo >= 0, s"non-hex character in: $hex")
+      out(i) = ((hi << 4) | lo).toByte
       i += 1
     }
     out

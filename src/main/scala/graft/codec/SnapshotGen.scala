@@ -48,9 +48,45 @@ object SnapshotGen {
     numUtxos
   }
 
+  /** One seeded txid (32 bytes, display order). */
+  private def genTxid(rnd: scala.util.Random): Array[Byte] =
+    Array.fill(32)(rnd.nextInt(256).toByte)
+
+  /** One seeded coin (script, amount, height, coinbase) — the SINGLE
+    * RNG-consumption order shared by [[synthetic]] and
+    * [[writeSynthetic]], so one seed produces one snapshot byte stream
+    * regardless of which generator materialized it. (They previously
+    * diverged on txid generation: nextBytes vs 32× nextInt — same seed,
+    * byte-different snapshots.)
+    */
+  private def genCoin(rnd: scala.util.Random, vout: Long): GenCoin = {
+    val script = rnd.nextInt(10) match {
+      case 0 | 1 | 2 => ScriptCodec.decompress(0, Array.fill(20)(rnd.nextInt(256).toByte)) // p2pkh
+      case 3 | 4     => ScriptCodec.decompress(1, Array.fill(20)(rnd.nextInt(256).toByte)) // p2sh
+      case 5         => // p2wpkh (raw path)
+        Array[Byte](0, 20) ++ Array.fill(20)(rnd.nextInt(256).toByte)
+      case 6         => // p2tr (raw path)
+        Array[Byte](0x51, 32) ++ Array.fill(32)(rnd.nextInt(256).toByte)
+      case 7         => // op_return (raw path)
+        Array[Byte](0x6a.toByte, 8) ++ Array.fill(8)(rnd.nextInt(256).toByte)
+      case _         => // compressed p2pk (x can be arbitrary: types 2/3 skip curve math)
+        ScriptCodec.decompress(2 + rnd.nextInt(2), Array.fill(32)(rnd.nextInt(256).toByte))
+    }
+    val amount = rnd.nextInt(5) match {
+      case 0 => 0L
+      case 1 => 546L
+      case 2 => math.abs(rnd.nextLong()) % 2100000000000000L
+      case 3 => math.pow(10, rnd.nextInt(12)).toLong
+      case _ => 1L + rnd.nextInt(100000000)
+    }
+    GenCoin(vout, rnd.nextInt(900000).toLong, rnd.nextInt(50) == 0, amount, script)
+  }
+
   /** Streaming variant of [[synthetic]]+[[write]]: generates and writes
     * `n` coins without materializing the group list (used by the convert
-    * benchmark at millions of rows). Returns bytes of the body written.
+    * benchmark at millions of rows). Byte-identical to
+    * `write(out, synthetic(n, seed))` for the same seed. Returns the
+    * number of coins written.
     */
   def writeSynthetic(out: OutputStream, n: Int, seed: Long = 42L,
       blockHashHex: String = "00" * 32): Long = {
@@ -58,31 +94,17 @@ object SnapshotGen {
     writeHeader(out, 2, MainnetMagic, blockHashHex, n.toLong)
     var made = 0
     while (made < n) {
-      val txid = new Array[Byte](32); rnd.nextBytes(txid)
+      val txid = genTxid(rnd)
       val k = math.min(n - made, 1 + rnd.nextInt(3))
       out.write(txid)
       out.write(Varint.writeCompactSize(k.toLong))
       var j = 0
       while (j < k) {
-        val script = rnd.nextInt(10) match {
-          case 0 | 1 | 2 => ScriptCodec.decompress(0, Array.fill(20)(rnd.nextInt(256).toByte))
-          case 3 | 4     => ScriptCodec.decompress(1, Array.fill(20)(rnd.nextInt(256).toByte))
-          case 5         => Array[Byte](0, 20) ++ Array.fill(20)(rnd.nextInt(256).toByte)
-          case 6         => Array[Byte](0x51, 32) ++ Array.fill(32)(rnd.nextInt(256).toByte)
-          case 7         => Array[Byte](0x6a.toByte, 8) ++ Array.fill(8)(rnd.nextInt(256).toByte)
-          case _         => ScriptCodec.decompress(2 + rnd.nextInt(2), Array.fill(32)(rnd.nextInt(256).toByte))
-        }
-        val amount = rnd.nextInt(5) match {
-          case 0 => 0L
-          case 1 => 546L
-          case 2 => math.abs(rnd.nextLong()) % 2100000000000000L
-          case 3 => math.pow(10, rnd.nextInt(12)).toLong
-          case _ => 1L + rnd.nextInt(100000000)
-        }
-        out.write(Varint.writeCompactSize(j.toLong))
-        out.write(Varint.writeCoreVarint((rnd.nextInt(900000).toLong << 1) | (if (rnd.nextInt(50) == 0) 1L else 0L)))
-        out.write(Varint.writeCoreVarint(AmountCodec.compress(amount)))
-        out.write(ScriptCodec.compressForFixture(script))
+        val c = genCoin(rnd, j.toLong)
+        out.write(Varint.writeCompactSize(c.vout))
+        out.write(Varint.writeCoreVarint((c.height << 1) | (if (c.coinbase) 1L else 0L)))
+        out.write(Varint.writeCoreVarint(AmountCodec.compress(c.amount)))
+        out.write(ScriptCodec.compressForFixture(c.script))
         j += 1
       }
       made += k
@@ -98,30 +120,9 @@ object SnapshotGen {
     val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
     var made = 0
     while (made < n) {
-      val txid = Array.fill(32)(rnd.nextInt(256).toByte)
+      val txid = genTxid(rnd)
       val k = math.min(n - made, 1 + rnd.nextInt(3))
-      val coins = (0 until k).map { j =>
-        val script = rnd.nextInt(10) match {
-          case 0 | 1 | 2 => ScriptCodec.decompress(0, Array.fill(20)(rnd.nextInt(256).toByte)) // p2pkh
-          case 3 | 4     => ScriptCodec.decompress(1, Array.fill(20)(rnd.nextInt(256).toByte)) // p2sh
-          case 5         => // p2wpkh (raw path)
-            Array[Byte](0, 20) ++ Array.fill(20)(rnd.nextInt(256).toByte)
-          case 6         => // p2tr (raw path)
-            Array[Byte](0x51, 32) ++ Array.fill(32)(rnd.nextInt(256).toByte)
-          case 7         => // op_return (raw path)
-            Array[Byte](0x6a.toByte, 8) ++ Array.fill(8)(rnd.nextInt(256).toByte)
-          case _         => // compressed p2pk (x can be arbitrary: types 2/3 skip curve math)
-            ScriptCodec.decompress(2 + rnd.nextInt(2), Array.fill(32)(rnd.nextInt(256).toByte))
-        }
-        val amount = rnd.nextInt(5) match {
-          case 0 => 0L
-          case 1 => 546L
-          case 2 => math.abs(rnd.nextLong()) % 2100000000000000L
-          case 3 => math.pow(10, rnd.nextInt(12)).toLong
-          case _ => 1L + rnd.nextInt(100000000)
-        }
-        GenCoin(j.toLong, rnd.nextInt(900000).toLong, rnd.nextInt(50) == 0, amount, script)
-      }
+      val coins = (0 until k).map(j => genCoin(rnd, j.toLong))
       groups += Group(TxidHex.render(txid), coins)
       made += k
     }

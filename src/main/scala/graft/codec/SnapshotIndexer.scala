@@ -114,22 +114,33 @@ object SnapshotIndexer {
       sidecar: Boolean = true): (SnapshotHeader, Seq[Split]) = {
     val p = new Path(file)
     val st = p.getFileSystem(conf).getFileStatus(p)
+    val entry = cachedEntry(file, p, st, coinsPerSplit, conf, sidecar).getOrElse {
+      val key = (file, st.getLen, st.getModificationTime)
+      val (h, sp) = indexUncached(p, coinsPerSplit, conf)
+      if (sidecar) tryWriteSidecar(p, st, coinsPerSplit, h, sp, conf)
+      val e = (h, sp, coinsPerSplit)
+      memo.put(key, e)
+      e
+    }
+    (entry._1, mergeSplits(entry._2, coinsPerSplit))
+  }
+
+  /** The ONE memo-then-sidecar cache resolution (shared by [[index]]
+    * and [[indexAll]]): a memo or sidecar entry serves a request iff it
+    * was indexed at the same or finer granularity; a sidecar hit seeds
+    * the memo. Returns None when neither cache can serve.
+    */
+  private def cachedEntry(file: String, p: Path, st: org.apache.hadoop.fs.FileStatus,
+      coinsPerSplit: Long, conf: Configuration,
+      sidecar: Boolean): Option[(SnapshotHeader, Seq[Split], Long)] = {
     val key = (file, st.getLen, st.getModificationTime)
-    val cur = memo.get(key)
-    val entry =
-      if (cur != null && cur._3 <= coinsPerSplit) cur
-      else {
+    Option(memo.get(key)).filter(_._3 <= coinsPerSplit)
+      .orElse {
         val loaded =
           if (sidecar) readSidecar(p, st, conf).filter(_._3 <= coinsPerSplit) else None
-        val e = loaded.getOrElse {
-          val (h, sp) = indexUncached(p, coinsPerSplit, conf)
-          if (sidecar) tryWriteSidecar(p, st, coinsPerSplit, h, sp, conf)
-          (h, sp, coinsPerSplit)
-        }
-        memo.put(key, e)
-        e
+        loaded.foreach(e => memo.put(key, e))
+        loaded
       }
-    (entry._1, mergeSplits(entry._2, coinsPerSplit))
   }
 
   /** Index many snapshot files, preferring (in order) the JVM memo, a
@@ -145,10 +156,7 @@ object SnapshotIndexer {
       try {
         val p = new Path(f)
         val st = p.getFileSystem(conf).getFileStatus(p)
-        val key = (f, st.getLen, st.getModificationTime)
-        Option(memo.get(key)).filter(_._3 <= coinsPerSplit)
-          .orElse(readSidecar(p, st, conf).filter(_._3 <= coinsPerSplit)
-            .map { e => memo.put(key, e); e })
+        cachedEntry(f, p, st, coinsPerSplit, conf, sidecar = true)
           .map(e => f -> ((e._1, mergeSplits(e._2, coinsPerSplit))))
       } catch { case _: Exception => None }
     }.toMap

@@ -26,6 +26,13 @@ object Varint {
     n = b & 0x7f
     while ((b & 0x80) != 0) {
       n += 1
+      // overflow guard (Bitcoin Core serialize.h ReadVarInt throws
+      // "ReadVarInt(): size too large"): a corrupt continuation chain
+      // must error, not silently wrap to a small value — a wrapped
+      // script length would misalign the stream and decode every
+      // subsequent coin as garbage with no exception
+      if (n < 0 || n > (Long.MaxValue >>> 7))
+        throw new java.io.IOException("core varint overflows 64 bits (corrupt stream)")
       b = r.readByte()
       n = (n << 7) | (b & 0x7f)
     }

@@ -99,16 +99,6 @@ object UtxoConvert {
       bloomFilterScript: Boolean = false): ConvertStats = {
     val n = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
-    // level 1 keeps the convert CPU-bound on decode, not the codec;
-    // within a few % of level-3 size on script-sorted data
-    spark.sparkContext.hadoopConfiguration
-      .setInt("parquet.compression.codec.zstd.level", zstdLevel)
-    // v2 data pages give DELTA_BYTE_ARRAY on the sorted script column —
-    // the reference's prefix-eliding layout (`/root/reference/src/main.rs:214`);
-    // see LayoutReport: measured on the 2M-coin bench snapshot (sorted
-    // scripts, zstd-1) v2 shrinks files and keeps lookup latency equal
-    spark.sparkContext.hadoopConfiguration
-      .set("parquet.writer.version", if (writerVersion == "v2") "PARQUET_2_0" else "PARQUET_1_0")
     // log the parsed header once (reference logs the resolved Network +
     // block hash, `/root/reference/src/main.rs:182,194`); header-only
     // reads are ~100 bytes — no full index pass on the driver
@@ -172,6 +162,20 @@ object UtxoConvert {
       .write
       .mode(SaveMode.Overwrite)
       .option("compression", "zstd")
+      // level 1 keeps the convert CPU-bound on decode, not the codec;
+      // within a few % of level-3 size on script-sorted data. Passed as
+      // per-write options (Spark merges them into the write job's
+      // hadoop conf) — setting them on the session hadoopConfiguration
+      // would silently leak into every later parquet write the session
+      // does
+      .option("parquet.compression.codec.zstd.level", zstdLevel.toString)
+      // v2 data pages give DELTA_BYTE_ARRAY on the sorted script column —
+      // the reference's prefix-eliding layout
+      // (`/root/reference/src/main.rs:214`); see LayoutReport: measured
+      // on the 2M-coin bench snapshot (sorted scripts, zstd-1) v2
+      // shrinks files and keeps lookup latency equal
+      .option("parquet.writer.version",
+        if (writerVersion == "v2") "PARQUET_2_0" else "PARQUET_1_0")
       .option("parquet.block.size", blockSizeBytes.toString)
       .option("parquet.block.row.count.limit", rowGroupRows.toString)
       .option("parquet.page.size", (64 * 1024).toString)

@@ -44,6 +44,14 @@ object StreamingQueries {
   /** `eventsDir` must be a DIRECTORY of events parquet files (Spark's
     * file streaming source watches directories, not single files) —
     * new files appearing there flow through incrementally.
+    *
+    * DELIBERATE session-conf writes: UTC timezone and nanosAsLong are
+    * the engine's session contract (every batch entry point sets the
+    * same two through `Queries.t` — oracle parity requires UTC for
+    * NTZ→LTZ casts and epoch renders, and nanos-layout events files
+    * are unreadable without nanosAsLong). A host app embedding this
+    * library in a non-UTC session should run engine queries in their
+    * own session (`spark.newSession()`).
     */
   def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -95,7 +103,20 @@ object StreamingQueries {
     * forever (an unbounded-state stream join is the classic streaming
     * scale failure). State partitions by user_id — horizontal scale-out.
     */
-  def streamStreamJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+  def streamStreamJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clickPurchaseJoin(clicks, purchases, "inner")
+      .select(col("click_id"), col("purch_id"), col("user_id"),
+        unix_millis(col("c_ts")).as("click_ms"),
+        unix_millis(col("p_ts")).as("purch_ms"),
+        round(col("value"), 2).as("purch_value"))
+
+  /** Shared S6/S11 join core: watermarked click and purchase sides and
+    * the time-bounded condition live in ONE place so the 30-minute
+    * horizon and 1-hour watermarks cannot drift between the inner and
+    * outer variants.
+    */
+  private def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      joinType: String): DataFrame = {
     val c = clicks.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "1 hour")
@@ -104,13 +125,10 @@ object StreamingQueries {
         col("value"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "1 hour")
     c.join(p,
-        col("user_id") === col("p_user") &&
-          col("p_ts") >= col("c_ts") &&
-          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
-      .select(col("click_id"), col("purch_id"), col("user_id"),
-        unix_millis(col("c_ts")).as("click_ms"),
-        unix_millis(col("p_ts")).as("purch_ms"),
-        round(col("value"), 2).as("purch_value"))
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+      joinType)
   }
 
   /** S11: stream-stream LEFT OUTER join — S6's inner match plus
@@ -122,24 +140,12 @@ object StreamingQueries {
     * a state-eviction deadline, not just memory bounds. Matched rows
     * stream out exactly as in the inner join; only the null rows wait.
     */
-  def streamStreamLeftJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
-    val c = clicks.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
-      .withWatermark("c_ts", "1 hour")
-    val p = purchases.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purch_id"), col("user_id").as("p_user"),
-        col("value"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-    c.join(p,
-        col("user_id") === col("p_user") &&
-          col("p_ts") >= col("c_ts") &&
-          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
-        "left_outer")
+  def streamStreamLeftJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clickPurchaseJoin(clicks, purchases, "left_outer")
       .select(col("click_id"), col("user_id"),
         unix_millis(col("c_ts")).as("click_ms"), col("purch_id"),
         unix_millis(col("p_ts")).as("purch_ms"),
         round(col("value"), 2).as("purch_value"))
-  }
 
   /** S7: stream-static join — the dimension-enrichment pattern: each
     * micro-batch joins against a static (batch) DataFrame, planned as a
@@ -162,7 +168,9 @@ object StreamingQueries {
     * deleted last — two renames are NOT one atomic swap (plain
     * filesystems have none), but a crash at any point leaves either the
     * old or the new table recoverable (never a half-deleted target;
-    * recovery = rename `_old` back). True atomic publish is what a
+    * recovery is AUTOMATIC: the next call detects a missing live
+    * `_SUCCESS` with a complete `_old` and renames it back before
+    * merging). True atomic publish is what a
     * transactional table format adds. This is the standard
     * streaming-materialized-view sink when the table format has no
     * native MERGE; per-key state lives in the TARGET, not executor
@@ -176,6 +184,20 @@ object StreamingQueries {
       .orderBy(col("ts").desc, col("event_id").desc)
     val target = new Path(targetDir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery FIRST: a prior publish that died between
+    // `target → _old` and `stage → target` leaves no live table and the
+    // only surviving copy in `_old` — restore it before reading
+    // `current`, and NEVER delete `_old` while the live target is
+    // missing (the old code deleted it unconditionally below, which on
+    // this exact crash turned the recoverable state into silent loss of
+    // every previously merged key)
+    val recoverOld = new Path(targetDir + "_old")
+    if (!fs.exists(new Path(target, "_SUCCESS")) &&
+        fs.exists(new Path(recoverOld, "_SUCCESS"))) {
+      fs.delete(target, true) // half-renamed or absent
+      if (!fs.rename(recoverOld, target))
+        throw new java.io.IOException(s"recovery rename $recoverOld -> $target failed")
+    }
     val current =
       if (fs.exists(new Path(target, "_SUCCESS"))) spark.read.parquet(targetDir)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -189,7 +211,10 @@ object StreamingQueries {
     // HDFS (where rename-over-existing fails) and keeps a recoverable
     // copy at every crash point.
     val old = new Path(targetDir + "_old")
-    fs.delete(old, true) // leftover from a crashed prior publish
+    // safe here: the recovery block above already ran, so if `_old`
+    // still exists the live target does too and `_old` is a stale
+    // leftover, not the last surviving copy
+    fs.delete(old, true)
     if (fs.exists(target) && !fs.rename(target, old))
       throw new java.io.IOException(s"publish rename $target -> $old failed")
     if (!fs.rename(stage, target)) {

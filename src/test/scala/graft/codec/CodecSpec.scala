@@ -201,4 +201,48 @@ class CodecSpec extends AnyFunSuite {
       assert(got.script.toSeq == want.script.toSeq)
     }
   }
+
+  test("streaming and materialized synthetic generators are byte-identical per seed") {
+    // they previously diverged on txid generation (nextBytes vs 32×
+    // nextInt) — same seed, byte-different snapshots, so a fixture
+    // pinned against one silently didn't cover the other
+    for (n <- Seq(1, 7, 500)) {
+      val a = new java.io.ByteArrayOutputStream()
+      SnapshotGen.writeSynthetic(a, n, seed = 99L)
+      val b = new java.io.ByteArrayOutputStream()
+      SnapshotGen.write(b, SnapshotGen.synthetic(n, seed = 99L))
+      assert(java.util.Arrays.equals(a.toByteArray, b.toByteArray), s"diverged at n=$n")
+    }
+  }
+
+  test("corrupt core varint continuation chains error instead of wrapping") {
+    // 10+ max-continuation bytes push the accumulator past 64 bits;
+    // Bitcoin Core's ReadVarInt throws "size too large" — wrapping to a
+    // small value would misalign every later field in the stream
+    val corrupt = Array.fill(11)(0xff.toByte) :+ 0x00.toByte
+    intercept[java.io.IOException] { Varint.readCoreVarint(reader(corrupt)) }
+    // the largest legitimate encoding still decodes
+    val max = Varint.writeCoreVarint(Long.MaxValue)
+    assert(Varint.readCoreVarint(reader(max)) == Long.MaxValue)
+  }
+
+  test("hex decode rejects sign characters and non-hex input") {
+    intercept[IllegalArgumentException] { Hex.decode("+f") }
+    intercept[IllegalArgumentException] { Hex.decode("-0") }
+    intercept[IllegalArgumentException] { Hex.decode("zz") }
+    assert(Hex.decode("00ff7f").toSeq == Seq(0x00.toByte, 0xff.toByte, 0x7f.toByte))
+    // uppercase still accepted (Spark's hex() renders uppercase)
+    assert(Hex.decode("AB").toSeq == Seq(0xab.toByte))
+  }
+
+  test("snapshot header with an unsupported version fails loudly") {
+    val out = new java.io.ByteArrayOutputStream()
+    SnapshotGen.write(out, SnapshotGen.synthetic(3, seed = 5L))
+    val bytes = out.toByteArray
+    bytes(5) = 3 // version u16 LE lives at offset 5..6
+    val e = intercept[IllegalArgumentException] {
+      SnapshotCodec.readHeader(reader(bytes))
+    }
+    assert(e.getMessage.contains("version 3"))
+  }
 }

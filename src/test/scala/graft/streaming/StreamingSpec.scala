@@ -222,6 +222,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sortedRows(got) == sortedRows(batch))
   }
 
+  test("S8b upsert publish crash between renames auto-recovers from _old (no key loss)") {
+    import org.apache.hadoop.fs.Path
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("upsert-crash").toString
+    val target = s"$base/t"
+    val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    def table(rows: Seq[(Long, String, Long, java.sql.Timestamp)]) =
+      rows.toDF("user_id", "event_type", "event_id", "ts")
+    val t0 = new java.sql.Timestamp(1000L)
+    val t1 = new java.sql.Timestamp(2000L)
+    // batch 1 establishes the table
+    StreamingQueries.upsertMerge(spark, table(Seq((1L, "click", 10L, t0), (2L, "view", 20L, t0))), target)
+    // simulate the exact crash window: a publish that died AFTER
+    // `target → _old` and BEFORE `stage → target` — no live table, the
+    // only surviving copy is _old
+    assert(fs.rename(new Path(target), new Path(target + "_old")))
+    // batch 2 must first restore _old, then merge — the pre-fix code
+    // deleted _old unconditionally and published ONLY batch 2's rows
+    StreamingQueries.upsertMerge(spark, table(Seq((3L, "click", 30L, t1))), target)
+    val got = spark.read.parquet(target)
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 20L), (3L, 30L)),
+      s"previously merged keys lost across the crash window: $got")
+    assert(!fs.exists(new Path(target + "_old")), "stale _old must be cleaned up")
+  }
+
   test("S13 Trigger.AvailableNow: bounded backfill stops on its own, result == batch") {
     import java.nio.file.Files
     // 3 chunk files + maxFilesPerTrigger=1: the trigger must take a
