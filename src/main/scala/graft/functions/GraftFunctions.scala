@@ -177,8 +177,16 @@ object GraftFunctions {
   */
 class TopKAgg(k: Int)
     extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
-  private val ord: Ordering[(Long, Long)] =
-    Ordering.by[(Long, Long), (Long, Long)] { case (v, id) => (-v, id) }
+  // value DESC then id ASC — compared directly, not via `-v`, which
+  // overflows at Long.MinValue (−Long.MinValue == Long.MinValue, so the
+  // smallest possible value would rank as the largest and evict genuine
+  // top entries; latent for prices, wrong for the general BIGINT UDAF)
+  private val ord: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
+    def compare(a: (Long, Long), b: (Long, Long)): Int = {
+      val c = java.lang.Long.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
   override def zero: Seq[(Long, Long)] = Seq.empty
   override def reduce(b: Seq[(Long, Long)], x: (Long, Long)): Seq[(Long, Long)] =
     // cheap pre-filter: once full, only values beating the floor enter

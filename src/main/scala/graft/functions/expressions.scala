@@ -84,7 +84,7 @@ object ZOrder2Expr {
         messageParameters = Map("functionName" -> "zorder2",
           "expectedNum" -> "2", "actualNum" -> exprs.length.toString,
           "docroot" -> "https://spark.apache.org/docs/latest"))
-    exprs.foreach { e =>
+    exprs.zipWithIndex.foreach { case (e, i) =>
       val ok = !e.resolved || (e.dataType match {
         case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
              org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
@@ -94,7 +94,7 @@ object ZOrder2Expr {
         throw new org.apache.spark.sql.AnalysisException(
           errorClass = "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE",
           messageParameters = Map("sqlExpr" -> s"zorder2(${exprs.mkString(", ")})",
-            "paramIndex" -> "1", "requiredType" -> "integral",
+            "paramIndex" -> (i + 1).toString, "requiredType" -> "integral",
             "inputSql" -> e.sql, "inputType" -> e.dataType.sql))
     }
     ZOrder2Expr(Cast(exprs.head, LongType), Cast(exprs(1), LongType))
@@ -433,18 +433,28 @@ case class LshSignBitsExpr(child: Expression, nBits: Int)
   * every near-dup/decontamination/collocation scan.
   */
 object WordShingles {
-  private val SPACE = UTF8String.fromString(" ")
+  private[functions] val SPACE = UTF8String.fromString(" ")
+
+  /** Space-split tokens — the shared tokenization of every shingle
+    * consumer (array kernel + streaming Generator), so the two can't
+    * drift and neither allocates separator constants per row.
+    */
+  private[functions] def tokens(text: UTF8String): Array[UTF8String] =
+    text.split(SPACE, -1)
+
+  /** The i-th k-shingle over `toks` (space-joined token run). */
+  private[functions] def shingleAt(toks: Array[UTF8String], i: Int, k: Int): UTF8String =
+    UTF8String.concatWs(SPACE, java.util.Arrays.copyOfRange(toks, i, i + k): _*)
 
   def shingles(text: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val toks = text.split(SPACE, -1)
+    val toks = tokens(text)
     val n = toks.length - k + 1
     if (n <= 0)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      out(i) = UTF8String.concatWs(SPACE,
-        java.util.Arrays.copyOfRange(toks, i, i + k): _*)
+      out(i) = shingleAt(toks, i, k)
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -523,11 +533,12 @@ case class ShingleGenerator(child: Expression, k: Int)
       : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
     val v = child.eval(input)
     if (v == null) return Iterator.empty
-    val toks = v.asInstanceOf[UTF8String]
-      .split(UTF8String.fromString(" "), -1)
+    // shared tokenize/shingle kernel with WordShingles — no per-row
+    // separator allocations, no drift between the array and streaming
+    // forms
+    val toks = WordShingles.tokens(v.asInstanceOf[UTF8String])
     val n = toks.length - k + 1
     if (n <= 0) return Iterator.empty
-    val SPACE = UTF8String.fromString(" ")
     new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
       private var i = 0
       override def hasNext: Boolean = i < n
@@ -535,8 +546,7 @@ case class ShingleGenerator(child: Expression, k: Int)
         // fresh row per shingle: downstream operators may buffer rows
         // (outer generate, limits), so the iterator must not alias
         val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
-        row.update(0, UTF8String.concatWs(SPACE,
-          java.util.Arrays.copyOfRange(toks, i, i + k): _*))
+        row.update(0, WordShingles.shingleAt(toks, i, k))
         i += 1
         row
       }

@@ -126,7 +126,11 @@ object HeaderCodec {
         channels = le16(b, o + 10)
         byteRate = le32(b, o + 16)
       } else if (id == "data") {
-        dataSize = size
+        // clamp to the bytes actually present: a truncated file whose
+        // data chunk declares more than remains would otherwise report
+        // a duration inconsistent with what PCM decode (which truncates
+        // to available bytes) computes stats over
+        dataSize = math.min(size, (b.length - o - 8).toLong max 0L)
       }
       val step = 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
       if (step <= 0) return None
@@ -166,17 +170,24 @@ object HeaderCodec {
           } else if (size32 == 0) (8, (to - o).toLong) // to end of parent
           else (8, size32)
         if (size < hdr) return
+        // a box whose declared extent spills past its parent is
+        // truncated/crafted: stop the walk rather than reading a
+        // NEIGHBOR box's bytes as this box's fields (every field read
+        // below is bounded by the box's own `end`, not the parent `to`
+        // — an 8-byte mvhd must not report the next box's bytes as
+        // timescale/duration with decode_ok=true)
+        if (o.toLong + size > to) return
         val p = o + hdr // payload start
-        val end = math.min(to.toLong, o + size).toInt
+        val end = (o + size).toInt
         id match {
           case "moov" | "trak" if depth < 4 => walk(p, end, depth + 1)
-          case "mvhd" if p + 20 <= to =>
+          case "mvhd" if p + 20 <= end =>
             val version = b(p) & 0xff
             if (version == 0) {
               val timescale = be32(b, p + 12)
               val dur = be32(b, p + 16).toLong & 0xffffffffL
               if (timescale > 0) durMs = dur * 1000 / timescale
-            } else if (version == 1 && p + 32 <= to) {
+            } else if (version == 1 && p + 32 <= end) {
               // v1: ctime/mtime are 64-bit → timescale at +20, dur BE64
               val timescale = be32(b, p + 20)
               val dur = be64(b, p + 24)

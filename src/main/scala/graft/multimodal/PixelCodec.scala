@@ -119,20 +119,25 @@ object PixelCodec {
 
   private def inflate(z: Array[Byte], expect: Int): Array[Byte] = {
     val inf = new Inflater()
-    inf.setInput(z)
-    val out = new Array[Byte](expect)
-    var off = 0
-    while (off < expect && !inf.finished()) {
-      val n = inf.inflate(out, off, expect - off)
-      // truncated stream, or a preset-dictionary (FDICT) stream we
-      // don't supply — needsDictionary() makes inflate() return 0 with
-      // needsInput() still false, so checking needsInput alone would
-      // spin this loop forever on a crafted header
-      if (n == 0 && (inf.needsInput() || inf.needsDictionary())) { inf.end(); return null }
-      off += n
-    }
-    inf.end()
-    if (off == expect) out else null
+    // try/finally: DataFormatException on a corrupt deflate block must
+    // not leak the Inflater's native zlib buffers — on an executor
+    // scanning many hostile PNGs (exactly this file's threat model)
+    // un-ended inflaters accumulate off-heap until GC finalization
+    try {
+      inf.setInput(z)
+      val out = new Array[Byte](expect)
+      var off = 0
+      while (off < expect && !inf.finished()) {
+        val n = inf.inflate(out, off, expect - off)
+        // truncated stream, or a preset-dictionary (FDICT) stream we
+        // don't supply — needsDictionary() makes inflate() return 0 with
+        // needsInput() still false, so checking needsInput alone would
+        // spin this loop forever on a crafted header
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return null
+        off += n
+      }
+      if (off == expect) out else null
+    } finally inf.end()
   }
 
   /** Encode an 8-bit image as a real PNG: CRC'd IHDR, scanlines

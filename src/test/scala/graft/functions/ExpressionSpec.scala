@@ -295,4 +295,21 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     // "*(n)" marks a whole-stage-codegen'd operator in toString form
     assert(plan.contains("*(1) Project"), plan)
   }
+
+  test("top_k3 ranks Long.MinValue last, not first (no negation overflow)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // -Long.MinValue overflows back to Long.MinValue, so an ordering
+    // via `-v` treated the smallest value as the LARGEST and let it
+    // evict genuine top entries
+    val df = Seq((1L, Long.MinValue, 1L), (1L, 5L, 2L), (1L, 7L, 3L), (1L, 6L, 4L))
+      .toDF("k", "v", "id")
+    df.createOrReplaceTempView("topk_min_test")
+    val top = spark.sql(
+      "SELECT top_k3(v, id) AS t FROM topk_min_test GROUP BY k")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(top == Seq((7L, 3L), (6L, 4L), (5L, 2L)),
+      s"Long.MinValue must not enter the top-3: $top")
+  }
 }

@@ -80,6 +80,41 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(HeaderCodec.decode(evil2).isEmpty)
   }
 
+  test("undersized/spilling MP4 boxes quarantine instead of reading neighbor bytes") {
+    def box(id: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(id.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    // an 8-byte (payload-less) mvhd followed by a plausible sibling box:
+    // field reads bounded by the parent would decode the SIBLING's bytes
+    // as timescale/duration and report success
+    val ftyp = box("ftyp", Array.fill[Byte](8)(0))
+    val emptyMvhd = box("mvhd", Array.empty[Byte])
+    val sibling = box("free", Array.fill[Byte](32)(0x42))
+    val crafted = ftyp ++ box("moov", emptyMvhd ++ sibling)
+    assert(HeaderCodec.decodeMp4(crafted).isEmpty,
+      "empty mvhd must not read the next box's bytes as its fields")
+    // a tkhd whose declared size spills past its enclosing trak
+    val spillTkhd = {
+      val b = java.nio.ByteBuffer.allocate(8)
+      b.putInt(8 + 92).put("tkhd".getBytes("US-ASCII")) // declares 92-byte payload, has none
+      b.array()
+    }
+    val mvhdOk = {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0) // version 0
+      b.putInt(0).putInt(0) // ctime/mtime
+      b.putInt(1000) // timescale — wait, v0 layout: see decodeMp4
+      b.position(b.capacity()); b.array()
+    }
+    val crafted2 = ftyp ++ box("moov", box("trak", spillTkhd) ++ box("mvhd", mvhdOk))
+    // the spilling tkhd must not contribute dimensions read outside the trak
+    val got = HeaderCodec.decodeMp4(crafted2)
+    assert(got.forall(h => h.width == 0 && h.height == 0),
+      s"spilling tkhd produced geometry from neighbor bytes: $got")
+  }
+
   test("MP4 largesize (size==1) and version-1 mvhd/tkhd boxes parse") {
     // rebuild the synthesized MP4's top-level moov with a 64-bit largesize
     // header and upgrade mvhd/tkhd to version 1 (64-bit times/duration)
@@ -225,6 +260,24 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and dims whose raw length overflows Int must not wrap into a
     // small positive allocation
     assert(decodePng(HeaderCodec.synthPng(60000, 60000, payload)).isEmpty)
+    // corrupt deflate AFTER a valid zlib header: DataFormatException
+    // path — must quarantine (and the Inflater is released in a finally,
+    // not leaked per hostile row)
+    val corruptDeflate = Array(0x78, 0x9c, 0xde, 0xad, 0xbe, 0xef, 0x00).map(_.toByte)
+    assert(decodePng(HeaderCodec.synthPng(2, 2, corruptDeflate)).isEmpty)
+  }
+
+  test("truncated WAV data chunk: duration clamps to the bytes present") {
+    val whole = HeaderCodec.synthWav(1, 8000, 1000) // 1s → 16000 data bytes
+    val full = HeaderCodec.decodeWav(whole).get
+    assert(full.durationMs == 1000)
+    // cut half the payload off; the data chunk still DECLARES 16000
+    val cut = whole.take(whole.length - 8000)
+    val h = HeaderCodec.decodeWav(cut)
+    // either quarantine or report the truncated duration — never the
+    // declared duration over missing bytes (which would disagree with
+    // the PCM decode that computes stats over what exists)
+    assert(h.forall(_.durationMs <= 510), s"declared-size duration on truncated file: $h")
   }
 
   test("box resize: known 4×4 → 2×2 quadrant means, box resample: per-channel frame means") {
