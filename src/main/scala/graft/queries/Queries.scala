@@ -1570,10 +1570,10 @@ object Queries {
         |      WHERE prev_type IS NULL OR prev_type <> event_type),
         |v AS (SELECT user_id, event_id, event_type, ms AS valid_from_ms,
         |        coalesce(lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id),
-        |                 253402300800000) AS valid_to_ms
+        |                 253402300799999) AS valid_to_ms
         |      FROM c)
         |SELECT user_id, event_id, event_type, valid_from_ms, valid_to_ms,
-        |  valid_to_ms = 253402300800000 AS is_current
+        |  valid_to_ms = 253402300799999 AS is_current
         |FROM v ORDER BY user_id, valid_from_ms, event_id""".stripMargin,
     "q_join_asof_nearest" ->
       """WITH c AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
@@ -1647,7 +1647,9 @@ object Queries {
         |md AS (SELECT source, quantile_cont(abs(n_tok - med), 0.5) AS mad
         |       FROM d GROUP BY 1)
         |SELECT d.source, d.med, md.mad, count(*) AS n_docs,
-        |  floor(max(abs(d.n_tok - d.med) / (1.4826 * md.mad)) * 10000 + 0.5)
+        |  floor((CASE WHEN md.mad > 0
+        |         THEN max(abs(d.n_tok - d.med) / (1.4826 * md.mad))
+        |         ELSE 0 END) * 10000 + 0.5)
         |    / 10000.0 AS max_abs_z
         |FROM d JOIN md ON d.source = md.source
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,

@@ -71,22 +71,30 @@ object QueriesLLM {
   // forever and turn the weak map into a plain one. Cache the
   // materialized (schema, RDD[Row]) instead — an RDD references only the
   // SparkContext — and rebuild the cheap frame wrapper per call.
+  // Compute-once holder: the GLOBAL cache lock is held only long enough
+  // to install the holder; the (possibly multi-minute) Spark build runs
+  // under the holder's own lazy-val lock, so only same-key callers
+  // block — a second session/corpus proceeds instead of queueing behind
+  // an unrelated materialization.
+  private final class Memo[T](build: () => T) { lazy val get: T = build() }
+
   private val lshPairsCache =
     new scala.collection.mutable.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String,
-        (org.apache.spark.sql.types.StructType,
-          org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])]]
+        Memo[(org.apache.spark.sql.types.StructType,
+          org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])]]]
 
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
-    val (schema, rdd) = lshPairsCache.synchronized {
+    val memo = lshPairsCache.synchronized {
       lshPairsCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(dir, {
+        .getOrElseUpdate(dir, new Memo(() => {
           val df = minhashLshPairsUncached(s, dir)
           val r = df.rdd.localCheckpoint()
-          r.count() // materialize eagerly, once, under the lock
+          r.count() // materialize eagerly, once per key
           (df.schema, r)
-        })
+        }))
     }
+    val (schema, rdd) = memo.get
     s.createDataFrame(rdd, schema)
   }
 
@@ -340,7 +348,13 @@ object QueriesLLM {
     val w2 = uni.select(col("w").as("w2"), col("c_w").as("c_b"))
     bi.withColumn("w1", split(col("bg"), " ").getItem(0))
       .withColumn("w2", split(col("bg"), " ").getItem(1))
-      .join(broadcast(w1), "w1").join(broadcast(w2), "w2")
+      // the unigram table is vocabulary-sized (1e8+ rows on web text) —
+      // a broadcast hint would build it on the driver and ship it to
+      // every executor TWICE; as plain shuffled hash joins both sides
+      // partition by the word key (the same "count tables are exactly
+      // right as shuffle-join sides" rule lmBigram documents). Only the
+      // two 1-row totals stay broadcast.
+      .join(w1, "w1").join(w2, "w2")
       .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
       .filter(col("c_ab") >= 30)
       .select(col("bg"), col("c_ab"), col("c_a"), col("c_b"),
@@ -693,13 +707,14 @@ object QueriesLLM {
   // weak session keys for the same lifecycle reason as lshPairsCache
   private val bpeMergesCache =
     new scala.collection.mutable.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, Seq[String]]]
+      scala.collection.mutable.Map[String, Memo[Seq[String]]]]
 
   def bpeApply(s: SparkSession, dir: String): DataFrame = {
     val merges = bpeMergesCache.synchronized {
       bpeMergesCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(dir, bpeTrain(s, dir).collect().map(_.getString(1)).toSeq)
-    }
+        .getOrElseUpdate(dir,
+          new Memo(() => bpeTrain(s, dir).collect().map(_.getString(1)).toSeq))
+    }.get
     val sym0 = concat_ws(" ", split(col("w"), ""))
     val symN = merges.foldLeft(sym0) { (c, pair) =>
       trim(regexp_replace(concat(lit(" "), c, lit(" ")),
@@ -814,19 +829,20 @@ object QueriesLLM {
   private val exactPairsCache =
     new scala.collection.mutable.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[(String, Double),
-        (org.apache.spark.sql.types.StructType,
-          org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])]]
+        Memo[(org.apache.spark.sql.types.StructType,
+          org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])]]]
 
   def exactJaccardPairs(s: SparkSession, dir: String, tau: Double = 0.2): DataFrame = {
-    val (schema, rdd) = exactPairsCache.synchronized {
+    val memo = exactPairsCache.synchronized {
       exactPairsCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
-        .getOrElseUpdate((dir, tau), {
+        .getOrElseUpdate((dir, tau), new Memo(() => {
           val df = exactJaccardPairsUncached(s, dir, tau)
           val r = df.rdd.localCheckpoint()
-          r.count() // materialize eagerly, once, under the lock
+          r.count() // materialize eagerly, once per key
           (df.schema, r)
-        })
+        }))
     }
+    val (schema, rdd) = memo.get
     s.createDataFrame(rdd, schema)
   }
 
@@ -921,6 +937,12 @@ object QueriesLLM {
     * corpus; rows-only at the driver (banding is not SQL-expressible).
     */
   def dedupClustersLsh(s: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    // the shared candidate table is hard-cut at est_jaccard >= 0.5 (its
+    // 8x2 banding is tuned for that operating point) - a tau below it
+    // would silently verify against a candidate set missing true
+    // [tau, 0.5) pairs and split clusters; retune the banding (more
+    // bands, shorter rows) before loosening this floor
+    require(tau >= 0.5, s"tau=$tau below the LSH candidate cut (0.5)")
     val cand = minhashLshPairs(s, dir).select(col("doc_a"), col("doc_b"))
     // shingle ONLY documents that appear in candidate pairs (semi-join
     // pushdown): the verify stage's input is O(candidate docs), not the
@@ -944,11 +966,17 @@ object QueriesLLM {
 
   /** Distributed min-label propagation shared by [[dedupClusters]] and
     * [[dedupClustersLsh]]: each node converges to the minimum doc_id
-    * reachable through its undirected pair edges. One join + one
-    * min-aggregate per round (the connected-components shape used by
-    * large-star/small-star), O(cluster diameter) rounds; the driver
-    * checks only a 0/1-row convergence probe per round and never
-    * collects labels.
+    * reachable through its undirected pair edges. Each round takes the
+    * neighbor minimum (one join + one min-aggregate, the
+    * large-star/small-star shape) AND then pointer-jumps (label :=
+    * min(label, label-of-label)), so convergence is O(log diameter)
+    * rounds, not O(diameter) — a 30-doc chain of templated pages
+    * converges in ~5 rounds where plain propagation needed 29 and would
+    * have SILENTLY emitted non-minimal labels at the old 25-round cap.
+    * Non-convergence at the cap (diameter > 2^25 — not a real corpus)
+    * now throws instead of returning wrong clusters. The driver checks
+    * only a 0/1-row convergence probe per round and never collects
+    * labels.
     */
   def minLabelPropagate(pairs: DataFrame): DataFrame = {
     // undirected graph as directed edges both ways; materialized once —
@@ -962,8 +990,19 @@ object QueriesLLM {
     while (!converged && iter < 25) {
       val prop = edges.join(labels, edges("dst") === labels("node"))
         .select(edges("src").as("node"), col("label"))
-      val next = labels.union(prop)
+      val neighborMin = labels.union(prop)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
+      // pointer jumping: a label is itself a node — follow it one hop
+      // and keep the smaller (label-of-label is always <= label once
+      // the chain starts resolving), halving remaining path lengths.
+      // Both self-join sides re-aliased to fresh attributes (the frame
+      // is union-derived; joining it to itself by qualifier trips
+      // Catalyst's union constraint rewrite).
+      val a = neighborMin.select(col("node").as("an"), col("label").as("al"))
+      val b = neighborMin.select(col("node").as("jn"), col("label").as("jl"))
+      val next = a.join(b, col("al") === col("jn"), "left")
+        .select(col("an").as("node"),
+          least(col("al"), coalesce(col("jl"), col("al"))).as("label"))
         .localCheckpoint()
       val improved = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.label") < col("o.label")).limit(1).count()
@@ -971,6 +1010,9 @@ object QueriesLLM {
       converged = improved == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        "min-label propagation did not converge in 25 pointer-jumped rounds")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
@@ -1254,8 +1296,12 @@ object QueriesLLM {
     d.join(broadcast(mad), Seq("source"))
       .groupBy(col("source"), col("med"), col("mad"))
       .agg(count(lit(1)).as("n_docs"),
-        Queries.fround(max(abs(col("n_tok") - col("med")) / (lit(1.4826) * col("mad"))), 4)
-          .as("max_abs_z"))
+        // MAD = 0 (at least half the docs at the median - templated
+        // corpora do this) would divide by zero; define the z as 0
+        // then, identically on the oracle side
+        Queries.fround(when(col("mad") > 0,
+            max(abs(col("n_tok") - col("med")) / (lit(1.4826) * col("mad"))))
+          .otherwise(lit(0.0)), 4).as("max_abs_z"))
       .orderBy(col("source"))
   }
 
@@ -1555,7 +1601,14 @@ object QueriesLLM {
       count(lit(1)).as("n_sources"))
     per.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        expr("CAST((total_tokens * 1000000) DIV (n_sources * n_tokens) AS BIGINT)")
+        // products through DECIMAL(38,0): total_tokens * 1e6 overflows
+        // BIGINT past ~9.2e12 tokens — ~100 TB of text is ~2e13, so the
+        // very scale this operator is for would ARITHMETIC_OVERFLOW
+        // under ANSI (or silently go negative without it). Same
+        // discipline as aggStats/percentOfTotal; DIV floors back to
+        // BIGINT ppm.
+        expr("""CAST((CAST(total_tokens AS DECIMAL(38,0)) * 1000000)
+               DIV (CAST(n_sources AS DECIMAL(38,0)) * n_tokens) AS BIGINT)""")
           .as("uniform_weight_ppm"))
       .orderBy(col("source"))
   }
@@ -1578,12 +1631,14 @@ object QueriesLLM {
     val scaled = per.crossJoin(broadcast(tot))
       .select(col("source"), col("n_tokens"),
         // integer token-share ppm, then one sqrt floored to micro units
-        expr("""CAST(floor(sqrt(CAST((n_tokens * 1000000) DIV total_tokens
-               AS DOUBLE)) * 1000000) AS BIGINT)""").as("s_micro"))
+        expr("""CAST(floor(sqrt(CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000)
+               DIV total_tokens AS DOUBLE)) * 1000000) AS BIGINT)""").as("s_micro"))
     val norm = scaled.agg(sum(col("s_micro")).as("s_total"))
     scaled.crossJoin(broadcast(norm))
       .select(col("source"), col("n_tokens"),
-        expr("CAST((s_micro * 1000000) DIV s_total AS BIGINT)").as("sample_ppm"))
+        // DECIMAL for the same overflow reason as domainMix
+        expr("""CAST((CAST(s_micro AS DECIMAL(38,0)) * 1000000)
+               DIV s_total AS BIGINT)""").as("sample_ppm"))
       .orderBy(col("source"))
   }
 

@@ -1322,7 +1322,10 @@ object QueriesRel {
     * also the backfill path.
     */
   def scd2(s: SparkSession, dir: String): DataFrame = {
-    val sentinel = 253402300800000L // 9999-01-01T00:00:00Z, epoch millis
+    // 9999-12-31T23:59:59.999Z epoch millis — the conventional open-row
+    // sentinel; stays castable to TimestampType (the prior value was one
+    // ms past year 9999 and overflowed engines with a year-9999 cap)
+    val sentinel = 253402300799999L
     val ev = t(s, dir, "events")
       .filter(col("user_id") % 50 === 0)
       .select(col("user_id"), col("event_id"), col("event_type"),

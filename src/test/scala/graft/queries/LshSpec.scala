@@ -21,6 +21,25 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("min-label propagation converges on a long chain (pointer jumping)") {
+    import spark.implicits._
+    // a 60-node chain has diameter 59: plain neighbor-min propagation
+    // needs 59 rounds and the old 25-round cap SILENTLY returned
+    // non-minimal labels; pointer jumping converges in O(log n) rounds
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = QueriesLLM.minLabelPropagate(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 60)
+    assert(labels.forall(_._2 == 0L),
+      s"chain must collapse to one cluster rooted at 0: ${labels.filter(_._2 != 0L).take(5).toSeq}")
+    // and two disjoint chains keep distinct roots
+    val two = ((0L until 10L).map(i => (i, i + 1)) ++
+      (100L until 110L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+    val roots = QueriesLLM.minLabelPropagate(two).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._2).keySet
+    assert(roots == Set(0L, 100L))
+  }
+
   test("pagerank: integer ranks match an exact driver-side recomputation") {
     val pairs = QueriesLLM.minhashLshPairs(spark, dir)
       .filter(col("est_jaccard") >= 0.5)

@@ -819,7 +819,7 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("user_id") % 50 === 0)
       .selectExpr("user_id", "event_id", "event_type", "unix_millis(ts) AS ms")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
-    val sentinel = 253402300800000L
+    val sentinel = 253402300799999L
     val expected = ev.groupBy(_._1).flatMap { case (_, rows) =>
       val ordered = rows.toSeq.sortBy(r => (r._4, r._2))
       val changes = ordered.zipWithIndex.filter { case (r, i) =>
