@@ -44,6 +44,11 @@ object Bench {
     "x_simhash_near_dup", "x_triangles")
 
   def main(args: Array[String]): Unit = {
+    // the contract is ONE machine-parseable JSON line: every f"%.3f"
+    // below goes through String.format with the JVM default locale, so
+    // a comma-decimal host locale (de_DE etc.) would emit 0,123 and
+    // break the driver's json parse — pin ROOT for the whole run
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -152,7 +157,15 @@ object Bench {
     // (total, stats-candidate, bloom-possible) row groups for the bench
     // point lookup on the bloom-filtered plain output; -1 = never ran
     var bloomRowGroups: (Int, Int, Int) = (-1, -1, -1)
-    val convert = try {
+    // measurements accumulate as they complete: a failure in a LATE
+    // stage (a lookup, a layout probe) must not discard the convert
+    // timings already taken — the catch used to return Seq.empty and
+    // publish a self-inconsistent JSON (convert_runs populated, queries
+    // missing). The tmpfs scratch is freed in a finally for the same
+    // reason: RAM-backed artifacts must not outlive a FAILED bench
+    // either.
+    val convertAcc = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    try {
       val snap = ensureSnapshot("/tmp/graft_bench_snap.bin", 2000000, seed = 42L)
       val snap10 = ensureSnapshot("/tmp/graft_bench_snap10.bin", 10000000, seed = 43L)
       def timeConvert(in: String, out: String, range: Boolean,
@@ -184,10 +197,12 @@ object Bench {
       // scheduler jitter
       val convertSec = minN("utxo_convert_2m", 7)(
         timeConvert(snap, s"$scratch/convert_out", range = false))
+      convertAcc += ("utxo_convert_2m" -> convertSec)
       // globally script-clustered variant: pays one range shuffle at
       // convert, buys single-file point lookups (the 100 TB layout)
       val convertClusteredSec = minN("utxo_convert_2m_clustered", 7)(
         timeConvert(snap, s"$scratch/convert_clustered", range = true))
+      convertAcc += ("utxo_convert_2m_clustered" -> convertClusteredSec)
 
       // sustained throughput: 10M coins — long enough that JVM warmup
       // stops dominating (the reference's headline is a 177.5M-row
@@ -201,8 +216,10 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
+      convertAcc += ("utxo_decode_10m" -> decode10Sec)
       val convert10Sec = minN("utxo_convert_10m", 5)(
         timeConvert(snap10, s"$scratch/convert10_out", range = false))
+      convertAcc += ("utxo_convert_10m" -> convert10Sec)
 
       // multi-file snapshot directory: 4 × 500K-coin files through the
       // same pipeline — exercises the executor-side indexAll path (one
@@ -221,6 +238,7 @@ object Bench {
       }
       val convertMultiSec = minN("utxo_convert_multi4", 5)(
         timeConvert(multiDir, s"$scratch/convert_multi_out", range = false))
+      convertAcc += ("utxo_convert_multi4" -> convertMultiSec)
 
       // bloom-filtered plain convert: same layout + a split-block bloom
       // on script. The write-side cost rides the timing; the read-side
@@ -230,13 +248,26 @@ object Bench {
       // leaves only the groups that truly hold the key)
       val convertBloomSec = minN("utxo_convert_2m_bloom", 3)(
         timeConvert(snap, s"$scratch/convert_bloom", range = false, bloom = true))
+      convertAcc += ("utxo_convert_2m_bloom" -> convertBloomSec)
       multiSidecarsSeen = new java.io.File(multiDir).listFiles()
         .count(_.getName.endsWith(graft.codec.SnapshotIndexer.SidecarSuffix))
 
       // lookups measured after ALL converts (writeback shadow, above)
       val parq = spark.read.parquet(s"$scratch/convert_out")
-      val someScript = parq.select(hex(col("script")))
-        .limit(1).collect()(0).getString(0)
+      // deterministic key: limit(1) returns an arbitrary row, so the
+      // measured lookup and the published bloom_rowgroups counters
+      // would drift with partitioning/layout changes unrelated to the
+      // engine. The smallest script at or above the halfway prefix is
+      // stable across rounds AND mid-range (the global minimum would
+      // sit below every other file's [min,max] span, making stats-only
+      // skipping look as good as bloom); fall back to the minimum on a
+      // degenerate key space.
+      val mid = parq.filter(hex(col("script")) >= "80")
+        .agg(org.apache.spark.sql.functions.min(hex(col("script"))))
+        .collect()(0).getString(0)
+      val someScript = if (mid != null) mid
+        else parq.agg(org.apache.spark.sql.functions.min(hex(col("script"))))
+          .collect()(0).getString(0)
       def lookup(name: String, path: String): Double = min3(name) {
         val t = System.nanoTime()
         spark.read.parquet(path)
@@ -246,9 +277,11 @@ object Bench {
           .collect()
         (System.nanoTime() - t) / 1e9
       }
-      val lookupSec = lookup("utxo_point_lookup", s"$scratch/convert_out")
-      val lookupClusteredSec = lookup("utxo_point_lookup_clustered", s"$scratch/convert_clustered")
-      val lookupBloomSec = lookup("utxo_point_lookup_bloom", s"$scratch/convert_bloom")
+      convertAcc += ("utxo_point_lookup" -> lookup("utxo_point_lookup", s"$scratch/convert_out"))
+      convertAcc += ("utxo_point_lookup_clustered" ->
+        lookup("utxo_point_lookup_clustered", s"$scratch/convert_clustered"))
+      convertAcc += ("utxo_point_lookup_bloom" ->
+        lookup("utxo_point_lookup_bloom", s"$scratch/convert_bloom"))
       // the scale-relevant observable: candidate row groups for the
       // looked-up key under stats-only vs bloom skipping on the SAME
       // bloom-filtered output
@@ -259,20 +292,12 @@ object Bench {
           s"$scratch/convert_bloom", "script", someScript)
         (tot, stats, bloomPoss)
       } catch { case _: Throwable => (-1, -1, -1) }
-      // free the tmpfs scratch once every measurement that reads it is
-      // done — RAM-backed artifacts must not outlive the bench
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
-      Seq("utxo_convert_2m" -> convertSec, "utxo_point_lookup" -> lookupSec,
-        "utxo_convert_2m_clustered" -> convertClusteredSec,
-        "utxo_point_lookup_clustered" -> lookupClusteredSec,
-        "utxo_convert_2m_bloom" -> convertBloomSec,
-        "utxo_point_lookup_bloom" -> lookupBloomSec,
-        "utxo_decode_10m" -> decode10Sec,
-        "utxo_convert_10m" -> convert10Sec,
-        "utxo_convert_multi4" -> convertMultiSec)
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] utxo_convert failed: ${e.getMessage}"); Seq.empty
+      System.err.println(s"[bench] utxo_convert failed after ${convertAcc.size} metrics: ${e.getMessage}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
     }
+    val convert = convertAcc.toSeq
 
     val all = results ++ convert
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -107,8 +107,12 @@ object QueriesScalar {
     */
   def csvJsonScan(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "nation")
-    val csvPath = "/tmp/graft_nation_csv"
-    val jsonPath = "/tmp/graft_nation_json"
+    // paths keyed by the fixture tag like every sibling stage: fixed
+    // names let one session's overwrite delete the directory while a
+    // concurrent session's deferred read is still scanning it
+    val tag = Queries.stageTag(dir)
+    val csvPath = s"/tmp/graft_nation_csv_$tag"
+    val jsonPath = s"/tmp/graft_nation_json_$tag"
     base.write.mode("overwrite").option("header", "true").csv(csvPath)
     base.write.mode("overwrite").json(jsonPath)
     val fromCsv = s.read.option("header", "true").option("inferSchema", "true").csv(csvPath)
@@ -276,17 +280,32 @@ object QueriesScalar {
     * source — after the finite stream drains, the aggregation state IS
     * the batch group-by, which is exactly what the oracle asserts.
     */
+  /** Stage `$dir/events.parquet` into `destDir` exactly once,
+    * crash-safe: copy to a dot-prefixed temp name (hidden from Spark's
+    * directory-watching sources) and atomically rename — a JVM killed
+    * mid-copy must not leave a truncated file that passes the exists
+    * check forever — under a double-checked lock so concurrent callers
+    * stage once.
+    */
+  private def stageEventsFile(dir: String, destDir: java.nio.file.Path): Unit = {
+    val dest = destDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(dest)) synchronized {
+      if (!java.nio.file.Files.exists(dest)) {
+        java.nio.file.Files.createDirectories(destDir)
+        val tmp = destDir.resolve(".events.parquet.tmp")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"), tmp,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.move(tmp, dest,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+  }
+
   def stateReader(s: SparkSession, dir: String): DataFrame = {
     val tag = Queries.stageTag(dir)
     val src = java.nio.file.Paths.get(s"/tmp/graft_state_src_$tag")
-    if (!java.nio.file.Files.exists(src.resolve("events.parquet"))) synchronized {
-      if (!java.nio.file.Files.exists(src.resolve("events.parquet"))) {
-        java.nio.file.Files.createDirectories(src)
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"),
-          src.resolve("events.parquet"))
-      }
-    }
+    stageEventsFile(dir, src)
     graft.streaming.StreamingQueries
       .runStateInspect(s, src.toString, s"/tmp/graft_state_ckpt_$tag")
       .orderBy(col("user_id"))
@@ -494,12 +513,7 @@ object QueriesScalar {
   def streamUpsert(s: SparkSession, dir: String): DataFrame = {
     val tag = Queries.stageTag(dir)
     val src = java.nio.file.Paths.get(s"/tmp/graft_upsert_src_$tag")
-    if (!java.nio.file.Files.exists(src.resolve("events.parquet"))) {
-      java.nio.file.Files.createDirectories(src)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        src.resolve("events.parquet"))
-    }
+    stageEventsFile(dir, src)
     graft.streaming.StreamingQueries.runUpsert(s, src.toString,
         s"/tmp/graft_upsert_tgt_$tag", s"/tmp/graft_upsert_ckpt_$tag")
       .select(col("user_id"), col("event_type"),

@@ -29,6 +29,7 @@ object LargeConvertBench {
     } catch { case _: Throwable => -1L }
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON decimals must be dots
     val nCoins = args.headOption.map(_.toInt).getOrElse(100000000)
     val runs = args.drop(1).headOption.map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   * sf0.01 oracle gate is the one timed at 40×.
   *
   * Corpus shape (seeded, deterministic):
-  *  - 85% base docs: 60–140 words from a 5 000-word power-law vocab;
+  *  - 85% base docs: 60–140 words, ~30% stopwords from a 100-word
+  *    shared vocab + content words from a 1M-word space;
   *  - 10% near-dups: a copy of a base doc with 3 token substitutions
   *    (3-shingle Jaccard ≈ 0.8 — above every banding threshold);
   *  - 5% exact dups: verbatim copies of base docs.
@@ -78,6 +79,7 @@ object LargeDedupBench {
   }
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON decimals must be dots
     val nDocs = args.headOption.map(_.toLong).getOrElse(200000L)
     val runs = args.drop(1).headOption.map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
