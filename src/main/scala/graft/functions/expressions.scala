@@ -397,7 +397,16 @@ object LshSignBits {
       var acc = 0.0
       var j = 0
       while (j < dim) {
-        acc += v.getFloat(j).toDouble * java.lang.Math.sin((p * 64 + j + 1).toDouble)
+        // plane weight sin(k²), k = p·64+j+1 — the QUADRATIC (Weyl)
+        // argument matters: sin(c_p + j) (the original affine form) is
+        // sin(j)·cos(c_p) + cos(j)·sin(c_p), so every "hyperplane"
+        // lived in the same 2-D subspace and all nBits encoded only a
+        // 2-D projection of the vector — more tables bought ~no recall
+        // (LargeAnnBench measured 0.45 → 0.48 going 4 → 8 tables).
+        // k² mod 2π equidistributes, giving effectively independent
+        // pseudo-random planes.
+        val k = (p * 64 + j + 1).toDouble
+        acc += v.getFloat(j).toDouble * java.lang.Math.sin(k * k)
         j += 1
       }
       out(p) = if (acc >= 0) 1 else 0

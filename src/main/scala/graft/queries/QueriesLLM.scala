@@ -441,8 +441,10 @@ object QueriesLLM {
     val e = t(s, dir, "embeddings")
     val nBits = tables * bitsPerTable
     // deterministic pseudo-hyperplanes: element j of plane p =
-    // sin(1 + p*64 + j), all nBits projections in one codegen kernel
-    // pass (the HOF form evaluated 24 interpreted folds per row)
+    // sin((1 + p*64 + j)²) — quadratic argument so planes span the
+    // full space, not a 2-D sinusoid subspace; all nBits projections
+    // in one codegen kernel pass (the HOF form evaluated 24
+    // interpreted folds per row)
     def bitArr(v: Column): Column =
       graft.functions.GraftFunctions.lshSignBits(v, nBits)
     // both the candidate index and the probe side fork from this frame;
@@ -453,36 +455,48 @@ object QueriesLLM {
     val withBits = e.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"), bitArr(col("embedding")).as("bits"))
 
-    def tableKey(tb: Int, bits: Seq[Column]): Column =
-      concat_ws(":", lit(tb).cast("string"), concat_ws("", bits.map(_.cast("string")): _*))
+    // numeric bucket per table: tb·2^bpt + Σ bit_j·2^j, built by ONE
+    // data-driven fold over the bits array — O(tables) expression nodes
+    // regardless of bitsPerTable, and LONG join keys (cheaper to
+    // shuffle than strings). The previous per-literal form materialized
+    // O(tables·bitsPerTable²) expression nodes for the Hamming-1 probe
+    // set: past ~10 bits/table the generated Generate method blew
+    // Janino's 64KB limit and the interpreted fallback ground a 200K-
+    // vector run to a halt — the index parameters MUST scale with the
+    // corpus (LargeAnnBench), so the expression tree must not scale
+    // with them.
+    val bpt = bitsPerTable
+    val bucketArr = transform(sequence(lit(0), lit(tables - 1)), tb =>
+      aggregate(
+        slice(col("bits"), tb * lit(bpt) + lit(1), lit(bpt)),
+        tb.cast("long") * lit(1L << bpt),
+        (acc, b) => acc * lit(2L) + b.cast("long")))
 
     // candidate index: one entry per (vector, table) — exact keys only
-    val candKeys = (0 until tables).map { tb =>
-      tableKey(tb, (0 until bitsPerTable).map(b => col("bits").getItem(tb * bitsPerTable + b)))
-    }
     val cand = withBits.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-      col("nrm").as("cn"), explode(array(candKeys: _*)).as("bucket"))
+      col("nrm").as("cn"), explode(bucketArr).as("bucket"))
 
-    // query probes: per table, the exact bucket plus each Hamming-1 flip
-    val probeKeys = (0 until tables).flatMap { tb =>
-      val bits = (0 until bitsPerTable).map(b => col("bits").getItem(tb * bitsPerTable + b))
-      val exact = tableKey(tb, bits)
-      val flips = (0 until bitsPerTable).map { fb =>
-        tableKey(tb, bits.zipWithIndex.map { case (c, i) => if (i == fb) lit(1) - c else c })
-      }
-      exact +: flips
-    }
+    // query probes: per table, the exact bucket plus each Hamming-1
+    // flip (numeric bit-flip = XOR with a power of two)
+    val powers = array((0 until bpt).map(i => lit(1L << i)): _*)
+    val probeArr = flatten(transform(bucketArr, bk =>
+      concat(array(bk), transform(powers, pw => bk.bitwiseXOR(pw)))))
     val q = withBits.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("nrm").as("qn"), explode(array(probeKeys: _*)).as("bucket"))
+        col("nrm").as("qn"), explode(probeArr).as("bucket"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id"))
     q.join(cand, "bucket") // co-bucket candidates only: the pruned search
       .filter(col("query_id") =!= col("cand_id"))
-      .dropDuplicates("query_id", "cand_id") // met in >1 table/probe
+      // score FIRST, then dedup pairs met in >1 table/probe with a
+      // fixed-width max() aggregate: a dropDuplicates on the raw join
+      // rows shuffled both 256-byte embedding arrays per candidate
+      // pair (~25× the bytes of (id, id, sim)) — at 1M vectors that
+      // filled the spill disk before the ranking even started
       .select(col("query_id"), col("cand_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+      .groupBy(col("query_id"), col("cand_id")).agg(max(col("sim")).as("sim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("query_id"), col("cand_id"), col("rnk"), Queries.fround(col("sim"), 4).as("cos_sim"))

@@ -206,7 +206,7 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hofBits = array((0 until nBits).map { p =>
       val proj = aggregate(
         zip_with(col("embedding"), sequence(lit(p * 64 + 1), lit(p * 64 + 64)),
-          (x, j) => x.cast("double") * sin(j.cast("double"))),
+          (x, j) => x.cast("double") * sin(j.cast("double") * j.cast("double"))),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, 1).otherwise(0)
     }: _*)
