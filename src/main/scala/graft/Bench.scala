@@ -166,8 +166,12 @@ object Bench {
     // either.
     val convertAcc = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     try {
-      val snap = ensureSnapshot("/tmp/graft_bench_snap.bin", 2000000, seed = 42L)
-      val snap10 = ensureSnapshot("/tmp/graft_bench_snap10.bin", 10000000, seed = 43L)
+      // the generator VERSION rides in the filename: a cached snapshot
+      // written by an older writeSynthetic byte stream must invalidate
+      // on upgrade, not silently feed the bench host-dependent inputs
+      // (v2 = txids from 32× nextInt, round-5 change)
+      val snap = ensureSnapshot("/tmp/graft_bench_snap_v2.bin", 2000000, seed = 42L)
+      val snap10 = ensureSnapshot("/tmp/graft_bench_snap10_v2.bin", 10000000, seed = 43L)
       def timeConvert(in: String, out: String, range: Boolean,
           bloom: Boolean = false): Double = {
         // pre-delete the previous run's output OUTSIDE the timed region:

@@ -145,14 +145,24 @@ case class ScriptRouteExpr(child: Expression,
 /** MinHash signature kernel (X2 hot path): all 16 permutation minima
   * over a document's word 3-shingles in ONE per-row pass. Replaces the
   * explode + 16-min groupBy signature build with identical arithmetic
-  * (xxhash64 seed 42 → pmod 2³¹-1 → (a·h+b) mod P minima over the same
-  * space-split shingles) but zero row expansion and zero shuffle: the
-  * signature stage of the near-dup pipeline becomes map-only, which is
-  * the difference between shuffling ~L rows per document and none at
-  * 100 TB. Static-shaped kernel so the generated code is one call per
-  * row (same discipline as [[Morton]]/[[ScriptRoute]]); the earlier
-  * higher-order-function rewrite lost 1.5× to CodegenFallback
-  * per-element interpretation — this stays in whole-stage codegen.
+  * (portable md5-derived 60-bit hash → mod 2³¹-1 → (a·h+b) mod P
+  * minima over the same space-split shingles) but zero row expansion
+  * and zero shuffle: the signature stage of the near-dup pipeline
+  * becomes map-only, which is the difference between shuffling ~L rows
+  * per document and none at 100 TB. The shingle hash is
+  * [[SimHash48.md5h60]] — the same function as the engine's `hash64`
+  * (`conv(substring(md5(s),1,15),16,10)`) and DuckDB's
+  * `('0x' || substr(md5(s),1,15))::BIGINT` — which is what makes every
+  * MinHash consumer, INCLUDING the banded LSH candidate join
+  * (`x_minhash_lsh`) and the four graph operators that ride it,
+  * fully oracle-expressible in DuckDB (the simhash48 discipline:
+  * xxhash64 would be ~5× cheaper per shingle but has no DuckDB twin;
+  * candidates that can't be cross-checked are worth less than the
+  * cycles they save). Static-shaped kernel so the generated code is
+  * one call per row (same discipline as [[Morton]]/[[ScriptRoute]]);
+  * the earlier higher-order-function rewrite lost 1.5× to
+  * CodegenFallback per-element interpretation — this stays in
+  * whole-stage codegen.
   */
 object MinHashSig {
   private val P = GraftFunctions.MinhashP
@@ -172,9 +182,8 @@ object MinHashSig {
     var i = 0
     while (i < nSh) {
       val sh = UTF8String.concatWs(SPACE, toks(i), toks(i + 1), toks(i + 2))
-      val raw = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(sh.getBaseObject, sh.getBaseOffset, sh.numBytes, 42L)
-      val h = ((raw % P) + P) % P
+      // md5h60 is non-negative (top nibble dropped), so plain % is pmod
+      val h = SimHash48.md5h60(sh) % P
       var j = 0
       while (j < 16) {
         val v = (A(j) * h + B(j)) % P
@@ -376,12 +385,15 @@ case class VecDotLongExpr(left: Expression, right: Expression)
 
 /** Sign-LSH plane projections (X3 scale path #1): all `nBits`
   * pseudo-hyperplane sign bits of a float vector in one pass. Plane p's
-  * element j is sin(p·64 + j + 1) — the same deterministic
-  * pseudo-random plane family the HOF form builds with
-  * `zip_with(v, sequence(...), x·sin(j))`, evaluated with the same
-  * left-to-right double fold (Math.sin == Spark's SIN codegen), so
-  * bits are identical; the 24-fold interpreted per-plane evaluation
-  * collapses into one codegen'd loop nest.
+  * element j is sin(k²) with k = p·64 + j + 1 — the quadratic (Weyl)
+  * argument whose k² mod 2π equidistribution makes the planes
+  * effectively independent (the affine sin(c_p + j) family was rank-2;
+  * see the in-body comment). The same deterministic family the HOF
+  * form builds with `zip_with(v, sequence(...), x·sin(k²))`, evaluated
+  * with the same left-to-right double fold (Math.sin == Spark's SIN
+  * codegen), so bits are identical — ExpressionSpec pins the parity;
+  * the 24-fold interpreted per-plane evaluation collapses into one
+  * codegen'd loop nest.
   */
 object LshSignBits {
   def bits(v: org.apache.spark.sql.catalyst.util.ArrayData,

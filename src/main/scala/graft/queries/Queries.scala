@@ -388,7 +388,122 @@ object Queries {
       |  CAST(((n_chars - n_bpe_tokens) * 1000000) // n_chars AS BIGINT) AS saved_ppm
       |FROM agg ORDER BY source""".stripMargin
 
+  /** DuckDB CTE chain replicating the MinHash-LSH candidate pipeline
+    * (`QueriesLLM.minhashLshPairsUncached`) bit-for-bit: word
+    * 3-shingles → portable md5-derived 60-bit hash mod 2³¹-1 → 16
+    * permutation minima (the same kernel arithmetic `minhash_sigs`
+    * runs) → 8 bands × 2 rows keyed on the stringified slice →
+    * band-bucketed self-join → est = agreeing components / 16, max over
+    * bands, cut at 0.5. Possible at all because the kernel hashes with
+    * the engine's `hash64` twin (`('0x' || substr(md5(s),1,15))::BIGINT`)
+    * — the simhash48 discipline applied to MinHash in r6, which
+    * promotes the banding join and the four graph consumers below from
+    * rows-only to full hash-checked oracles. est_jaccard is k/16.0
+    * (exactly representable), so the float compare is exact.
+    */
+  private val lshCandCtes: String =
+    """tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |lsh_sh AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 2),
+      |    i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM tk),
+      |lsh_h AS (SELECT doc_id,
+      |    ('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647 AS h FROM lsh_sh),
+      |lsh_p AS (SELECT CAST(i AS INTEGER) AS perm_id,
+      |    (1103515245 * (CAST(i AS BIGINT) + 1)) % 2147483647 AS a,
+      |    (12345 * (CAST(i AS BIGINT) + 7)) % 2147483647 AS b
+      |  FROM range(16) t(i)),
+      |lsh_sg AS (SELECT doc_id, perm_id, min((a * h + b) % 2147483647) AS sig
+      |  FROM lsh_h, lsh_p GROUP BY doc_id, perm_id),
+      |lsh_sa AS MATERIALIZED (SELECT doc_id, list(sig ORDER BY perm_id) AS sigs
+      |  FROM lsh_sg GROUP BY doc_id),
+      |lsh_bd AS (SELECT doc_id, sigs, b AS band,
+      |    sigs[2*b+1]::VARCHAR || '_' || sigs[2*b+2]::VARCHAR AS bk
+      |  FROM lsh_sa, range(8) t(b)),
+      |cand AS MATERIALIZED (SELECT doc_a, doc_b, est_jaccard FROM (
+      |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |      max(len(list_filter(range(16), i -> x.sigs[i+1] = y.sigs[i+1])) / 16.0)
+      |        AS est_jaccard
+      |    FROM lsh_bd x JOIN lsh_bd y
+      |      ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
+      |    GROUP BY 1, 2)
+      |  WHERE est_jaccard >= 0.5)""".stripMargin
+
+  /** [[lshCandCtes]] + the exact-Jaccard verification stage at tau=0.5
+    * (`QueriesLLM.dedupClustersLsh`): shingle SETS for candidate docs
+    * only (the semi-join pushdown the Spark side does), exact
+    * intersection/union ratio over just the candidate pairs.
+    */
+  private val lshVerifiedCtes: String = lshCandCtes +
+    """,
+      |lsh_ids AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+      |lsh_ds AS MATERIALIZED (SELECT tk.doc_id,
+      |    list_distinct(list_transform(range(len(tk.toks) - 2),
+      |      i -> array_to_string(tk.toks[i+1:i+3], ' '))) AS shs
+      |  FROM tk JOIN lsh_ids USING (doc_id)),
+      |vp AS MATERIALIZED (SELECT c.doc_a, c.doc_b FROM cand c
+      |  JOIN lsh_ds a ON a.doc_id = c.doc_a
+      |  JOIN lsh_ds b ON b.doc_id = c.doc_b
+      |  WHERE len(list_filter(a.shs, x -> list_contains(b.shs, x))) * 1.0 /
+      |        len(list_distinct(list_concat(a.shs, b.shs))) >= 0.5)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // ---- MinHash-LSH family (promoted from rows-only in r6): the
+    // shared candidate CTE replicates sig → band → join → est exactly;
+    // consumers reuse the same downstream SQL as their exact-graph
+    // twins (x_dedup_clusters / x_near_dedup_keep / x_pagerank /
+    // x_triangles), only the edge source differs.
+    "x_minhash_lsh" -> ("WITH " + lshCandCtes + """
+      |SELECT doc_a, doc_b, est_jaccard FROM cand ORDER BY doc_a, doc_b""".stripMargin),
+    "x_dedup_clusters_lsh" -> ("WITH RECURSIVE " + lshVerifiedCtes + """,
+      |e AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+      |      UNION SELECT doc_b, doc_a FROM vp),
+      |n AS (SELECT DISTINCT src AS node FROM e),
+      |reach(node, r) AS (SELECT node, node FROM n
+      |  UNION
+      |  SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src)
+      |SELECT node AS doc_id, min(r) AS cluster_id
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
+    "x_near_dedup_keep_lsh" -> ("WITH RECURSIVE " + lshVerifiedCtes + """,
+      |e AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+      |      UNION SELECT doc_b, doc_a FROM vp),
+      |n AS (SELECT DISTINCT src AS node FROM e),
+      |reach(node, r) AS (SELECT node, node FROM n
+      |  UNION
+      |  SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src),
+      |cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+      |SELECT doc.source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN cl.cluster_id IS NULL OR cl.cluster_id = doc.doc_id
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM documents doc LEFT JOIN cl ON doc.doc_id = cl.doc_id
+      |GROUP BY doc.source ORDER BY doc.source""".stripMargin),
+    "x_pagerank_lsh" -> ("WITH " + lshCandCtes + """,
+      |e AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+      |      UNION ALL SELECT doc_b, doc_a FROM cand),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+      |r1 AS (SELECT e.dst AS node,
+      |         CAST(150000 + (850 * sum(r.rank // g.deg)) // 1000 AS BIGINT) AS rank
+      |       FROM e JOIN deg g USING (src) JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+      |r2 AS (SELECT e.dst AS node,
+      |         CAST(150000 + (850 * sum(r.rank // g.deg)) // 1000 AS BIGINT) AS rank
+      |       FROM e JOIN deg g USING (src) JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+      |r3 AS (SELECT e.dst AS node,
+      |         CAST(150000 + (850 * sum(r.rank // g.deg)) // 1000 AS BIGINT) AS rank
+      |       FROM e JOIN deg g USING (src) JOIN r2 r ON r.node = e.src GROUP BY e.dst),
+      |r4 AS (SELECT e.dst AS node,
+      |         CAST(150000 + (850 * sum(r.rank // g.deg)) // 1000 AS BIGINT) AS rank
+      |       FROM e JOIN deg g USING (src) JOIN r3 r ON r.node = e.src GROUP BY e.dst),
+      |r5 AS (SELECT e.dst AS node,
+      |         CAST(150000 + (850 * sum(r.rank // g.deg)) // 1000 AS BIGINT) AS rank
+      |       FROM e JOIN deg g USING (src) JOIN r4 r ON r.node = e.src GROUP BY e.dst)
+      |SELECT node AS doc_id, rank AS rank_x1e6
+      |FROM r5 ORDER BY rank_x1e6 DESC, doc_id""".stripMargin),
+    "x_triangles_lsh" -> ("WITH " + lshCandCtes + """,
+      |p AS (SELECT doc_a AS a, doc_b AS b FROM cand),
+      |nodes AS (SELECT a AS n FROM p UNION SELECT b FROM p)
+      |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+      |       (SELECT count(*) FROM p) AS n_edges,
+      |       (SELECT count(*) FROM p x JOIN p y ON x.b = y.a
+      |          JOIN p z ON z.a = x.a AND z.b = y.b) AS n_triangles""".stripMargin),
     // BPE train/apply replicated round-for-round in SQL (the argmax is
     // a LIMIT-1 scalar per unrolled round, the greedy merge is exact —
     // see bpeOracleCtes); TextPipelineSpec additionally pins both

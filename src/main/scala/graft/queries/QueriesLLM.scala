@@ -49,11 +49,12 @@ object QueriesLLM {
       .orderBy(col("doc_id"), col("perm_id"))
   }
 
-  /** X2: full MinHash-LSH near-dup candidates: 16-perm signatures, 4
-    * bands x 4 rows; pairs sharing a band, similarity estimated as the
-    * fraction of agreeing signature components. Spark-side only (the
-    * banding join is the non-SQL-expressible part → rows-only check);
-    * LshSpec asserts candidates ⊇ true high-Jaccard pairs.
+  /** X2: full MinHash-LSH near-dup candidates: 16-perm signatures, 8
+    * bands x 2 rows; pairs sharing a band, similarity estimated as the
+    * fraction of agreeing signature components. Fully oracled as of r6
+    * (the kernel's portable md5-derived shingle hash lets DuckDB
+    * replicate sig → band → join → est bit-for-bit); LshSpec
+    * additionally asserts candidates ⊇ true high-Jaccard pairs.
     *
     * The pair table is MATERIALIZED ONCE per (session, corpus) and
     * reused: four downstream operators (cluster dedup, keep-list,
@@ -76,7 +77,15 @@ object QueriesLLM {
   // under the holder's own lazy-val lock, so only same-key callers
   // block — a second session/corpus proceeds instead of queueing behind
   // an unrelated materialization.
-  private final class Memo[T](build: () => T) { lazy val get: T = build() }
+  // the builder reference is nulled after first evaluation: the Memo is
+  // stored as a VALUE in session-weak-keyed caches, and a builder
+  // closure captures the SparkSession — a value that strongly reaches
+  // its own weak key pins the entry (and the stopped session) forever,
+  // exactly the lifecycle leak the weak keying exists to prevent
+  private final class Memo[T](b: () => T) {
+    private[this] var build: () => T = b
+    lazy val get: T = { val r = build(); build = null; r }
+  }
 
   private val lshPairsCache =
     new scala.collection.mutable.WeakHashMap[SparkSession,
@@ -119,9 +128,10 @@ object QueriesLLM {
     // reuse the materialization, and checkpoint blocks are released by
     // the ContextCleaner once the plan is GC'd — a `.cache()` here would
     // pin memory for the life of the session (long driver sessions leak).
-    // rows-only query → free to use the native codegen'd xxhash64 for
-    // shingle hashing (~10× cheaper than the md5-derived oracle-portable
-    // hash64; the oracled x_minhash_sig keeps md5).
+    // Shingle hashing is the portable md5-derived hash64 (inside the
+    // kernel), which makes THIS query — banding join included — fully
+    // DuckDB-expressible: the r6 oracle replicates sig → band → join →
+    // est bit-for-bit, and the four graph consumers inherit it.
     graft.functions.GraftFunctions.register(s)
     val sigArr = t(s, dir, "documents")
       .select(col("doc_id"),
@@ -946,9 +956,11 @@ object QueriesLLM {
     * EXACT Jaccard on just those pairs. Verification touches O(|cands|)
     * pairs, not O(N²): the textbook LSH dedup composition (candidates
     * narrow the graph, the exact check restores precision, components
-    * run on the verified edges). The spec pins cluster-for-cluster
-    * equality against the all-pairs graph at the same threshold on the
-    * corpus; rows-only at the driver (banding is not SQL-expressible).
+    * run on the verified edges). Fully oracled as of r6 (the portable
+    * MinHash hash makes candidates SQL-expressible; the oracle verifies
+    * and clusters the same pairs via recursive CTE); the spec
+    * additionally pins cluster-for-cluster equality against the
+    * all-pairs graph at the same threshold.
     */
   def dedupClustersLsh(s: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
     // the shared candidate table is hard-cut at est_jaccard >= 0.5 (its
@@ -1046,9 +1058,9 @@ object QueriesLLM {
 
   /** X19 scale path: identical keep-list logic over the LSH cluster
     * map ([[dedupClustersLsh]]) — banded candidates, exact verify,
-    * min-label components. Rows-only (banding is not SQL-expressible);
-    * the spec pins exactly-one-survivor-per-cluster and
-    * no-unclustered-loss.
+    * min-label components. Fully oracled as of r6 (inherits the
+    * SQL-expressible LSH cluster map); the spec additionally pins
+    * exactly-one-survivor-per-cluster and no-unclustered-loss.
     */
   def nearDedupKeepLsh(s: SparkSession, dir: String): DataFrame =
     keepList(s, dir, dedupClustersLsh(s, dir))
@@ -1163,8 +1175,8 @@ object QueriesLLM {
 
   /** Scale path: same 5 integer iterations over the LSH candidate
     * graph (X2) — shingle → band → graph stays linear in candidates.
-    * Rows-only (banding is not SQL-expressible); the oracled
-    * [[pagerank]] pins the iteration arithmetic on the exact graph.
+    * Fully oracled as of r6 (the LSH edge source is SQL-expressible;
+    * the unrolled-CTE iterations are shared with [[pagerank]]).
     */
   def pagerankLsh(s: SparkSession, dir: String): DataFrame =
     pagerankOn(minhashLshPairs(s, dir).filter(col("est_jaccard") >= 0.5)
@@ -1204,7 +1216,8 @@ object QueriesLLM {
     triangleCountOn(exactJaccardPairs(s, dir))
 
   /** Scale path: same oriented count over the LSH candidate graph
-    * (rows-only — banding is not SQL-expressible).
+    * (fully oracled as of r6 — the DuckDB mirror counts the same
+    * LSH-candidate graph with the plain canonical three-way self-join).
     */
   def triangleCountLsh(s: SparkSession, dir: String): DataFrame =
     triangleCountOn(minhashLshPairs(s, dir).filter(col("est_jaccard") >= 0.5)
@@ -1733,9 +1746,10 @@ object QueriesLLM {
   }
 
   /** Multimodal plumbing: treat content as an opaque binary column with
-    * typed metadata — here materialized deterministically from text (the
-    * container lacks media codecs; the binary-column pipeline is real,
-    * the decode itself is stubbed in [[graft.multimodal.Multimodal]]).
+    * typed metadata — here materialized deterministically from text.
+    * Real container decode (PNG/JPEG/WAV/MP4 headers, PNG/WAV payloads)
+    * lives in [[graft.multimodal.Multimodal]] over
+    * [[graft.multimodal.HeaderCodec]]/[[graft.multimodal.PixelCodec]].
     */
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

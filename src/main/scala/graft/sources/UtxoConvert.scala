@@ -195,8 +195,11 @@ object UtxoConvert {
      else writer)
       .parquet(output)
     // footer sortingColumns (reference src/main.rs:212): Spark can't
-    // write the field, so stamp it post-write — local outputs only
-    // (in-place tail rewrite; see FooterSort for the DFS story)
+    // write the field, so stamp it post-write — in-place tail rewrite
+    // for local outputs (zero data movement), Hadoop-FileSystem
+    // copy-rewrite + atomic-publish for everything else (HDFS/S3A/...),
+    // so the layout stamp applies at cluster scale instead of silently
+    // skipping (see FooterSort).
     // ... and UINT_64 logical annotations on vout/height/amount (the
     // reference schema declares them UInt64, src/main.rs:199-206;
     // values are non-negative so signed page order == unsigned order)
@@ -204,6 +207,9 @@ object UtxoConvert {
     if (outUri.getScheme == null || outUri.getScheme == "file")
       graft.tools.FooterSort.stamp(outUri.getPath, Seq("script"),
         unsigned = Seq("vout", "height", "amount"))
+    else
+      graft.tools.FooterSort.stampFs(spark.sparkContext.hadoopConfiguration,
+        output, Seq("script"), unsigned = Seq("vout", "height", "amount"))
     val m = obs.get
     def longOf(k: String): Long =
       m.get(k).collect { case v: java.lang.Number => v.longValue() }.getOrElse(0L)

@@ -7,11 +7,11 @@ import org.apache.spark.sql.SparkSession
   * through the noop sink, full decode+write) so a regression in the
   * recorded `utxo_convert_10m` number can be attributed to decode,
   * write, or host IO rather than guessed at. Run:
-  * `sbt "runMain graft.tools.ConvertProbe /tmp/graft_bench_snap10.bin"`.
+  * `sbt "runMain graft.tools.ConvertProbe /tmp/graft_bench_snap10_v2.bin"`.
   */
 object ConvertProbe {
   def main(args: Array[String]): Unit = {
-    val snap = args.headOption.getOrElse("/tmp/graft_bench_snap10.bin")
+    val snap = args.headOption.getOrElse("/tmp/graft_bench_snap10_v2.bin")
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-convert-probe")
@@ -33,7 +33,7 @@ object ConvertProbe {
     }
 
     // warmup: JVM + codegen + parquet machinery on the small snapshot
-    graft.sources.UtxoConvert.convert(spark, "/tmp/graft_bench_snap.bin",
+    graft.sources.UtxoConvert.convert(spark, "/tmp/graft_bench_snap_v2.bin",
       "/tmp/probe_warmup", partitions = 32)
 
     val hconf = spark.sparkContext.hadoopConfiguration

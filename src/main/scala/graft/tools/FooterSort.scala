@@ -11,16 +11,69 @@ import org.apache.parquet.format.{ConvertedType, IntType, LogicalType, SortingCo
   * the thrift footer in place (the data pages are untouched; only the
   * tail [footer][len][PAR1] is re-serialized).
   *
-  * Local-filesystem only by design: in-place tail rewrite needs
-  * truncate, which `file://` and HDFS support but object stores do not
-  * (there a copy-rewrite or writing the field at plan time via a custom
-  * committer would be the route). Readers that exploit sortedness
-  * (DuckDB, query planners) read the field; readers that don't ignore
-  * it — stamped files stay fully compatible.
+  * Two paths, same footer mutation:
+  *  - [[stamp]]/[[stampFile]]: in-place tail rewrite via
+  *    `RandomAccessFile` — zero data movement, local files only (the
+  *    convert's default for `file://` outputs).
+  *  - [[stampFs]]/[[stampFsFile]]: Hadoop-`FileSystem` copy-rewrite —
+  *    stream the data pages to a staged sibling, append the rewritten
+  *    footer, publish with the `s_upsert` rename idiom (live → _old,
+  *    stage → live, drop _old; crash-recoverable at every step). Works
+  *    on HDFS/S3A/any Hadoop FS, where an in-place truncate either
+  *    doesn't exist (object stores) or rewrites a whole block anyway.
+  *    Without this path the sortingColumns/UINT_64 stamp silently did
+  *    not apply off the local FS — a layout regression at exactly the
+  *    scale the engine targets.
+  * Readers that exploit sortedness (DuckDB, query planners) read the
+  * field; readers that don't ignore it — stamped files stay fully
+  * compatible.
   */
 object FooterSort {
 
   private val MagicTail = "PAR1".getBytes("US-ASCII")
+
+  /** The shared footer mutation: parse the thrift footer, stamp
+    * sorting_columns on every row group (and optionally UINT_64
+    * annotations + Spark row.metadata drop), re-serialize.
+    */
+  private def rewriteFooter(footerBytes: Array[Byte], sortedBy: Seq[String],
+      unsigned: Seq[String]): Array[Byte] = {
+    val md = Util.readFileMetaData(new java.io.ByteArrayInputStream(footerBytes))
+    // SchemaElement list is depth-first with the root first; the schema
+    // is flat, so leaves are elements 1..N in column order
+    val leaves = md.getSchema.asScala.drop(1).map(_.getName).toIndexedSeq
+    val cols = sortedBy.map { c =>
+      val i = leaves.indexOf(c)
+      require(i >= 0, s"sort column $c not in schema $leaves")
+      new SortingColumn(i, false, false)
+    }
+    md.getRow_groups.asScala.foreach(_.setSorting_columns(cols.asJava))
+
+    if (unsigned.nonEmpty) {
+      val uint64 = new LogicalType()
+      uint64.setINTEGER(new IntType(64.toByte, false))
+      md.getSchema.asScala.drop(1).foreach { se =>
+        if (unsigned.contains(se.getName)) {
+          se.setConverted_type(ConvertedType.UINT_64)
+          se.setLogicalType(uint64)
+        }
+      }
+      // drop Spark's embedded row.metadata: it still says LONG, and a
+      // reader that trusts it over the (now unsigned) parquet types
+      // crashes on dictionary pages expecting a decimal conversion.
+      // Removing it also matches the reference file byte-for-byte in
+      // spirit — no engine-private schema, parquet types are the truth.
+      if (md.getKey_value_metadata != null) {
+        val filtered = md.getKey_value_metadata.asScala
+          .filterNot(_.getKey == "org.apache.spark.sql.parquet.row.metadata")
+        md.setKey_value_metadata(filtered.asJava)
+      }
+    }
+
+    val out = new java.io.ByteArrayOutputStream(footerBytes.length + 64)
+    Util.writeFileMetaData(md, out)
+    out.toByteArray
+  }
 
   /** Stamp all .parquet files in `dir`; returns files stamped.
     *
@@ -56,42 +109,7 @@ object FooterSort {
       raf.seek(footerStart)
       val footerBytes = new Array[Byte](footerLen)
       raf.readFully(footerBytes)
-
-      val md = Util.readFileMetaData(new java.io.ByteArrayInputStream(footerBytes))
-      // SchemaElement list is depth-first with the root first; the schema
-      // is flat, so leaves are elements 1..N in column order
-      val leaves = md.getSchema.asScala.drop(1).map(_.getName).toIndexedSeq
-      val cols = sortedBy.map { c =>
-        val i = leaves.indexOf(c)
-        require(i >= 0, s"sort column $c not in schema $leaves")
-        new SortingColumn(i, false, false)
-      }
-      md.getRow_groups.asScala.foreach(_.setSorting_columns(cols.asJava))
-
-      if (unsigned.nonEmpty) {
-        val uint64 = new LogicalType()
-        uint64.setINTEGER(new IntType(64.toByte, false))
-        md.getSchema.asScala.drop(1).foreach { se =>
-          if (unsigned.contains(se.getName)) {
-            se.setConverted_type(ConvertedType.UINT_64)
-            se.setLogicalType(uint64)
-          }
-        }
-        // drop Spark's embedded row.metadata: it still says LONG, and a
-        // reader that trusts it over the (now unsigned) parquet types
-        // crashes on dictionary pages expecting a decimal conversion.
-        // Removing it also matches the reference file byte-for-byte in
-        // spirit — no engine-private schema, parquet types are the truth.
-        if (md.getKey_value_metadata != null) {
-          val filtered = md.getKey_value_metadata.asScala
-            .filterNot(_.getKey == "org.apache.spark.sql.parquet.row.metadata")
-          md.setKey_value_metadata(filtered.asJava)
-        }
-      }
-
-      val out = new java.io.ByteArrayOutputStream(footerLen + 64)
-      Util.writeFileMetaData(md, out)
-      val newFooter = out.toByteArray
+      val newFooter = rewriteFooter(footerBytes, sortedBy, unsigned)
       raf.seek(footerStart)
       raf.write(newFooter)
       raf.write(Array[Byte](
@@ -107,6 +125,90 @@ object FooterSort {
     // produced file)
     val crc = new java.io.File(f.getParentFile, "." + f.getName + ".crc")
     if (crc.exists()) crc.delete()
+  }
+
+  /** DFS-safe stamp: all `.parquet` files under `dir` through the
+    * Hadoop `FileSystem` for `dir`'s scheme. Returns files stamped.
+    */
+  def stampFs(conf: org.apache.hadoop.conf.Configuration, dir: String,
+      sortedBy: Seq[String], unsigned: Seq[String] = Seq.empty): Int = {
+    import org.apache.hadoop.fs.Path
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    val files = fs.listStatus(d)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    files.foreach(st => stampFsFile(conf, st.getPath, sortedBy, unsigned))
+    files.length
+  }
+
+  /** Copy-rewrite one file through the Hadoop `FileSystem` API: stream
+    * the data pages (bounded buffer, never whole-file memory) into a
+    * staged sibling, append the rewritten footer + length + magic, then
+    * publish with the two-rename idiom (live → `_old`, stage → live,
+    * drop `_old`) — the same crash-recoverable publish `s_upsert` uses,
+    * because plain `rename` over an existing destination fails on HDFS
+    * and nothing on an object store truncates in place. A crash between
+    * the renames leaves `_old` as the only complete copy; the recovery
+    * preamble restores it before restaging, so no crash point loses the
+    * file.
+    */
+  def stampFsFile(conf: org.apache.hadoop.conf.Configuration,
+      file: org.apache.hadoop.fs.Path, sortedBy: Seq[String],
+      unsigned: Seq[String] = Seq.empty): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = file.getFileSystem(conf)
+    val old = new Path(file.getParent, file.getName + "._old")
+    // crash recovery FIRST: a prior stamp that died after `live → _old`
+    // left `_old` as the only complete copy — restore it before reading
+    if (!fs.exists(file) && fs.exists(old)) {
+      if (!fs.rename(old, file))
+        throw new java.io.IOException(s"recovery rename $old -> $file failed")
+    } else if (fs.exists(old)) {
+      fs.delete(old, false) // stale leftover from a completed publish
+    }
+    val len = fs.getFileStatus(file).getLen
+    require(len > 12, s"not a parquet file: $file")
+    val stage = new Path(file.getParent, "." + file.getName + ".stamp.tmp")
+    val in = fs.open(file)
+    try {
+      val tail = new Array[Byte](8)
+      in.readFully(len - 8, tail)
+      require(tail.slice(4, 8).sameElements(MagicTail), s"not a parquet file: $file")
+      val footerLen = (tail(0) & 0xff) | ((tail(1) & 0xff) << 8) |
+        ((tail(2) & 0xff) << 16) | ((tail(3) & 0xff) << 24)
+      val footerStart = len - 8 - footerLen
+      val footerBytes = new Array[Byte](footerLen)
+      in.readFully(footerStart, footerBytes)
+      val newFooter = rewriteFooter(footerBytes, sortedBy, unsigned)
+
+      in.seek(0)
+      val out = fs.create(stage, true)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        var remaining = footerStart
+        while (remaining > 0) {
+          val n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+          require(n > 0, s"unexpected EOF copying $file at ${footerStart - remaining}")
+          out.write(buf, 0, n)
+          remaining -= n
+        }
+        out.write(newFooter)
+        out.write(Array[Byte](
+          (newFooter.length & 0xff).toByte,
+          ((newFooter.length >> 8) & 0xff).toByte,
+          ((newFooter.length >> 16) & 0xff).toByte,
+          ((newFooter.length >> 24) & 0xff).toByte))
+        out.write(MagicTail)
+      } finally out.close()
+    } finally in.close()
+    // publish: live → _old, stage → live, drop _old
+    if (!fs.rename(file, old))
+      throw new java.io.IOException(s"publish rename $file -> $old failed")
+    if (!fs.rename(stage, file)) {
+      fs.rename(old, file) // best-effort rollback to the unstamped copy
+      throw new java.io.IOException(s"publish rename $stage -> $file failed")
+    }
+    fs.delete(old, false)
   }
 
   /** Read back (leaf name → converted-type name) for audit/spec. */

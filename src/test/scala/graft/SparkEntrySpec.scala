@@ -31,19 +31,15 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("declared rows-only queries are the documented set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // the MinHash-LSH family (x_minhash_lsh + the four graph consumers)
+    // left this set in r6: the kernel's switch to the portable
+    // md5-derived shingle hash made the banding join DuckDB-expressible
     val expected = Set("q_agg_approx_distinct", "q_agg_approx_percentile",
-      "x_minhash_lsh", "x_ann_lsh", "x_ann_ivf", "x_multimodal_features",
+      "x_ann_lsh", "x_ann_ivf", "x_multimodal_features",
       // pixel/sample payload transforms (inflate+unfilter+box filter)
       // are not SQL; MultimodalSpec pins decodes on hand-built vectors
       "x_multimodal_resize",
       "x_stratified_sample", "q_table_sample",
-      // LSH-sourced edges: banding is not SQL-expressible; LshSpec pins
-      // cluster equality vs the oracled exact-edge x_dedup_clusters
-      "x_dedup_clusters_lsh",
-      // keep-list SCALE path composes the LSH cluster map → rows-only
-      // by the same argument (the exact-map x_near_dedup_keep is fully
-      // oracled); TextPipelineSpec pins survivor counts for both
-      "x_near_dedup_keep_lsh",
       // shard boundaries come from reservoir sampling (engine-specific);
       // QueriesRelSpec pins disjointness + coverage + balance
       "q_range_shard",
@@ -56,12 +52,6 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
       // file counts are physical layout, not SQL; QueriesRelSpec pins
       // compaction (fewer files, rows conserved, ranges disjoint)
       "x_compact_files",
-      // graph-op SCALE paths ride the LSH candidate pipeline (banding
-      // join is the non-SQL-expressible part); the oracled x_pagerank /
-      // x_triangles pin the same operators on the exact edge graph, and
-      // LshSpec pins driver-side recomputations on the LSH edge set
-      "x_pagerank_lsh",
-      "x_triangles_lsh",
       // PQ codebooks come from seeded KMeans (not SQL); LshSpec pins a
       // recall floor vs the oracled brute-force cosine
       "x_ann_pq")

@@ -114,15 +114,18 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("minhash_sigs kernel: bit-identical to the explode+groupBy aggregate form") {
     import spark.implicits._
-    import graft.functions.GraftFunctions.{MinhashP, permCoeffs, shingles}
+    import graft.functions.GraftFunctions.{MinhashP, hash64, permCoeffs, shingles}
     GraftFunctions.register(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val minExprs = permCoeffs(16).map { case (a, b) =>
       min((lit(a) * col("h") + lit(b)) % MinhashP)
     }
+    // the aggregate form hashes with the PORTABLE md5-derived hash64 —
+    // the kernel must match it bit-for-bit, because this identity is
+    // what licenses the DuckDB oracles for the whole LSH family
     val viaAgg = docs
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
-      .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(MinhashP)).as("h"))
+      .select(col("doc_id"), (hash64(col("sh")) % MinhashP).as("h"))
       .groupBy(col("doc_id"))
       .agg(array(minExprs: _*).as("sigs"))
     val viaKernel = docs
