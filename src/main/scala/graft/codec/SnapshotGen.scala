@@ -89,7 +89,8 @@ object SnapshotGen {
     * number of coins written.
     */
   def writeSynthetic(out: OutputStream, n: Int, seed: Long = 42L,
-      blockHashHex: String = "00" * 32): Long = {
+      blockHashHex: String = "00" * 32,
+      hotEvery: Int = 0, hotScript: Array[Byte] = null): Long = {
     val rnd = new scala.util.Random(seed)
     writeHeader(out, 2, MainnetMagic, blockHashHex, n.toLong)
     var made = 0
@@ -100,7 +101,15 @@ object SnapshotGen {
       out.write(Varint.writeCompactSize(k.toLong))
       var j = 0
       while (j < k) {
-        val c = genCoin(rnd, j.toLong)
+        // hot-key injection (LargeQueryBench): every `hotEvery`-th coin
+        // carries the FIXED `hotScript` instead of its generated one —
+        // a heavily-reused address, the reference README's headline
+        // query shape (4407 rows for one dust address at 177.5M coins).
+        // The rng stream is untouched (the coin is generated first), so
+        // hotEvery=0 stays byte-identical to the pre-hot generator.
+        val c0 = genCoin(rnd, j.toLong)
+        val c = if (hotEvery > 0 && (made + j) % hotEvery == hotEvery - 1)
+          c0.copy(script = hotScript) else c0
         out.write(Varint.writeCompactSize(c.vout))
         out.write(Varint.writeCoreVarint((c.height << 1) | (if (c.coinbase) 1L else 0L)))
         out.write(Varint.writeCoreVarint(AmountCodec.compress(c.amount)))

@@ -518,8 +518,26 @@ object QueriesLLM {
     * nearest cells per query, exact cosine inside probed cells only.
     * At 100 TB: centroids broadcast, cell assignment is one narrow map,
     * search shuffles only the probed fraction (~nprobe/k of the data).
+    *
+    * The quantizer trains on a deterministic ~100K-row SAMPLE
+    * (`vec_id % stride == 0`), never the full corpus: codebook quality
+    * needs bounded per-cell coverage (a few hundred training points per
+    * centroid — the FAISS training discipline), while training on
+    * everything makes the FIT cost O(n·k·d·iters) — at 1M vectors that
+    * was 3× the entire search (LargeAnnBench r5: nprobe=8 94.9 s vs
+    * LSH's 29.6 s at equal recall; the gap was KMeans passes, not
+    * probing). Sample training caps the fit at corpus-size-independent
+    * cost; CELL ASSIGNMENT still runs over every vector (one broadcast
+    * map pass), which is the part that must scale. Below 100K vectors
+    * the stride is 1 — identical training set, identical model, so
+    * sf-scale results and IvfSpec recalls are unchanged.
     * Rows-only check; IvfSpec measures recall vs [[cosineTopk]].
     */
+  val IvfTrainTarget = 100000L
+
+  private[queries] def ivfTrainStride(total: Long): Long =
+    math.max(1L, total / IvfTrainTarget)
+
   def annIvf(s: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
@@ -532,8 +550,12 @@ object QueriesLLM {
     val feat = e.withColumn("features",
       org.apache.spark.ml.functions.array_to_vector(col("embedding")))
       .localCheckpoint()
+    val stride = ivfTrainStride(feat.count())
+    val trainSet =
+      if (stride == 1L) feat
+      else feat.filter(pmod(col("vec_id"), lit(stride)) === 0)
     val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("features").fit(feat)
+      .setFeaturesCol("features").fit(trainSet)
     val assigned = model.transform(feat)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
         col("prediction").as("cell"))
@@ -592,15 +614,21 @@ object QueriesLLM {
     val feat = e.withColumn("features",
       org.apache.spark.ml.functions.array_to_vector(col("embedding")))
       .localCheckpoint()
-    // coarse IVF quantizer (same family as annIvf)
+    // coarse IVF quantizer (same family as annIvf, same sample-training
+    // discipline: fit cost must not scale with the corpus; assignment
+    // still covers every vector)
+    val stride = ivfTrainStride(feat.count())
+    def sampled(df: DataFrame): DataFrame =
+      if (stride == 1L) df else df.filter(pmod(col("vec_id"), lit(stride)) === 0)
     val coarse = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("features").fit(feat)
+      .setFeaturesCol("features").fit(sampled(feat))
     var assigned = coarse.transform(feat)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
     // per-subspace codebooks + candidate codes: m seeded KMeans fits on
-    // the 8-dim slices; each transform appends one code column
+    // the 8-dim slices (sample-trained); each transform appends one
+    // code column over the FULL corpus
     val subModels = (0 until m).map { j =>
-      val sub = assigned.withColumn("subf",
+      val sub = sampled(assigned).withColumn("subf",
         org.apache.spark.ml.functions.array_to_vector(
           slice(col("embedding"), j * subDim + 1, subDim)))
       val model = new KMeans().setK(16).setSeed(42L + j).setMaxIter(5)

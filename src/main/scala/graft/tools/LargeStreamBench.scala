@@ -1,0 +1,265 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming scale proof — the one surface (S1-S14) that had no
+  * LargeBench. Drives the four stateful shapes that dominate streaming
+  * cost at scale over a generated events corpus 100× the sf0.1 table
+  * (default 10M rows, 64 files → real multi-batch incremental
+  * processing), all on the RocksDB state store provider:
+  *
+  *  - S1 tumbling window aggregation (windowed state, watermark
+  *    eviction)
+  *  - S4 `dropDuplicatesWithinWatermark` (per-event-id state, the
+  *    worst-case state cardinality: one entry per event inside the
+  *    watermark)
+  *  - S8 foreachBatch upsert (state in the TARGET table, per-batch
+  *    merge cost)
+  *  - S10 `transformWithState` per-user totals (long-lived keyed
+  *    state, one entry per user)
+  *
+  * Reported per surface: wall seconds, input rows/s, output rows, and
+  * for the keyed-state shapes the state row count (via the S12
+  * `statestore` reader — the operational audit path) and the on-disk
+  * checkpoint bytes. Plus S14 at scale: the tumbling query is killed
+  * after its first micro-batch and restarted from the same checkpoint;
+  * recovery must produce the identical result set, and the
+  * restart-to-completion time is the published recovery cost.
+  *
+  * Not part of the per-round bench (minutes-scale proof):
+  *
+  * {{{ sbt "runMain graft.tools.LargeStreamBench [nEvents] [nFiles]" }}}
+  */
+object LargeStreamBench {
+
+  /** Deterministic synthetic events, written as `nFiles` parquet files.
+    * All columns derive from `id` via fixed integer arithmetic (no rng,
+    * no wall clock): ~`nUsers` distinct users (keyed-state cardinality
+    * driver), 5 event types, ~1% exact-duplicate event_ids (every 128th
+    * row repeats its predecessor's id) so dedup has real work, and
+    * timestamps MONOTONE in id (1 event/second) — files are written in
+    * id order and the file source lists them in path order, so event
+    * time advances with processing order and watermark lateness drops
+    * are deterministic (zero here), which is what makes the
+    * recovered-vs-uninterrupted equality check exact instead of
+    * cadence-dependent.
+    */
+  def generate(spark: SparkSession, dir: String, n: Long, nFiles: Int,
+      nUsers: Long): Unit = {
+    val base = lit(1704067200000L) // 2024-01-01 UTC, millis
+    spark.range(0, n, 1, nFiles)
+      .select(
+        when(col("id") % 128 === 127, col("id") - 1).otherwise(col("id"))
+          .as("event_id"),
+        timestamp_millis(base + col("id") * 1000L).as("ts"),
+        pmod(col("id") * 2654435761L, lit(nUsers)).as("user_id"),
+        // type from the QUOTIENT digit of the same hash (id·m DIV
+        // nUsers), not id mod 5: any residue-periodic choice is
+        // CONSTANT per user (user_id mod 5 == id mod 5 here), which
+        // would silently collapse the (user, type) upsert key space
+        // from 500K to 100K
+        element_at(array(lit("click"), lit("view"), lit("purchase"),
+          lit("scroll"), lit("hover")),
+          (pmod(expr(s"id * 2654435761 DIV $nUsers"), lit(5)) + 1).cast("int"))
+          .as("event_type"),
+        (pmod(col("id") * 48271L, lit(100000L)).cast("double") / 100.0).as("value"),
+        concat(lit("{\"k\":"), pmod(col("id"), lit(97)), lit("}")).as("props"))
+      .write.mode("overwrite").parquet(dir)
+    // the file streaming source orders new files by MODIFICATION TIME,
+    // and parallel part-file writes finish in arbitrary order — left
+    // alone, a later-id file can land in an earlier micro-batch, jump
+    // the watermark, and silently drop the earlier files' rows as late.
+    // Pin mtimes to path order (= id order = event-time order) so the
+    // source replays time forward, as a real ingest directory would.
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1704067200000L + i * 60000L)
+    }
+  }
+
+  private def dirBytes(p: String): Long = {
+    val f = new java.io.File(p)
+    if (!f.exists()) -1L
+    else org.apache.commons.io.FileUtils.sizeOfDirectory(f)
+  }
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val n = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val nFiles = args.drop(1).headOption.map(_.toInt).getOrElse(64)
+    val nUsers = 100000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shm = new java.io.File("/dev/shm")
+    val scratch = if (shm.isDirectory && shm.canWrite)
+      new java.io.File(shm, "graft_lsb") else new java.io.File("/tmp/graft_lsb")
+    // a PRIOR run's scratch must never leak in: a stale checkpoint
+    // silently turns "process 10M events" into "resume at batch k and
+    // process the tail" and every throughput number lies
+    org.apache.commons.io.FileUtils.deleteQuietly(scratch)
+    scratch.mkdirs()
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-large-stream")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", new java.io.File(scratch, "spill").getAbsolutePath)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import scala.jdk.CollectionConverters._
+
+    val eventsDir = new java.io.File(scratch, "events").getAbsolutePath
+    generate(spark, eventsDir, n, nFiles, nUsers)
+    System.err.println(s"[lsb] generated $n events in $nFiles files")
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def time[T](body: => T): (Double, T) = {
+      val t0 = System.nanoTime()
+      val r = body
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    def stream(name: String, maxFiles: Int): DataFrame = {
+      val tsType = StreamingQueriesAccess.tsType(spark, eventsDir)
+      val reader = spark.readStream
+        .schema(graft.streaming.StreamingQueries.eventsRawSchema(tsType))
+        .option("maxFilesPerTrigger", maxFiles)
+        .parquet(eventsDir)
+      reader.withColumn("ts", graft.queries.Queries.normalizeTs("ts", tsType))
+    }
+    // drain every partition so the state stores commit; count output
+    // rows without collecting them
+    def runCounted(df: DataFrame, mode: OutputMode, ckpt: String): Long = {
+      val acc = spark.sparkContext.longAccumulator("out_rows")
+      val q = df.writeStream
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          acc.add(b.count())
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      acc.value
+    }
+    def stateRows(ckpt: String): Long =
+      try spark.read.format("statestore").option("path", ckpt).load().count()
+      catch { case _: Throwable => -1L }
+
+    // ---- S1 tumbling (8 micro-batches)
+    val ckpt1 = new java.io.File(scratch, "ck_tumbling").getAbsolutePath
+    val (s1Sec, s1Rows) = time {
+      runCounted(graft.streaming.StreamingQueries.tumbling(stream("tumbling", nFiles / 8)),
+        OutputMode.Update, ckpt1)
+    }
+    results += "tumbling" -> perf(n, s1Sec, s1Rows, stateRows(ckpt1), dirBytes(ckpt1))
+    System.err.println(s"[lsb] tumbling: ${results("tumbling")}")
+
+    // ---- S14 recovery at scale: same tumbling query, killed after the
+    // first micro-batch, restarted from the checkpoint; the restart
+    // must produce the same windows the uninterrupted run did
+    val ckptR = new java.io.File(scratch, "ck_recover").getAbsolutePath
+    val out = new java.util.concurrent.ConcurrentHashMap[
+      (Long, String), Long]()
+    def startRecover(): org.apache.spark.sql.streaming.StreamingQuery =
+      graft.streaming.StreamingQueries
+        .tumbling(stream("recover", nFiles / 8))
+        .writeStream
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", ckptR)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().foreach(r =>
+            out.put((r.getLong(0), r.getString(1)), r.getLong(2)))
+        }
+        .start()
+    val q1 = startRecover()
+    // wait until at least one micro-batch with real input committed,
+    // then kill mid-stream
+    while (!q1.recentProgress.exists(_.numInputRows > 0)) Thread.sleep(50)
+    q1.stop()
+    val (recoverSec, _) = time {
+      val q2 = startRecover()
+      try q2.processAllAvailable()
+      finally q2.stop()
+    }
+    // equality vs an uninterrupted run at the SAME trigger cadence
+    // (identical micro-batch composition → identical watermark
+    // trajectory; a single-batch reference would see different
+    // lateness semantics and the comparison would test the cadence,
+    // not the recovery)
+    val uninterrupted = graft.streaming.StreamingQueries
+      .tumbling(stream("ref", nFiles / 8))
+    val ref = {
+      val ckptU = new java.io.File(scratch, "ck_ref").getAbsolutePath
+      val m = new java.util.concurrent.ConcurrentHashMap[(Long, String), Long]()
+      val q = uninterrupted.writeStream
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", ckptU)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().foreach(r =>
+            m.put((r.getLong(0), r.getString(1)), r.getLong(2)))
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      m
+    }
+    val recovered = out.size == ref.size &&
+      ref.entrySet().asScala.forall(e => out.get(e.getKey) == e.getValue)
+    results += "recovery" ->
+      s"""{"recover_sec":${f"$recoverSec%.1f"},"windows":${out.size},"identical":$recovered}"""
+    System.err.println(s"[lsb] recovery: ${results("recovery")}")
+    require(recovered, "recovered run diverged from uninterrupted run")
+
+    // ---- S4 dedup (the state-heavy one: one entry per event id)
+    val ckpt4 = new java.io.File(scratch, "ck_dedup").getAbsolutePath
+    val (s4Sec, s4Rows) = time {
+      runCounted(graft.streaming.StreamingQueries.dedup(stream("dedup", nFiles / 8)),
+        OutputMode.Append, ckpt4)
+    }
+    results += "dedup" -> perf(n, s4Sec, s4Rows, stateRows(ckpt4), dirBytes(ckpt4))
+    System.err.println(s"[lsb] dedup: ${results("dedup")}")
+
+    // ---- S10 transformWithState per-user totals
+    val ckpt10 = new java.io.File(scratch, "ck_tws").getAbsolutePath
+    val (s10Sec, s10Rows) = time {
+      runCounted(graft.streaming.StreamingQueries.statefulTotals(spark,
+        stream("tws", nFiles / 8)), OutputMode.Update, ckpt10)
+    }
+    results += "stateful_totals" -> perf(n, s10Sec, s10Rows, stateRows(ckpt10), dirBytes(ckpt10))
+    System.err.println(s"[lsb] stateful_totals: ${results("stateful_totals")}")
+
+    // ---- S8 upsert (4 batches: each merge rewrites the keyed target)
+    val target = new java.io.File(scratch, "upsert_target").getAbsolutePath
+    val ckpt8 = new java.io.File(scratch, "ck_upsert").getAbsolutePath
+    val (s8Sec, s8Final) = time {
+      graft.streaming.StreamingQueries.runUpsert(spark, eventsDir, target,
+        ckpt8, maxFilesPerTrigger = Some(nFiles / 4)).count()
+    }
+    results += "upsert" -> perf(n, s8Sec, s8Final, -1L, dirBytes(target))
+    System.err.println(s"[lsb] upsert: ${results("upsert")}")
+
+    println(
+      s"""{"metric":"large_stream","events":$n,"files":$nFiles,"users":$nUsers,""" +
+      results.map { case (k, v) => s""""$k":$v""" }.mkString(",") +
+      s""","peak_rss_bytes":${LargeConvertBench.peakRssBytes()}}""")
+    spark.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(scratch)
+  }
+
+  private def perf(n: Long, sec: Double, outRows: Long, stateRows: Long,
+      bytes: Long): String =
+    s"""{"wall_sec":${f"$sec%.1f"},"rows_per_s":${(n / sec).toLong},""" +
+    s""""output_rows":$outRows,"state_rows":$stateRows,"bytes":$bytes}"""
+
+  /** Tiny shim so this tool reuses the probing logic without widening
+    * StreamingQueries' API.
+    */
+  private object StreamingQueriesAccess {
+    def tsType(spark: SparkSession, dir: String) =
+      graft.streaming.StreamingQueries.eventsTsType(spark, dir)
+  }
+}
