@@ -1,0 +1,661 @@
+package graft.multimodal
+
+/** Baseline JPEG codec, pure JVM — closes the r5 boundary where
+  * entropy-coded image payloads flowed through with `payload_ok=false`.
+  * Implemented from the public JPEG specification (ITU-T T.81):
+  *
+  *  - [[decode]]: baseline + extended sequential DCT (SOF0/SOF1),
+  *    8-bit, grayscale or 3-component YCbCr, ANY Huffman tables from
+  *    the stream's DHT segments (not just the Annex K defaults),
+  *    arbitrary sampling factors 1..2 per axis (4:4:4, 4:2:2, 4:2:0),
+  *    restart intervals (DRI/RSTn), byte-stuffed entropy data. Returns
+  *    interleaved 8-bit pixels ([[PixelCodec.PixelImage]], channels 1
+  *    or 3, RGB via the JFIF YCbCr transform). Progressive (SOF2),
+  *    arithmetic coding, and 12-bit precision are out of scope →
+  *    `None` (quarantine, never throw — the dead-letter discipline of
+  *    the decode stage).
+  *  - [[encode]]: baseline 4:4:4 (or single-component grayscale),
+  *    Annex K quantization matrices, and deliberately SIMPLE custom
+  *    Huffman tables (all 12 DC categories at 4 bits, all 162 AC
+  *    run/size symbols at 8 bits — valid canonical codes with the
+  *    all-ones code unused, declared in the DHT segments like any
+  *    optimized encoder's tables would be). Compression is a few
+  *    percent worse than the Annex K defaults; in exchange the decoder
+  *    interop test exercises the GENERAL table path on both sides.
+  *    MultimodalSpec cross-checks both directions against the JDK's
+  *    ImageIO codec: our decoder on ImageIO's output (standard tables,
+  *    4:2:0) and ImageIO's decoder on our output, within the
+  *    per-sample tolerance two conformant IDCTs may differ by.
+  *
+  * Same hostile-input rules as [[PixelCodec]]: every segment read is
+  * bounds-checked, declared dimensions are capped before any
+  * allocation, and truncated entropy data decodes to `None`.
+  */
+object JpegCodec {
+  import PixelCodec.PixelImage
+
+  /** Max pixels we will allocate for (same cap philosophy as PNG). */
+  private val MaxPixels = 1 << 24
+
+  // ---------------------------------------------------------- tables
+
+  /** Annex K luminance quantization matrix (row-major). */
+  private[multimodal] val QLuma: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** Annex K chrominance quantization matrix (row-major). */
+  private[multimodal] val QChroma: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  /** Zigzag order: zigzag index → row-major index. */
+  private[multimodal] val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  // precomputed IDCT/FDCT cosine basis: c(u)·cos((2x+1)uπ/16)
+  private val Cos: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** 8×8 inverse DCT: coefficient block (row-major) → spatial doubles.
+    * Separable two-pass; exposed for the golden-vector spec.
+    */
+  private[multimodal] def idct(block: Array[Double]): Array[Double] = {
+    val tmp = new Array[Double](64)
+    val out = new Array[Double](64)
+    var y = 0
+    while (y < 8) { // rows: over u
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) { acc += Cos(x)(u) * block(y * 8 + u); u += 1 }
+        tmp(y * 8 + x) = acc * 0.5
+        x += 1
+      }
+      y += 1
+    }
+    var x = 0
+    while (x < 8) { // cols: over v
+      var y2 = 0
+      while (y2 < 8) {
+        var acc = 0.0
+        var v = 0
+        while (v < 8) { acc += Cos(y2)(v) * tmp(v * 8 + x); v += 1 }
+        out(y2 * 8 + x) = acc * 0.5
+        y2 += 1
+      }
+      x += 1
+    }
+    out
+  }
+
+  /** 8×8 forward DCT (encoder side). */
+  private[multimodal] def fdct(block: Array[Double]): Array[Double] = {
+    val tmp = new Array[Double](64)
+    val out = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var u = 0
+      while (u < 8) {
+        var acc = 0.0
+        var x = 0
+        while (x < 8) { acc += Cos(x)(u) * block(y * 8 + x); x += 1 }
+        tmp(y * 8 + u) = acc * 0.5
+        u += 1
+      }
+      y += 1
+    }
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var y2 = 0
+        while (y2 < 8) { acc += Cos(y2)(v) * tmp(y2 * 8 + u); y2 += 1 }
+        out(v * 8 + u) = acc * 0.5
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  // ---------------------------------------------------------- decode
+
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    // canonical decode per T.81 F.2.2.3: mincode/maxcode/valptr per length
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l - 1)
+        k += bits(l - 1)
+        maxCode(l) = code - 1
+        if (bits(l - 1) == 0) maxCode(l) = -1
+        code <<= 1
+        l += 1
+      }
+    }
+    def value(l: Int, code: Int): Int = vals(valPtr(l) + code - minCode(l))
+  }
+
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nBits = 0
+    var hitMarker = false
+
+    /** Next entropy bit; -1 on exhaustion/marker (T.81 byte stuffing:
+      * FF 00 is a literal FF; FF D0-D7 handled by [[syncRestart]]; any
+      * other FF xx terminates the scan).
+      */
+    def bit(): Int = {
+      if (nBits == 0) {
+        if (pos >= b.length) return -1
+        var v = b(pos) & 0xff
+        pos += 1
+        if (v == 0xff) {
+          if (pos >= b.length) return -1
+          val m = b(pos) & 0xff
+          if (m == 0x00) pos += 1 // stuffed FF
+          else { pos -= 1; hitMarker = true; return -1 }
+          v = 0xff
+        }
+        acc = v
+        nBits = 8
+      }
+      nBits -= 1
+      (acc >> nBits) & 1
+    }
+
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val x = bit()
+        if (x < 0) return -1
+        v = (v << 1) | x
+        i += 1
+      }
+      v
+    }
+
+    /** Byte-align and consume an RSTn marker; false if absent. */
+    def syncRestart(): Boolean = {
+      nBits = 0
+      hitMarker = false
+      if (pos + 1 >= b.length) return false
+      if ((b(pos) & 0xff) != 0xff) return false
+      val m = b(pos + 1) & 0xff
+      if (m < 0xd0 || m > 0xd7) return false
+      pos += 2
+      true
+    }
+  }
+
+  private def huffDecode(r: BitReader, t: HuffTable): Int = {
+    var code = r.bit()
+    if (code < 0) return -1
+    var l = 1
+    while (l <= 16) {
+      if (t.maxCode(l) >= 0 && code <= t.maxCode(l)) return t.value(l, code)
+      val nb = r.bit()
+      if (nb < 0) return -1
+      code = (code << 1) | nb
+      l += 1
+    }
+    -1
+  }
+
+  /** T.81 F.2.2.1 EXTEND: low `s` bits `v` → signed coefficient. */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private case class Comp(id: Int, h: Int, v: Int, tq: Int,
+      var td: Int = 0, var ta: Int = 0)
+
+  def decode(bytes: Array[Byte]): Option[PixelImage] =
+    try decodeOrNull(bytes) catch { case _: Throwable => None }
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  private def decodeOrNull(b: Array[Byte]): Option[PixelImage] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    val qt = new Array[Array[Int]](4) // natural (row-major) order
+    val dcT = new Array[HuffTable](4)
+    val acT = new Array[HuffTable](4)
+    var comps: Array[Comp] = null
+    var w = 0; var h = 0
+    var restartInterval = 0
+    var i = 2
+    var scanStart = -1
+    while (scanStart < 0) {
+      if (i + 4 > b.length) return None
+      if ((b(i) & 0xff) != 0xff) return None
+      val marker = b(i + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { i += 2 }
+      else {
+        val len = u16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val seg = i + 4
+        val segEnd = i + 2 + len
+        marker match {
+          case 0xdb => // DQT: one or more tables
+            var p = seg
+            while (p < segEnd) {
+              val pq = (b(p) >> 4) & 0x0f
+              val tq = b(p) & 0x0f
+              if (tq > 3) return None
+              p += 1
+              val t = new Array[Int](64)
+              var z = 0
+              while (z < 64) {
+                val v = if (pq == 0) b(p) & 0xff else { val x = u16(b, p); p += 1; x }
+                p += 1
+                t(Zigzag(z)) = v
+                z += 1
+              }
+              qt(tq) = t
+            }
+          case 0xc4 => // DHT: one or more tables
+            var p = seg
+            while (p < segEnd) {
+              val tc = (b(p) >> 4) & 0x0f
+              val th = b(p) & 0x0f
+              if (th > 3) return None
+              p += 1
+              val bits = Array.tabulate(16)(k => b(p + k) & 0xff)
+              p += 16
+              val n = bits.sum
+              if (n > 256 || p + n > segEnd) return None
+              val vals = Array.tabulate(n)(k => b(p + k) & 0xff)
+              p += n
+              val t = new HuffTable(bits, vals)
+              if (tc == 0) dcT(th) = t else acT(th) = t
+            }
+          case 0xc0 | 0xc1 => // SOF0/1 baseline/extended sequential
+            val prec = b(seg) & 0xff
+            if (prec != 8) return None
+            h = u16(b, seg + 1); w = u16(b, seg + 3)
+            val nc = b(seg + 5) & 0xff
+            if (w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return None
+            if (w.toLong * h > MaxPixels) return None
+            comps = Array.tabulate(nc) { c =>
+              val o = seg + 6 + c * 3
+              val hv = b(o + 1) & 0xff
+              val comp = Comp(b(o) & 0xff, (hv >> 4) & 0x0f, hv & 0x0f, b(o + 2) & 0x0f)
+              if (comp.h < 1 || comp.h > 4 || comp.v < 1 || comp.v > 4) return None
+              comp
+            }
+          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // progressive/lossless/arithmetic: out of scope
+          case 0xdd => // DRI
+            restartInterval = u16(b, seg)
+          case 0xda => // SOS
+            if (comps == null) return None
+            val ns = b(seg) & 0xff
+            if (ns != comps.length) return None
+            var p = seg + 1
+            var c = 0
+            while (c < ns) {
+              val cid = b(p) & 0xff
+              val tt = b(p + 1) & 0xff
+              val comp = comps.find(_.id == cid).getOrElse(return None)
+              comp.td = (tt >> 4) & 0x0f
+              comp.ta = tt & 0x0f
+              p += 2
+              c += 1
+            }
+            scanStart = segEnd // skip Ss/Se/Ah-Al (3 bytes inside len)
+          case _ => () // APPn/COM/etc: skip
+        }
+        if (scanStart < 0) i = segEnd
+      }
+    }
+
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    // per-component padded plane
+    val planeW = comps.map(c => mcusX * c.h * 8)
+    val planeH = comps.map(c => mcusY * c.v * 8)
+    if (planeW.zip(planeH).exists { case (pw, ph) => pw.toLong * ph > 4L * MaxPixels })
+      return None
+    val planes = comps.indices.map(c => new Array[Byte](planeW(c) * planeH(c))).toArray
+    comps.foreach { c =>
+      if (qt(c.tq) == null || dcT(c.td) == null || acT(c.ta) == null) return None
+    }
+
+    val r = new BitReader(b, scanStart)
+    val pred = new Array[Int](comps.length)
+    val coeff = new Array[Double](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!r.syncRestart()) return None
+        java.util.Arrays.fill(pred, 0)
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val q = qt(c.tq)
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            // one 8×8 block
+            java.util.Arrays.fill(coeff, 0.0)
+            val s = huffDecode(r, dcT(c.td))
+            if (s < 0 || s > 15) return None
+            val diffBits = if (s == 0) 0 else r.bits(s)
+            if (diffBits < 0) return None
+            pred(ci) += extend(diffBits, s)
+            coeff(0) = pred(ci).toDouble * q(0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = huffDecode(r, acT(c.ta))
+              if (rs < 0) return None
+              val run = (rs >> 4) & 0x0f
+              val size = rs & 0x0f
+              if (size == 0) {
+                if (run == 15) k += 16 else eob = true
+              } else {
+                k += run
+                if (k > 63) return None
+                val vb = r.bits(size)
+                if (vb < 0) return None
+                coeff(Zigzag(k)) = extend(vb, size).toDouble * q(Zigzag(k))
+                k += 1
+              }
+            }
+            val px = idct(coeff)
+            val baseX = (mx * c.h + bx) * 8
+            val baseY = (my * c.v + by) * 8
+            val pw = planeW(ci)
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                val v = math.round(px(yy * 8 + xx) + 128.0).toInt
+                planes(ci)((baseY + yy) * pw + baseX + xx) =
+                  (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+                xx += 1
+              }
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+
+    // assemble interleaved output (nearest-sample chroma upscale)
+    if (comps.length == 1) {
+      val out = new Array[Byte](w * h)
+      val pw = planeW(0)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(planes(0), y * pw, out, y * w, w)
+        y += 1
+      }
+      Some(PixelImage(w, h, 1, out))
+    } else {
+      val out = new Array[Byte](w * h * 3)
+      val y0 = planes(0); val cb0 = planes(1); val cr0 = planes(2)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yv = (y0((y * comps(0).v / vMax) * planeW(0) + x * comps(0).h / hMax) & 0xff).toDouble
+          val cb = (cb0((y * comps(1).v / vMax) * planeW(1) + x * comps(1).h / hMax) & 0xff) - 128.0
+          val cr = (cr0((y * comps(2).v / vMax) * planeW(2) + x * comps(2).h / hMax) & 0xff) - 128.0
+          val rr = math.round(yv + 1.402 * cr).toInt
+          val gg = math.round(yv - 0.344136 * cb - 0.714136 * cr).toInt
+          val bb = math.round(yv + 1.772 * cb).toInt
+          val o = (y * w + x) * 3
+          out(o) = (if (rr < 0) 0 else if (rr > 255) 255 else rr).toByte
+          out(o + 1) = (if (gg < 0) 0 else if (gg > 255) 255 else gg).toByte
+          out(o + 2) = (if (bb < 0) 0 else if (bb > 255) 255 else bb).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(PixelImage(w, h, 3, out))
+    }
+  }
+
+  // ---------------------------------------------------------- encode
+
+  /** Encoder Huffman tables: every DC category (0..11) gets a 4-bit
+    * code, every AC run/size symbol a fixed 8-bit code — canonical,
+    * all-ones unused, declared in DHT. See the object doc for why
+    * simple beats Annex K here.
+    */
+  private val EncDcBits: Array[Int] = { val a = new Array[Int](16); a(3) = 12; a }
+  private val EncDcVals: Array[Int] = (0 until 12).toArray
+  private val EncAcVals: Array[Int] = {
+    val syms = scala.collection.mutable.ArrayBuffer[Int](0x00, 0xf0)
+    for (r <- 0 to 15; s <- 1 to 10) syms += ((r << 4) | s)
+    syms.sorted.toArray // 162 symbols
+  }
+  private val EncAcBits: Array[Int] = { val a = new Array[Int](16); a(7) = EncAcVals.length; a }
+
+  private def canonicalCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var idx = 0
+    val out = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    var l = 1
+    while (l <= 16) {
+      var k = 0
+      while (k < bits(l - 1)) {
+        out(vals(idx)) = (code, l)
+        code += 1; idx += 1; k += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    out.toMap
+  }
+  private val EncDcCodes = canonicalCodes(EncDcBits, EncDcVals)
+  private val EncAcCodes = canonicalCodes(EncAcBits, EncAcVals)
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (n > 0) { // pad with 1s per spec
+      acc = (acc << (8 - n)) | ((1 << (8 - n)) - 1)
+      out.write(acc & 0xff)
+      if ((acc & 0xff) == 0xff) out.write(0x00)
+      acc = 0; n = 0
+    }
+  }
+
+  private def category(v: Int): Int = {
+    var a = math.abs(v)
+    var s = 0
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** IJG-style quality scaling of a base quantization matrix: the same
+    * linear scaling every libjpeg-derived encoder applies before
+    * writing its DQT segments (Q ≥ 50 → scale = 200 − 2Q percent).
+    */
+  private def scaleQ(base: Array[Int], quality: Int): Array[Int] = {
+    val scale = if (quality < 50) 5000 / quality else 200 - 2 * quality
+    base.map(q => math.min(255, math.max(1, (q * scale + 50) / 100)))
+  }
+
+  /** Encode 1- or 3-channel 8-bit pixels as a baseline 4:4:4 JFIF
+    * JPEG (quality-scaled Annex K quantization, custom declared
+    * Huffman tables). Default quality 88 — fixture fidelity in the
+    * single digits per sample on smooth content, matching what a
+    * production ingest's source files look like.
+    */
+  def encode(img: PixelImage, quality: Int = 88): Array[Byte] = {
+    require(img.channels == 1 || img.channels == 3,
+      s"jpeg encode: ${img.channels} channels unsupported")
+    require(quality >= 1 && quality <= 100, s"quality $quality")
+    val QL = scaleQ(QLuma, quality)
+    val QC = scaleQ(QChroma, quality)
+    val w = img.width; val h = img.height
+    val nc = img.channels
+    val out = new java.io.ByteArrayOutputStream(w * h / 2 + 1024)
+    def m(marker: Int): Unit = { out.write(0xff); out.write(marker) }
+    def seg(marker: Int, body: Array[Int]): Unit = {
+      m(marker)
+      val len = body.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      body.foreach(v => out.write(v & 0xff))
+    }
+    m(0xd8) // SOI
+    seg(0xe0, Array(0x4a, 0x46, 0x49, 0x46, 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)) // JFIF APP0
+    // DQT: table 0 luma (+ table 1 chroma for color)
+    def dqt(id: Int, q: Array[Int]): Unit =
+      seg(0xdb, Array(id) ++ (0 until 64).map(z => q(Zigzag(z))))
+    dqt(0, QL)
+    if (nc == 3) dqt(1, QC)
+    // SOF0: 4:4:4 — every component 1×1 sampling
+    seg(0xc0, Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff, nc) ++
+      (1 to nc).flatMap(c => Seq(c, 0x11, if (c == 1) 0 else 1)))
+    // DHT: DC table 0, AC table 0 (shared by all components)
+    seg(0xc4, Array(0x00) ++ EncDcBits ++ EncDcVals)
+    seg(0xc4, Array(0x10) ++ EncAcBits ++ EncAcVals)
+    // SOS
+    seg(0xda, Array(nc) ++ (1 to nc).flatMap(c => Seq(c, 0x00)) ++ Seq(0, 63, 0))
+
+    // color transform to per-component planes (doubles, level-shifted)
+    val planes = Array.fill(nc)(new Array[Double](w * h))
+    var p = 0
+    while (p < w * h) {
+      if (nc == 1) planes(0)(p) = (img.pixels(p) & 0xff) - 128.0
+      else {
+        val r = (img.pixels(p * 3) & 0xff).toDouble
+        val g = (img.pixels(p * 3 + 1) & 0xff).toDouble
+        val b = (img.pixels(p * 3 + 2) & 0xff).toDouble
+        planes(0)(p) = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        planes(1)(p) = -0.168736 * r - 0.331264 * g + 0.5 * b
+        planes(2)(p) = 0.5 * r - 0.418688 * g - 0.081312 * b
+      }
+      p += 1
+    }
+
+    val bw = new BitWriter(out)
+    val pred = new Array[Int](nc)
+    val block = new Array[Double](64)
+    val bX = (w + 7) / 8
+    val bY = (h + 7) / 8
+    var my = 0
+    while (my < bY) {
+      var mx = 0
+      while (mx < bX) {
+        var ci = 0
+        while (ci < nc) {
+          val q = if (ci == 0) QL else QC
+          val plane = planes(ci)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              // edge-replicate padding
+              val sx = math.min(mx * 8 + xx, w - 1)
+              val sy = math.min(my * 8 + yy, h - 1)
+              block(yy * 8 + xx) = plane(sy * w + sx)
+              xx += 1
+            }
+            yy += 1
+          }
+          val f = fdct(block)
+          // quantize in zigzag order
+          val zz = new Array[Int](64)
+          var z = 0
+          while (z < 64) {
+            val nat = Zigzag(z)
+            zz(z) = math.round(f(nat) / q(nat)).toInt
+            z += 1
+          }
+          val diff = zz(0) - pred(ci)
+          pred(ci) = zz(0)
+          val s = category(diff)
+          val (dcCode, dcLen) = EncDcCodes(s)
+          bw.put(dcCode, dcLen)
+          if (s > 0) {
+            val v = if (diff < 0) diff + (1 << s) - 1 else diff
+            bw.put(v, s)
+          }
+          var k = 1
+          var run = 0
+          while (k < 64) {
+            if (zz(k) == 0) run += 1
+            else {
+              while (run > 15) { val (c0, l0) = EncAcCodes(0xf0); bw.put(c0, l0); run -= 16 }
+              val sz = category(zz(k))
+              val (c1, l1) = EncAcCodes((run << 4) | sz)
+              bw.put(c1, l1)
+              val v = if (zz(k) < 0) zz(k) + (1 << sz) - 1 else zz(k)
+              bw.put(v, sz)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) { val (c2, l2) = EncAcCodes(0x00); bw.put(c2, l2) }
+          ci += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    m(0xd9) // EOI
+    out.toByteArray
+  }
+}

@@ -15,17 +15,18 @@ import org.apache.spark.sql.functions._
   * the extraction pipeline exercises the same parse a production ingest
   * would run.
   *
-  * The PIXEL/SAMPLE decode is real too ([[PixelCodec]]): PNG content
-  * carries genuinely filtered zlib scanlines that [[extractFeatures]]
-  * inflates, unfilters, and reduces to pixel statistics, and [[resize]]
-  * box-filters into real resized PNGs; WAV content carries PCM16 frames
-  * that decode to sample statistics and box-resampled audio. The
-  * remaining documented boundary is entropy-coded payloads only — JPEG
-  * (Huffman+DCT) and MP4 video (H.264) need a codec library this
-  * container lacks, so those rows flow through with
-  * `payload_ok = false` (in PySpark this swap-in stage would be
-  * `mapInPandas`; the Scala-native equivalent is `mapPartitions` over
-  * an Encoder'd case class, used here).
+  * The PIXEL/SAMPLE decode is real too ([[PixelCodec]], [[JpegCodec]]):
+  * PNG content carries genuinely filtered zlib scanlines that
+  * [[extractFeatures]] inflates, unfilters, and reduces to pixel
+  * statistics; JPEG content is a real baseline-encoded stream
+  * (Huffman + DCT, [[JpegCodec]], r6) that entropy-decodes the same
+  * way; WAV content carries PCM16 frames that decode to sample
+  * statistics and box-resampled audio; [[resize]] re-encodes each into
+  * its own container. The remaining documented boundary is VIDEO only —
+  * MP4/H.264 needs a full motion-compensation codec, so those rows flow
+  * through with `payload_ok = false` (in PySpark this swap-in stage
+  * would be `mapInPandas`; the Scala-native equivalent is
+  * `mapPartitions` over an Encoder'd case class, used here).
   */
 object Multimodal {
 
@@ -48,8 +49,8 @@ object Multimodal {
       channels: Int,
       content_hash: String,
       n_frames_sampled: Int,
-      // real payload statistics: decoded PNG pixels (0..255) or WAV
-      // PCM16 samples; None for entropy-coded payloads (jpeg/mp4)
+      // real payload statistics: decoded PNG/JPEG pixels (0..255) or
+      // WAV PCM16 samples; None for video (mp4)
       payload_ok: Boolean,
       sample_mean: Option[Double],
       sample_rms: Option[Double],
@@ -111,7 +112,10 @@ object Multimodal {
             // REAL pixels: filtered zlib scanlines the feature/resize
             // stages genuinely decode (not a payload-synthetic stand-in)
             PixelCodec.encodePng(PixelCodec.PixelImage(w, h, 3, pixelsFor(r.media_id, w, h, 3)))
-          case "image" => HeaderCodec.synthJpeg(w, h, r.content)
+          case "image" =>
+            // REAL baseline JPEG since r6 (Huffman + FDCT + quantize,
+            // JpegCodec) — the feature/resize stages entropy-decode it
+            JpegCodec.encode(PixelCodec.PixelImage(w, h, 3, pixelsFor(r.media_id, w, h, 3)))
           case "audio" => HeaderCodec.synthWav(ch, 8000, durMs) // real PCM16 payload
           case _ => HeaderCodec.synthMp4(w, h, durMs * 20, r.content)
         }
@@ -138,8 +142,8 @@ object Multimodal {
             case None => (0, 0, 0L, 0)
           }
           val frames = if (dur == 0) 1 else (1 + dur / frameEveryMs).toInt
-          // real payload decode: PNG → pixel bytes (0..255), WAV → PCM16
-          // samples; jpeg/mp4 are entropy-coded (documented boundary).
+          // real payload decode: PNG/JPEG → pixel bytes (0..255), WAV →
+          // PCM16 samples; mp4 video is the documented boundary.
           // Stats stream over the primitive buffers in place — mapping
           // to an intermediate Array[Double] first would allocate ~8×
           // the payload per row in this hot partition loop.
@@ -156,6 +160,8 @@ object Multimodal {
             }
           val stats: Option[(Double, Double, Double)] = hdr.map(_.container) match {
             case Some("png") => PixelCodec.decodePng(r.content)
+              .flatMap(img => statsOf(img.pixels.length, i => (img.pixels(i) & 0xff).toDouble))
+            case Some("jpeg") => JpegCodec.decode(r.content)
               .flatMap(img => statsOf(img.pixels.length, i => (img.pixels(i) & 0xff).toDouble))
             case Some("wav") => PixelCodec.decodeWavPcm16(r.content)
               .flatMap(a => statsOf(a.samples.length, i => a.samples(i).toDouble))
@@ -190,12 +196,14 @@ object Multimodal {
   /** Resize stage — REAL payload work, no stub: PNG content is pixel-
     * decoded ([[PixelCodec.decodePng]]: inflate + unfilter), box-filter
     * resized to `targetW`×`targetH`, and re-encoded as a real filtered
-    * PNG; WAV content is PCM16-decoded and box-resampled to
-    * `targetFrames` frames. Entropy-coded payloads (JPEG/MP4 — the
-    * documented codec-library boundary) pass through unchanged with
-    * `resized_ok = false`, the dead-letter discipline of the decode
-    * stage. Binary→binary partition transform: one pass, no driver
-    * collection, fixed output schema.
+    * PNG; JPEG content is entropy-decoded ([[JpegCodec.decode]]:
+    * Huffman + dequant + IDCT), resized, and re-encoded as a real
+    * baseline JPEG; WAV content is PCM16-decoded and box-resampled to
+    * `targetFrames` frames. Video (MP4 — the documented boundary)
+    * passes through unchanged with `resized_ok = false`, the
+    * dead-letter discipline of the decode stage. Binary→binary
+    * partition transform: one pass, no driver collection, fixed output
+    * schema.
     */
   def resize(spark: SparkSession, media: DataFrame,
       targetW: Int = 16, targetH: Int = 16, targetFrames: Int = 400): DataFrame = {
@@ -207,6 +215,9 @@ object Multimodal {
             if (HeaderCodec.isPng(r.content))
               PixelCodec.decodePng(r.content)
                 .map(img => PixelCodec.encodePng(PixelCodec.boxResize(img, targetW, targetH)))
+            else if (HeaderCodec.isJpeg(r.content))
+              JpegCodec.decode(r.content)
+                .map(img => JpegCodec.encode(PixelCodec.boxResize(img, targetW, targetH)))
             else if (HeaderCodec.isWav(r.content))
               PixelCodec.decodeWavPcm16(r.content)
                 .map(a => PixelCodec.encodeWav(PixelCodec.boxResample(a, targetFrames)))

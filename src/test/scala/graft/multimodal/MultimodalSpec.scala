@@ -317,8 +317,10 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats.nonEmpty)
     feats.values.foreach { r =>
       r.getString(1) match {
-        case "png" | "wav" => assert(r.getBoolean(2), s"payload not decoded: $r")
-        case _ => assert(!r.getBoolean(2), s"entropy-coded payload claimed decoded: $r")
+        // jpeg joined the decoded set in r6 (JpegCodec); video remains
+        // the documented boundary
+        case "png" | "wav" | "jpeg" => assert(r.getBoolean(2), s"payload not decoded: $r")
+        case _ => assert(!r.getBoolean(2), s"video payload claimed decoded: $r")
       }
     }
     // pin one PNG row's stats against the GENERATOR pixels (no decoder in
@@ -332,7 +334,7 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(5) == px.max)
   }
 
-  test("resize really resizes: PNGs decode to target dims, WAV to target frames, jpeg/mp4 pass through") {
+  test("resize really resizes: PNG/JPEG decode to target dims, WAV to target frames, mp4 passes through") {
     val media = Multimodal.mediaFromDocuments(spark, dir)
     val rz = Multimodal.resize(spark, media, targetW = 16, targetH = 12, targetFrames = 100)
     assert(rz.count() == media.count())
@@ -344,11 +346,15 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
           assert(r.getBoolean(2))
           val img = PixelCodec.decodePng(bytes).get
           assert(img.width == 16 && img.height == 12 && img.channels == 3)
+        case "image" => // jpeg (odd ids): real decode→resize→re-encode (r6)
+          assert(r.getBoolean(2))
+          val img = JpegCodec.decode(bytes).get
+          assert(img.width == 16 && img.height == 12 && img.channels == 3)
         case "audio" =>
           assert(r.getBoolean(2))
           val a = PixelCodec.decodeWavPcm16(bytes).get
           assert(a.samples.length == 100 * a.channels)
-        case _ => // jpeg (odd image ids), mp4: entropy-coded → passthrough
+        case _ => // mp4 video: the documented boundary → passthrough
           assert(!r.getBoolean(2))
       }
     }
