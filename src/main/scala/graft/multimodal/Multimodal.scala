@@ -124,6 +124,37 @@ object Multimodal {
       .toDF()
   }
 
+  /** Scale-proof twin of [[mediaFromDocuments]]: `n` deterministic
+    * media rows straight from a range (no documents table bound), same
+    * kind mix, same real containers — so the codec surface can be
+    * driven at 100K+ rows ([[graft.tools.LargeMediaBench]]) without a
+    * corpus that size. Generation happens executor-side in
+    * `mapPartitions`; nothing rides the driver.
+    */
+  def syntheticMedia(spark: SparkSession, n: Long, partitions: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions)
+      .map { id =>
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        MediaRow(id, kind, Array.emptyByteArray, s"src_${id % 7}")
+      }
+      .mapPartitions(_.map { r =>
+        val (w, h, durMs, ch) = geom(r.media_id)
+        val bytes = r.kind match {
+          case "image" if r.media_id % 2 == 0 =>
+            PixelCodec.encodePng(PixelCodec.PixelImage(w, h, 3, pixelsFor(r.media_id, w, h, 3)))
+          case "image" =>
+            JpegCodec.encode(PixelCodec.PixelImage(w, h, 3, pixelsFor(r.media_id, w, h, 3)))
+          case "audio" => HeaderCodec.synthWav(ch, 8000, durMs)
+          case _ => HeaderCodec.synthMp4(w, h, durMs * 20, s"media_${r.media_id}".getBytes("UTF-8"))
+        }
+        r.copy(content = bytes)
+      })
+      .toDF()
+  }
+
   /** Partition-level decode + feature extraction: the distributed stage.
     * Batch shape: one pass per partition, no driver collection, output
     * columnar-friendly fixed schema. Undecodable content quarantines as

@@ -183,4 +183,29 @@ class JpegCodecSpec extends AnyFunSuite {
     // (shredded Huffman data either errors → None or decodes to junk
     // pixels — both acceptable; the assertion is it never THROWS)
   }
+
+  test("fuzz: random bytes and mutated-valid streams never throw") {
+    val rnd = new scala.util.Random(20260814L)
+    // pure noise (with and without a valid SOI prefix)
+    for (_ <- 1 to 300) {
+      val n = 2 + rnd.nextInt(400)
+      val buf = new Array[Byte](n)
+      rnd.nextBytes(buf)
+      JpegCodec.decode(buf) // must not throw
+      buf(0) = 0xff.toByte; buf(1) = 0xd8.toByte
+      JpegCodec.decode(buf)
+    }
+    // single-byte mutations of a VALID stream: the adversarial shape —
+    // every header field, table entry, and entropy byte gets corrupted
+    // somewhere across the runs
+    val jpg = JpegCodec.encode(gradient(24, 16))
+    for (_ <- 1 to 500) {
+      val m = jpg.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      JpegCodec.decode(m) // None or junk pixels, never a throw
+    }
+    // truncation sweep over the whole length
+    for (cut <- 1 until jpg.length by 7)
+      JpegCodec.decode(jpg.take(cut))
+  }
 }
