@@ -135,6 +135,19 @@ object FooterSort {
     import org.apache.hadoop.fs.Path
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
+    val listed = fs.listStatus(d)
+    // orphan recovery BEFORE listing the work set: a prior stamp that
+    // died between its two publish renames leaves only `x.parquet._old`
+    // — without this sweep the live name isn't listed and the file
+    // would silently never be recovered or stamped
+    listed.filter(st => st.isFile && st.getPath.getName.endsWith("._old"))
+      .foreach { st =>
+        val live = new Path(d, st.getPath.getName.stripSuffix("._old"))
+        if (!fs.exists(live)) {
+          if (!fs.rename(st.getPath, live))
+            throw new java.io.IOException(s"orphan recovery ${st.getPath} -> $live failed")
+        }
+      }
     val files = fs.listStatus(d)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     files.foreach(st => stampFsFile(conf, st.getPath, sortedBy, unsigned))

@@ -510,5 +510,15 @@ class UtxoSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       unsigned = Seq("height", "amount"))
     assert(fs.exists(f0) && !fs.exists(old0))
     assert(spark.read.parquet(dir).count() == 5000)
+
+    // directory-level orphan sweep: the same crash state must also heal
+    // through stampFs (a live name that is MISSING is not listed as
+    // *.parquet, so without the sweep the file would be skipped forever)
+    assert(fs.rename(f0, old0))
+    val n2 = graft.tools.FooterSort.stampFs(conf, dir,
+      Seq("script"), unsigned = Seq("height", "amount"))
+    assert(n2 == 1)
+    assert(fs.exists(f0) && !fs.exists(old0))
+    assert(spark.read.parquet(dir).count() == 5000)
   }
 }
