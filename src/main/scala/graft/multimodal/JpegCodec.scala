@@ -334,7 +334,13 @@ object JpegCodec {
               p += 2
               c += 1
             }
-            scanStart = segEnd // skip Ss/Se/Ah-Al (3 bytes inside len)
+            // baseline scan header: full spectral band, no successive
+            // approximation — anything else (a corrupted header, or a
+            // progressive scan smuggled under an SOF0) must quarantine,
+            // not decode to garbage
+            if ((b(segEnd - 3) & 0xff) != 0 || (b(segEnd - 2) & 0xff) != 63 ||
+                (b(segEnd - 1) & 0xff) != 0) return None
+            scanStart = segEnd
           case _ => () // APPn/COM/etc: skip
         }
         if (scanStart < 0) i = segEnd
