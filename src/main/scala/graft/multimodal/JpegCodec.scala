@@ -261,7 +261,12 @@ object JpegCodec {
       if (i + 4 > b.length) return None
       if ((b(i) & 0xff) != 0xff) return None
       val marker = b(i + 1) & 0xff
-      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { i += 2 }
+      // EOI before any scan = no image; 0x01 (TEM) and RSTn are
+      // standalone (no length field) — reading a length from their
+      // following bytes would walk the stream out of frame
+      if (marker == 0xd9) return None
+      if (marker == 0xd8 || marker == 0x01 ||
+          (marker >= 0xd0 && marker <= 0xd7)) { i += 2 }
       else {
         val len = u16(b, i + 2)
         if (len < 2 || i + 2 + len > b.length) return None
@@ -275,6 +280,9 @@ object JpegCodec {
               val tq = b(p) & 0x0f
               if (tq > 3) return None
               p += 1
+              // a table truncated by its own segment length must not
+              // silently continue into the next segment's bytes
+              if (p + (if (pq == 0) 64 else 128) > segEnd) return None
               val t = new Array[Int](64)
               var z = 0
               while (z < 64) {
@@ -292,6 +300,7 @@ object JpegCodec {
               val th = b(p) & 0x0f
               if (th > 3) return None
               p += 1
+              if (p + 16 > segEnd) return None
               val bits = Array.tabulate(16)(k => b(p + k) & 0xff)
               p += 16
               val n = bits.sum
@@ -308,6 +317,7 @@ object JpegCodec {
             val nc = b(seg + 5) & 0xff
             if (w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return None
             if (w.toLong * h > MaxPixels) return None
+            if (seg + 6 + 3 * nc > segEnd) return None
             comps = Array.tabulate(nc) { c =>
               val o = seg + 6 + c * 3
               val hv = b(o + 1) & 0xff
@@ -323,6 +333,7 @@ object JpegCodec {
             if (comps == null) return None
             val ns = b(seg) & 0xff
             if (ns != comps.length) return None
+            if (seg + 1 + 2 * ns + 3 != segEnd) return None // exact SOS length
             var p = seg + 1
             var c = 0
             while (c < ns) {

@@ -445,6 +445,13 @@ object QueriesLLM {
     * `tables * (bitsPerTable + 1)` probes — both narrow, shuffled joins
     * on the bucket key, never all-pairs. Rows-only check; LshSpec pins
     * recall ≥ 0.5 vs [[cosineTopk]].
+    *
+    * LSH-vs-IVF crossover (measured at 1M vectors, LargeAnnBench r6):
+    * prefer LSH when recall must be ~1.0 — its cost grows LINEARLY in
+    * tables (13.8 s @ 4t/0.94 recall → 28.2 s @ 8t/1.00), while IVF's
+    * candidate fan-out grows super-linearly in nprobe on clustered
+    * corpora; prefer [[annIvf]] when a mid-90s recall target suffices
+    * (11.3 s @ nprobe=4/0.95 — the cheapest path at that tier).
     */
   def annLsh(s: SparkSession, dir: String, tables: Int = 4, bitsPerTable: Int = 6): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -532,6 +539,11 @@ object QueriesLLM {
     * the stride is 1 — identical training set, identical model, so
     * sf-scale results and IvfSpec recalls are unchanged.
     * Rows-only check; IvfSpec measures recall vs [[cosineTopk]].
+    * Crossover vs [[annLsh]]: IVF is the cheapest mid-90s-recall path
+    * (1M vectors: 11.3 s @ nprobe=4, recall 0.95); at recall ~1.0 LSH
+    * wins (28.2 s @ 8 tables vs 42.9 s @ nprobe=8) because doubling
+    * nprobe pulls in a query's full neighborhood shell on clustered
+    * corpora while LSH cost stays linear in tables.
     */
   val IvfTrainTarget = 100000L
 

@@ -45,6 +45,16 @@ object StreamingQueries {
     * file streaming source watches directories, not single files) —
     * new files appearing there flow through incrementally.
     *
+    * Operational caveat (measured, LargeStreamBench r6): the file
+    * source admits new files in MODIFICATION-TIME order. A directory
+    * populated by parallel writers can therefore deliver a
+    * late-event-time file into an early micro-batch; with a watermark
+    * on, that advances the eviction horizon past the straggler files
+    * and their rows are silently DROPPED as late (a first proof run
+    * lost 57% of a dedup's output this way). Either make arrival order
+    * respect event time (the proof generator pins mtimes), or size the
+    * watermark to cover the writer's full out-of-orderness.
+    *
     * DELIBERATE session-conf writes: UTC timezone and nanosAsLong are
     * the engine's session contract (every batch entry point sets the
     * same two through `Queries.t` — oracle parity requires UTC for

@@ -178,8 +178,14 @@ object LargeStreamBench {
         .start()
     val q1 = startRecover()
     // wait until at least one micro-batch with real input committed,
-    // then kill mid-stream
-    while (!q1.recentProgress.exists(_.numInputRows > 0)) Thread.sleep(50)
+    // then kill mid-stream; a query that DIES before first progress
+    // must fail the proof, not busy-wait forever
+    while (!q1.recentProgress.exists(_.numInputRows > 0)) {
+      if (!q1.isActive)
+        throw q1.exception.map(e => new IllegalStateException(e.message))
+          .getOrElse(new IllegalStateException("recovery query ended before first batch"))
+      Thread.sleep(50)
+    }
     q1.stop()
     val (recoverSec, _) = time {
       val q2 = startRecover()
