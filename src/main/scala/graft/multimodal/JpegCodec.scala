@@ -552,13 +552,19 @@ object JpegCodec {
     base.map(q => math.min(255, math.max(1, (q * scale + 50) / 100)))
   }
 
-  /** Encode 1- or 3-channel 8-bit pixels as a baseline 4:4:4 JFIF
-    * JPEG (quality-scaled Annex K quantization, custom declared
-    * Huffman tables). Default quality 88 — fixture fidelity in the
-    * single digits per sample on smooth content, matching what a
-    * production ingest's source files look like.
+  /** Encode 1- or 3-channel 8-bit pixels as a baseline JFIF JPEG
+    * (quality-scaled Annex K quantization, custom declared Huffman
+    * tables). Default quality 88 — fixture fidelity in the single
+    * digits per sample on smooth content, matching what a production
+    * ingest's source files look like. `chroma420 = true` writes the
+    * dominant real-world shape — 2×2-subsampled chroma in true
+    * 16×16-pixel interleaved MCUs (4 Y + 1 Cb + 1 Cr blocks, box-
+    * downsampled chroma planes) — exercising the decoder's
+    * multi-block-per-MCU path from our own wire bytes; the default
+    * 4:4:4 is the same loop with every sampling factor 1.
     */
-  def encode(img: PixelImage, quality: Int = 88): Array[Byte] = {
+  def encode(img: PixelImage, quality: Int = 88,
+      chroma420: Boolean = false): Array[Byte] = {
     require(img.channels == 1 || img.channels == 3,
       s"jpeg encode: ${img.channels} channels unsupported")
     require(quality >= 1 && quality <= 100, s"quality $quality")
@@ -566,6 +572,13 @@ object JpegCodec {
     val QC = scaleQ(QChroma, quality)
     val w = img.width; val h = img.height
     val nc = img.channels
+    val sub = chroma420 && nc == 3
+    // per-component sampling factors + plane dims
+    val sampH = if (sub) Array(2, 1, 1) else Array.fill(nc)(1)
+    val sampV = if (sub) Array(2, 1, 1) else Array.fill(nc)(1)
+    val hMax = sampH.max; val vMax = sampV.max
+    val compW = Array.tabulate(nc)(c => (w * sampH(c) + hMax - 1) / hMax)
+    val compH = Array.tabulate(nc)(c => (h * sampV(c) + vMax - 1) / vMax)
     val out = new java.io.ByteArrayOutputStream(w * h / 2 + 1024)
     def m(marker: Int): Unit = { out.write(0xff); out.write(marker) }
     def seg(marker: Int, body: Array[Int]): Unit = {
@@ -581,57 +594,110 @@ object JpegCodec {
       seg(0xdb, Array(id) ++ (0 until 64).map(z => q(Zigzag(z))))
     dqt(0, QL)
     if (nc == 3) dqt(1, QC)
-    // SOF0: 4:4:4 — every component 1×1 sampling
+    // SOF0 with per-component sampling factors
     seg(0xc0, Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff, nc) ++
-      (1 to nc).flatMap(c => Seq(c, 0x11, if (c == 1) 0 else 1)))
+      (0 until nc).flatMap(c => Seq(c + 1, (sampH(c) << 4) | sampV(c),
+        if (c == 0) 0 else 1)))
     // DHT: DC table 0, AC table 0 (shared by all components)
     seg(0xc4, Array(0x00) ++ EncDcBits ++ EncDcVals)
     seg(0xc4, Array(0x10) ++ EncAcBits ++ EncAcVals)
     // SOS
     seg(0xda, Array(nc) ++ (1 to nc).flatMap(c => Seq(c, 0x00)) ++ Seq(0, 63, 0))
 
-    // color transform to per-component planes (doubles, level-shifted)
-    val planes = Array.fill(nc)(new Array[Double](w * h))
+    // color transform to full-res planes (doubles, level-shifted)
+    val fullPlanes = Array.fill(nc)(new Array[Double](w * h))
     var p = 0
     while (p < w * h) {
-      if (nc == 1) planes(0)(p) = (img.pixels(p) & 0xff) - 128.0
+      if (nc == 1) fullPlanes(0)(p) = (img.pixels(p) & 0xff) - 128.0
       else {
         val r = (img.pixels(p * 3) & 0xff).toDouble
         val g = (img.pixels(p * 3 + 1) & 0xff).toDouble
         val b = (img.pixels(p * 3 + 2) & 0xff).toDouble
-        planes(0)(p) = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
-        planes(1)(p) = -0.168736 * r - 0.331264 * g + 0.5 * b
-        planes(2)(p) = 0.5 * r - 0.418688 * g - 0.081312 * b
+        fullPlanes(0)(p) = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        fullPlanes(1)(p) = -0.168736 * r - 0.331264 * g + 0.5 * b
+        fullPlanes(2)(p) = 0.5 * r - 0.418688 * g - 0.081312 * b
       }
       p += 1
+    }
+    // component planes: full-res luma; 2×2 box-downsampled chroma when
+    // subsampling (edge-replicated at odd dims)
+    val planes = Array.tabulate(nc) { c =>
+      if (compW(c) == w && compH(c) == h) fullPlanes(c)
+      else {
+        val dst = new Array[Double](compW(c) * compH(c))
+        var cy = 0
+        while (cy < compH(c)) {
+          var cx = 0
+          while (cx < compW(c)) {
+            var acc = 0.0
+            var k = 0
+            while (k < 4) {
+              val sx = math.min(cx * 2 + (k & 1), w - 1)
+              val sy = math.min(cy * 2 + (k >> 1), h - 1)
+              acc += fullPlanes(c)(sy * w + sx)
+              k += 1
+            }
+            dst(cy * compW(c) + cx) = acc / 4.0
+            cx += 1
+          }
+          cy += 1
+        }
+        dst
+      }
     }
 
     val bw = new BitWriter(out)
     val pred = new Array[Int](nc)
     val block = new Array[Double](64)
-    val bX = (w + 7) / 8
-    val bY = (h + 7) / 8
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
     var my = 0
-    while (my < bY) {
+    while (my < mcusY) {
       var mx = 0
-      while (mx < bX) {
+      while (mx < mcusX) {
         var ci = 0
         while (ci < nc) {
           val q = if (ci == 0) QL else QC
           val plane = planes(ci)
-          var yy = 0
-          while (yy < 8) {
-            var xx = 0
-            while (xx < 8) {
-              // edge-replicate padding
-              val sx = math.min(mx * 8 + xx, w - 1)
-              val sy = math.min(my * 8 + yy, h - 1)
-              block(yy * 8 + xx) = plane(sy * w + sx)
-              xx += 1
+          val cw = compW(ci); val ch = compH(ci)
+          var by = 0
+          while (by < sampV(ci)) {
+            var bx = 0
+            while (bx < sampH(ci)) {
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  // edge-replicate padding in the COMPONENT plane
+                  val sx = math.min((mx * sampH(ci) + bx) * 8 + xx, cw - 1)
+                  val sy = math.min((my * sampV(ci) + by) * 8 + yy, ch - 1)
+                  block(yy * 8 + xx) = plane(sy * cw + sx)
+                  xx += 1
+                }
+                yy += 1
+              }
+              encodeBlock(bw, block, q, pred, ci)
+              bx += 1
             }
-            yy += 1
+            by += 1
           }
-          val f = fdct(block)
+          ci += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    m(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** FDCT → quantize → Huffman-encode one 8×8 block (DC diff chained
+    * through `pred(ci)`).
+    */
+  private def encodeBlock(bw: BitWriter, block: Array[Double],
+      q: Array[Int], pred: Array[Int], ci: Int): Unit = {
+    val f = fdct(block)
           // quantize in zigzag order
           val zz = new Array[Int](64)
           var z = 0
@@ -665,14 +731,5 @@ object JpegCodec {
             k += 1
           }
           if (run > 0) { val (c2, l2) = EncAcCodes(0x00); bw.put(c2, l2) }
-          ci += 1
-        }
-        mx += 1
-      }
-      my += 1
-    }
-    bw.flush()
-    m(0xd9) // EOI
-    out.toByteArray
   }
 }

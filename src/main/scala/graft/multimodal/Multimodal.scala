@@ -114,8 +114,12 @@ object Multimodal {
             PixelCodec.encodePng(PixelCodec.PixelImage(w, h, 3, pixelsFor(r.media_id, w, h, 3)))
           case "image" =>
             // REAL baseline JPEG since r6 (Huffman + FDCT + quantize,
-            // JpegCodec) — the feature/resize stages entropy-decode it
-            JpegCodec.encode(PixelCodec.PixelImage(w, h, 3, pixelsFor(r.media_id, w, h, 3)))
+            // JpegCodec), 4:2:0-subsampled — the dominant real-world
+            // shape; the feature/resize stages entropy-decode its
+            // interleaved MCUs (resize re-encodes 4:4:4, so both
+            // encoder shapes live in the pipeline)
+            JpegCodec.encode(PixelCodec.PixelImage(w, h, 3, pixelsFor(r.media_id, w, h, 3)),
+              chroma420 = true)
           case "audio" => HeaderCodec.synthWav(ch, 8000, durMs) // real PCM16 payload
           case _ => HeaderCodec.synthMp4(w, h, durMs * 20, r.content)
         }
@@ -146,7 +150,8 @@ object Multimodal {
           case "image" if r.media_id % 2 == 0 =>
             PixelCodec.encodePng(PixelCodec.PixelImage(w, h, 3, pixelsFor(r.media_id, w, h, 3)))
           case "image" =>
-            JpegCodec.encode(PixelCodec.PixelImage(w, h, 3, pixelsFor(r.media_id, w, h, 3)))
+            JpegCodec.encode(PixelCodec.PixelImage(w, h, 3, pixelsFor(r.media_id, w, h, 3)),
+              chroma420 = true)
           case "audio" => HeaderCodec.synthWav(ch, 8000, durMs)
           case _ => HeaderCodec.synthMp4(w, h, durMs * 20, s"media_${r.media_id}".getBytes("UTF-8"))
         }

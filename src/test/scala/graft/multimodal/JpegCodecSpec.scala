@@ -104,6 +104,35 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(maxAbsDiff(oback.pixels, odd.pixels) <= 24)
   }
 
+  test("4:2:0 encode: true interleaved MCUs roundtrip and interop with ImageIO") {
+    val img = gradient(52, 36) // non-multiples of 16: partial edge MCUs
+    val jpg = JpegCodec.encode(img, chroma420 = true)
+    // the stream is meaningfully smaller than 4:4:4 (half the chroma blocks)
+    val full = JpegCodec.encode(img)
+    assert(jpg.length < full.length, s"420 ${jpg.length} !< 444 ${full.length}")
+    // our own decoder handles our subsampled MCUs
+    val back = JpegCodec.decode(jpg).get
+    assert(back.width == 52 && back.height == 36 && back.channels == 3)
+    // smooth chroma by construction → subsampling costs little fidelity
+    assert(maxAbsDiff(back.pixels, img.pixels) <= 16,
+      s"max err ${maxAbsDiff(back.pixels, img.pixels)}")
+    // ImageIO agrees with our decoder on the same subsampled bytes
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    assert(bi != null && bi.getWidth == 52 && bi.getHeight == 36)
+    var worst = 0
+    for (y <- 0 until 36; x <- 0 until 52) {
+      val rgb = bi.getRGB(x, y)
+      val o = (y * 52 + x) * 3
+      worst = math.max(worst, math.abs(((rgb >> 16) & 0xff) - (back.pixels(o) & 0xff)))
+      worst = math.max(worst, math.abs(((rgb >> 8) & 0xff) - (back.pixels(o + 1) & 0xff)))
+      worst = math.max(worst, math.abs((rgb & 0xff) - (back.pixels(o + 2) & 0xff)))
+    }
+    assert(worst <= 12, s"decoder disagreement on our 4:2:0 bytes: $worst")
+    // grayscale ignores the flag (no chroma to subsample)
+    val g = grayRamp(24, 24)
+    assert(JpegCodec.decode(JpegCodec.encode(g, chroma420 = true)).get.channels == 1)
+  }
+
   test("interop: ImageIO decodes our bytes (agreeing with our decoder sample-for-sample)") {
     val img = gradient(48, 32)
     val jpg = JpegCodec.encode(img)
