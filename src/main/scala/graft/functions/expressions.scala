@@ -218,8 +218,9 @@ case class MinHashSigsExpr(child: Expression) extends UnaryExpression {
 /** SimHash fingerprint kernel (X2b hot path): the 48-bit weighted
   * token-majority fingerprint in ONE per-row pass, packed into a LONG
   * (bit b of the result = majority of bit b over the per-token
-  * xxhash64s, term frequency = weight — identical semantics to the
-  * 48-accumulator aggregate form, minus the token explode + shuffle).
+  * md5-derived [[SimHash48.md5h60]] hashes, term frequency = weight —
+  * identical semantics to the 48-accumulator aggregate form, minus the
+  * token explode + shuffle).
   * Long fingerprints also buy the downstream wins: band b is
   * `(fp >> 12b) & 0xFFF` (two codegen'd ALU ops vs substring) and
   * hamming is `bit_count(a ^ b)` (one POPCNT vs an interpreted

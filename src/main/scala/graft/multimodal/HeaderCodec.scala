@@ -15,8 +15,9 @@ import Multimodal.MediaHeader
   * boxes) for fixture and pipeline synthesis.
   *
   * Only HEADERS are decoded here; pixel/sample payload decode lives in
-  * [[PixelCodec]] (real for PNG scanlines and WAV PCM16; JPEG/MP4
-  * entropy-coded payloads are the documented codec-library boundary).
+  * [[PixelCodec]] (PNG scanlines, WAV PCM16) and [[JpegCodec]]
+  * (baseline JPEG, r6); MP4 video payloads are the remaining
+  * documented boundary.
   */
 object HeaderCodec {
 

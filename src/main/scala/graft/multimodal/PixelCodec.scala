@@ -13,10 +13,10 @@ import java.util.zip.Inflater
   * genuinely filtered scanlines (cycling every filter type) and real
   * RIFF sample payloads, so decode round-trips are honest.
   *
-  * What is NOT here — and is the remaining documented boundary — is
-  * entropy-coded payload decode: JPEG (Huffman+DCT) and MP4 video
-  * (H.264 et al.) need a real codec library; those containers pass
-  * through the pipeline with `payload_ok = false`.
+  * JPEG payload decode lives in [[JpegCodec]] (pure-JVM baseline
+  * Huffman+DCT, r6). The remaining documented boundary is MP4 video
+  * (H.264 et al. need a full motion-compensation codec); those
+  * containers pass through the pipeline with `payload_ok = false`.
   *
   * All decoders quarantine malformed content as None, never throw: a
   * bad object must not kill a 100 TB scan.

@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
   * DataFrame program per operator, each paired (in [[oracle]]) with an
   * ANSI-SQL rendering the driver runs in DuckDB over the same parquet
   * tables. Queries without an oracle entry are the declared
-  * non-SQL-expressible ops (HLL sketch, LSH banding join, ANN) — the
-  * driver records a rows-only check for those and ScalaTest covers their
-  * semantics instead.
+  * non-SQL-expressible ops (HLL/freqItems sketches, seeded sampling,
+  * KMeans-based ANN, binary payload codecs) — the driver records a
+  * rows-only check for those and ScalaTest covers their semantics
+  * instead. (The MinHash-LSH banding join left this set in r6: the
+  * portable md5 shingle hash made it — and its four graph consumers —
+  * fully oracle-expressible.)
   *
   * Oracle-parity discipline (SURVEY.md §5.3):
   *  - every computed column aliased identically on both sides;

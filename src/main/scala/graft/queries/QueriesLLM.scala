@@ -721,8 +721,10 @@ object QueriesLLM {
     * so back-to-back occurrences ("a b a b") all merge in one pass —
     * exactly BPE's greedy left-to-right application. The driver sees
     * ONE row per round (the chosen pair); the vocab table never
-    * collects. Rows-only (iterative argmax is not SQL-expressible);
-    * BpeSpec pins all rounds against an exact in-process reference.
+    * collects. Fully oracled since r5 (the DuckDB mirror replicates
+    * training round-for-round as unrolled MATERIALIZED CTEs);
+    * TextPipelineSpec additionally pins all rounds against an exact
+    * in-process reference tokenizer.
     */
   def bpeTrain(s: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
     import s.implicits._
