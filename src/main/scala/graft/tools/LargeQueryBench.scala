@@ -155,7 +155,13 @@ object LargeQueryBench {
       s""""reference_headline_sec":0.632,$per,""" +
       s""""peak_rss_bytes":${LargeConvertBench.peakRssBytes()}}""")
     spark.stop()
-    org.apache.commons.io.FileUtils.deleteQuietly(scratch)
+    // LQB_KEEP=1 leaves the converted layouts in place for
+    // cross-engine checks (e.g. timing DuckDB against OUR stamped
+    // files — the reference's own published number is DuckDB-on-its-
+    // file, so DuckDB-on-ours isolates layout quality from the engine)
+    if (!sys.env.get("LQB_KEEP").contains("1")) {
+      org.apache.commons.io.FileUtils.deleteQuietly(scratch)
+    }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/dev/shm/graft_lqb_spill"))
   }
 }
