@@ -610,14 +610,24 @@ object QueriesLLM {
     * (ADC): the query stays float; each (query, subspace, code) partial
     * dot is precomputed into a 128-entry-per-query lookup table
     * (driver-small, broadcast), and a candidate's score is the sum of
-    * its 8 table hits. Ranking divides by the PQ-reconstructed
-    * candidate norm (the query norm is constant per query and cannot
-    * change its ranking). Codebooks are seeded KMeans — deterministic;
-    * rows-only (KMeans is not SQL-expressible); LshSpec pins a recall
-    * floor vs [[cosineTopk]] and the 8-byte code width.
+    * its 8 table hits (normalized by the PQ-reconstructed candidate
+    * norm). The ADC score picks a `rerank`-deep SHORTLIST, and the
+    * final top-3 comes from an EXACT cosine refine over just those
+    * candidates — the industrial composition (r6): PQ codes cannot
+    * rank within-cluster neighbors (cluster-mates share near-identical
+    * codes, so ADC scores TIE in blocks the size of the duplicate-code
+    * population; LargeAnnBench measured recall@3 = 0.05 at 200K
+    * vectors when codes ranked the final answer). `rerank` must cover
+    * that tie width — size it to at least the expected per-cell
+    * same-code population (the proof uses ~corpus/1000 = the planted
+    * cluster size); the refine still touches float vectors for only
+    * `rerank` rows per query, preserving the memory story. Codebooks are seeded KMeans (sample-trained, like
+    * [[annIvf]]) — deterministic; rows-only (KMeans is not
+    * SQL-expressible); LshSpec pins a recall floor vs [[cosineTopk]]
+    * and the 8-byte code width.
     */
   def annIvfPq(s: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4,
-      m: Int = 8): DataFrame = {
+      m: Int = 8, rerank: Int = 256): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
     import org.apache.spark.ml.clustering.KMeans
@@ -688,9 +698,18 @@ object QueriesLLM {
         graft.functions.GraftFunctions.dot(
           slice(col("qv"), col("j") * subDim + 1, lit(subDim)),
           col("centroid").cast("array<float>")).as("partial"))
-    val wRank = Window.partitionBy(col("query_id"))
+    // ADC shortlist: top-`rerank` candidates per query by PQ score.
+    // PQ codes CANNOT rank within-cluster neighbors — cluster-mates
+    // quantize to near-identical codes, so the code-level ordering
+    // among them is noise (LargeAnnBench measured recall@3 = 0.05 at
+    // 200K vectors when the codes ranked the final answer). The
+    // industrial composition is therefore ADC → shortlist → EXACT
+    // refine: float embeddings are touched for only `rerank`
+    // candidates per query, preserving the memory story, and the
+    // final ranking is exact.
+    val wShort = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id"))
-    probes.join(codes, "cell")
+    val shortlist = probes.join(codes, "cell")
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         posexplode(col("codes")).as(Seq("j", "code")))
@@ -699,10 +718,24 @@ object QueriesLLM {
       .agg(sum(col("partial")).as("adc_dot"))
       .join(candNorm, "cand_id")
       .withColumn("score", col("adc_dot") / sqrt(col("approx_norm2")))
+      .withColumn("srnk", row_number().over(wShort))
+      .filter(col("srnk") <= rerank)
+      .select(col("query_id"), col("cand_id"))
+    val full = e.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    shortlist
+      .join(full.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv2"), col("nrm").as("qn")), Seq("query_id"))
+      .join(full.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cv"), col("nrm").as("cn")), Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (dot(col("qv2"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
       .withColumn("rnk", row_number().over(wRank))
       .filter(col("rnk") <= 3)
       .select(col("query_id"), col("cand_id"), col("rnk"),
-        Queries.fround(col("score"), 4).as("pq_score"))
+        Queries.fround(col("sim"), 4).as("cos_sim"))
       .orderBy(col("query_id"), col("rnk"))
   }
 

@@ -107,6 +107,15 @@ object LargeAnnBench {
       graft.queries.QueriesLLM.annIvf(spark, dir, ivfK, 4))
     val ivf8T = time("ann_ivf_p8")(
       graft.queries.QueriesLLM.annIvf(spark, dir, ivfK, 8))
+    // IVF-PQ: same coarse cells, candidates scored against 8-byte codes
+    // (32× memory cut) — the billion-vector memory-budget path. The
+    // ADC shortlist must out-depth the code-tie blocks (cluster-mates
+    // quantize to the same codes), so rerank scales with the planted
+    // cluster size; the exact refine then touches only that many float
+    // vectors per query.
+    val pqRerank = math.max(256, (nVecs / 1000).toInt)
+    val pqT = time("ann_pq_p4")(
+      graft.queries.QueriesLLM.annIvfPq(spark, dir, ivfK, 4, rerank = pqRerank))
     // int8 brute force is O(queries × n) by contract — n/100 queries ×
     // n candidates is 4×10⁸ scored pairs at 200K and filled the spill
     // disk; time it only where the quadratic contract is sane
@@ -144,15 +153,18 @@ object LargeAnnBench {
     val recallLsh8 = recallOf(graft.queries.QueriesLLM.annLsh(spark, dir, 8, bitsPerTable))
     val recallIvf4 = recallOf(graft.queries.QueriesLLM.annIvf(spark, dir, ivfK, 4))
     val recallIvf8 = recallOf(graft.queries.QueriesLLM.annIvf(spark, dir, ivfK, 8))
+    val recallPq4 = recallOf(
+      graft.queries.QueriesLLM.annIvfPq(spark, dir, ivfK, 4, rerank = pqRerank))
 
-    val times = Seq(lshT, lsh8T, ivfT, ivf8T) ++ quantT
+    val times = Seq(lshT, lsh8T, ivfT, ivf8T, pqT) ++ quantT
     val qsJson = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     println(
       s"""{"metric":"large_ann","vecs":$nVecs,"runs":$runs,"queries":$qsJson,""" +
       s""""bits_per_table":$bitsPerTable,"ivf_k":$ivfK,""" +
       s""""truth_pairs":$nTruth,""" +
       f""""recall_lsh_4t":$recallLsh4%.4f,"recall_lsh_8t":$recallLsh8%.4f,""" +
-      f""""recall_ivf_p4":$recallIvf4%.4f,"recall_ivf_p8":$recallIvf8%.4f}""")
+      f""""recall_ivf_p4":$recallIvf4%.4f,"recall_ivf_p8":$recallIvf8%.4f,""" +
+      f""""recall_pq_p4":$recallPq4%.4f}""")
     spark.stop()
   }
 }
