@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
   * sf-scale defaults (4×6 sign bits → 64 buckets/table; k=16 IVF
   * cells) that are right for 2 000 vectors and catastrophic at 1M
   * (15 625 vectors per bucket ≈ a quarter of all-pairs). This proof
-  * calls the same operator FUNCTIONS (`QueriesLLM.annLsh` / `annIvf`)
-  * with bucket counts scaled to ~64 vectors per bucket
-  * (`bitsPerTable ≈ log2(n/64)`) and ~sqrt-scaled cell counts — the
-  * operators were parameterized for exactly this.
+  * calls the same operator FUNCTIONS (`QueriesLLM.annLsh` / `annIvf` /
+  * `annIvfPq`) with bucket counts scaled to ~64 vectors per bucket
+  * (`bitsPerTable ≈ log2(n/64)`), ~sqrt-scaled cell counts, and a PQ
+  * rerank depth scaled past the code-tie width (~the planted cluster
+  * size) — the operators were parameterized for exactly this.
   *
   * Corpus: 1 000 planted clusters; vector i = center(i mod 1000) +
   * seeded noise, so each query's true neighbors are its cluster mates.
