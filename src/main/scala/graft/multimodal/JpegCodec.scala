@@ -242,7 +242,10 @@ object JpegCodec {
       var td: Int = 0, var ta: Int = 0)
 
   def decode(bytes: Array[Byte]): Option[PixelImage] =
-    try decodeOrNull(bytes) catch { case _: Throwable => None }
+    // NonFatal only: an OutOfMemoryError/StackOverflowError is a
+    // degraded executor, not corrupt media — quarantining it would
+    // mask resource exhaustion as an undecodable row
+    try decodeOrNull(bytes) catch { case scala.util.control.NonFatal(_) => None }
 
   private def u16(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
@@ -358,6 +361,12 @@ object JpegCodec {
       }
     }
 
+    // T.81 A.2: a single-component scan is NON-interleaved — one 8×8
+    // block per MCU over a ceil(w/8)×ceil(h/8) raster grid, whatever
+    // sampling factors the SOF declared (grayscale files converted
+    // from color by libjpeg commonly declare 2×2); honoring the
+    // declared factors here would desync the entropy stream
+    if (comps.length == 1) comps = Array(comps(0).copy(h = 1, v = 1))
     val hMax = comps.map(_.h).max
     val vMax = comps.map(_.v).max
     val mcusX = (w + 8 * hMax - 1) / (8 * hMax)

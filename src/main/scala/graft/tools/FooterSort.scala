@@ -148,6 +148,13 @@ object FooterSort {
             throw new java.io.IOException(s"orphan recovery ${st.getPath} -> $live failed")
         }
       }
+    // ... and sweep staging leftovers: a stamp that died mid-copy (or
+    // whose publish rename failed) leaves `.<name>.stamp.tmp` behind —
+    // hidden from parquet readers, but on object stores billed per
+    // object it accumulates forever, and no later stamp of a DIFFERENT
+    // file would ever clean it
+    listed.filter(st => st.isFile && st.getPath.getName.endsWith(".stamp.tmp"))
+      .foreach(st => fs.delete(st.getPath, false))
     val files = fs.listStatus(d)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     files.foreach(st => stampFsFile(conf, st.getPath, sortedBy, unsigned))
@@ -214,11 +221,16 @@ object FooterSort {
         out.write(MagicTail)
       } finally out.close()
     } finally in.close()
-    // publish: live → _old, stage → live, drop _old
-    if (!fs.rename(file, old))
+    // publish: live → _old, stage → live, drop _old. Failure paths
+    // drop the staged copy — a completed-but-unpublished stage is just
+    // a re-derivable artifact, and leaving it behind leaks storage
+    if (!fs.rename(file, old)) {
+      fs.delete(stage, false)
       throw new java.io.IOException(s"publish rename $file -> $old failed")
+    }
     if (!fs.rename(stage, file)) {
       fs.rename(old, file) // best-effort rollback to the unstamped copy
+      fs.delete(stage, false)
       throw new java.io.IOException(s"publish rename $stage -> $file failed")
     }
     fs.delete(old, false)

@@ -187,6 +187,40 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(worst <= 12, s"decoder disagreement on subsampled stream: $worst")
   }
 
+  test("single-component scan ignores declared sampling factors (T.81 A.2)") {
+    // libjpeg converting color→gray often keeps the 2×2 luma sampling
+    // declaration; per T.81 a one-component scan is non-interleaved
+    // (one block per MCU in raster order) regardless of SOF factors.
+    // Build the shape from our own wire bytes: encode grayscale (1×1),
+    // then patch ONLY the SOF sampling byte to 2×2 — a conformant
+    // decoder must produce identical pixels for both streams.
+    val gray = grayRamp(52, 36) // non-multiple-of-16: the interleaved
+                                // misread would also change the grid
+    val jpg = JpegCodec.encode(gray)
+    val expected = JpegCodec.decode(jpg).get
+    val patched = jpg.clone()
+    var sof = -1
+    var i = 2
+    while (sof < 0) {
+      assert((patched(i) & 0xff) == 0xff, "lost marker sync walking segments")
+      val m = patched(i + 1) & 0xff
+      if (m == 0xc0) sof = i
+      else i += 2 + (((patched(i + 2) & 0xff) << 8) | (patched(i + 3) & 0xff))
+    }
+    // SOF0 body: prec(1) h(2) w(2) nc(1) [id, hv, tq] — hv at body+7
+    assert((patched(sof + 4 + 7) & 0xff) == 0x11, "fixture drift: expected 1x1 gray")
+    patched(sof + 4 + 7) = 0x22.toByte
+    val got = JpegCodec.decode(patched)
+    assert(got.isDefined, "2x2-declared grayscale quarantined instead of decoded")
+    assert(got.get.width == 52 && got.get.height == 36 && got.get.channels == 1)
+    assert(maxAbsDiff(got.get.pixels, expected.pixels) == 0,
+      "sampling declaration changed single-component pixels")
+    // ImageIO agrees the patched stream is valid and identical
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(patched))
+    assert(bi != null && bi.getWidth == 52 && bi.getHeight == 36,
+      "ImageIO rejected the 2x2-declared grayscale stream")
+  }
+
   test("hostile input quarantines: truncation, absurd dims, unsupported modes") {
     val jpg = JpegCodec.encode(gradient(32, 32))
     // truncations decode to None, never throw (cutting only the EOI

@@ -520,5 +520,16 @@ class UtxoSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n2 == 1)
     assert(fs.exists(f0) && !fs.exists(old0))
     assert(spark.read.parquet(dir).count() == 5000)
+
+    // staging-leftover sweep: a stamp that died mid-copy (or whose
+    // publish rename failed) leaves `.<name>.stamp.tmp` — hidden from
+    // readers but leaked forever without the directory-level sweep
+    val stale = new Path(f0.getParent, "." + f0.getName + ".stamp.tmp")
+    val os = fs.create(stale, true)
+    os.write(Array[Byte](1, 2, 3)); os.close()
+    graft.tools.FooterSort.stampFs(conf, dir,
+      Seq("script"), unsigned = Seq("height", "amount"))
+    assert(!fs.exists(stale), "stale .stamp.tmp not swept by stampFs")
+    assert(spark.read.parquet(dir).count() == 5000)
   }
 }
