@@ -179,6 +179,8 @@ object UtxoConvert {
       .option("parquet.block.size", blockSizeBytes.toString)
       .option("parquet.block.row.count.limit", rowGroupRows.toString)
       .option("parquet.page.size", (64 * 1024).toString)
+    val outUri = new org.apache.hadoop.fs.Path(output).toUri
+    val localOut = outUri.getScheme == null || outUri.getScheme == "file"
     // opt-in split-block bloom filter on `script`: the plain (per-task
     // sorted) layout leaves one stats-candidate row group PER FILE for
     // a point lookup — at 100 TB that is thousands of row-group reads
@@ -189,27 +191,42 @@ object UtxoConvert {
     // no dictionary page, so bloom is the only exact-membership skip
     // available. The clustered layout doesn't need it (disjoint ranges
     // prune to one file by min/max alone).
-    (if (bloomFilterScript)
-       writer.option("parquet.bloom.filter.enabled#script", "true")
-         .option("parquet.bloom.filter.expected.ndv#script", rowGroupRows.toString)
-     else writer)
-      .parquet(output)
+    val writer2 =
+      if (bloomFilterScript)
+        writer.option("parquet.bloom.filter.enabled#script", "true")
+          .option("parquet.bloom.filter.expected.ndv#script", rowGroupRows.toString)
+      else writer
     // footer sortingColumns (reference src/main.rs:212): Spark can't
-    // write the field, so stamp it post-write — in-place tail rewrite
-    // for local outputs (zero data movement), Hadoop-FileSystem
-    // copy-rewrite + atomic-publish for everything else (HDFS/S3A/...),
-    // so the layout stamp applies at cluster scale instead of silently
-    // skipping (see FooterSort).
-    // ... and UINT_64 logical annotations on vout/height/amount (the
-    // reference schema declares them UInt64, src/main.rs:199-206;
-    // values are non-negative so signed page order == unsigned order)
-    val outUri = new org.apache.hadoop.fs.Path(output).toUri
-    if (outUri.getScheme == null || outUri.getScheme == "file")
+    // write the field, so the convert stamps it itself — plus UINT_64
+    // logical annotations on vout/height/amount (the reference schema
+    // declares them UInt64, src/main.rs:199-206; values are
+    // non-negative so signed page order == unsigned order).
+    //  - local outputs: post-write in-place tail rewrite
+    //    (RandomAccessFile — metadata-only cost);
+    //  - everything else (HDFS/S3A/...): the stamp RIDES THE WRITE via
+    //    StampingCommitProtocol — each task stamps its staged files in
+    //    commitTask while it still owns the bytes, so the table is
+    //    never re-read+re-written post-hoc (stampFs's copy-rewrite is
+    //    probe-measured at 12× the in-place cost; at 100 TB that is a
+    //    second full pass). Total bytes written stay ≈ 1× output size
+    //    on truncate+append stores.
+    if (localOut) {
+      writer2.parquet(output)
       graft.tools.FooterSort.stamp(outUri.getPath, Seq("script"),
         unsigned = Seq("vout", "height", "amount"))
-    else
-      graft.tools.FooterSort.stampFs(spark.sparkContext.hadoopConfiguration,
-        output, Seq("script"), unsigned = Seq("vout", "height", "amount"))
+    } else {
+      val prev = spark.conf.getOption(StampingCommitProtocol.ConfKey)
+      spark.conf.set(StampingCommitProtocol.ConfKey,
+        classOf[StampingCommitProtocol].getName)
+      try writer2
+        .option(StampingCommitProtocol.SortedKey, "script")
+        .option(StampingCommitProtocol.UnsignedKey, "vout,height,amount")
+        .parquet(output)
+      finally prev match {
+        case Some(v) => spark.conf.set(StampingCommitProtocol.ConfKey, v)
+        case None => spark.conf.unset(StampingCommitProtocol.ConfKey)
+      }
+    }
     val m = obs.get
     def longOf(k: String): Long =
       m.get(k).collect { case v: java.lang.Number => v.longValue() }.getOrElse(0L)

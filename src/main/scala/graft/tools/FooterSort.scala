@@ -236,6 +236,97 @@ object FooterSort {
     fs.delete(old, false)
   }
 
+  /** Stamp a task-owned STAGED file — one that is not yet committed or
+    * visible to readers. This is the path that lets the stamp ride the
+    * convert itself ([[graft.sources.StampingCommitProtocol]]): each
+    * write task stamps its own staged outputs inside `commitTask`,
+    * while the task still owns the bytes, so a 100 TB convert is never
+    * re-read and re-written a second time (the standalone `stampFs`
+    * copy-rewrite is probe-measured at 12× the in-place cost).
+    *
+    *  - FS advertises truncate+append path capabilities (HDFS, raw
+    *    local): in-place tail rewrite — truncate off the old footer,
+    *    append the new one. Zero data movement. The capability probe
+    *    runs BEFORE any mutation, so an unsupported store never sees a
+    *    half-truncated file.
+    *  - otherwise (object stores): stream the data pages once to a
+    *    sibling and swap. Still pre-commit and executor-distributed.
+    *
+    * No publish/rollback dance on either path: a crash mid-stamp just
+    * fails the task attempt and Spark restages the whole file.
+    */
+  def stampStaged(conf: org.apache.hadoop.conf.Configuration,
+      file: org.apache.hadoop.fs.Path, sortedBy: Seq[String],
+      unsigned: Seq[String]): Unit =
+    stampStaged(file.getFileSystem(conf), file, sortedBy, unsigned)
+
+  def stampStaged(fs: org.apache.hadoop.fs.FileSystem,
+      file: org.apache.hadoop.fs.Path, sortedBy: Seq[String],
+      unsigned: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.{CommonPathCapabilities, Path}
+    val len = fs.getFileStatus(file).getLen
+    require(len > 12, s"not a parquet file: $file")
+    val in = fs.open(file)
+    val (footerStart, newFooter) =
+      try {
+        val tail = new Array[Byte](8)
+        in.readFully(len - 8, tail)
+        require(tail.slice(4, 8).sameElements(MagicTail), s"not a parquet file: $file")
+        val footerLen = (tail(0) & 0xff) | ((tail(1) & 0xff) << 8) |
+          ((tail(2) & 0xff) << 16) | ((tail(3) & 0xff) << 24)
+        val fStart = len - 8 - footerLen
+        val footerBytes = new Array[Byte](footerLen)
+        in.readFully(fStart, footerBytes)
+        (fStart, rewriteFooter(footerBytes, sortedBy, unsigned))
+      } finally in.close()
+    val tailBytes = newFooter ++ Array[Byte](
+      (newFooter.length & 0xff).toByte,
+      ((newFooter.length >> 8) & 0xff).toByte,
+      ((newFooter.length >> 16) & 0xff).toByte,
+      ((newFooter.length >> 24) & 0xff).toByte) ++ MagicTail
+    val inPlace =
+      fs.hasPathCapability(file, CommonPathCapabilities.FS_TRUNCATE) &&
+        fs.hasPathCapability(file, CommonPathCapabilities.FS_APPEND)
+    if (inPlace) {
+      if (!fs.truncate(file, footerStart)) {
+        // async truncate (HDFS off-block-boundary lease recovery): the
+        // call returns false and the shrink completes in the background
+        var tries = 0
+        while (fs.getFileStatus(file).getLen != footerStart && tries < 600) {
+          Thread.sleep(50); tries += 1
+        }
+        require(fs.getFileStatus(file).getLen == footerStart,
+          s"truncate of $file to $footerStart did not complete")
+      }
+      val out = fs.append(file)
+      try out.write(tailBytes) finally out.close()
+    } else {
+      // single-pass copy: data pages streamed once, new tail appended,
+      // then swap. delete+rename is safe here precisely because the
+      // file is staged — nothing reads it until the commit publishes it
+      val tmp = new Path(file.getParent, "." + file.getName + ".stamp.tmp")
+      val src = fs.open(file)
+      try {
+        val out = fs.create(tmp, true)
+        try {
+          val buf = new Array[Byte](1 << 20)
+          var remaining = footerStart
+          while (remaining > 0) {
+            val n = src.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+            require(n > 0, s"unexpected EOF copying $file at ${footerStart - remaining}")
+            out.write(buf, 0, n)
+            remaining -= n
+          }
+          out.write(tailBytes)
+        } finally out.close()
+      } finally src.close()
+      if (!fs.delete(file, false) || !fs.rename(tmp, file)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(s"staged stamp swap $tmp -> $file failed")
+      }
+    }
+  }
+
   /** Read back (leaf name → converted-type name) for audit/spec. */
   def convertedTypesOf(file: java.io.File): Map[String, String] = {
     val md = readFooter(file)

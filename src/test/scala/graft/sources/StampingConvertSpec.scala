@@ -1,0 +1,130 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.codec._
+import graft.tools.{CountingDfs, CountingObjectStore, FooterSort}
+
+/** Pins the round-7 write-amplification contract: a convert to a DFS
+  * (non-`file://`) target stamps the footer INSIDE the write's commit
+  * protocol, so total bytes written ≈ 1× the output size and the data
+  * pages are never re-read — versus the post-hoc `stampFs`
+  * copy-rewrite, which costs a second full pass (probe-measured 12×
+  * the in-place stamp). Measured against [[graft.tools.CountingDfs]],
+  * a byte-counting RawLocalFileSystem under a `graftdfs://` scheme
+  * (truncate+append capable, like HDFS) and
+  * [[graft.tools.CountingObjectStore]] (`graftobj://`, neither — like
+  * S3A — where the staged copy fallback must kick in pre-commit).
+  */
+class StampingConvertSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("stamping-convert-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.hadoop.fs.graftdfs.impl", classOf[CountingDfs].getName)
+    .config("spark.hadoop.fs.graftobj.impl", classOf[CountingObjectStore].getName)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val tmp = Files.createTempDirectory("stamp-convert-spec").toFile
+
+  private lazy val fixturePath: String = {
+    val f = new java.io.File(tmp, "fixture.bin")
+    val out = new BufferedOutputStream(new FileOutputStream(f))
+    try SnapshotGen.write(out, SnapshotGen.synthetic(20000, seed = 7L),
+      blockHashHex = "ab" * 32)
+    finally out.close()
+    f.getAbsolutePath
+  }
+
+  private def parquetFiles(dir: String): Array[java.io.File] =
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+
+  private def dirBytes(dir: String): Long = parquetFiles(dir).map(_.length()).sum
+
+  private def assertStamped(dir: String): Unit = {
+    val files = parquetFiles(dir)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val rgs = FooterSort.sortingColumnsOf(f)
+      assert(rgs.nonEmpty && rgs.forall(_.nonEmpty),
+        s"sortingColumns missing in ${f.getName}")
+      val ann = FooterSort.convertedTypesOf(f)
+      Seq("vout", "height", "amount").foreach(c =>
+        assert(ann.get(c).contains("UINT_64"), s"$c not UINT_64 in ${f.getName}: $ann"))
+    }
+  }
+
+  test("DFS convert: stamp rides the commit, bytes written ~= 1x output") {
+    val dir = new java.io.File(tmp, "dfs-out").getAbsolutePath
+    CountingDfs.reset()
+    val stats = UtxoConvert.convert(spark, fixturePath, s"graftdfs:$dir",
+      partitions = 3)
+    assert(stats.rows == 20000)
+    val written = CountingDfs.bytesWritten.sum()
+    val read = CountingDfs.bytesRead.sum()
+    val size = dirBytes(dir)
+    assert(size > 0)
+    // 1× the output plus the truncated-away pre-stamp footers — never a
+    // second pass over the data pages
+    assert(written >= size, s"written=$written < size=$size (counter broken?)")
+    assert(written <= (size * 1.05).toLong + 64 * 1024,
+      s"write amplification: written=$written vs size=$size")
+    // reads are footers only (stamp) — not the table
+    assert(read <= (size * 0.2).toLong + 64 * 1024,
+      s"stamp re-read data pages: read=$read vs size=$size")
+    assertStamped(dir)
+    // the stamped output is a valid table with the full row set
+    val back = UtxoConvert.readConverted(spark, s"graftdfs:$dir")
+    assert(back.count() == 20000)
+    assert(back.agg(sum(col("amount"))).head.getLong(0) ==
+      UtxoConvert.load(spark, fixturePath).agg(sum(col("amount"))).head.getLong(0))
+  }
+
+  test("object-store convert: staged copy fallback, still pre-commit, still stamped") {
+    val dir = new java.io.File(tmp, "obj-out").getAbsolutePath
+    CountingDfs.reset()
+    val stats = UtxoConvert.convert(spark, fixturePath, s"graftobj:$dir",
+      partitions = 3)
+    assert(stats.rows == 20000)
+    val written = CountingDfs.bytesWritten.sum()
+    val read = CountingDfs.bytesRead.sum()
+    val size = dirBytes(dir)
+    // no truncate/append: the staged file is streamed once to a sibling
+    // (2× write, 1× read) — the honest object-store floor, and it
+    // happens pre-commit in the task, never as a post-hoc table pass.
+    // CountingObjectStore.truncate/append THROW, so reaching them at
+    // all would have failed the convert.
+    assert(written >= 2 * size, s"expected ~2x staged write, got $written vs size=$size")
+    assert(written <= (size * 2.1).toLong + 128 * 1024,
+      s"object-store amplification above the copy floor: $written vs $size")
+    assert(read >= size, s"copy fallback must stream the data once: read=$read")
+    assert(read <= (size * 1.2).toLong + 128 * 1024,
+      s"copy fallback re-read more than once: read=$read vs $size")
+    assertStamped(dir)
+    assert(UtxoConvert.readConverted(spark, s"graftobj:$dir").count() == 20000)
+  }
+
+  test("no staging leftovers or temp dirs survive the DFS convert") {
+    Seq("dfs-out", "obj-out").foreach { d =>
+      val dir = new java.io.File(tmp, d)
+      if (dir.exists()) {
+        val leftovers = dir.listFiles().filter(f =>
+          f.getName.contains(".stamp.tmp") || f.getName.endsWith("._old") ||
+            f.getName == "_temporary")
+        assert(leftovers.isEmpty,
+          s"$d leftovers: ${leftovers.map(_.getName).toSeq}")
+      }
+    }
+  }
+}
