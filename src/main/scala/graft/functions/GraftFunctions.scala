@@ -66,6 +66,10 @@ object GraftFunctions {
   /** Integer companion for the SQ8 path: wrapping 64-bit fold. */
   def dotI64(a: Column, b: Column): Column = call_function("vec_dot_i64", a, b)
 
+  /** PQ ADC score: sum of the candidate's m LUT hits (see [[AdcScore]]). */
+  def adcScore(codes: Column, lut: Column): Column =
+    call_function("adc_score", codes, lut)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
@@ -125,6 +129,8 @@ object GraftFunctions {
       exprs => VecDotExpr(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("vec_dot_i64",
       exprs => VecDotLongExpr(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("adc_score",
+      exprs => AdcScoreExpr(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("lsh_sign_bits",
       exprs => LshSignBitsExpr(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")

@@ -384,22 +384,112 @@ case class VecDotLongExpr(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot_i64"
 }
 
+/** ADC (asymmetric-distance) PQ score kernel (X29 hot path): given a
+  * candidate's `m` product-quantizer codes and the query's flattened
+  * lookup table (`m × stride` partial dot products, entry `j·stride +
+  * code` = ⟨query subvector j, codebook j centroid code⟩), the ADC
+  * score is the sum of the candidate's m table hits. Replaces the
+  * r6 shape — `posexplode(codes)` ⋈ broadcast LUT ⋈ groupBy-sum —
+  * which multiplied every (query, candidate) row by m through a join
+  * and a hash aggregate (640M intermediate rows at 1M vectors /
+  * nprobe=4); here the same sum is m array lookups inside whole-stage
+  * codegen on the un-exploded row. Accumulation order is fixed
+  * (j ascending), so scores are deterministic.
+  */
+object AdcScore {
+  def score(codes: org.apache.spark.sql.catalyst.util.ArrayData,
+      lut: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {
+    val m = codes.numElements()
+    if (m == 0 || lut.numElements() % m != 0) return null
+    val stride = lut.numElements() / m
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      val c = codes.getInt(j)
+      if (c < 0 || c >= stride) return null
+      acc += lut.getDouble(j * stride + c)
+      j += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}
+
+/** adc_score (X29): (ARRAY<INT> codes, ARRAY<DOUBLE> lut) → DOUBLE. */
+case class AdcScoreExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = AdcScore.score(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    if (r == null) null else r.doubleValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.AdcScore.score($a, $b);
+      ${ev.isNull} = ${ev.value}_r == null;
+      ${ev.value} = ${ev.isNull} ? 0.0 : ${ev.value}_r.doubleValue();
+    """)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcScoreExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "adc_score"
+}
+
 /** Sign-LSH plane projections (X3 scale path #1): all `nBits`
-  * pseudo-hyperplane sign bits of a float vector in one pass. Plane p's
-  * element j is sin(k²) with k = p·64 + j + 1 — the quadratic (Weyl)
-  * argument whose k² mod 2π equidistribution makes the planes
-  * effectively independent (the affine sin(c_p + j) family was rank-2;
-  * see the in-body comment). The same deterministic family the HOF
-  * form builds with `zip_with(v, sequence(...), x·sin(k²))`, evaluated
-  * with the same left-to-right double fold (Math.sin == Spark's SIN
-  * codegen), so bits are identical — ExpressionSpec pins the parity;
-  * the 24-fold interpreted per-plane evaluation collapses into one
+  * pseudo-hyperplane sign bits of a float vector in one pass. Plane
+  * p's element j is the sin(k²) family (k = p·64 + j + 1; see
+  * [[LshSignBits.weights]] for why the quadratic Weyl argument) —
+  * QUANTIZED to integer micro-units since r7, so every projection is
+  * an exact BIGINT sum: bit-reproducible in any engine that can
+  * multiply integers, which is what lets the DuckDB oracle replicate
+  * the full banding pipeline with the weights embedded as SQL
+  * literals (no cross-engine `sin`/float-fold parity needed anywhere).
+  * ExpressionSpec pins the kernel against the integer HOF fold; the
+  * 24-fold interpreted per-plane evaluation collapses into one
   * codegen'd loop nest.
   */
 object LshSignBits {
+  /** Quantization scale: plane weights AND vector elements are floored
+    * to integer micro-units, so every sign decision is exact BIGINT
+    * arithmetic — which is what makes the whole LSH banding pipeline
+    * DuckDB-expressible (the r7 oracle promotion; the r6 md5-shingle
+    * discipline applied to vectors). No overflow: |element| ≤ ~1e6,
+    * |weight| ≤ 1e6, so a 64-term sum is ≤ 6.4e13 ≪ 2^63.
+    */
+  val Scale = 1000000.0
+
+  private val weightCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]()
+
+  /** Integer plane weights, `nBits` planes × 64 dims flattened: entry
+    * p·64+j = floor(sin(k²)·1e6 + 0.5), k = p·64+j+1 — the QUADRATIC
+    * (Weyl) argument matters: sin(c_p + j) (the original affine form)
+    * is sin(j)·cos(c_p) + cos(j)·sin(c_p), so every "hyperplane" lived
+    * in the same 2-D subspace and all nBits encoded only a 2-D
+    * projection of the vector — more tables bought ~no recall
+    * (LargeAnnBench measured 0.45 → 0.48 going 4 → 8 tables). k² mod
+    * 2π equidistributes, giving effectively independent pseudo-random
+    * planes. Exposed so the DuckDB oracle embeds the SAME integers as
+    * SQL literals (no cross-engine `sin` in any sign decision).
+    */
+  def weights(nBits: Int): Array[Long] =
+    weightCache.computeIfAbsent(nBits, _ => {
+      val w = new Array[Long](nBits * 64)
+      var i = 0
+      while (i < w.length) {
+        val k = (i + 1).toDouble
+        w(i) = math.floor(java.lang.Math.sin(k * k) * Scale + 0.5).toLong
+        i += 1
+      }
+      w
+    })
+
   def bits(v: org.apache.spark.sql.catalyst.util.ArrayData,
       nBits: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val out = new Array[Int](nBits)
+    val w = weights(nBits)
     // clamp at the vector's actual length: an UnsafeArrayData read past
     // numElements is silent garbage, not an error — a short embedding
     // must degrade to zero contributions (the HOF form's semantics),
@@ -407,19 +497,11 @@ object LshSignBits {
     val dim = math.min(64, v.numElements())
     var p = 0
     while (p < nBits) {
-      var acc = 0.0
+      var acc = 0L
       var j = 0
       while (j < dim) {
-        // plane weight sin(k²), k = p·64+j+1 — the QUADRATIC (Weyl)
-        // argument matters: sin(c_p + j) (the original affine form) is
-        // sin(j)·cos(c_p) + cos(j)·sin(c_p), so every "hyperplane"
-        // lived in the same 2-D subspace and all nBits encoded only a
-        // 2-D projection of the vector — more tables bought ~no recall
-        // (LargeAnnBench measured 0.45 → 0.48 going 4 → 8 tables).
-        // k² mod 2π equidistributes, giving effectively independent
-        // pseudo-random planes.
-        val k = (p * 64 + j + 1).toDouble
-        acc += v.getFloat(j).toDouble * java.lang.Math.sin(k * k)
+        val vq = math.floor(v.getFloat(j).toDouble * Scale + 0.5).toLong
+        acc += vq * w(p * 64 + j)
         j += 1
       }
       out(p) = if (acc >= 0) 1 else 0

@@ -362,4 +362,120 @@ object HeaderCodec {
     val mdat = box("mdat", java.util.Arrays.copyOf(payload, math.min(payload.length, 1 << 20)))
     ftyp ++ moov ++ mdat
   }
+
+  /** Valid MP4 WITH full sample tables: `moov(mvhd, trak(tkhd,
+    * mdia(mdhd, minf(stbl(stts, [stss], stsc, stsz, stco)))))` + an
+    * `mdat` whose payload is the concatenated frames — each frame `i`
+    * starts with the 4-byte marker `00 00 00 01` then byte `i`
+    * repeated, so a consumer can verify an (offset, size) range
+    * actually lands on frame `i`'s bytes. Frames are laid out in
+    * 3-sample chunks (a trailing short chunk gets its own stsc run) to
+    * exercise the stsc/stco composition, timescale is 1000 so stts
+    * deltas are milliseconds, and every `syncEvery`-th frame (1-based
+    * frame 1, 1+syncEvery, ...) is a sync sample; `syncEvery <= 1`
+    * omits stss entirely (ISO-BMFF: absent stss = all sync).
+    */
+  def synthMp4Frames(w: Int, h: Int, frameSizes: Seq[Int],
+      frameDurMs: Int, syncEvery: Int): Array[Byte] = {
+    require(frameSizes.nonEmpty && frameSizes.forall(_ >= 5), "frames need >= 5 bytes")
+    val n = frameSizes.length
+    def box(id: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(id.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    def fullBox(id: String, body: ByteBuffer => Unit, size: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(4 + size)
+      b.putInt(0) // version 0 + flags
+      body(b)
+      box(id, b.array())
+    }
+    val durMs = n.toLong * frameDurMs
+    val ftyp = box("ftyp", {
+      val b = ByteBuffer.allocate(16)
+      b.put("isom".getBytes("US-ASCII")).putInt(512)
+        .put("isom".getBytes("US-ASCII")).put("mp41".getBytes("US-ASCII"))
+      b.array()
+    })
+    val mvhd = fullBox("mvhd", { b =>
+      b.putInt(0).putInt(0) // ctime/mtime
+      b.putInt(1000).putInt(durMs.toInt) // timescale, duration
+      b.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+      b.position(b.position() + 8)
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(v => b.putInt(v))
+      (0 until 6).foreach(_ => b.putInt(0))
+      b.putInt(2)
+    }, 96)
+    val tkhd = fullBox("tkhd", { b =>
+      b.putInt(0).putInt(0) // ctime/mtime
+      b.putInt(1).putInt(0) // track id, reserved
+      b.putInt(durMs.toInt)
+      b.putInt(0).putInt(0)
+      b.putShort(0).putShort(0).putShort(0).putShort(0)
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(v => b.putInt(v))
+      b.putInt(w << 16).putInt(h << 16)
+    }, 80)
+    val mdhd = fullBox("mdhd", { b =>
+      b.putInt(0).putInt(0) // ctime/mtime
+      b.putInt(1000).putInt(durMs.toInt) // timescale (ms), duration
+      b.putShort(0x55c4.toShort).putShort(0) // language "und", predefined
+    }, 20)
+    val stts = fullBox("stts", { b =>
+      b.putInt(1).putInt(n).putInt(frameDurMs)
+    }, 12)
+    val stssOpt =
+      if (syncEvery <= 1) Array.emptyByteArray
+      else {
+        val syncs = (0 until n).filter(_ % syncEvery == 0)
+        fullBox("stss", { b =>
+          b.putInt(syncs.length)
+          syncs.foreach(i => b.putInt(i + 1)) // 1-based sample numbers
+        }, 4 + 4 * syncs.length)
+      }
+    val chunkSize = 3
+    val nChunks = (n + chunkSize - 1) / chunkSize
+    val lastChunkSamples = n - (nChunks - 1) * chunkSize
+    val stsc = fullBox("stsc", { b =>
+      val runs =
+        if (nChunks > 1 && lastChunkSamples != chunkSize)
+          Seq((1, chunkSize), (nChunks, lastChunkSamples))
+        else Seq((1, math.min(chunkSize, n)))
+      b.putInt(runs.length)
+      runs.foreach { case (first, spc) => b.putInt(first).putInt(spc).putInt(1) }
+    }, 4 + 12 * (if (nChunks > 1 && lastChunkSamples != chunkSize) 2 else 1))
+    val stsz = fullBox("stsz", { b =>
+      b.putInt(0).putInt(n) // per-sample sizes
+      frameSizes.foreach(v => b.putInt(v))
+    }, 8 + 4 * n)
+    // stco needs absolute file offsets: moov size is fixed once the
+    // table sizes are known, so lay it out with a placeholder first
+    def moovOf(stco: Array[Byte]): Array[Byte] =
+      box("moov", mvhd ++ box("trak", tkhd ++ box("mdia",
+        mdhd ++ box("minf", box("stbl", stts ++ stssOpt ++ stsc ++ stsz ++ stco)))))
+    val stcoSize = 4 + 4 + 4 * nChunks
+    val placeholder = fullBox("stco", { b =>
+      b.putInt(nChunks); (0 until nChunks).foreach(_ => b.putInt(0))
+    }, stcoSize - 4)
+    val mdatPayloadStart = ftyp.length + moovOf(placeholder).length + 8
+    val chunkOffsets = new Array[Int](nChunks)
+    var off = mdatPayloadStart
+    var s = 0
+    (0 until nChunks).foreach { c =>
+      chunkOffsets(c) = off
+      val inChunk = math.min(chunkSize, n - s)
+      (0 until inChunk).foreach { i => off += frameSizes(s + i) }
+      s += inChunk
+    }
+    val stco = fullBox("stco", { b =>
+      b.putInt(nChunks); chunkOffsets.foreach(v => b.putInt(v))
+    }, stcoSize - 4)
+    val frames = frameSizes.zipWithIndex.map { case (sz, i) =>
+      val f = new Array[Byte](sz)
+      f(0) = 0; f(1) = 0; f(2) = 0; f(3) = 1
+      java.util.Arrays.fill(f, 4, sz, (i & 0xff).toByte)
+      f
+    }
+    val mdat = box("mdat", frames.reduce(_ ++ _))
+    ftyp ++ moovOf(stco) ++ mdat
+  }
 }

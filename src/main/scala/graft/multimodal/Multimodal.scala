@@ -121,11 +121,23 @@ object Multimodal {
             JpegCodec.encode(PixelCodec.PixelImage(w, h, 3, pixelsFor(r.media_id, w, h, 3)),
               chroma420 = true)
           case "audio" => HeaderCodec.synthWav(ch, 8000, durMs) // real PCM16 payload
-          case _ => HeaderCodec.synthMp4(w, h, durMs * 20, r.content)
+          case _ =>
+            // real sample tables since r7: deterministic per-id frame
+            // structure (the frame-sampling stage enumerates these
+            // from stts/stss/stsz/stsc/stco, not from a heuristic)
+            HeaderCodec.synthMp4Frames(w, h,
+              frameSizes = videoFrameSizes(r.media_id),
+              frameDurMs = 500, syncEvery = 3)
         }
         r.copy(content = bytes)
       })
       .toDF()
+  }
+
+  /** Deterministic per-id MP4 frame-size vector (specs recompute it). */
+  private[multimodal] def videoFrameSizes(id: Long): Seq[Int] = {
+    val n = 4 + (id % 5).toInt
+    (0 until n).map(i => 16 + ((id + i * 7) % 48).toInt)
   }
 
   /** Scale-proof twin of [[mediaFromDocuments]]: `n` deterministic
@@ -153,7 +165,9 @@ object Multimodal {
             JpegCodec.encode(PixelCodec.PixelImage(w, h, 3, pixelsFor(r.media_id, w, h, 3)),
               chroma420 = true)
           case "audio" => HeaderCodec.synthWav(ch, 8000, durMs)
-          case _ => HeaderCodec.synthMp4(w, h, durMs * 20, s"media_${r.media_id}".getBytes("UTF-8"))
+          case _ => HeaderCodec.synthMp4Frames(w, h,
+            frameSizes = videoFrameSizes(r.media_id),
+            frameDurMs = 500, syncEvery = 3)
         }
         r.copy(content = bytes)
       })
@@ -177,7 +191,12 @@ object Multimodal {
             case Some(m) => (m.width, m.height, m.durationMs, m.channels)
             case None => (0, 0, 0L, 0)
           }
-          val frames = if (dur == 0) 1 else (1 + dur / frameEveryMs).toInt
+          // MP4 with parseable sample tables: the REAL keyframe count
+          // (stss sync samples) replaces the duration heuristic —
+          // frame geometry now comes from the container, not a guess
+          val frames = (if (hdr.exists(_.container == "mp4"))
+              Mp4SampleTables.parse(r.content).map(_.count(_.sync)) else None)
+            .getOrElse(if (dur == 0) 1 else (1 + dur / frameEveryMs).toInt)
           // real payload decode: PNG/JPEG → pixel bytes (0..255), WAV →
           // PCM16 samples; mp4 video is the documented boundary.
           // Stats stream over the primitive buffers in place — mapping
@@ -219,6 +238,48 @@ object Multimodal {
             sample_peak = stats.map(_._3))
         }
       }
+      .toDF()
+  }
+
+  final case class FrameRow(
+      media_id: Long,
+      frame_index: Int,
+      pts_ms: Long,
+      frame_bytes: Array[Byte], // encoded sample bytes (no pixel decode)
+      frame_ok: Boolean)
+
+  /** MP4 frame sampling from the REAL sample tables (X33, r7): one row
+    * per SYNC sample (keyframe) with the encoded bytes and timestamp,
+    * enumerated from stts/stss/stsz/stsc/stco by
+    * [[Mp4SampleTables.parse]] — the half of video support a VLM
+    * training pipeline needs first (give every downstream decoder the
+    * keyframe byte ranges; H.264 PIXEL decode of those bytes is the
+    * remaining documented boundary). Rows that are not MP4 or whose
+    * sample tables are missing/truncated quarantine as one
+    * `frame_ok = false` row — dead-letter accounting, never a throw
+    * mid-scan. Executor-side `mapPartitions`, same batch shape as
+    * [[extractFeatures]].
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "kind", "content", "source").as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        val parsed =
+          if (HeaderCodec.isMp4(r.content)) Mp4SampleTables.parse(r.content)
+          else None
+        parsed match {
+          case Some(samples) =>
+            samples.iterator.filter(_.sync).map { s =>
+              FrameRow(r.media_id, s.index, s.ptsMs,
+                java.util.Arrays.copyOfRange(r.content, s.offset.toInt,
+                  (s.offset + s.size).toInt),
+                frame_ok = true)
+            }
+          case None =>
+            Iterator.single(FrameRow(r.media_id, -1, -1L,
+              Array.emptyByteArray, frame_ok = false))
+        }
+      })
       .toDF()
   }
 

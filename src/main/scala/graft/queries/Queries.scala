@@ -321,6 +321,7 @@ object Queries {
     "x_lm_bigram" -> (QueriesLLM.lmBigram _),
     "x_curation_pipeline" -> (QueriesLLM.curationPipeline _),
     "x_multimodal_meta" -> (QueriesLLM.multimodalMeta _),
+    "x_multimodal_frames" -> (QueriesLLM.multimodalFrames _),
     "x_multimodal_features" -> ((s: SparkSession, dir: String) =>
       graft.multimodal.Multimodal.extractFeatures(s,
         graft.multimodal.Multimodal.mediaFromDocuments(s, dir)).orderBy("media_id")),
@@ -335,6 +336,58 @@ object Queries {
   )
 
   // --------------------------------------------------------------- oracle
+
+  /** DuckDB mirror of [[QueriesLLM.annLsh]] (r7 oracle promotion): the
+    * kernel's integer-quantized plane weights
+    * ([[graft.functions.LshSignBits.weights]] — the single source of
+    * truth) are embedded as SQL literals, so every sign decision is
+    * the same exact BIGINT arithmetic in both engines (no cross-engine
+    * `sin` or float-fold parity in any bucket assignment); banding,
+    * Hamming-1 probes, pair dedup, and the exact cosine re-rank then
+    * replicate the Spark pipeline clause for clause (the scoring
+    * idiom is `x_cosine_topk`'s, already hash-proven).
+    */
+  private def annLshOracleSql(tables: Int, bpt: Int): String = {
+    val nBits = tables * bpt
+    val w = graft.functions.LshSignBits.weights(nBits)
+    def planeList(p: Int): String =
+      (0 until 64).map(j => w(p * 64 + j)).mkString("[", ", ", "]")
+    val bitExprs = (0 until nBits).map { p =>
+      "CASE WHEN list_sum(list_transform(range(1, len(q) + 1), " +
+        s"i -> q[i] * (${planeList(p)})[i])) >= 0 THEN 1 ELSE 0 END"
+    }.mkString(",\n    ")
+    def bucketExpr(tb: Int): String =
+      (1 to bpt).foldLeft(s"CAST(${tb.toLong * (1L << bpt)} AS BIGINT)") {
+        (acc, j) => s"($acc * 2 + b[${tb * bpt + j}])"
+      }
+    val bucketExprs = (0 until tables).map(bucketExpr).mkString(",\n    ")
+    val probeExprs = (0 until tables).flatMap { tb =>
+      val base = s"bk[${tb + 1}]"
+      base +: (0 until bpt).map(i => s"xor($base, ${1L << i})")
+    }.mkString(",\n    ")
+    s"""WITH vq AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |bits AS (SELECT vec_id, v, [
+       |    $bitExprs] AS b FROM vq),
+       |bkt AS (SELECT vec_id, v, [
+       |    $bucketExprs] AS bk FROM bits),
+       |cand AS (SELECT vec_id AS cand_id, v AS cv, unnest(bk) AS bucket FROM bkt),
+       |qp AS (SELECT vec_id AS query_id, v AS qv, unnest([
+       |    $probeExprs]) AS bucket FROM bkt WHERE vec_id % 100 = 0),
+       |sims AS (SELECT query_id, cand_id,
+       |    list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])) /
+       |    (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+       |     sqrt(list_sum(list_transform(cv, x -> x * x)))) AS sim
+       |  FROM qp JOIN cand USING (bucket) WHERE query_id <> cand_id),
+       |ded AS (SELECT query_id, cand_id, max(sim) AS sim FROM sims GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, cand_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rnk
+       |  FROM ded)
+       |SELECT query_id, cand_id, rnk, floor(sim * 10000 + 0.5) / 10000.0 AS cos_sim
+       |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** DuckDB CTE chain replicating BPE training exactly: the word-freq
     * table, then `nMerges` unrolled rounds of (pair count → argmax with
@@ -1367,6 +1420,8 @@ object Queries {
         |  FROM sims)
         |SELECT query_id, cand_id, rnk, floor(sim * 10000 + 0.5) / 10000.0 AS cos_sim
         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // the annLsh defaults (tables=4, bitsPerTable=6) — r7 promotion
+    "x_ann_lsh" -> annLshOracleSql(4, 6),
     "x_embed_dedup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings WHERE vec_id % 5 = 0),

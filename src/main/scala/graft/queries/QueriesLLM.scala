@@ -626,8 +626,48 @@ object QueriesLLM {
     * SQL-expressible); LshSpec pins a recall floor vs [[cosineTopk]]
     * and the 8-byte code width.
     */
-  def annIvfPq(s: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4,
-      m: Int = 8, rerank: Int = 256): DataFrame = {
+  /** The built PQ index, as session-leak-safe plain data (the Memo
+    * discipline of [[minhashLshPairs]]): the per-candidate code table
+    * as a materialized (schema, RDD) — `cand_id, cell, codes[m],
+    * approx_norm2` — plus the driver-small codebook and coarse
+    * centroids. Production builds an ANN index ONCE and queries it
+    * many times; before r7 every `x_ann_pq` call re-ran 9 KMeans fits
+    * + 8 full-corpus assignment passes (68.6 s of the 68.6 s total at
+    * 1M vectors was build).
+    */
+  private[queries] final case class PqIndex(
+      schema: org.apache.spark.sql.types.StructType,
+      codesRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+      book: Seq[(Int, Int, Seq[Double], Double)],
+      cents: Seq[(Int, Seq[Double])])
+
+  private val pqIndexCache =
+    new scala.collection.mutable.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, Memo[PqIndex]]]
+
+  /** Memoized per (session, corpus, k, m) — `nprobe`/`rerank` are
+    * query-time parameters and do not key the index. Same weak-key /
+    * value-holds-no-session rules as [[lshPairsCache]].
+    */
+  private def pqIndexFor(s: SparkSession, dir: String, k: Int, m: Int): PqIndex = {
+    val memo = pqIndexCache.synchronized {
+      pqIndexCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$dir|k=$k|m=$m", new Memo(() => pqIndexBuild(s, dir, k, m)))
+    }
+    memo.get
+  }
+
+  /** The un-memoized index build: coarse IVF quantizer + m per-subspace
+    * codebooks (all sample-trained — fit cost must not scale with the
+    * corpus; assignment still covers every vector), then one
+    * full-corpus code table with the PQ-reconstructed norm² folded in.
+    */
+  /** Build count — test hook pinning the build-once contract. */
+  private[queries] val pqBuilds = new java.util.concurrent.atomic.AtomicLong
+
+  private[queries] def pqIndexBuild(s: SparkSession, dir: String, k: Int,
+      m: Int): PqIndex = {
+    pqBuilds.incrementAndGet()
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
     import org.apache.spark.ml.clustering.KMeans
@@ -636,9 +676,6 @@ object QueriesLLM {
     val feat = e.withColumn("features",
       org.apache.spark.ml.functions.array_to_vector(col("embedding")))
       .localCheckpoint()
-    // coarse IVF quantizer (same family as annIvf, same sample-training
-    // discipline: fit cost must not scale with the corpus; assignment
-    // still covers every vector)
     val stride = ivfTrainStride(feat.count())
     def sampled(df: DataFrame): DataFrame =
       if (stride == 1L) df else df.filter(pmod(col("vec_id"), lit(stride)) === 0)
@@ -666,21 +703,40 @@ object QueriesLLM {
       array((0 until m).map(j => col(s"code_$j")): _*).as("codes"))
       .localCheckpoint()
     // codebook as a broadcastable (subspace, code, centroid, norm2) table
-    val book = subModels.zipWithIndex.flatMap { case (model, j) =>
+    val bookRows = subModels.zipWithIndex.flatMap { case (model, j) =>
       model.clusterCenters.zipWithIndex.map { case (c, code) =>
         val arr = c.toArray
-        (j, code, arr, arr.map(x => x * x).sum)
+        (j, code, arr.toSeq, arr.map(x => x * x).sum)
       }
-    }.toSeq.toDF("j", "code", "centroid", "cnorm2")
-    // PQ-reconstructed candidate norm²: sum of its code centroids'
+    }
+    val book = bookRows.toSeq.toDF("j", "code", "centroid", "cnorm2")
+    // PQ-reconstructed candidate norm² (sum of its code centroids'),
+    // folded INTO the cached code table so repeat queries never re-run
+    // the corpus-sized explode+aggregate
     val candNorm = codes.select(col("cand_id"),
         posexplode(col("codes")).as(Seq("j", "code")))
       .join(broadcast(book.select(col("j"), col("code"), col("cnorm2"))), Seq("j", "code"))
       .groupBy(col("cand_id")).agg(sum(col("cnorm2")).as("approx_norm2"))
+    val index = codes.join(candNorm, "cand_id")
+      .select(col("cand_id"), col("cell"), col("codes"), col("approx_norm2"))
+    val rdd = index.rdd.localCheckpoint()
+    rdd.count() // materialize eagerly, once per key
+    PqIndex(index.schema, rdd, bookRows,
+      coarse.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray.toSeq) }.toSeq)
+  }
+
+  def annIvfPq(s: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4,
+      m: Int = 8, rerank: Int = 256): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val subDim = 64 / m
+    val idx = pqIndexFor(s, dir, k, m)
+    val codes = s.createDataFrame(idx.codesRdd, idx.schema)
+    val book = idx.book.toDF("j", "code", "centroid", "cnorm2")
+    val cents = idx.cents.toDF("cell", "centroid")
+    val e = t(s, dir, "embeddings")
     // query side: float vectors, nprobe nearest coarse cells
-    val cents = coarse.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
-    val qs = feat.filter(col("vec_id") % 100 === 0)
+    val qs = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))
     val probes = qs.crossJoin(broadcast(cents))
@@ -692,12 +748,22 @@ object QueriesLLM {
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))
     // ADC lookup table: <q_subvector, centroid> per (query, subspace,
-    // code) — queries × m × 16 rows, broadcast to the candidate join
+    // code) — queries × m × 16 rows — then folded to ONE ordered array
+    // per query (j-major, code-minor: entry j·16+code), so scoring a
+    // candidate is m codegen array lookups instead of an m-way row
+    // explosion (array_sort on the unique idx makes collect_list's
+    // order irrelevant)
     val lut = qs.crossJoin(broadcast(book))
       .select(col("query_id"), col("j"), col("code"),
         graft.functions.GraftFunctions.dot(
           slice(col("qv"), col("j") * subDim + 1, lit(subDim)),
           col("centroid").cast("array<float>")).as("partial"))
+    val lutArr = lut
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct((col("j") * 16 + col("code")).as("idx"),
+        col("partial")))).as("entries"))
+      .select(col("query_id"),
+        expr("transform(entries, e -> e.partial)").as("lut"))
     // ADC shortlist: top-`rerank` candidates per query by PQ score.
     // PQ codes CANNOT rank within-cluster neighbors — cluster-mates
     // quantize to near-identical codes, so the code-level ordering
@@ -711,13 +777,10 @@ object QueriesLLM {
       .orderBy(col("score").desc, col("cand_id"))
     val shortlist = probes.join(codes, "cell")
       .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"),
-        posexplode(col("codes")).as(Seq("j", "code")))
-      .join(broadcast(lut), Seq("query_id", "j", "code"))
-      .groupBy(col("query_id"), col("cand_id"))
-      .agg(sum(col("partial")).as("adc_dot"))
-      .join(candNorm, "cand_id")
-      .withColumn("score", col("adc_dot") / sqrt(col("approx_norm2")))
+      .join(broadcast(lutArr), Seq("query_id"))
+      .withColumn("score",
+        graft.functions.GraftFunctions.adcScore(col("codes"), col("lut")) /
+          sqrt(col("approx_norm2")))
       .withColumn("srnk", row_number().over(wShort))
       .filter(col("srnk") <= rerank)
       .select(col("query_id"), col("cand_id"))
@@ -1835,4 +1898,22 @@ object QueriesLLM {
         substring(hex(col("content")), 1, 16).as("magic_hex"),
         substring(md5(col("content")), 1, 16).as("content_hash"))
       .orderBy(col("doc_id"))
+
+  /** X33 frame sampling (r7): keyframe rows enumerated from the MP4
+    * sample tables ([[graft.multimodal.Mp4SampleTables]]) — per-frame
+    * pts + encoded-byte digest, plus the dead-letter rows for non-MP4
+    * media. Rows-only (the container synthesis and box walking are not
+    * SQL); MultimodalSpec pins golden hand-built boxes, truncated-stbl
+    * quarantine, and that every emitted byte range lands on its
+    * frame's marker. Deterministic: all inputs derive from doc_id.
+    */
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.mediaFromDocuments(s, dir)
+    graft.multimodal.Multimodal.sampleFrames(s, media)
+      .select(col("media_id"), col("frame_index"), col("pts_ms"),
+        length(col("frame_bytes")).as("frame_len"),
+        substring(md5(col("frame_bytes")), 1, 16).as("frame_hash"),
+        col("frame_ok"))
+      .orderBy(col("media_id"), col("frame_index"))
+  }
 }

@@ -115,6 +115,14 @@ object LargeAnnBench {
     // cluster size; the exact refine then touches only that many float
     // vectors per query.
     val pqRerank = math.max(256, (nVecs / 1000).toInt)
+    // the PQ index is memoized per (session, corpus, k, m) since r7:
+    // the FIRST call pays the build (9 KMeans fits + 8 assignment
+    // passes), repeats are search-only — exactly production's
+    // build-once/query-many split. Report both: first-call wall, then
+    // the steady-state min over `runs` cached calls.
+    val pqFirstT0 = System.nanoTime()
+    runNoop(graft.queries.QueriesLLM.annIvfPq(spark, dir, ivfK, 4, rerank = pqRerank))
+    val pqFirst = (System.nanoTime() - pqFirstT0) / 1e9
     val pqT = time("ann_pq_p4")(
       graft.queries.QueriesLLM.annIvfPq(spark, dir, ivfK, 4, rerank = pqRerank))
     // int8 brute force is O(queries × n) by contract — n/100 queries ×
@@ -165,7 +173,8 @@ object LargeAnnBench {
       s""""truth_pairs":$nTruth,""" +
       f""""recall_lsh_4t":$recallLsh4%.4f,"recall_lsh_8t":$recallLsh8%.4f,""" +
       f""""recall_ivf_p4":$recallIvf4%.4f,"recall_ivf_p8":$recallIvf8%.4f,""" +
-      f""""recall_pq_p4":$recallPq4%.4f}""")
+      f""""recall_pq_p4":$recallPq4%.4f,""" +
+      f""""pq_first_call_sec":$pqFirst%.3f,"pq_build_sec":${pqFirst - pqT._2}%.3f}""")
     spark.stop()
   }
 }

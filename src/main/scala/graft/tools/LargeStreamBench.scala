@@ -72,12 +72,11 @@ object LargeStreamBench {
     // alone, a later-id file can land in an earlier micro-batch, jump
     // the watermark, and silently drop the earlier files' rows as late.
     // Pin mtimes to path order (= id order = event-time order) so the
-    // source replays time forward, as a real ingest directory would.
-    val parts = new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    parts.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(1704067200000L + i * 60000L)
-    }
+    // source replays time forward, as a real ingest directory would —
+    // the shipped guard (graft.streaming.FileIngestOrder; its spec
+    // reproduces the drop this generator first hit).
+    graft.streaming.FileIngestOrder.pinMtimesToPathOrder(
+      new org.apache.hadoop.conf.Configuration(), dir)
   }
 
   private def dirBytes(p: String): Long = {

@@ -35,10 +35,16 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
     // left this set in r6: the kernel's switch to the portable
     // md5-derived shingle hash made the banding join DuckDB-expressible
     val expected = Set("q_agg_approx_distinct", "q_agg_approx_percentile",
-      "x_ann_lsh", "x_ann_ivf", "x_multimodal_features",
+      // x_ann_lsh left this set in r7: integer-quantized plane weights
+      // (embedded in the oracle as literals) made every sign decision
+      // exact BIGINT arithmetic, so the banding join is DuckDB-exact
+      "x_ann_ivf", "x_multimodal_features",
       // pixel/sample payload transforms (inflate+unfilter+box filter)
       // are not SQL; MultimodalSpec pins decodes on hand-built vectors
       "x_multimodal_resize",
+      // MP4 box synthesis + sample-table walk are not SQL;
+      // MultimodalSpec pins golden boxes + truncation quarantine
+      "x_multimodal_frames",
       "x_stratified_sample", "q_table_sample",
       // shard boundaries come from reservoir sampling (engine-specific);
       // QueriesRelSpec pins disjointness + coverage + balance
@@ -58,20 +64,89 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rowsOnly == expected, s"rows-only drift: $rowsOnly")
   }
 
-  test("registry-wide plan sweep: no CartesianProduct anywhere") {
-    // BroadcastNestedLoopJoin against a 1-row totals frame is a
-    // deliberate idiom (tfidf/lm_score/collocations); CartesianProduct
-    // (non-broadcast cross product) is never acceptable — it means two
-    // large sides multiplied. Sweeping every registered query guards
-    // future additions structurally.
+  test("registry-wide plan lint: global invariants over every EXECUTED plan") {
+    // The engine pins plans per-query; this generalizes it so a future
+    // round cannot silently regress one. Every registered query is
+    // EXECUTED (noop sink) so AQE's FINAL plan is linted, then three
+    // global invariants are asserted against explicit allowlists:
+    //
+    //  1. CartesianProduct: never, anywhere. A non-broadcast cross
+    //     product means two large sides multiplied.
+    //  2. BroadcastNestedLoopJoin: only where a bounded side is the
+    //     declared idiom — a broadcast 1-row totals/spine frame
+    //     (tfidf, lm_score, collocations, percent-of-total, gap-fill
+    //     grids) or a declared brute-force oracle contract
+    //     (x_cosine_topk / x_knn_classify / x_ann_quantized, whose
+    //     shipped scale paths are the LSH/IVF/PQ entries).
+    //  3. Exchange SinglePartition: only below a bounded producer —
+    //     a global aggregate's partial rows, a limit funnel, or a
+    //     driver-small dimension frame. A single-partition exchange
+    //     over raw rows is the one-core bottleneck at 100 TB.
+    //
+    // Offenders must be a SUBSET of the allowlist (a fixed plan just
+    // shrinks the set); any NEW query or shape lands here and must be
+    // justified in the lists below. State-store discipline (RocksDB
+    // where declared) is pinned separately by StreamingSpec and
+    // LargeStreamBench, which set the provider explicitly.
     val dir = "/root/testdata/sf0.001"
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val bnljAllowed = Set(
+      // broadcast 1-row / tiny-frame spine idioms
+      "x_tfidf", "x_lm_score", "x_lm_bigram", "x_collocations",
+      "q_percent_of_total", "q_gap_fill", "q_interpolate", "q_histogram",
+      "x_domain_mix", "x_mix_temperature", "x_robust_stats", "x_dedup_stats",
+      "x_reservoir_sample", "q_skew_stats", "q_dq_audit", "x_quality",
+      // declared brute-force oracle contracts (scale paths are ANN entries)
+      "x_cosine_topk", "x_knn_classify", "x_ann_quantized", "x_embed_dedup",
+      // broadcast 1-row totals riding the result row (edge/node counts,
+      // before/after counts, exact-vs-estimate columns)
+      "x_triangles", "x_triangles_lsh", "x_compact_files", "q_sketch_union",
+      // broadcast k-row model/parameter tables (16 minhash permutation
+      // coefficients; IVF coarse centroids for the probe list)
+      "x_minhash_sig", "x_ann_ivf", "x_ann_pq",
+      // theta join is BNLJ by definition (non-equi predicate)
+      "q_join_theta", "q_join_range")
+    val singlePartAllowed = Set(
+      // global-aggregate partials (1 row per upstream partition) or
+      // tiny post-aggregate frames feeding a broadcast/spine
+      "x_tfidf", "x_lm_score", "x_lm_bigram", "x_collocations",
+      "q_percent_of_total", "x_domain_mix", "x_mix_temperature",
+      "x_robust_stats", "x_dedup_stats", "x_reservoir_sample",
+      "q_skew_stats", "q_dq_audit", "x_quality", "q_histogram",
+      "q_gap_fill", "q_interpolate",
+      // bounded: BPE vocab argmax (limit 1) and pack/chunk spines
+      "x_bpe_train", "x_bpe_apply", "x_pack_sequences",
+      // declared global sorts / top-k funnels over small results
+      "q_topk", "x_curation_pipeline",
+      // global 1-row aggregates (totals riding the result) — the
+      // exchange carries one partial row per upstream partition
+      "x_triangles", "x_triangles_lsh", "x_compact_files", "q_sketch_union",
+      "x_heavy_hitters", "x_normalize_dedup", "q_funnel",
+      // scalar subquery = a global aggregate by construction
+      "q_subquery")
+    val cart = scala.collection.mutable.ArrayBuffer[String]()
+    val bnlj = scala.collection.mutable.ArrayBuffer[String]()
+    val single = scala.collection.mutable.ArrayBuffer[String]()
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, dir).queryExecution.executedPlan.toString
-        if (plan.contains("CartesianProduct")) Some(name) else None
-      } catch { case _: Throwable => None } // planning failures surface elsewhere
+        val df = fn(spark, dir)
+        df.write.format("noop").mode("overwrite").save() // finalize AQE
+        val plan = df.queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) cart += name
+        if (plan.contains("BroadcastNestedLoopJoin")) bnlj += name
+        if (plan.contains("Exchange SinglePartition")) single += name
+      } catch { case scala.util.control.NonFatal(e) =>
+        failed += s"$name: ${e.getMessage.take(80)}"
+      }
     }
-    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+    assert(failed.isEmpty, s"queries failed to execute under the lint: $failed")
+    assert(cart.isEmpty, s"cartesian products in: $cart")
+    val bnljBad = bnlj.toSet -- bnljAllowed
+    assert(bnljBad.isEmpty,
+      s"undeclared BroadcastNestedLoopJoin in: $bnljBad (add a bounded-side justification or fix the plan)")
+    val singleBad = single.toSet -- singlePartAllowed
+    assert(singleBad.isEmpty,
+      s"undeclared single-partition Exchange in: $singleBad (one-core bottleneck at scale)")
   }
 
   test("oracle'd queries are run-to-run deterministic (hash-gate prerequisite)") {

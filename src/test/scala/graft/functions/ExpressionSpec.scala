@@ -204,13 +204,16 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("h") =!= col("k")).count()
     assert(di == 0, s"$di vectors differ between HOF and kernel i64 dot")
 
-    // sign-LSH bits: same plane family, same fold, same bits
+    // sign-LSH bits: same quantized planes, same integer fold, same
+    // bits — the HOF form uses the kernel's own published weight table
+    // (the single source of truth the DuckDB oracle also embeds)
     val nBits = 24
+    val weights = graft.functions.LshSignBits.weights(nBits)
     val hofBits = array((0 until nBits).map { p =>
-      val proj = aggregate(
-        zip_with(col("embedding"), sequence(lit(p * 64 + 1), lit(p * 64 + 64)),
-          (x, j) => x.cast("double") * sin(j.cast("double") * j.cast("double"))),
-        lit(0.0), (acc, x) => acc + x)
+      val wp = array((0 until 64).map(j => lit(weights(p * 64 + j))): _*)
+      val vq = expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+      val proj = aggregate(zip_with(vq, wp, (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
       when(proj >= 0, 1).otherwise(0)
     }: _*)
     val db = e.select(hofBits.as("h"),
@@ -222,6 +225,25 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bad = e.limit(1).select(
       GraftFunctions.dot(col("embedding"), slice(col("embedding"), 1, 8)).as("d"))
     assert(bad.head().isNullAt(0))
+  }
+
+  test("adc_score kernel: identical to the explicit m-lookup sum, null contracts") {
+    GraftFunctions.register(spark)
+    // synthetic (codes, lut) pairs: m=4 codes over stride-16 LUTs with
+    // value = idx-derived doubles, so the expected sum is closed-form
+    val df = spark.range(0, 200).selectExpr(
+      "transform(sequence(0, 3), j -> CAST((id + j * 7) % 16 AS INT)) AS codes",
+      "transform(sequence(0, 63), i -> CAST(i AS DOUBLE) * 0.25 + CAST(id AS DOUBLE)) AS lut")
+    val mism = df.select(
+        expr("aggregate(sequence(0, 3), CAST(0.0 AS DOUBLE), (acc, j) -> acc + lut[j * 16 + codes[j]])").as("h"),
+        GraftFunctions.adcScore(col("codes"), col("lut")).as("k"))
+      .filter(col("h") =!= col("k")).count()
+    assert(mism == 0, s"$mism rows differ between HOF and kernel adc_score")
+    // LUT length not a multiple of m, and out-of-range codes: null, not garbage
+    val bad = spark.sql(
+      "SELECT adc_score(array(0, 1), array(1.0d, 2.0d, 3.0d)) AS a, " +
+      "adc_score(array(0, 99), array(1.0d, 2.0d, 3.0d, 4.0d)) AS b").head()
+    assert(bad.isNullAt(0) && bad.isNullAt(1))
   }
 
   test("word_shingles kernel: identical strings to the transform+slice HOF form") {

@@ -193,7 +193,10 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
             assert(r.getLong(5) == durMs && r.getInt(6) == ch)
           case "video" =>
             assert(r.getString(2) == "mp4")
-            assert(r.getInt(3) == w && r.getInt(4) == h && r.getLong(5) == durMs * 20)
+            // duration now comes from the REAL sample tables: n frames
+            // at 500 ms on a 1000-unit timescale
+            assert(r.getInt(3) == w && r.getInt(4) == h &&
+              r.getLong(5) == Multimodal.videoFrameSizes(id).length * 500L)
         }
       }
     // deterministic: re-running yields identical rows
@@ -202,6 +205,99 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       again.orderBy("media_id").collect().toSeq)
     // images sample exactly one frame; audio/video sample by duration
     assert(feats.filter(col("kind") === "image" && col("n_frames_sampled") =!= 1).count() == 0)
+  }
+
+  test("MP4 sample tables: golden hand-built boxes yield exact offsets/pts/sync") {
+    // frame sizes chosen to exercise multi-chunk layout (3-sample
+    // chunks + a short trailing chunk) and per-sample stsz
+    val sizes = Seq(16, 20, 24, 28, 32)
+    val b = HeaderCodec.synthMp4Frames(320, 240, sizes, frameDurMs = 500, syncEvery = 3)
+    // header decode still works on the stbl-bearing file
+    assert(HeaderCodec.decode(b).contains(
+      Multimodal.MediaHeader("mp4", 320, 240, 2500L, 0)))
+    val samples = Mp4SampleTables.parse(b).get
+    assert(samples.map(_.size) == sizes)
+    assert(samples.map(_.ptsMs) == Seq(0L, 500L, 1000L, 1500L, 2000L))
+    assert(samples.map(_.sync) == Seq(true, false, false, true, false)) // every 3rd, 1-based 1/4
+    // offsets are contiguous within a chunk and every range lands on
+    // its frame's wire marker 00 00 00 01 <i>...
+    assert(samples(1).offset == samples(0).offset + 16)
+    assert(samples(2).offset == samples(1).offset + 20)
+    samples.foreach { s =>
+      val o = s.offset.toInt
+      assert(b(o) == 0 && b(o + 1) == 0 && b(o + 2) == 0 && b(o + 3) == 1,
+        s"frame ${s.index} range missed the marker")
+      assert(b(o + 4) == s.index.toByte, s"frame ${s.index} range hit another frame")
+      assert(o + s.size <= b.length)
+    }
+    // absent stss: every sample is sync (ISO-BMFF default)
+    val allSync = HeaderCodec.synthMp4Frames(64, 64, Seq(8, 8), 100, syncEvery = 1)
+    assert(Mp4SampleTables.parse(allSync).get.forall(_.sync))
+  }
+
+  test("MP4 sample tables: truncated/inconsistent tables quarantine, never garbage") {
+    val good = HeaderCodec.synthMp4Frames(320, 240, Seq(16, 20, 24, 28, 32), 500, 3)
+    assert(Mp4SampleTables.parse(good).isDefined)
+    // truncate inside the mdat: declared ranges spill past the file
+    val cutMdat = java.util.Arrays.copyOf(good, good.length - 24)
+    assert(Mp4SampleTables.parse(cutMdat).isEmpty,
+      "ranges past EOF must quarantine, not emit short frames")
+    // corrupt the stsz sample count upward: stts no longer covers it
+    val idx = {
+      var i = -1
+      var o = 0
+      while (i < 0 && o + 4 <= good.length) {
+        if (good(o) == 's' && good(o + 1) == 't' && good(o + 2) == 's' && good(o + 3) == 'z') i = o
+        else o += 1
+      }
+      i
+    }
+    assert(idx > 0)
+    val badCount = good.clone()
+    badCount(idx + 4 + 4 + 3 + 4) = 99.toByte // sample_count low byte → 99
+    assert(Mp4SampleTables.parse(badCount).isEmpty,
+      "inconsistent stsz/stts counts must quarantine")
+    // header-only MP4s (no stbl) parse as None and the features stage
+    // falls back to the duration heuristic instead of failing
+    val headerOnly = HeaderCodec.synthMp4(320, 240, 30000, Array[Byte](1, 2, 3))
+    assert(Mp4SampleTables.parse(headerOnly).isEmpty)
+  }
+
+  test("sampleFrames: keyframe rows carry real byte ranges; non-MP4 dead-letters") {
+    val media = Multimodal.mediaFromDocuments(spark, dir)
+    val frames = Multimodal.sampleFrames(spark, media)
+    val rows = frames.collect()
+    val ok = rows.filter(_.getAs[Boolean]("frame_ok"))
+    val dead = rows.filter(!_.getAs[Boolean]("frame_ok"))
+    assert(ok.nonEmpty, "no keyframes sampled")
+    // every video row yields exactly its sync-sample count; every
+    // non-video row yields exactly one dead-letter row
+    val videoIds = media.filter(col("kind") === "video")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(dead.map(_.getAs[Long]("media_id")).toSet ==
+      media.select("media_id").collect().map(_.getLong(0)).toSet -- videoIds)
+    val byId = ok.groupBy(_.getAs[Long]("media_id"))
+    assert(byId.keySet == videoIds)
+    byId.foreach { case (id, rs) =>
+      val n = Multimodal.videoFrameSizes(id).length
+      val expectSync = (0 until n).count(_ % 3 == 0)
+      assert(rs.length == expectSync, s"media $id: ${rs.length} vs $expectSync keyframes")
+      rs.foreach { r =>
+        val bytes = r.getAs[Array[Byte]]("frame_bytes")
+        val i = r.getAs[Int]("frame_index")
+        assert(bytes.length == Multimodal.videoFrameSizes(id)(i))
+        assert(bytes(0) == 0 && bytes(1) == 0 && bytes(2) == 0 && bytes(3) == 1 &&
+          bytes(4) == i.toByte, s"media $id frame $i bytes are not the frame's own")
+        assert(r.getAs[Long]("pts_ms") == i * 500L)
+      }
+    }
+    // the features stage reports the REAL keyframe count for video rows
+    val feats = Multimodal.extractFeatures(spark, media)
+    feats.filter(col("kind") === "video")
+      .select("media_id", "n_frames_sampled").collect().foreach { r =>
+        val n = Multimodal.videoFrameSizes(r.getLong(0)).length
+        assert(r.getInt(1) == (0 until n).count(_ % 3 == 0))
+      }
   }
 
   // ------------------------------------------------------- pixel codec

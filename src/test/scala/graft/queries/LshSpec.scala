@@ -242,6 +242,20 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
     // an 8x16 codebook, so the floor is modest but real
     val recall = (exact & got).size.toDouble / exact.size
     assert(recall >= 0.1, s"IVF-PQ recall $recall below floor")
+
+    // build-once contract (r7): the index is memoized per (session,
+    // corpus, k, m) — a repeat call must NOT re-run the 9 KMeans fits,
+    // and must return the identical answer from the cached index
+    val builds = QueriesLLM.pqBuilds.get()
+    val again = QueriesLLM.annIvfPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(QueriesLLM.pqBuilds.get() == builds,
+      "repeat annIvfPq call rebuilt the PQ index instead of hitting the memo")
+    assert(again == got, "cached-index answer differs from the built-index answer")
+    // different index parameters are a different key — they DO build
+    QueriesLLM.annIvfPq(spark, dir, nprobe = 8).count() // nprobe is query-time: no build
+    assert(QueriesLLM.pqBuilds.get() == builds,
+      "nprobe must be a query-time parameter, not an index key")
   }
 
   test("simhash near-dup property: identical docs get identical signatures") {

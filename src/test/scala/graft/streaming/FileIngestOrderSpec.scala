@@ -1,0 +1,128 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Reproduces the file-source watermark hazard (ROUND6_NOTES §4) and
+  * pins that [[FileIngestOrder.pinMtimesToPathOrder]] prevents it:
+  * identical directory contents, identical query — the ONLY variable
+  * is file mtime order, and it decides whether a window that spans a
+  * file boundary is finalized once-and-complete or corrupted.
+  *
+  * The precise mechanism on Spark 4.1 (pinned by the debug study
+  * behind this spec): a straggler whose window still has live state —
+  * or has no state yet — is absorbed correctly; the loss needs the
+  * window's rows SPLIT across files with later-event-time files
+  * landing between them, AND one extra batch (eviction uses the
+  * previous batch's watermark). Then the half-full window is
+  * finalized, emitted downstream as a FINAL append row at HALF its
+  * count, its state evicted — and the straggler half is dropped
+  * against the advanced watermark. The sink has already shipped the
+  * 50% undercount as final. Parallel part-file writes produce exactly
+  * this interleaving.
+  */
+class FileIngestOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("file-ingest-order-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val tmp = Files.createTempDirectory("ingest-order-spec").toFile
+
+  /** hour-0 window split across two files (minutes 0–29 in part-00000,
+    * 30–59 in part-00001) + two hour-5 watermark-pushers (the second
+    * provides the extra batch eviction needs — it lags one watermark).
+    */
+  private def writeFiles(dir: java.io.File): Unit = {
+    import spark.implicits._
+    def part(name: String, hour: Int, minute0: Int, n: Int): Unit = {
+      (0 until n).map(i => (java.sql.Timestamp.valueOf(
+          f"2024-01-01 $hour%02d:${minute0 + i % 30}%02d:${i / 30}%02d"),
+          hour * 10000L + minute0 * 100L + i))
+        .toDF("ts", "v").coalesce(1).write.parquet(s"$dir/stage_$name")
+      val src = new java.io.File(s"$dir/stage_$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      assert(src.renameTo(new java.io.File(dir, s"$name.parquet")))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/stage_$name"))
+    }
+    dir.mkdirs()
+    part("part-00000", 0, 0, 50)
+    part("part-00001", 0, 30, 50)
+    part("part-00002", 5, 0, 1)
+    part("part-00003", 5, 30, 1)
+  }
+
+  /** Windowed count under a 10-minute watermark, one file per
+    * micro-batch (the discovery order IS the mtime order), append mode
+    * so only watermark-finalized windows emit. Returns emitted
+    * (window_start_hour, count) pairs.
+    */
+  private def runQuery(dir: java.io.File, name: String): Seq[(Int, Long)] = {
+    val q = spark.readStream.schema("ts TIMESTAMP, v BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(hour(col("window.start")).as("h"), col("n"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", s"$tmp/ckpt_$name")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // the RAW emitted rows: append mode promises at most one final row
+    // per window, so duplicates are visible here, not summed away
+    spark.table(name).collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq.sorted
+  }
+
+  test("mtime scramble finalizes a half-full window; pinMtimesToPathOrder restores it") {
+    // UNGUARDED: the watermark-pushers complete BETWEEN the two halves
+    // of the hour-0 window — the shape parallel part writes produce.
+    // The pushers advance the watermark to 04:50, hour-0 is finalized
+    // and emitted with only half A's 50 rows, and half B is dropped
+    // against the evicted window. The sink has shipped count=50 as
+    // FINAL.
+    val scrambled = new java.io.File(tmp, "scrambled")
+    writeFiles(scrambled)
+    val base = 1704067200000L
+    def setM(dir: java.io.File, name: String, t: Long): Unit =
+      assert(new java.io.File(dir, name).setLastModified(t))
+    setM(scrambled, "part-00000.parquet", base)          // half A
+    setM(scrambled, "part-00002.parquet", base + 60000)  // pushers jump the queue
+    setM(scrambled, "part-00003.parquet", base + 120000) // (eviction lags one batch)
+    setM(scrambled, "part-00001.parquet", base + 180000) // half B: straggler
+    val hazard = runQuery(scrambled, "ingest_scrambled")
+    assert(hazard == Seq(0 -> 50L),
+      s"expected the boundary window finalized at HALF its count: $hazard")
+
+    // GUARDED: same bytes, same query — one pinMtimesToPathOrder sweep
+    // makes discovery order match path (= event-time) order, and the
+    // window is emitted complete.
+    val pinned = new java.io.File(tmp, "pinned")
+    writeFiles(pinned)
+    setM(pinned, "part-00002.parquet", base) // plant the hazard first
+    val n = FileIngestOrder.pinMtimesToPathOrder(
+      spark.sparkContext.hadoopConfiguration, pinned.getAbsolutePath)
+    assert(n == 4)
+    val mtimes = pinned.listFiles().filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName).map(_.lastModified())
+    assert(mtimes.sameElements(mtimes.sorted) && mtimes.distinct.length == 4,
+      s"mtimes not strictly path-ordered: ${mtimes.toSeq}")
+    val exact = runQuery(pinned, "ingest_pinned")
+    assert(exact == Seq(0 -> 100L),
+      s"guarded run must emit the boundary window ONCE, complete: $exact")
+  }
+}
