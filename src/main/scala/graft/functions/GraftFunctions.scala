@@ -70,6 +70,10 @@ object GraftFunctions {
   def adcScore(codes: Column, lut: Column): Column =
     call_function("adc_score", codes, lut)
 
+  /** |a∩b| of two SORTED string arrays (see [[SortedCommon]]). */
+  def sortedCommon(a: Column, b: Column): Column =
+    call_function("sorted_common", a, b)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
@@ -131,6 +135,8 @@ object GraftFunctions {
       exprs => VecDotLongExpr(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("adc_score",
       exprs => AdcScoreExpr(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("sorted_common",
+      exprs => SortedCommonExpr(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("lsh_sign_bits",
       exprs => LshSignBitsExpr(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")

@@ -437,6 +437,53 @@ case class AdcScoreExpr(left: Expression, right: Expression)
   override def prettyName: String = "adc_score"
 }
 
+/** Sorted-set intersection count kernel (X2/X6/X19 exact-verify hot
+  * path): two ASCENDING-sorted string arrays → |a∩b| by a single
+  * allocation-free merge walk. Replaces `size(array_intersect(a, b))`
+  * in the Jaccard verify stage: ArrayIntersect/ArrayUnion are
+  * interpreted (`nullSafeEval` + a fresh hash set per ROW) — at sf1
+  * the PPJoin verify spent its entire 15-minute wall inside them
+  * (jstack-sampled), while this kernel is O(n+m) comparisons inside
+  * whole-stage codegen. With distinct sets, |a∪b| = |a|+|b|−|a∩b|, so
+  * the count is the only array work the verify needs. Inputs MUST be
+  * sorted (callers `array_sort` once per document, not per pair);
+  * unsorted inputs undercount — kept cheap on purpose, like VecDot's
+  * length contract.
+  */
+object SortedCommon {
+  def count(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < n && j < m) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** sorted_common (X2): (ARRAY<STRING> sorted, ARRAY<STRING> sorted) → INT. */
+case class SortedCommonExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedCommon.count(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SortedCommon.count($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedCommonExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sorted_common"
+}
+
 /** Sign-LSH plane projections (X3 scale path #1): all `nBits`
   * pseudo-hyperplane sign bits of a float vector in one pass. Plane
   * p's element j is the sin(k²) family (k = p·64 + j + 1; see

@@ -225,8 +225,24 @@ object Queries {
     "q_dq_audit" -> (QueriesRel.dqAudit _),
     "q_scd2" -> (QueriesRel.scd2 _),
     "q_join_asof_nearest" -> (QueriesRel.joinAsofNearest _),
-    "q_recursive" -> ((s: SparkSession, dir: String) =>
-      withViews(s, dir)(QueriesRel.recursiveChainSql)),
+    "q_recursive" -> ((s: SparkSession, dir: String) => {
+      // the chain recursion is ROW-LINEAR (every order row visited
+      // exactly once), so Spark's runaway-recursion safety valve must
+      // scale with the input — the 1M default tripped at sf1's 1.5M
+      // orders (found by the r7 sf1 mirror). Raise it scoped to an
+      // EAGER materialization (the output is a tiny depth histogram;
+      // localCheckpoint executes under the raised limit and the
+      // restored session keeps the safety valve for everything else).
+      val key = "spark.sql.cteRecursionRowLimit"
+      val prev = s.conf.getOption(key)
+      val rows = t(s, dir, "orders").count()
+      s.conf.set(key, math.max(1000000L, 2L * rows).toString)
+      try withViews(s, dir)(QueriesRel.recursiveChainSql).localCheckpoint()
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
     "q_variant" -> (QueriesScalar.variantExtract _),
     "x_quality_classify" -> (QueriesLLM.qualityClassify _),
     "x_compact_files" -> (QueriesRel.compactSmallFiles _),

@@ -178,14 +178,18 @@ object QueriesLLM {
     val d = t(s, dir, "documents")
       .filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("source"),
-        array_distinct(shingles(col("text"), 3)).as("sh"))
+        array_sort(array_distinct(shingles(col("text"), 3))).as("sh"))
     val a = d.select(col("doc_id").as("doc_a"), col("source"), col("sh").as("sh_a"))
     val b = d.select(col("doc_id").as("doc_b"), col("source"), col("sh").as("sh_b"))
     a.join(b, Seq("source"))
       .filter(col("doc_a") < col("doc_b"))
+      // sorted-merge intersection count in codegen; with distinct sets
+      // |a∪b| = |a|+|b|−|a∩b| (see verifyJaccard — same exact counts,
+      // no per-pair hash-set allocation)
       .select(col("source"), col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_common"),
-        size(array_union(col("sh_a"), col("sh_b"))).as("n_union"))
+        graft.functions.GraftFunctions.sortedCommon(col("sh_a"), col("sh_b")).as("n_common"),
+        (size(col("sh_a")) + size(col("sh_b"))).as("n_ab"))
+      .withColumn("n_union", col("n_ab") - col("n_common"))
       .filter(col("n_common") > 0)
       .select(col("source"), col("doc_a"), col("doc_b"),
         Queries.fround(col("n_common").cast("double") / col("n_union"), 4).as("jaccard"))
@@ -1078,15 +1082,26 @@ object QueriesLLM {
   /** Shared exact-verification stage: join candidate pairs back to
     * their shingle sets, compute the exact Jaccard, keep ≥ `tau`.
     */
-  private def verifyJaccard(d: DataFrame, cand: DataFrame, tau: Double): DataFrame =
+  private def verifyJaccard(d: DataFrame, cand: DataFrame, tau: Double): DataFrame = {
+    // sets are distinct, so |a∪b| = |a|+|b|−|a∩b| and the ONLY array
+    // work per pair is the codegen sorted-merge intersection count —
+    // array_sort runs once per DOCUMENT, never per pair. The previous
+    // array_intersect/array_union verify was interpreted (fresh hash
+    // set per row) and owned the whole 15-minute sf1 wall of
+    // x_jaccard_pairs_prefix; the count is exact either way, so the
+    // oracle is untouched.
+    val ds = d.select(col("doc_id"), array_sort(col("sh")).as("sh"),
+      size(col("sh")).as("n"))
     cand
-      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("j"))
-      .filter(col("j") >= tau)
+      .join(ds.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("n").as("na")), Seq("doc_a"))
+      .join(ds.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        graft.functions.GraftFunctions.sortedCommon(col("sh_a"), col("sh_b")).as("i"))
+      .filter(col("i").cast("double") / (col("na") + col("nb") - col("i")) >= tau)
       .select(col("doc_a"), col("doc_b"))
+  }
 
   /** X6 scale path: same cluster assignment, edge set from the LSH
     * pipeline instead of the all-pairs join — [[minhashLshPairs]]
@@ -1116,14 +1131,19 @@ object QueriesLLM {
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val d = t(s, dir, "documents")
       .join(ids, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(shingles(col("text"), 3))).as("sh"))
+    // codegen sorted-merge intersection count (sorted_common) — the
+    // interpreted array_intersect/array_union pair allocated a hash
+    // set per candidate row (see verifyJaccard)
     val verified = cand
-      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("j"))
-      .filter(col("j") >= tau)
+      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        size(col("sh")).as("na")), Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        size(col("sh")).as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        graft.functions.GraftFunctions.sortedCommon(col("sh_a"), col("sh_b")).as("i"))
+      .filter(col("i").cast("double") / (col("na") + col("nb") - col("i")) >= tau)
       .select(col("doc_a"), col("doc_b"))
     minLabelPropagate(verified)
   }

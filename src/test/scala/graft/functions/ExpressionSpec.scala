@@ -246,6 +246,29 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.isNullAt(0) && bad.isNullAt(1))
   }
 
+  test("sorted_common kernel: equals size(array_intersect) on sorted distinct sets") {
+    GraftFunctions.register(spark)
+    // real shingle sets from the corpus (sorted + distinct, the callers'
+    // contract), self-joined on a sampled key for variety of overlaps
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "array_sort(array_distinct(word_shingles(text, 3))) AS sh",
+        "doc_id % 7 AS k")
+    val pairs = d.as("a").join(d.as("b"), col("a.k") === col("b.k") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.sh").as("sa"), col("b.sh").as("sb"))
+    val mism = pairs.select(
+        size(array_intersect(col("sa"), col("sb"))).as("ref"),
+        GraftFunctions.sortedCommon(col("sa"), col("sb")).as("k"))
+      .filter(col("ref") =!= col("k")).count()
+    assert(mism == 0, s"$mism pairs differ between array_intersect and sorted_common")
+    // empty/disjoint/identical corner cases
+    val corner = spark.sql(
+      "SELECT sorted_common(array('a','b'), CAST(array() AS ARRAY<STRING>)) AS e, " +
+      "sorted_common(array('a','b'), array('c','d')) AS dj, " +
+      "sorted_common(array('a','b','c'), array('a','b','c')) AS id").head()
+    assert(corner.getInt(0) == 0 && corner.getInt(1) == 0 && corner.getInt(2) == 3)
+  }
+
   test("word_shingles kernel: identical strings to the transform+slice HOF form") {
     import spark.implicits._
     GraftFunctions.register(spark)
