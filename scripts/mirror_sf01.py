@@ -56,11 +56,45 @@ def substitute(name, sql):
 QUADRATIC = ['x_dedup_clusters', 'x_pagerank', 'x_triangles',
              'x_near_dedup_keep']
 
-def main(sf, out):
+# multi-reference oracles: stage the pair-generation prefix into a
+# temp table before the tail that references it many times. DuckDB
+# does not honor CTE MATERIALIZED markers under WITH RECURSIVE and
+# re-expands the whole prefix per reference (the r7 sf1 mirror caught
+# x_dedup_clusters_lsh burning 180+ CPU-minutes re-evaluating a
+# 25-second prefix); x_pagerank is not recursive but its edge CTE is
+# referenced by all five rank iterations, multiplying the postings-
+# join spill until the disk fills. Forcing the materialization the
+# SQL already declares is a pure evaluation-order change — identical
+# rows either way.
+REACH_STAGED = ['x_dedup_clusters', 'x_dedup_clusters_lsh',
+                'x_near_dedup_keep', 'x_near_dedup_keep_lsh',
+                'x_pagerank']
+
+import re as _re
+
+def run_reach_staged(con, sql):
+    """Split at the `e AS (... FROM <pairs>)` edge CTE: execute the
+    prefix into __pairs, then the recursion verbatim against it.
+    Returns the result frame, or None if the shape is unrecognized."""
+    m = _re.search(r",\s*\ne AS \(SELECT doc_a AS src, doc_b AS dst FROM (\w+)", sql)
+    if m is None:
+        return None
+    pairs = m.group(1)
+    prefix = sql[:m.start()].replace('WITH RECURSIVE', 'WITH', 1)
+    con.execute("DROP TABLE IF EXISTS __pairs")
+    con.execute("CREATE TEMP TABLE __pairs AS " + prefix +
+                f"\nSELECT doc_a, doc_b FROM {pairs}")
+    tail = sql[m.start():].lstrip().lstrip(',').lstrip()
+    tail = tail.replace(f"FROM {pairs}", "FROM __pairs")
+    return con.execute("WITH RECURSIVE " + tail).fetchdf()
+
+def main(sf, out, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f'{out}/oracle_sql.json'))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     ok, bad, substituted = [], [], []
     for name, sql in sorted(oracle.items()):
         if name in QUADRATIC:
@@ -85,7 +119,13 @@ ORDER BY doc_a, doc_b"""
             sql = sql.replace(old, new)
             substituted.append(name)
         try:
-            want = con.execute(sql).fetchdf()
+            if name in REACH_STAGED:
+                want = run_reach_staged(con, sql)
+                if want is None:
+                    bad.append((name, 'REACH STAGE PATTERN MISS')); continue
+                substituted.append(name + ':staged')
+            else:
+                want = con.execute(sql).fetchdf()
         except Exception as e:
             bad.append((name, 'ORACLE ERR: ' + str(e)[:120])); continue
         try:
@@ -119,4 +159,6 @@ ORDER BY doc_a, doc_b"""
         print('BAD', name, why)
 
 if __name__ == '__main__':
-    main(sys.argv[1], sys.argv[2])
+    # optional 3rd arg: comma-separated subset of query names to run
+    main(sys.argv[1], sys.argv[2],
+         set(sys.argv[3].split(',')) if len(sys.argv) > 3 else None)
