@@ -1,0 +1,1850 @@
+package graft.multimodal
+
+import scala.util.control.NonFatal
+
+/** Pure-JVM H.264/AVC intra codec (ITU-T H.264, constrained baseline
+  * subset): CAVLC entropy coding, 4:2:0 8-bit, I slices only — the
+  * decoder handles I_PCM, I_4x4 (all nine prediction modes) and
+  * I_16x16 (all four modes, including Plane) macroblocks; the encoder
+  * emits real compressed IDR frames (prediction → integer transform →
+  * quantization → CAVLC) and also exposes an I_PCM path whose
+  * bitstream is hand-verifiable byte by byte.
+  *
+  * Like [[JpegCodec]] (r6), this closes a documented capability
+  * boundary with an original implementation written from the public
+  * standard: reference utxo-to-parquet has no media code at all
+  * (/root/reference is 288 lines of Rust ETL), and video keyframe
+  * decode is the half of "video support" that was still missing after
+  * r7's MP4 sample-table parsing ([[Mp4SampleTables]]) — a VLM
+  * training pipeline samples keyframes via stss and then needs their
+  * PIXELS.
+  *
+  * Correctness contract: the encoder reconstructs every macroblock
+  * through the *decoder's own* integer pipeline (shared prediction /
+  * dequant / inverse-transform code), so `decodeYuv(encodeYuv(x))`
+  * must equal the encoder's reconstruction BIT-EXACTLY — that
+  * equality, over all QPs, geometries and prediction modes, is the
+  * spec's oracle. Conformance caveat, stated honestly: this container
+  * has no reference H.264 decoder (no ffmpeg, no JDK codec — unlike
+  * JPEG's two-way ImageIO interop), so the VLC tables transcribed
+  * from the standard (coeff_token Table 9-5, total_zeros 9-7/9-9a,
+  * run_before 9-10, the CBP mapping of Table 9-4) are pinned by
+  * structural checks (prefix-freeness, domain coverage, permutation)
+  * and exhaustive encode↔decode round-trips rather than by an
+  * external codec. The fully hand-checkable surfaces — Exp-Golomb,
+  * emulation prevention, SPS/PPS/slice-header syntax, I_PCM — have
+  * byte-level golden tests.
+  *
+  * Deliberately out of scope (documented boundary, quarantined to
+  * None, never mis-decoded): CABAC (entropy_coding_mode_flag = 1),
+  * inter prediction (P/B slices), fields/MBAFF, high-profile 8x8
+  * transforms and scaling lists, multi-slice pictures, and the
+  * in-loop deblocking filter (streams that do not disable it via
+  * `disable_deblocking_filter_idc` are rejected rather than decoded
+  * approximately — our encoder always disables it).
+  */
+object H264Codec {
+
+  /** Planar 4:2:0 frame: full-res luma, half-res (ceil) chroma. */
+  final case class Yuv420(width: Int, height: Int,
+      y: Array[Byte], cb: Array[Byte], cr: Array[Byte]) {
+    def chromaW: Int = (width + 1) / 2
+    def chromaH: Int = (height + 1) / 2
+  }
+
+  // ---------------------------------------------------------------
+  // Bit I/O over RBSP bytes
+  // ---------------------------------------------------------------
+
+  private final class BitReader(val b: Array[Byte]) {
+    var pos = 0 // bit position
+    def bitsLeft: Int = b.length * 8 - pos
+    def u1(): Int = {
+      if (pos >= b.length * 8) throw new IllegalStateException("eof")
+      val v = (b(pos >> 3) >> (7 - (pos & 7))) & 1
+      pos += 1
+      v
+    }
+    def u(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | u1(); i += 1 }
+      v
+    }
+    /** ue(v): Exp-Golomb. Bounded at 31 leading zeros — longer is a
+      * corrupt stream, not a plausible syntax element here.
+      */
+    def ue(): Int = {
+      var zeros = 0
+      while (u1() == 0) {
+        zeros += 1
+        if (zeros > 31) throw new IllegalStateException("ue overflow")
+      }
+      (1 << zeros) - 1 + (if (zeros == 0) 0 else u(zeros))
+    }
+    def se(): Int = {
+      val k = ue()
+      if ((k & 1) == 1) (k + 1) / 2 else -(k / 2)
+    }
+    def byteAlign(): Unit = while ((pos & 7) != 0) pos += 1
+    /** more_rbsp_data(): true while bits beyond the final stop-bit
+      * pattern remain.
+      */
+    def moreRbsp(): Boolean = {
+      if (bitsLeft <= 0) return false
+      // find last set bit in the stream = rbsp_stop_one_bit
+      var last = b.length * 8 - 1
+      while (last >= 0 && ((b(last >> 3) >> (7 - (last & 7))) & 1) == 0) last -= 1
+      pos < last
+    }
+  }
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream(256)
+    private var cur = 0
+    private var nbits = 0
+    def put(bit: Int): Unit = {
+      cur = (cur << 1) | (bit & 1)
+      nbits += 1
+      if (nbits == 8) { out.write(cur); cur = 0; nbits = 0 }
+    }
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { put((v >> i) & 1); i -= 1 }
+    }
+    def ue(v: Int): Unit = {
+      require(v >= 0, s"ue($v)")
+      val code = v + 1
+      val len = 32 - Integer.numberOfLeadingZeros(code)
+      putBits(0, len - 1)
+      putBits(code, len)
+    }
+    def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
+    def byteAligned: Boolean = nbits == 0
+    def align(): Unit = while (nbits != 0) put(0)
+    /** rbsp_trailing_bits: stop bit + zero-pad to byte. */
+    def trailing(): Unit = { put(1); align() }
+    def bytes: Array[Byte] = { require(nbits == 0, "unaligned"); out.toByteArray }
+  }
+
+  /** RBSP → EBSP: insert emulation_prevention_three_byte before any
+    * would-be 0x000000/01/02/03 sequence.
+    */
+  private def escapeRbsp(rbsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(rbsp.length + 8)
+    var zeros = 0
+    var i = 0
+    while (i < rbsp.length) {
+      val v = rbsp(i) & 0xff
+      if (zeros >= 2 && v <= 3) { out.write(3); zeros = 0 }
+      out.write(v)
+      zeros = if (v == 0) zeros + 1 else 0
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** EBSP → RBSP: drop 0x03 after 0x0000 when it guards a byte ≤ 3. */
+  private def unescapeRbsp(ebsp: Array[Byte], from: Int, to: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(to - from)
+    var zeros = 0
+    var i = from
+    while (i < to) {
+      val v = ebsp(i) & 0xff
+      if (zeros >= 2 && v == 3 && i + 1 < to && (ebsp(i + 1) & 0xff) <= 3) {
+        zeros = 0 // emulation prevention byte: skip
+      } else {
+        out.write(v)
+        zeros = if (v == 0) zeros + 1 else 0
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------
+  // Parameter sets
+  // ---------------------------------------------------------------
+
+  /** The SPS fields this profile subset needs (parsed fields beyond
+    * the subset are validated and then ignored).
+    */
+  final case class Sps(
+      profileIdc: Int, levelIdc: Int,
+      log2MaxFrameNum: Int, pocType: Int, log2MaxPocLsb: Int,
+      mbWidth: Int, mbHeight: Int,
+      cropLeft: Int, cropRight: Int, cropTop: Int, cropBottom: Int) {
+    def width: Int = mbWidth * 16 - 2 * (cropLeft + cropRight)
+    def height: Int = mbHeight * 16 - 2 * (cropTop + cropBottom)
+  }
+
+  final case class Pps(
+      entropyCabac: Boolean, picInitQp: Int, chromaQpOffset: Int,
+      deblockingControlPresent: Boolean, constrainedIntra: Boolean)
+
+  private def parseSps(r: BitReader): Sps = {
+    val profile = r.u(8)
+    r.u(8) // constraint flags + reserved
+    val level = r.u(8)
+    val spsId = r.ue()
+    require(spsId == 0, "sps_id")
+    require(profile != 100 && profile != 110 && profile != 122 && profile != 244 &&
+      profile != 44 && profile != 83 && profile != 86 && profile != 118 && profile != 128,
+      s"high profile $profile (chroma_format/scaling lists) unsupported")
+    val log2MaxFrameNum = r.ue() + 4
+    require(log2MaxFrameNum <= 16, "log2_max_frame_num")
+    val pocType = r.ue()
+    var log2MaxPocLsb = 0
+    if (pocType == 0) log2MaxPocLsb = r.ue() + 4
+    else if (pocType == 1) {
+      r.u1() // delta_pic_order_always_zero
+      r.se(); r.se()
+      val n = r.ue()
+      var i = 0
+      while (i < n) { r.se(); i += 1 }
+    }
+    r.ue() // max_num_ref_frames
+    r.u1() // gaps_in_frame_num_value_allowed
+    val mbW = r.ue() + 1
+    val mbH = r.ue() + 1
+    val frameMbsOnly = r.u1()
+    require(frameMbsOnly == 1, "interlace (fields/MBAFF) unsupported")
+    r.u1() // direct_8x8_inference
+    var (cl, cr2, ct, cb) = (0, 0, 0, 0)
+    if (r.u1() == 1) { cl = r.ue(); cr2 = r.ue(); ct = r.ue(); cb = r.ue() }
+    // vui_parameters ignored (we stop parsing here; callers never read
+    // past the fields above)
+    val sps = Sps(profile, level, log2MaxFrameNum, pocType, log2MaxPocLsb,
+      mbW, mbH, cl, cr2, ct, cb)
+    require(sps.width > 0 && sps.height > 0, "cropping exceeds frame")
+    require(mbW * mbH <= (1 << 18), "frame too large") // hostile-count guard
+    sps
+  }
+
+  private def writeSps(w: BitWriter, mbW: Int, mbH: Int,
+      cropRight: Int, cropBottom: Int): Unit = {
+    w.putBits(66, 8) // baseline
+    w.putBits(0xc0, 8) // constraint_set0/1, reserved zero
+    w.putBits(30, 8) // level 3.0
+    w.ue(0) // sps_id
+    w.ue(0) // log2_max_frame_num_minus4
+    w.ue(2) // pic_order_cnt_type 2: no POC syntax in slice headers
+    w.ue(0) // max_num_ref_frames
+    w.put(0) // gaps_in_frame_num_value_allowed
+    w.ue(mbW - 1)
+    w.ue(mbH - 1)
+    w.put(1) // frame_mbs_only
+    w.put(1) // direct_8x8_inference
+    if (cropRight > 0 || cropBottom > 0) {
+      w.put(1)
+      w.ue(0); w.ue(cropRight); w.ue(0); w.ue(cropBottom)
+    } else w.put(0)
+    w.put(0) // vui_parameters_present
+    w.trailing()
+  }
+
+  private def parsePps(r: BitReader): Pps = {
+    require(r.ue() == 0, "pps_id")
+    require(r.ue() == 0, "pps sps_id")
+    val cabac = r.u1() == 1
+    r.u1() // bottom_field_pic_order_in_frame_present
+    require(r.ue() == 0, "slice groups (FMO) unsupported")
+    r.ue(); r.ue() // num_ref_idx_l0/l1_active_minus1
+    r.u1() // weighted_pred
+    r.u(2) // weighted_bipred_idc
+    val qp = r.se() + 26
+    r.se() // pic_init_qs
+    val cqo = r.se()
+    val dbc = r.u1() == 1
+    val cip = r.u1() == 1
+    r.u1() // redundant_pic_cnt_present
+    require(qp >= 0 && qp <= 51, "pic_init_qp")
+    require(cqo >= -12 && cqo <= 12, "chroma_qp_index_offset")
+    Pps(cabac, qp, cqo, dbc, cip)
+  }
+
+  private def writePps(w: BitWriter, qp: Int): Unit = {
+    w.ue(0); w.ue(0) // pps_id, sps_id
+    w.put(0) // CAVLC
+    w.put(0) // bottom_field_pic_order_in_frame_present
+    w.ue(0) // num_slice_groups_minus1
+    w.ue(0); w.ue(0) // num_ref_idx_active
+    w.put(0) // weighted_pred
+    w.putBits(0, 2) // weighted_bipred_idc
+    w.se(qp - 26) // pic_init_qp_minus26
+    w.se(0) // pic_init_qs_minus26
+    w.se(0) // chroma_qp_index_offset
+    w.put(1) // deblocking_filter_control_present
+    w.put(0) // constrained_intra_pred
+    w.put(0) // redundant_pic_cnt_present
+    w.trailing()
+  }
+
+  // ---------------------------------------------------------------
+  // Static tables (transcribed from the standard; see object doc for
+  // the validation story)
+  // ---------------------------------------------------------------
+
+  /** 4x4 zigzag scan: scan index → raster position. */
+  private[multimodal] val Zig4 = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+  /** Quant position class: 0 for (even,even), 1 for (odd,odd), 2 mixed. */
+  private val PosClass = Array.tabulate(16) { p =>
+    val (x, y) = (p & 3, p >> 2)
+    if (x % 2 == 0 && y % 2 == 0) 0 else if (x % 2 == 1 && y % 2 == 1) 1 else 2
+  }
+  /** Encoder multipliers MF(QP%6)(class) and decoder scales V(QP%6)(class). */
+  private val MF = Array(
+    Array(13107, 5243, 8066), Array(11916, 4660, 7490), Array(10082, 4194, 6554),
+    Array(9362, 3647, 5825), Array(8192, 3355, 5243), Array(7282, 2893, 4559))
+  private val VS = Array(
+    Array(10, 16, 13), Array(11, 18, 14), Array(13, 20, 16),
+    Array(14, 23, 18), Array(16, 25, 20), Array(18, 29, 23))
+
+  /** QPc from clipped qPI (Table 8-15): identity below 30. */
+  private val ChromaQp = Array(29, 30, 31, 32, 32, 33, 34, 34, 35, 35,
+    36, 36, 37, 37, 37, 38, 38, 38, 39, 39, 39, 39)
+  private def chromaQp(qpY: Int, offset: Int): Int = {
+    val q = math.max(0, math.min(51, qpY + offset))
+    if (q < 30) q else ChromaQp(q - 30)
+  }
+
+  /** coded_block_pattern me(v) mapping for intra MBs (Table 9-4):
+    * codeNum → cbp. Structural pin: a permutation of 0..47.
+    */
+  private[multimodal] val CbpIntra = Array(
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41)
+  private val CbpIntraInv: Array[Int] = {
+    val inv = new Array[Int](48)
+    var i = 0
+    while (i < 48) { inv(CbpIntra(i)) = i; i += 1 }
+    inv
+  }
+
+  /** A VLC table: parallel arrays of (code value, code length, symbol).
+    * Decode = longest-match peek (the tables are prefix-free, pinned
+    * by spec); encode = direct lookup by symbol.
+    */
+  private[multimodal] final class Vlc(entries: Seq[(String, Int)]) {
+    val codes: Array[Int] = entries.map(e => Integer.parseInt(e._1, 2)).toArray
+    val lens: Array[Int] = entries.map(_._1.length).toArray
+    val syms: Array[Int] = entries.map(_._2).toArray
+    private val bySym = syms.zipWithIndex.toMap
+    def write(w: BitWriter, sym: Int): Unit = {
+      val i = bySym(sym)
+      w.putBits(codes(i), lens(i))
+    }
+    def read(r: BitReader): Int = {
+      var acc = 0
+      var len = 0
+      while (len < 17) {
+        acc = (acc << 1) | r.u1()
+        len += 1
+        var i = 0
+        while (i < codes.length) {
+          if (lens(i) == len && codes(i) == acc) return syms(i)
+          i += 1
+        }
+      }
+      throw new IllegalStateException("vlc: no code")
+    }
+  }
+
+  /** coeff_token: symbol = TotalCoeff * 4 + TrailingOnes. Four
+    * context tables by nC plus the chroma-DC table (Table 9-5).
+    */
+  private def ct(entries: (String, (Int, Int))*): Vlc =
+    new Vlc(entries.map { case (c, (t1, tc)) => (c, tc * 4 + t1) })
+
+  private[multimodal] val CoeffTokenNc0: Vlc = ct(
+    "1" -> (0, 0),
+    "000101" -> (0, 1), "01" -> (1, 1),
+    "00000111" -> (0, 2), "000100" -> (1, 2), "001" -> (2, 2),
+    "000000111" -> (0, 3), "00000110" -> (1, 3), "0000101" -> (2, 3), "00011" -> (3, 3),
+    "0000000111" -> (0, 4), "000000110" -> (1, 4), "00000101" -> (2, 4), "000011" -> (3, 4),
+    "00000000111" -> (0, 5), "0000000110" -> (1, 5), "000000101" -> (2, 5), "0000100" -> (3, 5),
+    "0000000001111" -> (0, 6), "00000000110" -> (1, 6), "0000000101" -> (2, 6), "00000100" -> (3, 6),
+    "0000000001011" -> (0, 7), "0000000001110" -> (1, 7), "00000000101" -> (2, 7), "000000100" -> (3, 7),
+    "0000000001000" -> (0, 8), "0000000001010" -> (1, 8), "0000000001101" -> (2, 8), "0000000100" -> (3, 8),
+    "00000000001111" -> (0, 9), "00000000001110" -> (1, 9), "0000000001001" -> (2, 9), "00000000100" -> (3, 9),
+    "00000000001011" -> (0, 10), "00000000001010" -> (1, 10), "00000000001101" -> (2, 10), "0000000001100" -> (3, 10),
+    "000000000001111" -> (0, 11), "000000000001110" -> (1, 11), "00000000001001" -> (2, 11), "00000000001100" -> (3, 11),
+    "000000000001011" -> (0, 12), "000000000001010" -> (1, 12), "000000000001101" -> (2, 12), "00000000001000" -> (3, 12),
+    "0000000000001111" -> (0, 13), "000000000000001" -> (1, 13), "000000000001001" -> (2, 13), "000000000001100" -> (3, 13),
+    "0000000000001011" -> (0, 14), "0000000000001110" -> (1, 14), "0000000000001101" -> (2, 14), "000000000001000" -> (3, 14),
+    "0000000000000111" -> (0, 15), "0000000000001010" -> (1, 15), "0000000000001001" -> (2, 15), "0000000000001100" -> (3, 15),
+    "0000000000000100" -> (0, 16), "0000000000000110" -> (1, 16), "0000000000000101" -> (2, 16), "0000000000001000" -> (3, 16))
+
+  private[multimodal] val CoeffTokenNc2: Vlc = ct(
+    "11" -> (0, 0),
+    "001011" -> (0, 1), "10" -> (1, 1),
+    "000111" -> (0, 2), "00111" -> (1, 2), "011" -> (2, 2),
+    "0000111" -> (0, 3), "001010" -> (1, 3), "001001" -> (2, 3), "0101" -> (3, 3),
+    "00000111" -> (0, 4), "000110" -> (1, 4), "000101" -> (2, 4), "0100" -> (3, 4),
+    "00000100" -> (0, 5), "0000110" -> (1, 5), "0000101" -> (2, 5), "00110" -> (3, 5),
+    "000000111" -> (0, 6), "00000110" -> (1, 6), "00000101" -> (2, 6), "001000" -> (3, 6),
+    "00000001111" -> (0, 7), "000000110" -> (1, 7), "000000101" -> (2, 7), "000100" -> (3, 7),
+    "00000001011" -> (0, 8), "00000001110" -> (1, 8), "00000001101" -> (2, 8), "0000100" -> (3, 8),
+    "000000001111" -> (0, 9), "00000001010" -> (1, 9), "00000001001" -> (2, 9), "000000100" -> (3, 9),
+    "000000001011" -> (0, 10), "000000001110" -> (1, 10), "000000001101" -> (2, 10), "00000001100" -> (3, 10),
+    "000000001000" -> (0, 11), "000000001010" -> (1, 11), "000000001001" -> (2, 11), "00000001000" -> (3, 11),
+    "0000000001111" -> (0, 12), "0000000001110" -> (1, 12), "0000000001101" -> (2, 12), "000000001100" -> (3, 12),
+    "0000000001011" -> (0, 13), "0000000001010" -> (1, 13), "0000000001001" -> (2, 13), "0000000001100" -> (3, 13),
+    "0000000000111" -> (0, 14), "00000000001011" -> (1, 14), "0000000000110" -> (2, 14), "0000000001000" -> (3, 14),
+    "00000000001001" -> (0, 15), "00000000001000" -> (1, 15), "00000000001010" -> (2, 15), "0000000000001" -> (3, 15),
+    "00000000000111" -> (0, 16), "00000000000110" -> (1, 16), "00000000000101" -> (2, 16), "00000000000100" -> (3, 16))
+
+  private[multimodal] val CoeffTokenNc4: Vlc = ct(
+    "1111" -> (0, 0),
+    "001111" -> (0, 1), "1110" -> (1, 1),
+    "001011" -> (0, 2), "01111" -> (1, 2), "1101" -> (2, 2),
+    "001000" -> (0, 3), "01100" -> (1, 3), "01110" -> (2, 3), "1100" -> (3, 3),
+    "0001111" -> (0, 4), "01010" -> (1, 4), "01011" -> (2, 4), "1011" -> (3, 4),
+    "0001011" -> (0, 5), "01000" -> (1, 5), "01001" -> (2, 5), "1010" -> (3, 5),
+    "0001001" -> (0, 6), "001110" -> (1, 6), "001101" -> (2, 6), "1001" -> (3, 6),
+    "0001000" -> (0, 7), "001010" -> (1, 7), "001001" -> (2, 7), "1000" -> (3, 7),
+    "00001111" -> (0, 8), "0001110" -> (1, 8), "0001101" -> (2, 8), "01101" -> (3, 8),
+    "00001011" -> (0, 9), "00001110" -> (1, 9), "0001010" -> (2, 9), "001100" -> (3, 9),
+    "000001111" -> (0, 10), "00001010" -> (1, 10), "00001101" -> (2, 10), "0001100" -> (3, 10),
+    "000001011" -> (0, 11), "000001110" -> (1, 11), "00001001" -> (2, 11), "00001100" -> (3, 11),
+    "000001000" -> (0, 12), "000001010" -> (1, 12), "000001101" -> (2, 12), "00001000" -> (3, 12),
+    "0000001101" -> (0, 13), "000000111" -> (1, 13), "000001001" -> (2, 13), "000001100" -> (3, 13),
+    "0000001001" -> (0, 14), "0000001100" -> (1, 14), "0000001011" -> (2, 14), "0000001010" -> (3, 14),
+    "0000000101" -> (0, 15), "0000001000" -> (1, 15), "0000000111" -> (2, 15), "0000000110" -> (3, 15),
+    "0000000001" -> (0, 16), "0000000100" -> (1, 16), "0000000011" -> (2, 16), "0000000010" -> (3, 16))
+
+  private[multimodal] val CoeffTokenChromaDc: Vlc = ct(
+    "01" -> (0, 0),
+    "000111" -> (0, 1), "1" -> (1, 1),
+    "000100" -> (0, 2), "000110" -> (1, 2), "001" -> (2, 2),
+    "000011" -> (0, 3), "0000011" -> (1, 3), "0000010" -> (2, 3), "000101" -> (3, 3),
+    "000010" -> (0, 4), "00000011" -> (1, 4), "00000010" -> (2, 4), "0000000" -> (3, 4))
+
+  /** total_zeros for 4x4 blocks (Tables 9-7/9-8), indexed by
+    * TotalCoeff 1..15; symbol = total_zeros.
+    */
+  private def tz(codes: String*): Vlc = new Vlc(codes.zipWithIndex)
+  private[multimodal] val TotalZeros4x4: Array[Vlc] = Array(
+    null, // TotalCoeff 0 never reads total_zeros
+    tz("1", "011", "010", "0011", "0010", "00011", "00010", "000011",
+      "000010", "0000011", "0000010", "00000011", "00000010", "000000011",
+      "000000010", "000000001"),
+    tz("111", "110", "101", "100", "011", "0101", "0100", "0011", "0010",
+      "00011", "00010", "000011", "000010", "000001", "000000"),
+    tz("0101", "111", "110", "101", "0100", "0011", "100", "011", "0010",
+      "00011", "00010", "000001", "00001", "000000"),
+    tz("00011", "111", "0101", "0100", "110", "101", "100", "0011", "011",
+      "0010", "00010", "00001", "00000"),
+    tz("0101", "0100", "0011", "111", "110", "101", "100", "011", "0010",
+      "00001", "0001", "00000"),
+    tz("000001", "00001", "111", "110", "101", "100", "011", "010", "0001",
+      "001", "000000"),
+    tz("000001", "00001", "101", "100", "011", "11", "010", "0001", "001",
+      "000000"),
+    tz("000001", "0001", "00001", "011", "11", "10", "010", "001", "000000"),
+    tz("000001", "000000", "0001", "11", "10", "001", "01", "00001"),
+    tz("00001", "00000", "001", "11", "10", "01", "0001"),
+    tz("0000", "0001", "001", "010", "1", "011"),
+    tz("0000", "0001", "01", "1", "001"),
+    tz("000", "001", "1", "01"),
+    tz("00", "01", "1"),
+    tz("0", "1"))
+
+  /** total_zeros for chroma DC 2x2 (Table 9-9a), TotalCoeff 1..3. */
+  private[multimodal] val TotalZerosChromaDc: Array[Vlc] = Array(
+    null,
+    tz("1", "01", "001", "000"),
+    tz("1", "01", "00"),
+    tz("1", "0"))
+
+  /** run_before (Table 9-10), indexed by min(zerosLeft, 7); symbol = run. */
+  private[multimodal] val RunBefore: Array[Vlc] = Array(
+    null,
+    tz("1", "0"),
+    tz("1", "01", "00"),
+    tz("11", "10", "01", "00"),
+    tz("11", "10", "01", "001", "000"),
+    tz("11", "10", "011", "010", "001", "000"),
+    tz("11", "000", "001", "011", "010", "101", "100"),
+    tz("111", "110", "101", "100", "011", "010", "001", "0001", "00001",
+      "000001", "0000001", "00000001", "000000001", "0000000001",
+      "00000000001"))
+
+  // ---------------------------------------------------------------
+  // Transforms & (de)quantization — 8.5; encoder and decoder share
+  // the inverse path so reconstruction is identical by construction
+  // ---------------------------------------------------------------
+
+  /** Forward 4x4 core transform, in place (raster order). */
+  private def fdct4(b: Array[Int]): Unit = {
+    var i = 0
+    while (i < 4) { // rows
+      val o = i * 4
+      val s0 = b(o) + b(o + 3); val s1 = b(o + 1) + b(o + 2)
+      val d0 = b(o) - b(o + 3); val d1 = b(o + 1) - b(o + 2)
+      b(o) = s0 + s1; b(o + 2) = s0 - s1
+      b(o + 1) = 2 * d0 + d1; b(o + 3) = d0 - 2 * d1
+      i += 1
+    }
+    i = 0
+    while (i < 4) { // columns
+      val s0 = b(i) + b(i + 12); val s1 = b(i + 4) + b(i + 8)
+      val d0 = b(i) - b(i + 12); val d1 = b(i + 4) - b(i + 8)
+      b(i) = s0 + s1; b(i + 8) = s0 - s1
+      b(i + 4) = 2 * d0 + d1; b(i + 12) = d0 - 2 * d1
+      i += 1
+    }
+  }
+
+  /** Inverse 4x4 core transform with the final (x+32)>>6, in place. */
+  private def idct4(b: Array[Int]): Unit = {
+    var i = 0
+    while (i < 4) { // rows
+      val o = i * 4
+      val e0 = b(o) + b(o + 2); val e1 = b(o) - b(o + 2)
+      val e2 = (b(o + 1) >> 1) - b(o + 3); val e3 = b(o + 1) + (b(o + 3) >> 1)
+      b(o) = e0 + e3; b(o + 1) = e1 + e2; b(o + 2) = e1 - e2; b(o + 3) = e0 - e3
+      i += 1
+    }
+    i = 0
+    while (i < 4) { // columns
+      val e0 = b(i) + b(i + 8); val e1 = b(i) - b(i + 8)
+      val e2 = (b(i + 4) >> 1) - b(i + 12); val e3 = b(i + 4) + (b(i + 12) >> 1)
+      b(i) = (e0 + e3 + 32) >> 6; b(i + 4) = (e1 + e2 + 32) >> 6
+      b(i + 8) = (e1 - e2 + 32) >> 6; b(i + 12) = (e0 - e3 + 32) >> 6
+      i += 1
+    }
+  }
+
+  /** 4x4 Hadamard (same matrix both directions), in place, no scaling. */
+  private def hadamard4(b: Array[Int]): Unit = {
+    var i = 0
+    while (i < 4) {
+      val o = i * 4
+      val s0 = b(o) + b(o + 3); val s1 = b(o + 1) + b(o + 2)
+      val d0 = b(o) - b(o + 3); val d1 = b(o + 1) - b(o + 2)
+      b(o) = s0 + s1; b(o + 1) = d0 + d1; b(o + 2) = s0 - s1; b(o + 3) = d0 - d1
+      i += 1
+    }
+    i = 0
+    while (i < 4) {
+      val s0 = b(i) + b(i + 12); val s1 = b(i + 4) + b(i + 8)
+      val d0 = b(i) - b(i + 12); val d1 = b(i + 4) - b(i + 8)
+      b(i) = s0 + s1; b(i + 4) = d0 + d1; b(i + 8) = s0 - s1; b(i + 12) = d0 - d1
+      i += 1
+    }
+  }
+
+  /** 2x2 Hadamard for chroma DC (same both directions). */
+  private def hadamard2(b: Array[Int]): Unit = {
+    val a = b(0); val c = b(1); val d = b(2); val e = b(3)
+    b(0) = a + c + d + e; b(1) = a - c + d - e
+    b(2) = a + c - d - e; b(3) = a - c - d - e
+  }
+
+  /** Quantize one AC/full coefficient at raster position `pos`. */
+  private def quant(w: Int, pos: Int, qp: Int): Int = {
+    val qbits = 15 + qp / 6
+    val f = (1 << qbits) / 3 // intra rounding
+    val mf = MF(qp % 6)(PosClass(pos))
+    val lv = ((math.abs(w).toLong * mf + f) >> qbits).toInt
+    if (w < 0) -lv else lv
+  }
+
+  /** Dequantize one AC/full coefficient at raster position `pos`. */
+  private def dequant(c: Int, pos: Int, qp: Int): Int =
+    c * VS(qp % 6)(PosClass(pos)) << (qp / 6)
+
+  /** Quantize a DC-transform coefficient (luma 4x4 or chroma 2x2 DC). */
+  private def quantDc(w: Int, qp: Int): Int = {
+    val qbits = 15 + qp / 6
+    val f = (1 << qbits) / 3
+    val lv = ((math.abs(w).toLong * MF(qp % 6)(0) + 2L * f) >> (qbits + 1)).toInt
+    if (w < 0) -lv else lv
+  }
+
+  /** Scale an inverse-Hadamard'd luma DC value (8.5.10). */
+  private def dequantLumaDc(g: Int, qp: Int): Int =
+    if (qp >= 12) (g * VS(qp % 6)(0)) << (qp / 6 - 2)
+    else (g * VS(qp % 6)(0) + (1 << (1 - qp / 6))) >> (2 - qp / 6)
+
+  /** Scale an inverse-Hadamard'd chroma DC value (8.5.11, 4:2:0). */
+  private def dequantChromaDc(g: Int, qpc: Int): Int =
+    ((g * VS(qpc % 6)(0)) << (qpc / 6)) >> 1
+
+  // ---------------------------------------------------------------
+  // CAVLC residual block coding — 9.2. `coeff` is in scan order
+  // (zigzag applied by the caller); maxCoeff ∈ {16, 15, 4}.
+  // ---------------------------------------------------------------
+
+  private def coeffTokenTable(nC: Int): Vlc =
+    if (nC == -1) CoeffTokenChromaDc
+    else if (nC < 2) CoeffTokenNc0
+    else if (nC < 4) CoeffTokenNc2
+    else if (nC < 8) CoeffTokenNc4
+    else null // FLC
+
+  /** Decode one residual block into `coeff` (zeroed scan-order array
+    * of length maxCoeff); returns TotalCoeff.
+    */
+  private def readResidual(r: BitReader, nC: Int, maxCoeff: Int,
+      coeff: Array[Int]): Int = {
+    java.util.Arrays.fill(coeff, 0)
+    val tbl = coeffTokenTable(nC)
+    val (totalCoeff, t1s) =
+      if (tbl != null) { val s = tbl.read(r); (s >> 2, s & 3) }
+      else {
+        val v = r.u(6)
+        if (v == 3) (0, 0) else ((v >> 2) + 1, v & 3)
+      }
+    if (totalCoeff == 0) return 0
+    if (totalCoeff > maxCoeff) throw new IllegalStateException("TotalCoeff")
+    val level = new Array[Int](totalCoeff)
+    var i = 0
+    while (i < t1s) { level(i) = if (r.u1() == 1) -1 else 1; i += 1 }
+    var suffixLength = if (totalCoeff > 10 && t1s < 3) 1 else 0
+    while (i < totalCoeff) {
+      var prefix = 0
+      while (r.u1() == 0) {
+        prefix += 1
+        if (prefix > 28) throw new IllegalStateException("level_prefix")
+      }
+      val suffixSize =
+        if (prefix >= 15) prefix - 3
+        else if (prefix == 14 && suffixLength == 0) 4
+        else suffixLength
+      var levelCode = math.min(15, prefix) << suffixLength
+      if (suffixSize > 0) levelCode += r.u(suffixSize)
+      if (prefix >= 15 && suffixLength == 0) levelCode += 15
+      if (prefix >= 16) levelCode += (1 << (prefix - 3)) - 4096
+      if (i == t1s && t1s < 3) levelCode += 2
+      level(i) = if (levelCode % 2 == 0) (levelCode + 2) >> 1 else -((levelCode + 1) >> 1)
+      if (suffixLength == 0) suffixLength = 1
+      if (math.abs(level(i)) > (3 << (suffixLength - 1)) && suffixLength < 6)
+        suffixLength += 1
+      i += 1
+    }
+    var zerosLeft =
+      if (totalCoeff < maxCoeff) {
+        val t = if (nC == -1) TotalZerosChromaDc(totalCoeff)
+          else TotalZeros4x4(totalCoeff)
+        t.read(r)
+      } else 0
+    val run = new Array[Int](totalCoeff)
+    i = 0
+    while (i < totalCoeff - 1) {
+      run(i) = if (zerosLeft > 0) RunBefore(math.min(zerosLeft, 7)).read(r) else 0
+      if (run(i) > zerosLeft) throw new IllegalStateException("run_before")
+      zerosLeft -= run(i)
+      i += 1
+    }
+    run(totalCoeff - 1) = zerosLeft
+    var coeffNum = -1
+    i = totalCoeff - 1
+    while (i >= 0) {
+      coeffNum += run(i) + 1
+      if (coeffNum >= maxCoeff) throw new IllegalStateException("coeffNum")
+      coeff(coeffNum) = level(i)
+      i -= 1
+    }
+    totalCoeff
+  }
+
+  // ---------------------------------------------------------------
+  // Intra prediction — 8.3. Shared verbatim by decoder and encoder
+  // (the encoder predicts from ITS reconstruction with these same
+  // functions, which is what makes round-trip equality structural).
+  // ---------------------------------------------------------------
+
+  /** z-scan rank of the 4x4 luma block at in-MB position (x,y). */
+  private val ZRank: Array[Int] = {
+    val order = Array((0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
+      (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3))
+    val rank = new Array[Int](16)
+    order.zipWithIndex.foreach { case ((x, y), i) => rank(y * 4 + x) = i }
+    rank
+  }
+  /** in-MB (x,y) of z-scan index 0..15. */
+  private val ZPos: Array[(Int, Int)] = {
+    val pos = new Array[(Int, Int)](16)
+    var p = 0
+    while (p < 16) { pos(ZRank(p)) = (p & 3, p >> 2); p += 1 }
+    pos
+  }
+
+  private def clip255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** 4x4 intra prediction, writing 16 values into `pred`. Neighbor
+    * samples are read from `plane` at (px,py) relative offsets; the
+    * caller guarantees the availability flags match decode order.
+    * Top-right samples fall back to p[3,-1] when unavailable (8.3.1.2).
+    */
+  private def predict4(plane: Array[Byte], stride: Int, px: Int, py: Int,
+      mode: Int, aL: Boolean, aT: Boolean, aTL: Boolean, aTR: Boolean,
+      pred: Array[Int]): Unit = {
+    @inline def s(x: Int, y: Int): Int = plane((py + y) * stride + (px + x)) & 0xff
+    // p[x,-1] for x = 0..7 (top-right replicated when unavailable)
+    val top = new Array[Int](8)
+    if (aT) {
+      var x = 0
+      while (x < 4) { top(x) = s(x, -1); x += 1 }
+      while (x < 8) { top(x) = if (aTR) s(x, -1) else top(3); x += 1 }
+    }
+    val left = new Array[Int](4)
+    if (aL) { var y = 0; while (y < 4) { left(y) = s(-1, y); y += 1 } }
+    val tl = if (aTL) s(-1, -1) else 0
+    @inline def need(ok: Boolean): Unit =
+      if (!ok) throw new IllegalStateException(s"intra4x4 mode $mode: samples unavailable")
+    var i = 0
+    mode match {
+      case 0 => // Vertical
+        need(aT)
+        while (i < 16) { pred(i) = top(i & 3); i += 1 }
+      case 1 => // Horizontal
+        need(aL)
+        while (i < 16) { pred(i) = left(i >> 2); i += 1 }
+      case 2 => // DC
+        val v =
+          if (aT && aL) (top(0) + top(1) + top(2) + top(3) +
+            left(0) + left(1) + left(2) + left(3) + 4) >> 3
+          else if (aT) (top(0) + top(1) + top(2) + top(3) + 2) >> 2
+          else if (aL) (left(0) + left(1) + left(2) + left(3) + 2) >> 2
+          else 128
+        while (i < 16) { pred(i) = v; i += 1 }
+      case 3 => // Diagonal-Down-Left
+        need(aT)
+        while (i < 16) {
+          val x = i & 3; val y = i >> 2
+          pred(i) =
+            if (x == 3 && y == 3) (top(6) + 3 * top(7) + 2) >> 2
+            else (top(x + y) + 2 * top(x + y + 1) + top(x + y + 2) + 2) >> 2
+          i += 1
+        }
+      case 4 => // Diagonal-Down-Right
+        need(aT && aL && aTL)
+        // index -1 on either axis is the shared corner p[-1,-1]
+        @inline def atT(j: Int): Int = if (j == -1) tl else top(j)
+        @inline def atL(j: Int): Int = if (j == -1) tl else left(j)
+        while (i < 16) {
+          val x = i & 3; val y = i >> 2
+          pred(i) =
+            if (x > y) (atT(x - y - 2) + 2 * atT(x - y - 1) + atT(x - y) + 2) >> 2
+            else if (x < y) (atL(y - x - 2) + 2 * atL(y - x - 1) + atL(y - x) + 2) >> 2
+            else (top(0) + 2 * tl + left(0) + 2) >> 2
+          i += 1
+        }
+      case 5 => // Vertical-Right
+        need(aT && aL && aTL)
+        while (i < 16) {
+          val x = i & 3; val y = i >> 2
+          val z = 2 * x - y
+          pred(i) =
+            if (z >= 0 && z % 2 == 0) {
+              val t = x - (y >> 1)
+              ((if (t == 0) tl else top(t - 1)) + (if (t == 0) top(0) else top(t)) + 1) >> 1
+            } else if (z >= 0) {
+              val t = x - (y >> 1)
+              @inline def at(j: Int): Int = if (j == -1) tl else top(j)
+              (at(t - 2) + 2 * at(t - 1) + at(t) + 2) >> 2
+            } else if (z == -1) (left(0) + 2 * tl + top(0) + 2) >> 2
+            else (left(y - 2 * x - 1) + 2 * left(y - 2 * x - 2) +
+              (if (y - 2 * x - 3 == -1) tl else left(y - 2 * x - 3)) + 2) >> 2
+          i += 1
+        }
+      case 6 => // Horizontal-Down
+        need(aT && aL && aTL)
+        while (i < 16) {
+          val x = i & 3; val y = i >> 2
+          val z = 2 * y - x
+          pred(i) =
+            if (z >= 0 && z % 2 == 0) {
+              val t = y - (x >> 1)
+              ((if (t == 0) tl else left(t - 1)) + (if (t == 0) left(0) else left(t)) + 1) >> 1
+            } else if (z >= 0) {
+              val t = y - (x >> 1)
+              @inline def at(j: Int): Int = if (j == -1) tl else left(j)
+              (at(t - 2) + 2 * at(t - 1) + at(t) + 2) >> 2
+            } else if (z == -1) (top(0) + 2 * tl + left(0) + 2) >> 2
+            else (top(x - 2 * y - 1) + 2 * top(x - 2 * y - 2) +
+              (if (x - 2 * y - 3 == -1) tl else top(x - 2 * y - 3)) + 2) >> 2
+          i += 1
+        }
+      case 7 => // Vertical-Left
+        need(aT)
+        while (i < 16) {
+          val x = i & 3; val y = i >> 2
+          pred(i) =
+            if (y % 2 == 0) (top(x + (y >> 1)) + top(x + (y >> 1) + 1) + 1) >> 1
+            else (top(x + (y >> 1)) + 2 * top(x + (y >> 1) + 1) + top(x + (y >> 1) + 2) + 2) >> 2
+          i += 1
+        }
+      case 8 => // Horizontal-Up
+        need(aL)
+        while (i < 16) {
+          val x = i & 3; val y = i >> 2
+          val z = x + 2 * y
+          pred(i) =
+            if (z > 5) left(3)
+            else if (z == 5) (left(2) + 3 * left(3) + 2) >> 2
+            else if (z % 2 == 0) (left(y + (x >> 1)) + left(y + (x >> 1) + 1) + 1) >> 1
+            else (left(y + (x >> 1)) + 2 * left(y + (x >> 1) + 1) + left(y + (x >> 1) + 2) + 2) >> 2
+          i += 1
+        }
+      case _ => throw new IllegalStateException(s"intra4x4 mode $mode")
+    }
+  }
+
+  /** NxN full-block intra prediction (N = 16 luma, N = 8 chroma-style
+    * plane/V/H/DC is handled separately for chroma). Writes N*N values.
+    */
+  private def predict16(plane: Array[Byte], stride: Int, px: Int, py: Int,
+      mode: Int, aL: Boolean, aT: Boolean, pred: Array[Int]): Unit = {
+    @inline def s(x: Int, y: Int): Int = plane((py + y) * stride + (px + x)) & 0xff
+    @inline def need(ok: Boolean): Unit =
+      if (!ok) throw new IllegalStateException(s"intra16 mode $mode: samples unavailable")
+    var i = 0
+    mode match {
+      case 0 =>
+        need(aT)
+        while (i < 256) { pred(i) = s(i & 15, -1); i += 1 }
+      case 1 =>
+        need(aL)
+        while (i < 256) { pred(i) = s(-1, i >> 4); i += 1 }
+      case 2 =>
+        var sum = 0
+        if (aT) { var x = 0; while (x < 16) { sum += s(x, -1); x += 1 } }
+        if (aL) { var y = 0; while (y < 16) { sum += s(-1, y); y += 1 } }
+        val v =
+          if (aT && aL) (sum + 16) >> 5
+          else if (aT || aL) (sum + 8) >> 4
+          else 128
+        while (i < 256) { pred(i) = v; i += 1 }
+      case 3 =>
+        need(aT && aL)
+        var hsum = 0; var vsum = 0
+        var x = 1
+        while (x <= 8) {
+          hsum += x * (s(7 + x, -1) - s(7 - x, -1))
+          vsum += x * (s(-1, 7 + x) - s(-1, 7 - x))
+          x += 1
+        }
+        val bSlope = (5 * hsum + 32) >> 6
+        val cSlope = (5 * vsum + 32) >> 6
+        val a = 16 * (s(15, -1) + s(-1, 15))
+        while (i < 256) {
+          pred(i) = clip255((a + bSlope * ((i & 15) - 7) + cSlope * ((i >> 4) - 7) + 16) >> 5)
+          i += 1
+        }
+      case _ => throw new IllegalStateException(s"intra16 mode $mode")
+    }
+  }
+
+  /** 8x8 chroma intra prediction (8.3.4): DC is quadrant-wise. */
+  private def predictChroma8(plane: Array[Byte], stride: Int, px: Int, py: Int,
+      mode: Int, aL: Boolean, aT: Boolean, pred: Array[Int]): Unit = {
+    @inline def s(x: Int, y: Int): Int = plane((py + y) * stride + (px + x)) & 0xff
+    @inline def need(ok: Boolean): Unit =
+      if (!ok) throw new IllegalStateException(s"chroma mode $mode: samples unavailable")
+    var i = 0
+    mode match {
+      case 0 => // DC, per 4x4 quadrant
+        @inline def sum4t(x0: Int): Int = s(x0, -1) + s(x0 + 1, -1) + s(x0 + 2, -1) + s(x0 + 3, -1)
+        @inline def sum4l(y0: Int): Int = s(-1, y0) + s(-1, y0 + 1) + s(-1, y0 + 2) + s(-1, y0 + 3)
+        val dc = new Array[Int](4) // quadrant (qx, qy) → dc(qy*2+qx)
+        var q = 0
+        while (q < 4) {
+          val qx = q & 1; val qy = q >> 1
+          dc(q) =
+            if (qx == qy) { // (0,0) and (1,1): both neighbours when available
+              val useT = aT; val useL = aL
+              if (useT && useL) (sum4t(qx * 4) + sum4l(qy * 4) + 4) >> 3
+              else if (useT) (sum4t(qx * 4) + 2) >> 2
+              else if (useL) (sum4l(qy * 4) + 2) >> 2
+              else 128
+            } else if (qx == 1) { // (1,0): top half preferred
+              if (aT) (sum4t(4) + 2) >> 2
+              else if (aL) (sum4l(0) + 2) >> 2
+              else 128
+            } else { // (0,1): left half preferred
+              if (aL) (sum4l(4) + 2) >> 2
+              else if (aT) (sum4t(0) + 2) >> 2
+              else 128
+            }
+          q += 1
+        }
+        while (i < 64) {
+          pred(i) = dc((((i >> 3) >> 2) << 1) | ((i & 7) >> 2))
+          i += 1
+        }
+      case 1 => // Horizontal
+        need(aL)
+        while (i < 64) { pred(i) = s(-1, i >> 3); i += 1 }
+      case 2 => // Vertical
+        need(aT)
+        while (i < 64) { pred(i) = s(i & 7, -1); i += 1 }
+      case 3 => // Plane
+        need(aT && aL)
+        var hsum = 0; var vsum = 0
+        var x = 1
+        while (x <= 4) {
+          hsum += x * (s(3 + x, -1) - s(3 - x, -1))
+          vsum += x * (s(-1, 3 + x) - s(-1, 3 - x))
+          x += 1
+        }
+        val bSlope = (17 * hsum + 16) >> 5
+        val cSlope = (17 * vsum + 16) >> 5
+        val a = 16 * (s(7, -1) + s(-1, 7))
+        while (i < 64) {
+          pred(i) = clip255((a + bSlope * ((i & 7) - 3) + cSlope * ((i >> 3) - 3) + 16) >> 5)
+          i += 1
+        }
+      case _ => throw new IllegalStateException(s"chroma mode $mode")
+    }
+  }
+
+  /** Encode one residual block from `coeff` (scan order, length
+    * maxCoeff); returns TotalCoeff (the caller records it for nC).
+    */
+  private def writeResidual(w: BitWriter, nC: Int, maxCoeff: Int,
+      coeff: Array[Int]): Int = {
+    // nonzero coefficients, highest scan position first
+    var totalCoeff = 0
+    var highest = -1
+    var i = 0
+    while (i < maxCoeff) {
+      if (coeff(i) != 0) { totalCoeff += 1; highest = i }
+      i += 1
+    }
+    val tbl = coeffTokenTable(nC)
+    if (totalCoeff == 0) {
+      if (tbl != null) tbl.write(w, 0) else w.putBits(3, 6)
+      return 0
+    }
+    // trailing ones: up to 3 consecutive |1| from the highest position
+    val level = new Array[Int](totalCoeff)
+    var k = 0
+    i = highest
+    while (i >= 0) {
+      if (coeff(i) != 0) { level(k) = coeff(i); k += 1 }
+      i -= 1
+    }
+    var t1s = 0
+    while (t1s < 3 && t1s < totalCoeff && math.abs(level(t1s)) == 1) t1s += 1
+    if (tbl != null) tbl.write(w, totalCoeff * 4 + t1s)
+    else w.putBits(((totalCoeff - 1) << 2) | t1s, 6)
+    i = 0
+    while (i < t1s) { w.put(if (level(i) < 0) 1 else 0); i += 1 }
+    var suffixLength = if (totalCoeff > 10 && t1s < 3) 1 else 0
+    i = t1s
+    while (i < totalCoeff) {
+      val v = level(i)
+      var levelCode = if (v > 0) 2 * v - 2 else -2 * v - 1
+      if (i == t1s && t1s < 3) levelCode -= 2
+      // emit (prefix, suffix) matching the decoder's reconstruction
+      if (suffixLength == 0 && levelCode < 14) {
+        w.putBits(0, levelCode); w.put(1)
+      } else if (suffixLength == 0 && levelCode < 30) {
+        w.putBits(0, 14); w.put(1); w.putBits(levelCode - 14, 4)
+      } else if (suffixLength > 0 && levelCode < (15 << suffixLength)) {
+        val prefix = levelCode >> suffixLength
+        w.putBits(0, prefix); w.put(1)
+        w.putBits(levelCode & ((1 << suffixLength) - 1), suffixLength)
+      } else {
+        // escape: find the prefix ≥ 15 whose suffix window contains it
+        var prefix = 15
+        var done = false
+        while (!done) {
+          val size = prefix - 3
+          var base = 15 << suffixLength
+          if (suffixLength == 0) base += 15
+          if (prefix >= 16) base += (1 << size) - 4096
+          val suffix = levelCode - base
+          if (suffix >= 0 && suffix < (1 << size)) {
+            w.putBits(0, prefix); w.put(1); w.putBits(suffix, size)
+            done = true
+          } else {
+            prefix += 1
+            if (prefix > 28) throw new IllegalStateException(s"level $v uncodable")
+          }
+        }
+      }
+      if (suffixLength == 0) suffixLength = 1
+      if (math.abs(v) > (3 << (suffixLength - 1)) && suffixLength < 6)
+        suffixLength += 1
+      i += 1
+    }
+    if (totalCoeff < maxCoeff) {
+      val totalZeros = highest + 1 - totalCoeff
+      val t = if (nC == -1) TotalZerosChromaDc(totalCoeff)
+        else TotalZeros4x4(totalCoeff)
+      t.write(w, totalZeros)
+      var zerosLeft = totalZeros
+      // run_before per level, highest scan position first
+      var idx = highest
+      var n = 0
+      while (n < totalCoeff - 1 && zerosLeft > 0) {
+        var run = 0
+        var j = idx - 1
+        while (coeff(j) == 0) { run += 1; j -= 1 }
+        RunBefore(math.min(zerosLeft, 7)).write(w, run)
+        zerosLeft -= run
+        idx = j
+        n += 1
+      }
+    } else {
+      // maxCoeff coefficients all nonzero ⇒ no total_zeros, no runs
+      ()
+    }
+    totalCoeff
+  }
+
+  // ---------------------------------------------------------------
+  // Frame state shared by decoder and encoder reconstruction
+  // ---------------------------------------------------------------
+
+  private final class FrameState(val mbW: Int, val mbH: Int) {
+    val w: Int = mbW * 16; val h: Int = mbH * 16
+    val cw: Int = mbW * 8; val ch: Int = mbH * 8
+    val y = new Array[Byte](w * h)
+    val cb = new Array[Byte](cw * ch)
+    val cr = new Array[Byte](cw * ch)
+    // per-4x4-block CAVLC TotalCoeff; -1 = not yet decoded (doubles as
+    // the decoded-before test for nC contexts and sample availability)
+    val bW: Int = mbW * 4; val bH: Int = mbH * 4
+    val tcY: Array[Int] = Array.fill(bW * bH)(-1)
+    val cbW: Int = mbW * 2; val cbH: Int = mbH * 2
+    val tcCb: Array[Int] = Array.fill(cbW * cbH)(-1)
+    val tcCr: Array[Int] = Array.fill(cbW * cbH)(-1)
+    // per-4x4 intra pred mode; 2 for non-I_4x4 intra MBs, -1 undecoded
+    val modeY: Array[Int] = Array.fill(bW * bH)(-1)
+
+    def lumaNc(bx: Int, by: Int): Int = {
+      val nA = if (bx > 0) tcY(by * bW + bx - 1) else -1
+      val nB = if (by > 0) tcY((by - 1) * bW + bx) else -1
+      if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+      else if (nA >= 0) nA else if (nB >= 0) nB else 0
+    }
+    def chromaNc(tc: Array[Int], cx: Int, cy: Int): Int = {
+      val nA = if (cx > 0) tc(cy * cbW + cx - 1) else -1
+      val nB = if (cy > 0) tc((cy - 1) * cbW + cx) else -1
+      if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+      else if (nA >= 0) nA else if (nB >= 0) nB else 0
+    }
+    /** 4x4 block decoded already (⇔ usable as a prediction neighbor). */
+    def blockDone(bx: Int, by: Int): Boolean =
+      bx >= 0 && by >= 0 && bx < bW && by < bH && tcY(by * bW + bx) >= 0
+  }
+
+  /** Dequantize a full 16-coeff scan-order block into raster `blk`. */
+  private def dequantFull(coeff: Array[Int], qp: Int, blk: Array[Int]): Unit = {
+    var k = 0
+    while (k < 16) {
+      val pos = Zig4(k)
+      blk(pos) = if (coeff(k) == 0) 0 else dequant(coeff(k), pos, qp)
+      k += 1
+    }
+  }
+
+  /** Dequantize a 15-coeff AC scan-order block + explicit DC into `blk`. */
+  private def dequantAcDc(coeff: Array[Int], dc: Int, qp: Int, blk: Array[Int]): Unit = {
+    blk(0) = dc
+    var k = 0
+    while (k < 15) {
+      val pos = Zig4(k + 1)
+      blk(pos) = if (coeff(k) == 0) 0 else dequant(coeff(k), pos, qp)
+      k += 1
+    }
+  }
+
+  /** recon = clip(pred + residual) written into the plane. `predOff` /
+    * `predStride` address the 4x4 window inside the prediction buffer.
+    */
+  private def reconBlock(plane: Array[Byte], stride: Int, px: Int, py: Int,
+      pred: Array[Int], predOff: Int, predStride: Int, blk: Array[Int]): Unit = {
+    var yy = 0
+    while (yy < 4) {
+      var xx = 0
+      while (xx < 4) {
+        plane((py + yy) * stride + px + xx) =
+          clip255(pred(predOff + yy * predStride + xx) + blk(yy * 4 + xx)).toByte
+        xx += 1
+      }
+      yy += 1
+    }
+  }
+
+  private def writePredBlock(plane: Array[Byte], stride: Int, px: Int, py: Int,
+      pred: Array[Int], predOff: Int, predStride: Int): Unit = {
+    var yy = 0
+    while (yy < 4) {
+      var xx = 0
+      while (xx < 4) {
+        plane((py + yy) * stride + px + xx) =
+          pred(predOff + yy * predStride + xx).toByte
+        xx += 1
+      }
+      yy += 1
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Decoder
+  // ---------------------------------------------------------------
+
+  /** Decode the chroma half of any intra MB (prediction + DC/AC
+    * residual) — shared by the I_4x4 and I_16x16 paths.
+    */
+  private def decodeMbChroma(r: BitReader, st: FrameState, pps: Pps,
+      mbX: Int, mbY: Int, cbpChroma: Int, chromaMode: Int, qp: Int): Unit = {
+    val qpc = chromaQp(qp, pps.chromaQpOffset)
+    val cpx0 = mbX * 8; val cpy0 = mbY * 8
+    val aL = mbX > 0; val aT = mbY > 0
+    val dcCb = new Array[Int](4); val dcCr = new Array[Int](4)
+    if (cbpChroma != 0) {
+      readResidual(r, -1, 4, dcCb)
+      readResidual(r, -1, 4, dcCr)
+    }
+    val pred = new Array[Int](64)
+    val coeff = new Array[Int](15)
+    val blk = new Array[Int](16)
+    var pi = 0
+    while (pi < 2) {
+      val (plane, tcArr, dcRaw) =
+        if (pi == 0) (st.cb, st.tcCb, dcCb) else (st.cr, st.tcCr, dcCr)
+      predictChroma8(plane, st.cw, cpx0, cpy0, chromaMode, aL, aT, pred)
+      // inverse 2x2 Hadamard + DC scaling
+      val dc = dcRaw.clone()
+      hadamard2(dc)
+      var i = 0
+      while (i < 4) { dc(i) = dequantChromaDc(dc(i), qpc); i += 1 }
+      var b = 0
+      while (b < 4) {
+        val cx = mbX * 2 + (b & 1); val cy = mbY * 2 + (b >> 1)
+        val tc =
+          if (cbpChroma == 2) readResidual(r, st.chromaNc(tcArr, cx, cy), 15, coeff)
+          else { java.util.Arrays.fill(coeff, 0); 0 }
+        tcArr(cy * st.cbW + cx) = tc
+        dequantAcDc(coeff, dc(b), qpc, blk)
+        idct4(blk)
+        reconBlock(plane, st.cw, cpx0 + (b & 1) * 4, cpy0 + (b >> 1) * 4,
+          pred, (b >> 1) * 4 * 8 + (b & 1) * 4, 8, blk)
+        b += 1
+      }
+      pi += 1
+    }
+  }
+
+  /** Decode one macroblock; returns the updated slice QP. */
+  private def decodeMb(r: BitReader, st: FrameState, pps: Pps,
+      mbX: Int, mbY: Int, qpIn: Int): Int = {
+    var qp = qpIn
+    val bx0 = mbX * 4; val by0 = mbY * 4
+    val px0 = mbX * 16; val py0 = mbY * 16
+    val mbType = r.ue()
+    require(mbType <= 25, s"mb_type $mbType invalid in I slice")
+
+    if (mbType == 25) { // I_PCM
+      r.byteAlign()
+      var i = 0
+      while (i < 256) {
+        st.y((py0 + (i >> 4)) * st.w + px0 + (i & 15)) = r.u(8).toByte
+        i += 1
+      }
+      var pi = 0
+      while (pi < 2) {
+        val plane = if (pi == 0) st.cb else st.cr
+        i = 0
+        while (i < 64) {
+          plane((mbY * 8 + (i >> 3)) * st.cw + mbX * 8 + (i & 7)) = r.u(8).toByte
+          i += 1
+        }
+        pi += 1
+      }
+      var k = 0
+      while (k < 16) {
+        val (zx, zy) = ZPos(k)
+        st.tcY((by0 + zy) * st.bW + bx0 + zx) = 16
+        st.modeY((by0 + zy) * st.bW + bx0 + zx) = 2
+        k += 1
+      }
+      k = 0
+      while (k < 4) {
+        st.tcCb((mbY * 2 + (k >> 1)) * st.cbW + mbX * 2 + (k & 1)) = 16
+        st.tcCr((mbY * 2 + (k >> 1)) * st.cbW + mbX * 2 + (k & 1)) = 16
+        k += 1
+      }
+      return qp
+    }
+
+    val coeff = new Array[Int](16)
+    val blk = new Array[Int](16)
+
+    if (mbType == 0) { // I_4x4
+      val modes = new Array[Int](16)
+      var k = 0
+      while (k < 16) {
+        val (zx, zy) = ZPos(k)
+        val bx = bx0 + zx; val by = by0 + zy
+        val availA = bx > 0 && st.modeY(by * st.bW + bx - 1) >= 0
+        val availB = by > 0 && st.modeY((by - 1) * st.bW + bx) >= 0
+        val predMode =
+          if (!availA || !availB) 2
+          else math.min(st.modeY(by * st.bW + bx - 1), st.modeY((by - 1) * st.bW + bx))
+        val mode =
+          if (r.u1() == 1) predMode
+          else { val rem = r.u(3); if (rem < predMode) rem else rem + 1 }
+        modes(k) = mode
+        st.modeY(by * st.bW + bx) = mode
+        k += 1
+      }
+      val chromaMode = r.ue()
+      require(chromaMode <= 3, "chroma mode")
+      val cbpCode = r.ue()
+      require(cbpCode < 48, "cbp")
+      val cbp = CbpIntra(cbpCode)
+      if (cbp != 0) { qp += r.se(); require(qp >= 0 && qp <= 51, "qp") }
+      val pred4 = new Array[Int](16)
+      k = 0
+      while (k < 16) {
+        val (zx, zy) = ZPos(k)
+        val bx = bx0 + zx; val by = by0 + zy
+        val px = px0 + zx * 4; val py = py0 + zy * 4
+        val b8 = (zy >> 1) * 2 + (zx >> 1)
+        val tc =
+          if ((cbp & (1 << b8)) != 0) readResidual(r, st.lumaNc(bx, by), 16, coeff)
+          else { java.util.Arrays.fill(coeff, 0); 0 }
+        st.tcY(by * st.bW + bx) = tc
+        predict4(st.y, st.w, px, py, modes(k),
+          st.blockDone(bx - 1, by), st.blockDone(bx, by - 1),
+          st.blockDone(bx - 1, by - 1), st.blockDone(bx + 1, by - 1), pred4)
+        if (tc > 0) {
+          dequantFull(coeff, qp, blk)
+          idct4(blk)
+          reconBlock(st.y, st.w, px, py, pred4, 0, 4, blk)
+        } else writePredBlock(st.y, st.w, px, py, pred4, 0, 4)
+        k += 1
+      }
+      decodeMbChroma(r, st, pps, mbX, mbY, cbp >> 4, chromaMode, qp)
+    } else { // I_16x16
+      val m = mbType - 1
+      val predMode16 = m % 4
+      val cbpChroma = (m / 4) % 3
+      val cbpLuma = if (m >= 12) 15 else 0
+      val chromaMode = r.ue()
+      require(chromaMode <= 3, "chroma mode")
+      qp += r.se()
+      require(qp >= 0 && qp <= 51, "qp")
+      // luma DC: context of block 0, scan over the 4x4 DC array
+      val dcCoeff = new Array[Int](16)
+      readResidual(r, st.lumaNc(bx0, by0), 16, dcCoeff)
+      val dcArr = new Array[Int](16)
+      var k = 0
+      while (k < 16) { dcArr(Zig4(k)) = dcCoeff(k); k += 1 }
+      hadamard4(dcArr)
+      k = 0
+      while (k < 16) { dcArr(k) = dequantLumaDc(dcArr(k), qp); k += 1 }
+      val pred256 = new Array[Int](256)
+      predict16(st.y, st.w, px0, py0, predMode16, mbX > 0, mbY > 0, pred256)
+      val acCoeff = new Array[Int](15)
+      k = 0
+      while (k < 16) {
+        val (zx, zy) = ZPos(k)
+        val bx = bx0 + zx; val by = by0 + zy
+        val tc =
+          if (cbpLuma != 0) readResidual(r, st.lumaNc(bx, by), 15, acCoeff)
+          else { java.util.Arrays.fill(acCoeff, 0); 0 }
+        st.tcY(by * st.bW + bx) = tc
+        st.modeY(by * st.bW + bx) = 2
+        dequantAcDc(acCoeff, dcArr(zy * 4 + zx), qp, blk)
+        idct4(blk)
+        reconBlock(st.y, st.w, px0 + zx * 4, py0 + zy * 4,
+          pred256, zy * 4 * 16 + zx * 4, 16, blk)
+        k += 1
+      }
+      decodeMbChroma(r, st, pps, mbX, mbY, cbpChroma, chromaMode, qp)
+    }
+    qp
+  }
+
+  /** Decode an IDR slice (header + all MBs) into a frame. */
+  private def decodeSlice(rbsp: Array[Byte], refIdc: Int, sps: Sps, pps: Pps): FrameState = {
+    require(!pps.entropyCabac, "CABAC unsupported (CAVLC only)")
+    require(!pps.constrainedIntra, "constrained_intra_pred unsupported")
+    val r = new BitReader(rbsp)
+    require(r.ue() == 0, "multi-slice pictures unsupported")
+    val sliceType = r.ue()
+    require(sliceType == 2 || sliceType == 7, s"slice_type $sliceType (inter) unsupported")
+    require(r.ue() == 0, "pps_id")
+    r.u(sps.log2MaxFrameNum) // frame_num
+    r.ue() // idr_pic_id
+    if (sps.pocType == 0) r.u(sps.log2MaxPocLsb) // pic_order_cnt_lsb
+    if (refIdc != 0) { r.u1(); r.u1() } // dec_ref_pic_marking (IDR)
+    var qp = pps.picInitQp + r.se()
+    require(qp >= 0 && qp <= 51, "slice qp")
+    if (pps.deblockingControlPresent) {
+      val idc = r.ue()
+      require(idc == 1,
+        "in-loop deblocking not implemented; only disable_deblocking_filter_idc=1 streams")
+    } else throw new IllegalStateException(
+      "deblocking filter signalled active; not implemented")
+    val st = new FrameState(sps.mbWidth, sps.mbHeight)
+    var mb = 0
+    while (mb < sps.mbWidth * sps.mbHeight) {
+      qp = decodeMb(r, st, pps, mb % sps.mbWidth, mb / sps.mbWidth, qp)
+      mb += 1
+    }
+    require(!r.moreRbsp(), "trailing data after last MB (desync?)")
+    st
+  }
+
+  /** Split an Annex-B byte stream into (nalType, refIdc, rbsp) units. */
+  private def splitAnnexB(b: Array[Byte]): Vector[(Int, Int, Array[Byte])] = {
+    val out = Vector.newBuilder[(Int, Int, Array[Byte])]
+    var i = 0
+    val starts = Vector.newBuilder[Int]
+    while (i + 2 < b.length) {
+      if (b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1) { starts += (i + 3); i += 3 }
+      else i += 1
+    }
+    val ss = starts.result()
+    var k = 0
+    while (k < ss.length) {
+      val from = ss(k)
+      var to = if (k + 1 < ss.length) ss(k + 1) - 3 else b.length
+      // a 4-byte start code leaves one extra zero before the next 3-byte match
+      while (to > from && b(to - 1) == 0) to -= 1
+      if (to > from) {
+        val hdr = b(from) & 0xff
+        require((hdr & 0x80) == 0, "forbidden_zero_bit")
+        out += (((hdr & 0x1f), (hdr >> 5) & 3, unescapeRbsp(b, from + 1, to)))
+      }
+      k += 1
+    }
+    out.result()
+  }
+
+  private def cropFrame(st: FrameState, sps: Sps): Yuv420 = {
+    val w = sps.width; val h = sps.height
+    require(sps.cropLeft == 0 && sps.cropTop == 0, "left/top cropping unsupported")
+    val cw = w / 2; val ch = h / 2
+    val y = new Array[Byte](w * h)
+    var r = 0
+    while (r < h) { System.arraycopy(st.y, r * st.w, y, r * w, w); r += 1 }
+    val cb = new Array[Byte](cw * ch); val cr = new Array[Byte](cw * ch)
+    r = 0
+    while (r < ch) {
+      System.arraycopy(st.cb, r * st.cw, cb, r * cw, cw)
+      System.arraycopy(st.cr, r * st.cw, cr, r * cw, cw)
+      r += 1
+    }
+    Yuv420(w, h, y, cb, cr)
+  }
+
+  /** Decode the first IDR picture of an Annex-B stream. Corrupt or
+    * out-of-subset streams quarantine to None (never a partial frame).
+    */
+  def decodeYuv(annexB: Array[Byte]): Option[Yuv420] =
+    try {
+      var sps: Option[Sps] = None
+      var pps: Option[Pps] = None
+      splitAnnexB(annexB).foreach { case (nalType, refIdc, rbsp) =>
+        nalType match {
+          case 7 => sps = Some(parseSps(new BitReader(rbsp)))
+          case 8 => pps = Some(parsePps(new BitReader(rbsp)))
+          case 5 =>
+            val s = sps.getOrElse(throw new IllegalStateException("no SPS"))
+            val p = pps.getOrElse(throw new IllegalStateException("no PPS"))
+            return Some(cropFrame(decodeSlice(rbsp, refIdc, s, p), s))
+          case 1 => throw new IllegalStateException("non-IDR slice (inter) unsupported")
+          case _ => () // SEI / AUD / filler: ignored
+        }
+      }
+      None
+    } catch { case NonFatal(_) => None }
+
+  /** Decode one MP4/AVC sample (length-prefixed NAL units) using
+    * out-of-band SPS/PPS NAL payloads (from an avcC record).
+    */
+  def decodeAvcSample(spsNal: Array[Byte], ppsNal: Array[Byte],
+      sample: Array[Byte], lengthSize: Int = 4): Option[Yuv420] =
+    try {
+      val sps = parseSps(new BitReader(unescapeRbsp(spsNal, 1, spsNal.length)))
+      val pps = parsePps(new BitReader(unescapeRbsp(ppsNal, 1, ppsNal.length)))
+      var i = 0
+      while (i + lengthSize <= sample.length) {
+        var len = 0
+        var k = 0
+        while (k < lengthSize) { len = (len << 8) | (sample(i + k) & 0xff); k += 1 }
+        i += lengthSize
+        require(len > 0 && i + len <= sample.length, "NAL length")
+        val hdr = sample(i) & 0xff
+        if ((hdr & 0x1f) == 5)
+          return Some(cropFrame(
+            decodeSlice(unescapeRbsp(sample, i + 1, i + len), (hdr >> 5) & 3, sps, pps), sps))
+        i += len
+      }
+      None
+    } catch { case NonFatal(_) => None }
+
+  // ---------------------------------------------------------------
+  // Encoder
+  // ---------------------------------------------------------------
+
+  /** Encoded IDR frame: the Annex-B stream, the raw NAL units for MP4
+    * framing (SPS/PPS for avcC, the IDR NAL for the sample payload),
+    * and the reconstruction the decoder must reproduce bit-exactly.
+    */
+  final case class Encoded(annexB: Array[Byte], spsNal: Array[Byte],
+      ppsNal: Array[Byte], idrNal: Array[Byte], recon: Yuv420)
+
+  private def sad16(pred: Array[Int], src: Array[Byte], stride: Int,
+      px: Int, py: Int, n: Int): Int = {
+    var s = 0
+    var i = 0
+    while (i < n * n) {
+      s += math.abs(pred(i) - (src((py + i / n) * stride + px + i % n) & 0xff))
+      i += 1
+    }
+    s
+  }
+
+  /** Encode one frame as an IDR picture. Even dimensions only (4:2:0
+    * cropping is expressed in 2-sample units). `forcePcm` emits every
+    * macroblock as I_PCM — a lossless, hand-verifiable stream.
+    */
+  def encodeYuv(src: Yuv420, qp: Int = 28, forcePcm: Boolean = false): Encoded = {
+    require(src.width > 0 && src.height > 0 &&
+      src.width % 2 == 0 && src.height % 2 == 0,
+      s"dims ${src.width}x${src.height}: 4:2:0 needs even sizes")
+    require(qp >= 0 && qp <= 51, s"qp $qp")
+    val mbW = (src.width + 15) / 16
+    val mbH = (src.height + 15) / 16
+    // edge-replicated source at MB-padded size
+    def pad(p: Array[Byte], w: Int, h: Int, dw: Int, dh: Int): Array[Byte] = {
+      val out = new Array[Byte](dw * dh)
+      var y = 0
+      while (y < dh) {
+        val sy = math.min(y, h - 1)
+        var x = 0
+        while (x < dw) { out(y * dw + x) = p(sy * w + math.min(x, w - 1)); x += 1 }
+        y += 1
+      }
+      out
+    }
+    val st = new FrameState(mbW, mbH)
+    val srcY = pad(src.y, src.width, src.height, st.w, st.h)
+    val srcCb = pad(src.cb, src.chromaW, src.chromaH, st.cw, st.ch)
+    val srcCr = pad(src.cr, src.chromaW, src.chromaH, st.cw, st.ch)
+
+    val w = new BitWriter
+    // slice header (mirrors decodeSlice exactly)
+    w.ue(0) // first_mb_in_slice
+    w.ue(7) // slice_type: I (all slices in picture)
+    w.ue(0) // pps_id
+    w.putBits(0, 4) // frame_num, log2_max_frame_num = 4
+    w.ue(0) // idr_pic_id
+    w.put(0); w.put(0) // dec_ref_pic_marking: no_output_of_prior, long_term
+    w.se(0) // slice_qp_delta (pic_init_qp carries the QP)
+    w.ue(1) // disable_deblocking_filter_idc = 1
+
+    var mb = 0
+    while (mb < mbW * mbH) {
+      val mbX = mb % mbW; val mbY = mb / mbW
+      if (forcePcm) encodeMbPcm(w, st, srcY, srcCb, srcCr, mbX, mbY)
+      else encodeMbIntra(w, st, srcY, srcCb, srcCr, mbX, mbY, qp)
+      mb += 1
+    }
+    w.trailing()
+
+    val spsW = new BitWriter
+    writeSps(spsW, mbW, mbH, (mbW * 16 - src.width) / 2, (mbH * 16 - src.height) / 2)
+    val ppsW = new BitWriter
+    writePps(ppsW, qp)
+    val spsNal = Array[Byte](0x67.toByte) ++ escapeRbsp(spsW.bytes)
+    val ppsNal = Array[Byte](0x68.toByte) ++ escapeRbsp(ppsW.bytes)
+    val idrNal = Array[Byte](0x65.toByte) ++ escapeRbsp(w.bytes)
+    val sc = Array[Byte](0, 0, 0, 1)
+    val annexB = sc ++ spsNal ++ sc ++ ppsNal ++ sc ++ idrNal
+    val sps = Sps(66, 30, 4, 2, 0, mbW, mbH,
+      0, (mbW * 16 - src.width) / 2, 0, (mbH * 16 - src.height) / 2)
+    Encoded(annexB, spsNal, ppsNal, idrNal, cropFrame(st, sps))
+  }
+
+  private def encodeMbPcm(w: BitWriter, st: FrameState,
+      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
+      mbX: Int, mbY: Int): Unit = {
+    w.ue(25)
+    w.align() // pcm_alignment_zero_bit
+    var i = 0
+    while (i < 256) {
+      val v = srcY((mbY * 16 + (i >> 4)) * st.w + mbX * 16 + (i & 15)) & 0xff
+      w.putBits(v, 8)
+      st.y((mbY * 16 + (i >> 4)) * st.w + mbX * 16 + (i & 15)) = v.toByte
+      i += 1
+    }
+    var pi = 0
+    while (pi < 2) {
+      val (sp, dp) = if (pi == 0) (srcCb, st.cb) else (srcCr, st.cr)
+      i = 0
+      while (i < 64) {
+        val o = (mbY * 8 + (i >> 3)) * st.cw + mbX * 8 + (i & 7)
+        w.putBits(sp(o) & 0xff, 8)
+        dp(o) = sp(o)
+        i += 1
+      }
+      pi += 1
+    }
+    var k = 0
+    while (k < 16) {
+      val (zx, zy) = ZPos(k)
+      st.tcY((mbY * 4 + zy) * st.bW + mbX * 4 + zx) = 16
+      st.modeY((mbY * 4 + zy) * st.bW + mbX * 4 + zx) = 2
+      k += 1
+    }
+    k = 0
+    while (k < 4) {
+      st.tcCb((mbY * 2 + (k >> 1)) * st.cbW + mbX * 2 + (k & 1)) = 16
+      st.tcCr((mbY * 2 + (k >> 1)) * st.cbW + mbX * 2 + (k & 1)) = 16
+      k += 1
+    }
+  }
+
+  /** Chroma encode shared by both intra MB paths: mode selection,
+    * 2x2-Hadamard DC + AC quantization, decoder-identical recon.
+    * Returns (cbpChroma, chromaMode, dcCb, dcCr, acCb, acCr, acTcCb, acTcCr).
+    */
+  private def encodeChroma(st: FrameState, srcCb: Array[Byte], srcCr: Array[Byte],
+      mbX: Int, mbY: Int, qp: Int): (Int, Int, Array[Int], Array[Int],
+      Array[Array[Int]], Array[Array[Int]]) = {
+    val qpc = chromaQp(qp, 0)
+    val cpx0 = mbX * 8; val cpy0 = mbY * 8
+    val aL = mbX > 0; val aT = mbY > 0
+    // mode selection: best summed SAD over both planes among valid modes
+    val candidates = Seq(0) ++ (if (aL) Seq(1) else Nil) ++
+      (if (aT) Seq(2) else Nil) ++ (if (aL && aT) Seq(3) else Nil)
+    val pred = new Array[Int](64)
+    val chromaMode = candidates.minBy { m =>
+      predictChroma8(st.cb, st.cw, cpx0, cpy0, m, aL, aT, pred)
+      val s1 = sad16(pred, srcCb, st.cw, cpx0, cpy0, 8)
+      predictChroma8(st.cr, st.cw, cpx0, cpy0, m, aL, aT, pred)
+      s1 + sad16(pred, srcCr, st.cw, cpx0, cpy0, 8)
+    }
+    // per plane: FDCT blocks, split DC (2x2 Hadamard) and AC
+    val dcLevels = Array.ofDim[Int](2, 4)
+    val acLevels = Array.ofDim[Int](2, 4, 15)
+    val predP = Array.ofDim[Int](2, 64)
+    val blk = new Array[Int](16)
+    var pi = 0
+    while (pi < 2) {
+      val (sp, plane) = if (pi == 0) (srcCb, st.cb) else (srcCr, st.cr)
+      predictChroma8(plane, st.cw, cpx0, cpy0, chromaMode, aL, aT, predP(pi))
+      val dcRaw = new Array[Int](4)
+      var b = 0
+      while (b < 4) {
+        val ox = (b & 1) * 4; val oy = (b >> 1) * 4
+        var i = 0
+        while (i < 16) {
+          val x = ox + (i & 3); val y = oy + (i >> 2)
+          blk(i) = (sp((cpy0 + y) * st.cw + cpx0 + x) & 0xff) - predP(pi)(y * 8 + x)
+          i += 1
+        }
+        fdct4(blk)
+        dcRaw(b) = blk(0)
+        i = 0
+        while (i < 15) {
+          val pos = Zig4(i + 1)
+          acLevels(pi)(b)(i) = quant(blk(pos), pos, qpc)
+          i += 1
+        }
+        b += 1
+      }
+      hadamard2(dcRaw)
+      b = 0
+      while (b < 4) { dcLevels(pi)(b) = quantDc(dcRaw(b), qpc); b += 1 }
+      pi += 1
+    }
+    val anyDc = dcLevels.exists(_.exists(_ != 0))
+    val anyAc = acLevels.exists(_.exists(_.exists(_ != 0)))
+    val cbpChroma = if (anyAc) 2 else if (anyDc) 1 else 0
+    if (cbpChroma < 2) { // dropped AC must not enter the reconstruction
+      var p = 0
+      while (p < 2) {
+        var b = 0
+        while (b < 4) { java.util.Arrays.fill(acLevels(p)(b), 0); b += 1 }
+        p += 1
+      }
+    }
+    // decoder-identical reconstruction
+    pi = 0
+    while (pi < 2) {
+      val (plane, tcArr) = if (pi == 0) (st.cb, st.tcCb) else (st.cr, st.tcCr)
+      val dc = dcLevels(pi).clone()
+      hadamard2(dc)
+      var i = 0
+      while (i < 4) { dc(i) = dequantChromaDc(dc(i), qpc); i += 1 }
+      var b = 0
+      while (b < 4) {
+        val cx = mbX * 2 + (b & 1); val cy = mbY * 2 + (b >> 1)
+        tcArr(cy * st.cbW + cx) = acLevels(pi)(b).count(_ != 0)
+        dequantAcDc(acLevels(pi)(b), dc(b), qpc, blk)
+        idct4(blk)
+        reconBlock(plane, st.cw, cpx0 + (b & 1) * 4, cpy0 + (b >> 1) * 4,
+          predP(pi), (b >> 1) * 4 * 8 + (b & 1) * 4, 8, blk)
+        b += 1
+      }
+      pi += 1
+    }
+    (cbpChroma, chromaMode, dcLevels(0), dcLevels(1), acLevels(0), acLevels(1))
+  }
+
+  /** Serialize the chroma residual (DC then AC per plane) — contexts
+    * read the tc arrays the same way the decoder does.
+    */
+  private def writeChromaResidual(w: BitWriter, st: FrameState, mbX: Int, mbY: Int,
+      cbpChroma: Int, dcCb: Array[Int], dcCr: Array[Int],
+      acCb: Array[Array[Int]], acCr: Array[Array[Int]]): Unit = {
+    if (cbpChroma != 0) {
+      writeResidual(w, -1, 4, dcCb)
+      writeResidual(w, -1, 4, dcCr)
+    }
+    if (cbpChroma == 2) {
+      var pi = 0
+      while (pi < 2) {
+        val (tcArr, ac) = if (pi == 0) (st.tcCb, acCb) else (st.tcCr, acCr)
+        var b = 0
+        while (b < 4) {
+          val cx = mbX * 2 + (b & 1); val cy = mbY * 2 + (b >> 1)
+          // context must see the DECODER's state: neighbours only, and
+          // the tc array already holds this MB's final values, but nC
+          // reads strictly left/top blocks which precede in coding order
+          writeResidual(w, st.chromaNc(tcArr, cx, cy), 15, ac(b))
+          b += 1
+        }
+        pi += 1
+      }
+    }
+  }
+
+  private def encodeMbIntra(w: BitWriter, st: FrameState,
+      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
+      mbX: Int, mbY: Int, qp: Int): Unit = {
+    val px0 = mbX * 16; val py0 = mbY * 16
+    val aLmb = mbX > 0; val aTmb = mbY > 0
+    // I_16x16 candidate: best full-block prediction SAD
+    val mode16Candidates = Seq(2) ++ (if (aTmb) Seq(0) else Nil) ++
+      (if (aLmb) Seq(1) else Nil) ++ (if (aLmb && aTmb) Seq(3) else Nil)
+    val pred256 = new Array[Int](256)
+    val mode16 = mode16Candidates.minBy { m =>
+      predict16(st.y, st.w, px0, py0, m, aLmb, aTmb, pred256)
+      sad16(pred256, srcY, st.w, px0, py0, 16)
+    }
+    predict16(st.y, st.w, px0, py0, mode16, aLmb, aTmb, pred256)
+    val sad16Best = sad16(pred256, srcY, st.w, px0, py0, 16)
+    // crude I_4x4 estimate: per-block best of DC/V/H against the
+    // SOURCE as stand-in neighbours (selection only — never affects
+    // conformance, both paths reconstruct exactly)
+    var sad4Est = 0
+    var k = 0
+    while (k < 16) {
+      val bx = px0 + (k & 3) * 4; val by = py0 + (k >> 2) * 4
+      var best = Int.MaxValue
+      var m = 0
+      while (m < 3) {
+        var s = 0
+        var i = 0
+        while (i < 16) {
+          val x = bx + (i & 3); val y = by + (i >> 2)
+          val p = m match {
+            case 0 => if (by > 0) srcY((by - 1) * st.w + x) & 0xff else 128
+            case 1 => if (bx > 0) srcY(y * st.w + bx - 1) & 0xff else 128
+            case _ => 128
+          }
+          s += math.abs((srcY(y * st.w + x) & 0xff) - p)
+          i += 1
+        }
+        if (s < best) best = s
+        m += 1
+      }
+      sad4Est += best
+      k += 1
+    }
+    if (sad16Best <= sad4Est) encodeMbI16(w, st, srcY, srcCb, srcCr, mbX, mbY, qp, mode16, pred256)
+    else encodeMbI4(w, st, srcY, srcCb, srcCr, mbX, mbY, qp)
+  }
+
+  private def encodeMbI16(w: BitWriter, st: FrameState,
+      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
+      mbX: Int, mbY: Int, qp: Int, mode16: Int, pred256: Array[Int]): Unit = {
+    val px0 = mbX * 16; val py0 = mbY * 16
+    val bx0 = mbX * 4; val by0 = mbY * 4
+    val blk = new Array[Int](16)
+    val dcRaw = new Array[Int](16) // per-block DC transform coeffs, raster
+    val acLevels = Array.ofDim[Int](16, 15) // indexed by z-scan k
+    var k = 0
+    while (k < 16) {
+      val (zx, zy) = ZPos(k)
+      var i = 0
+      while (i < 16) {
+        val x = px0 + zx * 4 + (i & 3); val y = py0 + zy * 4 + (i >> 2)
+        blk(i) = (srcY(y * st.w + x) & 0xff) - pred256((zy * 4 + (i >> 2)) * 16 + zx * 4 + (i & 3))
+        i += 1
+      }
+      fdct4(blk)
+      dcRaw(zy * 4 + zx) = blk(0)
+      i = 0
+      while (i < 15) {
+        val pos = Zig4(i + 1)
+        acLevels(k)(i) = quant(blk(pos), pos, qp)
+        i += 1
+      }
+      k += 1
+    }
+    // luma DC: forward Hadamard with >>1, quantized at double step
+    hadamard4(dcRaw)
+    k = 0
+    while (k < 16) { dcRaw(k) = dcRaw(k) >> 1; k += 1 }
+    val dcLevels = new Array[Int](16) // scan order
+    k = 0
+    while (k < 16) { dcLevels(k) = quantDc(dcRaw(Zig4(k)), qp); k += 1 }
+    val cbpLuma = if (acLevels.exists(_.exists(_ != 0))) 15 else 0
+    if (cbpLuma == 0) { var z = 0; while (z < 16) { java.util.Arrays.fill(acLevels(z), 0); z += 1 } }
+    val (cbpChroma, chromaMode, dcCb, dcCr, acCb, acCr) =
+      encodeChroma(st, srcCb, srcCr, mbX, mbY, qp)
+    // ---- serialize ----
+    val mbType = 1 + mode16 + 4 * cbpChroma + (if (cbpLuma == 15) 12 else 0)
+    w.ue(mbType)
+    w.ue(chromaMode)
+    w.se(0) // mb_qp_delta
+    // luma DC (context of block 0, before this MB's tc values are set)
+    writeResidual(w, st.lumaNc(bx0, by0), 16, dcLevels)
+    // ---- reconstruct luma exactly as the decoder ----
+    val dcArr = new Array[Int](16)
+    k = 0
+    while (k < 16) { dcArr(Zig4(k)) = dcLevels(k); k += 1 }
+    hadamard4(dcArr)
+    k = 0
+    while (k < 16) { dcArr(k) = dequantLumaDc(dcArr(k), qp); k += 1 }
+    k = 0
+    while (k < 16) {
+      val (zx, zy) = ZPos(k)
+      val bx = bx0 + zx; val by = by0 + zy
+      if (cbpLuma != 0) writeResidual(w, st.lumaNc(bx, by), 15, acLevels(k))
+      st.tcY(by * st.bW + bx) = acLevels(k).count(_ != 0)
+      st.modeY(by * st.bW + bx) = 2
+      dequantAcDc(acLevels(k), dcArr(zy * 4 + zx), qp, blk)
+      idct4(blk)
+      reconBlock(st.y, st.w, px0 + zx * 4, py0 + zy * 4,
+        pred256, zy * 4 * 16 + zx * 4, 16, blk)
+      k += 1
+    }
+    writeChromaResidual(w, st, mbX, mbY, cbpChroma, dcCb, dcCr, acCb, acCr)
+  }
+
+  private def encodeMbI4(w: BitWriter, st: FrameState,
+      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
+      mbX: Int, mbY: Int, qp: Int): Unit = {
+    val px0 = mbX * 16; val py0 = mbY * 16
+    val bx0 = mbX * 4; val by0 = mbY * 4
+    val blk = new Array[Int](16)
+    val pred4 = new Array[Int](16)
+    val modes = new Array[Int](16)
+    val levels = Array.ofDim[Int](16, 16) // z-scan k → scan-order levels
+    val preds = Array.ofDim[Int](16, 16) // chosen prediction per block
+    // per-block: choose mode on the reconstruction, quantize, recon
+    var k = 0
+    while (k < 16) {
+      val (zx, zy) = ZPos(k)
+      val bx = bx0 + zx; val by = by0 + zy
+      val px = px0 + zx * 4; val py = py0 + zy * 4
+      val aL = st.blockDone(bx - 1, by)
+      val aT = st.blockDone(bx, by - 1)
+      val aTL = st.blockDone(bx - 1, by - 1)
+      val aTR = st.blockDone(bx + 1, by - 1)
+      val candidates = Seq(2) ++
+        (if (aT) Seq(0, 3, 7) else Nil) ++
+        (if (aL) Seq(1, 8) else Nil) ++
+        (if (aT && aL && aTL) Seq(4, 5, 6) else Nil)
+      var bestMode = 2
+      var bestSad = Int.MaxValue
+      candidates.foreach { m =>
+        predict4(st.y, st.w, px, py, m, aL, aT, aTL, aTR, pred4)
+        var s = 0
+        var i = 0
+        while (i < 16) {
+          s += math.abs(pred4(i) - (srcY((py + (i >> 2)) * st.w + px + (i & 3)) & 0xff))
+          i += 1
+        }
+        if (s < bestSad) { bestSad = s; bestMode = m }
+      }
+      modes(k) = bestMode
+      st.modeY(by * st.bW + bx) = bestMode
+      predict4(st.y, st.w, px, py, bestMode, aL, aT, aTL, aTR, pred4)
+      System.arraycopy(pred4, 0, preds(k), 0, 16)
+      var i = 0
+      while (i < 16) {
+        blk(i) = (srcY((py + (i >> 2)) * st.w + px + (i & 3)) & 0xff) - pred4(i)
+        i += 1
+      }
+      fdct4(blk)
+      i = 0
+      while (i < 16) {
+        val pos = Zig4(i)
+        levels(k)(i) = quant(blk(pos), pos, qp)
+        i += 1
+      }
+      val tc = levels(k).count(_ != 0)
+      st.tcY(by * st.bW + bx) = tc
+      if (tc > 0) {
+        dequantFull(levels(k), qp, blk)
+        idct4(blk)
+        reconBlock(st.y, st.w, px, py, preds(k), 0, 4, blk)
+      } else writePredBlock(st.y, st.w, px, py, preds(k), 0, 4)
+      k += 1
+    }
+    // cbp from the surviving levels (an 8x8 is coded iff any nonzero)
+    var cbpL = 0
+    k = 0
+    while (k < 16) {
+      if (levels(k).exists(_ != 0)) {
+        val (zx, zy) = ZPos(k)
+        cbpL |= 1 << ((zy >> 1) * 2 + (zx >> 1))
+      }
+      k += 1
+    }
+    val (cbpChroma, chromaMode, dcCb, dcCr, acCb, acCr) =
+      encodeChroma(st, srcCb, srcCr, mbX, mbY, qp)
+    val cbp = cbpL | (cbpChroma << 4)
+    // ---- serialize ----
+    w.ue(0) // mb_type I_4x4
+    k = 0
+    while (k < 16) {
+      val (zx, zy) = ZPos(k)
+      val bx = bx0 + zx; val by = by0 + zy
+      val availA = bx > 0 && st.modeY(by * st.bW + bx - 1) >= 0
+      val availB = by > 0 && st.modeY((by - 1) * st.bW + bx) >= 0
+      val predMode =
+        if (!availA || !availB) 2
+        else math.min(st.modeY(by * st.bW + bx - 1), st.modeY((by - 1) * st.bW + bx))
+      if (modes(k) == predMode) w.put(1)
+      else {
+        w.put(0)
+        w.putBits(if (modes(k) < predMode) modes(k) else modes(k) - 1, 3)
+      }
+      k += 1
+    }
+    w.ue(chromaMode)
+    w.ue(CbpIntraInv(cbp))
+    if (cbp != 0) w.se(0) // mb_qp_delta
+    k = 0
+    while (k < 16) {
+      val (zx, zy) = ZPos(k)
+      val b8 = ((zy >> 1) * 2 + (zx >> 1))
+      if ((cbp & (1 << b8)) != 0)
+        writeResidual(w, st.lumaNc(bx0 + zx, by0 + zy), 16, levels(k))
+      k += 1
+    }
+    writeChromaResidual(w, st, mbX, mbY, cbpChroma, dcCb, dcCr, acCb, acCr)
+  }
+}

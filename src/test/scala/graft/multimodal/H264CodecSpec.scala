@@ -1,0 +1,272 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[H264Codec]] (pure-JVM H.264 baseline-intra codec, r7).
+  *
+  * The correctness oracle is the codec's own contract: the encoder
+  * reconstructs every macroblock through the decoder's shared integer
+  * pipeline, so `decodeYuv(encodeYuv(x).annexB)` must equal the
+  * encoder's reported reconstruction BIT-EXACTLY (any prediction /
+  * transform / entropy desync breaks equality loudly). I_PCM is
+  * lossless, so there the round-trip must equal the SOURCE. The
+  * container has no external H.264 decoder (documented in the codec
+  * scaladoc), so the VLC tables are pinned structurally instead:
+  * prefix-freeness and full domain coverage per table.
+  */
+class H264CodecSpec extends AnyFunSuite {
+
+  import H264Codec._
+
+  /** Deterministic source frame: same pixel field family the media
+    * generators use (Multimodal.pixelsFor discipline).
+    */
+  private def frame(w: Int, h: Int, seed: Long): Yuv420 = {
+    def plane(n: Int, k: Long): Array[Byte] = {
+      val a = new Array[Byte](n)
+      var i = 0
+      while (i < n) { a(i) = ((i * 31 + seed * 17 + k * 101 + 7) & 0xff).toByte; i += 1 }
+      a
+    }
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    Yuv420(w, h, plane(w * h, 0), plane(cw * ch, 1), plane(cw * ch, 2))
+  }
+
+  private def flat(w: Int, h: Int, y: Int, cb: Int, cr: Int): Yuv420 = {
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    Yuv420(w, h,
+      Array.fill(w * h)(y.toByte),
+      Array.fill(cw * ch)(cb.toByte),
+      Array.fill(cw * ch)(cr.toByte))
+  }
+
+  private def assertSame(a: Yuv420, b: Yuv420, tag: String): Unit = {
+    assert(a.width == b.width && a.height == b.height, s"$tag geometry")
+    assert(java.util.Arrays.equals(a.y, b.y), s"$tag luma")
+    assert(java.util.Arrays.equals(a.cb, b.cb), s"$tag cb")
+    assert(java.util.Arrays.equals(a.cr, b.cr), s"$tag cr")
+  }
+
+  test("I_PCM: lossless round-trip, decoder output == source exactly") {
+    for ((w, h) <- Seq((16, 16), (32, 16), (48, 32))) {
+      val src = frame(w, h, seed = w * 7 + h)
+      val enc = encodeYuv(src, forcePcm = true)
+      assertSame(enc.recon, src, s"pcm recon ${w}x$h") // PCM recon is the source
+      val dec = decodeYuv(enc.annexB)
+      assert(dec.isDefined, s"pcm decode ${w}x$h")
+      assertSame(dec.get, src, s"pcm ${w}x$h")
+    }
+  }
+
+  test("flat frame round-trips bit-exactly at every QP tier") {
+    for (qp <- Seq(0, 10, 20, 28, 36, 44, 51)) {
+      val src = flat(32, 32, 128, 64, 192)
+      val enc = encodeYuv(src, qp)
+      val dec = decodeYuv(enc.annexB)
+      assert(dec.isDefined, s"qp $qp decode")
+      assertSame(dec.get, enc.recon, s"qp $qp")
+    }
+  }
+
+  test("textured frames: decode == encoder reconstruction over sizes and QPs") {
+    for {
+      (w, h) <- Seq((16, 16), (32, 24), (48, 48), (64, 32), (144, 108), (34, 18))
+      qp <- Seq(10, 28, 40)
+    } {
+      val src = frame(w, h, seed = w + h * 1000 + qp)
+      val enc = encodeYuv(src, qp)
+      val dec = decodeYuv(enc.annexB)
+      assert(dec.isDefined, s"decode ${w}x$h qp$qp")
+      assertSame(dec.get, enc.recon, s"${w}x$h qp$qp")
+    }
+  }
+
+  test("low QP on a smooth gradient is near-lossless; QP 51 still bit-exact to recon") {
+    val w = 48; val h = 32
+    val grad = {
+      val y = new Array[Byte](w * h)
+      var i = 0
+      while (i < w * h) { y(i) = (((i % w) * 2 + (i / w)) & 0xff).toByte; i += 1 }
+      Yuv420(w, h, y, Array.fill(w * h / 4)(120.toByte), Array.fill(w * h / 4)(130.toByte))
+    }
+    val lo = encodeYuv(grad, qp = 4)
+    var err = 0L; var i = 0
+    while (i < grad.y.length) {
+      err = math.max(err, math.abs((grad.y(i) & 0xff) - (lo.recon.y(i) & 0xff))); i += 1
+    }
+    assert(err <= 4, s"qp4 max luma error $err")
+    val hi = encodeYuv(grad, qp = 51)
+    assertSame(decodeYuv(hi.annexB).get, hi.recon, "qp51")
+    assert(hi.annexB.length < lo.annexB.length, "qp51 must compress harder than qp4")
+  }
+
+  test("decodeAvcSample: length-prefixed sample with out-of-band SPS/PPS") {
+    val src = frame(32, 32, 5)
+    val enc = encodeYuv(src, qp = 30)
+    val sample = {
+      val b = java.nio.ByteBuffer.allocate(4 + enc.idrNal.length)
+      b.putInt(enc.idrNal.length).put(enc.idrNal)
+      b.array()
+    }
+    val dec = decodeAvcSample(enc.spsNal, enc.ppsNal, sample)
+    assert(dec.isDefined)
+    assertSame(dec.get, enc.recon, "avc sample")
+    // non-IDR NAL first (length-prefixed SEI), IDR second — still found
+    val sei = Array[Byte](0x06, 0x01, 0x01, 0x00, 0x80.toByte)
+    val b2 = java.nio.ByteBuffer.allocate(4 + sei.length + 4 + enc.idrNal.length)
+    b2.putInt(sei.length).put(sei).putInt(enc.idrNal.length).put(enc.idrNal)
+    assert(decodeAvcSample(enc.spsNal, enc.ppsNal, b2.array()).isDefined)
+    // 2-byte length prefixes
+    val b3 = java.nio.ByteBuffer.allocate(2 + enc.idrNal.length)
+    b3.putShort(enc.idrNal.length.toShort).put(enc.idrNal)
+    assertSame(decodeAvcSample(enc.spsNal, enc.ppsNal, b3.array(), lengthSize = 2).get,
+      enc.recon, "len2")
+  }
+
+  // ---------------------------------------------------------------
+  // Structural pins for the transcribed VLC tables (the container has
+  // no external H.264 decoder, so these are the stated substitute for
+  // conformance-stream checks)
+  // ---------------------------------------------------------------
+
+  private def codesOf(v: Vlc): Seq[(Int, Int)] = v.codes.zip(v.lens).toSeq
+
+  private def assertPrefixFree(v: Vlc, tag: String): Unit = {
+    val cs = codesOf(v)
+    assert(cs.distinct.size == cs.size, s"$tag duplicate codes")
+    for {
+      (a, la) <- cs; (b, lb) <- cs
+      if la < lb
+    } assert((b >>> (lb - la)) != a, s"$tag: ${a.toBinaryString}/$la prefixes ${b.toBinaryString}/$lb")
+  }
+
+  test("coeff_token tables (9-5): prefix-free, exact (TrailingOnes, TotalCoeff) domain") {
+    val full = (for { tc <- 0 to 16; t1 <- 0 to math.min(tc, 3) } yield tc * 4 + t1).sorted
+    for ((v, tag) <- Seq((CoeffTokenNc0, "nC<2"), (CoeffTokenNc2, "2<=nC<4"),
+        (CoeffTokenNc4, "4<=nC<8"))) {
+      assertPrefixFree(v, tag)
+      assert(v.syms.sorted.toSeq == full, s"$tag domain")
+    }
+    assertPrefixFree(CoeffTokenChromaDc, "chromaDC")
+    val chroma = (for { tc <- 0 to 4; t1 <- 0 to math.min(tc, 3) } yield tc * 4 + t1).sorted
+    assert(CoeffTokenChromaDc.syms.sorted.toSeq == chroma, "chromaDC domain")
+  }
+
+  test("total_zeros and run_before tables: prefix-free, contiguous symbol ranges") {
+    for (tc <- 1 to 15) {
+      val v = TotalZeros4x4(tc)
+      assertPrefixFree(v, s"tz4x4[$tc]")
+      assert(v.syms.sorted.toSeq == (0 to 16 - tc), s"tz4x4[$tc] domain")
+    }
+    for (tc <- 1 to 3) {
+      val v = TotalZerosChromaDc(tc)
+      assertPrefixFree(v, s"tzDC[$tc]")
+      assert(v.syms.sorted.toSeq == (0 to 4 - tc), s"tzDC[$tc] domain")
+    }
+    for (zl <- 1 to 7) {
+      val v = RunBefore(zl)
+      assertPrefixFree(v, s"run[$zl]")
+      val hi = if (zl < 7) zl else 14 // zl>6 shares one open-ended table
+      assert(v.syms.sorted.toSeq == (0 to hi), s"run[$zl] domain")
+    }
+  }
+
+  test("coded_block_pattern Table 9-4 (intra) is a permutation of 0..47") {
+    assert(CbpIntra.sorted.toSeq == (0 until 48))
+    // the standard's low codeNums: cbp 47,31,15,0 map to codeNum 0..3
+    assert(CbpIntra.take(4).toSeq == Seq(47, 31, 15, 0))
+  }
+
+  test("4x4 zigzag scan matches the standard's Figure 8-8 order") {
+    assert(Zig4.toSeq == Seq(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15))
+    assert(Zig4.sorted.toSeq == (0 until 16))
+  }
+
+  // ---------------------------------------------------------------
+  // Byte-level goldens: SPS/PPS/slice-header/I_PCM are fully
+  // hand-checkable syntax, computed bit by bit from the standard
+  // ---------------------------------------------------------------
+
+  test("golden SPS/PPS bytes for a 32x32 frame at pic_init_qp=26") {
+    val enc = encodeYuv(flat(32, 32, 100, 110, 120), qp = 26)
+    // SPS: 66, c0, 1e, then ue(0) ue(0) ue(2) ue(0) 0 ue(1) ue(1) 1 1 0 0 + rbsp_stop
+    //  = 1 1 011 1 0 010 010 1 1 0 0 1 + pad -> dc 96 40
+    assert(enc.spsNal.toSeq == Seq(0x67, 0x42, 0xc0, 0x1e, 0xdc, 0x96, 0x40).map(_.toByte))
+    // PPS: ue0 ue0 0 0 ue0 ue0 ue0 0 00 se0 se0 se0 1 0 0 + stop
+    //  = 1 1 0 0 1 1 1 0 00 1 1 1 1 0 0 1 + pad -> ce 3c 80
+    assert(enc.ppsNal.toSeq == Seq(0x68, 0xce, 0x3c, 0x80).map(_.toByte))
+  }
+
+  test("golden I_PCM bitstream: hand-computed header bytes + raw planes") {
+    // luma/chroma values chosen nonzero so no emulation-prevention
+    // bytes appear and the NAL is byte-addressable by hand
+    val y = Array.tabulate(256)(i => (1 + (i % 250)).toByte)
+    val cb = Array.tabulate(64)(i => (5 + i).toByte)
+    val cr = Array.tabulate(64)(i => (130 + (i % 100)).toByte)
+    val enc = encodeYuv(Yuv420(16, 16, y, cb, cr), forcePcm = true)
+    // slice header ue(0) ue(7) ue(0) u4(frame_num) ue(0) 1bx2 se(0) ue(1)
+    // + mb_type ue(25) + pcm alignment:
+    //  1 0001000 1 0000 1 0 0 1 010 000011010 + 3 align zeros
+    //  = 88 84 a0 d0
+    assert(enc.idrNal.take(5).toSeq ==
+      Seq(0x65, 0x88, 0x84, 0xa0, 0xd0).map(_.toByte))
+    assert(enc.idrNal.slice(5, 5 + 256).toSeq == y.toSeq, "raw luma bytes")
+    assert(enc.idrNal.slice(5 + 256, 5 + 320).toSeq == cb.toSeq, "raw cb bytes")
+    assert(enc.idrNal.slice(5 + 320, 5 + 384).toSeq == cr.toSeq, "raw cr bytes")
+    // rbsp_slice_trailing_bits: aligned stop bit
+    assert(enc.idrNal.last == 0x80.toByte)
+    assert(enc.idrNal.length == 5 + 384 + 1)
+  }
+
+  test("emulation prevention: PCM zero runs are escaped on the wire and restored") {
+    val y = new Array[Byte](256) // all zeros: maximal 00-run stress
+    val enc = encodeYuv(Yuv420(16, 16, y, new Array[Byte](64), new Array[Byte](64)),
+      forcePcm = true)
+    // the escaped NAL must contain 00 00 03 and no 00 00 0x (x<=3) runs
+    val n = enc.idrNal
+    var sawEp = false
+    for (i <- 2 until n.length) {
+      val guarded = n(i - 2) == 0 && n(i - 1) == 0
+      if (guarded) {
+        assert((n(i) & 0xff) >= 3, s"unescaped 00 00 ${n(i)} at $i")
+        if (n(i) == 3) sawEp = true
+      }
+    }
+    assert(sawEp, "expected emulation-prevention bytes")
+    assertSame(decodeYuv(enc.annexB).get, enc.recon, "escaped pcm")
+  }
+
+  test("noise frames: worst-case entropy stress, QP sweep, decode == recon") {
+    val rnd = new java.util.Random(20260814L)
+    for (qp <- 0 to 51 by 3; trial <- 0 until 2) {
+      val w = 16 + 16 * rnd.nextInt(3); val h = 16 + 16 * rnd.nextInt(3)
+      val y = new Array[Byte](w * h); rnd.nextBytes(y)
+      val cb = new Array[Byte](w * h / 4); rnd.nextBytes(cb)
+      val cr = new Array[Byte](w * h / 4); rnd.nextBytes(cr)
+      val src = Yuv420(w, h, y, cb, cr)
+      val enc = encodeYuv(src, qp)
+      val dec = decodeYuv(enc.annexB)
+      assert(dec.isDefined, s"noise ${w}x$h qp$qp t$trial")
+      assertSame(dec.get, enc.recon, s"noise ${w}x$h qp$qp t$trial")
+    }
+  }
+
+  test("hostile inputs quarantine to None, never throw or partial-decode") {
+    val good = encodeYuv(frame(32, 32, 9), qp = 28).annexB
+    assert(decodeYuv(Array.emptyByteArray).isEmpty)
+    assert(decodeYuv(Array.fill[Byte](64)(0x42)).isEmpty)
+    assert(decodeYuv(good.dropRight(good.length / 2)).isEmpty, "truncated stream")
+    // flip bits through the stream: every corruption either still decodes
+    // to a full frame or quarantines — no exception may escape
+    var survived = 0
+    for (pos <- good.indices by 7) {
+      val bad = good.clone(); bad(pos) = (bad(pos) ^ 0x24).toByte
+      decodeYuv(bad) match {
+        case Some(f) =>
+          assert(f.width == 32 && f.height == 32); survived += 1
+        case None => ()
+      }
+    }
+    assert(survived < good.length, "sanity") // some corruption must matter
+  }
+}
