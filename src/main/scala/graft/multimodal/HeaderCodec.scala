@@ -378,12 +378,88 @@ object HeaderCodec {
   def synthMp4Frames(w: Int, h: Int, frameSizes: Seq[Int],
       frameDurMs: Int, syncEvery: Int): Array[Byte] = {
     require(frameSizes.nonEmpty && frameSizes.forall(_ >= 5), "frames need >= 5 bytes")
-    val n = frameSizes.length
-    def box(id: String, payload: Array[Byte]): Array[Byte] = {
-      val b = ByteBuffer.allocate(8 + payload.length)
-      b.putInt(8 + payload.length).put(id.getBytes("US-ASCII")).put(payload)
-      b.array()
+    val frames = frameSizes.zipWithIndex.map { case (sz, i) =>
+      val f = new Array[Byte](sz)
+      f(0) = 0; f(1) = 0; f(2) = 0; f(3) = 1
+      java.util.Arrays.fill(f, 4, sz, (i & 0xff).toByte)
+      f
+    }.toIndexedSeq
+    mp4WithTables(w, h, frames,
+      sync = i => i % math.max(syncEvery, 1) == 0, omitStss = syncEvery <= 1,
+      frameDurMs = frameDurMs, stsd = Array.emptyByteArray)
+  }
+
+  /** MP4 with REAL AVC framing on top of the same sample tables:
+    * `stsd(avc1(avcC))` carries the out-of-band SPS/PPS (14496-15
+    * AVCDecoderConfigurationRecord, 4-byte NAL length prefixes) and
+    * every sample is its NAL unit length-prefixed — the layout a
+    * production camera/transcoder writes, so a decode stage must read
+    * the avcC for parameter sets and deframe samples by length field
+    * (not start codes). `nals` pairs each frame's NAL bytes with its
+    * sync (keyframe) flag.
+    */
+  def synthMp4Avc(w: Int, h: Int, spsNal: Array[Byte], ppsNal: Array[Byte],
+      nals: Seq[(Array[Byte], Boolean)], frameDurMs: Int): Array[Byte] = {
+    require(nals.nonEmpty, "need at least one sample")
+    require(spsNal.length >= 4 && ppsNal.length >= 1, "parameter sets")
+    val avcC = {
+      val b = ByteBuffer.allocate(7 + 2 + spsNal.length + 3 + ppsNal.length)
+      b.put(1.toByte) // configurationVersion
+      b.put(spsNal(1)).put(spsNal(2)).put(spsNal(3)) // profile/compat/level
+      b.put(0xff.toByte) // reserved + lengthSizeMinusOne = 3
+      b.put(0xe1.toByte) // reserved + numOfSequenceParameterSets = 1
+      b.putShort(spsNal.length.toShort).put(spsNal)
+      b.put(1.toByte) // numOfPictureParameterSets
+      b.putShort(ppsNal.length.toShort).put(ppsNal)
+      box("avcC", b.array())
     }
+    val avc1 = box("avc1", {
+      val b = ByteBuffer.allocate(78 + avcC.length)
+      b.position(6) // reserved
+      b.putShort(1) // data_reference_index
+      b.position(b.position() + 16) // pre_defined/reserved
+      b.putShort(w.toShort).putShort(h.toShort)
+      b.putInt(0x00480000).putInt(0x00480000) // 72 dpi
+      b.putInt(0) // reserved
+      b.putShort(1) // frame_count
+      b.position(b.position() + 32) // compressorname (zeroed)
+      b.putShort(24) // depth
+      b.putShort(-1) // pre_defined
+      b.put(avcC)
+      b.array()
+    })
+    val stsd = {
+      val b = ByteBuffer.allocate(8 + avc1.length)
+      b.putInt(0) // version + flags
+      b.putInt(1) // entry_count
+      b.put(avc1)
+      box("stsd", b.array())
+    }
+    val frames = nals.map { case (nal, _) =>
+      val b = ByteBuffer.allocate(4 + nal.length)
+      b.putInt(nal.length).put(nal)
+      b.array()
+    }.toIndexedSeq
+    val syncs = nals.map(_._2)
+    mp4WithTables(w, h, frames, sync = syncs, omitStss = syncs.forall(identity),
+      frameDurMs = frameDurMs, stsd = stsd)
+  }
+
+  private def box(id: String, payload: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + payload.length)
+    b.putInt(8 + payload.length).put(id.getBytes("US-ASCII")).put(payload)
+    b.array()
+  }
+
+  /** Shared moov/mdat layout for the two frame-table synthesizers:
+    * explicit per-frame payloads, 3-sample chunking, optional stss,
+    * optional stsd prepended to the stbl children.
+    */
+  private def mp4WithTables(w: Int, h: Int, frames: IndexedSeq[Array[Byte]],
+      sync: Int => Boolean, omitStss: Boolean, frameDurMs: Int,
+      stsd: Array[Byte]): Array[Byte] = {
+    val frameSizes = frames.map(_.length)
+    val n = frameSizes.length
     def fullBox(id: String, body: ByteBuffer => Unit, size: Int): Array[Byte] = {
       val b = ByteBuffer.allocate(4 + size)
       b.putInt(0) // version 0 + flags
@@ -424,9 +500,9 @@ object HeaderCodec {
       b.putInt(1).putInt(n).putInt(frameDurMs)
     }, 12)
     val stssOpt =
-      if (syncEvery <= 1) Array.emptyByteArray
+      if (omitStss) Array.emptyByteArray
       else {
-        val syncs = (0 until n).filter(_ % syncEvery == 0)
+        val syncs = (0 until n).filter(sync)
         fullBox("stss", { b =>
           b.putInt(syncs.length)
           syncs.foreach(i => b.putInt(i + 1)) // 1-based sample numbers
@@ -451,7 +527,7 @@ object HeaderCodec {
     // table sizes are known, so lay it out with a placeholder first
     def moovOf(stco: Array[Byte]): Array[Byte] =
       box("moov", mvhd ++ box("trak", tkhd ++ box("mdia",
-        mdhd ++ box("minf", box("stbl", stts ++ stssOpt ++ stsc ++ stsz ++ stco)))))
+        mdhd ++ box("minf", box("stbl", stsd ++ stts ++ stssOpt ++ stsc ++ stsz ++ stco)))))
     val stcoSize = 4 + 4 + 4 * nChunks
     val placeholder = fullBox("stco", { b =>
       b.putInt(nChunks); (0 until nChunks).foreach(_ => b.putInt(0))
@@ -469,12 +545,6 @@ object HeaderCodec {
     val stco = fullBox("stco", { b =>
       b.putInt(nChunks); chunkOffsets.foreach(v => b.putInt(v))
     }, stcoSize - 4)
-    val frames = frameSizes.zipWithIndex.map { case (sz, i) =>
-      val f = new Array[Byte](sz)
-      f(0) = 0; f(1) = 0; f(2) = 0; f(3) = 1
-      java.util.Arrays.fill(f, 4, sz, (i & 0xff).toByte)
-      f
-    }
     val mdat = box("mdat", frames.reduce(_ ++ _))
     ftyp ++ moovOf(stco) ++ mdat
   }

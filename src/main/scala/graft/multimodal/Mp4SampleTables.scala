@@ -39,6 +39,64 @@ object Mp4SampleTables {
   def parse(b: Array[Byte]): Option[Vector[Mp4Sample]] =
     try parseOrNull(b) catch { case NonFatal(_) => None }
 
+  /** AVC decoder configuration from the track's `stsd → avc1 → avcC`
+    * (ISO/IEC 14496-15 §5.2.4): the out-of-band SPS/PPS NAL units and
+    * the sample NAL length-prefix size. The first video sample entry
+    * with a well-formed record wins; anything malformed (short record,
+    * truncated parameter-set lengths, zero sets) quarantines to None.
+    */
+  final case class AvcConfig(spsNal: Array[Byte], ppsNal: Array[Byte], lengthSize: Int)
+
+  def parseAvcc(b: Array[Byte]): Option[AvcConfig] =
+    try parseAvccOrNull(b) catch { case NonFatal(_) => None }
+
+  private def parseAvccOrNull(b: Array[Byte]): Option[AvcConfig] = {
+    val moov = child(b, 0, b.length, "moov").getOrElse(return None)
+    children(b, moov._1, moov._2).collect { case ("trak", p, e) => (p, e) }
+      .iterator.flatMap { case (tp, te) =>
+        for {
+          (mp, me) <- child(b, tp, te, "mdia")
+          (np, ne) <- child(b, mp, me, "minf")
+          (sp, se) <- child(b, np, ne, "stbl")
+          (dp, de) <- child(b, sp, se, "stsd")
+          if dp + 8 <= de // version/flags + entry_count
+          cfg <- children(b, dp + 8, de).collectFirst {
+            case ("avc1", ep, ee) if ep + 78 <= ee => avccOf(b, ep + 78, ee)
+          }.flatten
+        } yield cfg
+      }.nextOption()
+  }
+
+  private def avccOf(b: Array[Byte], from: Int, to: Int): Option[AvcConfig] = {
+    val (p, e) = child(b, from, to, "avcC").getOrElse(return None)
+    if (p + 7 > e || (b(p) & 0xff) != 1) return None // configurationVersion
+    val lengthSize = (b(p + 4) & 3) + 1
+    var o = p + 5
+    def sets(countMask: Int): Option[Vector[Array[Byte]]] = {
+      if (o + 1 > e) return None
+      val cnt = b(o) & countMask
+      o += 1
+      val out = Vector.newBuilder[Array[Byte]]
+      var i = 0
+      while (i < cnt) {
+        if (o + 2 > e) return None
+        val len = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+        o += 2
+        if (len <= 0 || o + len > e) return None
+        out += java.util.Arrays.copyOfRange(b, o, o + len)
+        o += len
+        i += 1
+      }
+      Some(out.result())
+    }
+    for {
+      sps <- sets(0x1f)
+      pps <- sets(0xff)
+      s <- sps.headOption
+      pp <- pps.headOption
+    } yield AvcConfig(s, pp, lengthSize)
+  }
+
   private def be32(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
       ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)

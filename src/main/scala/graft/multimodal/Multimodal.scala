@@ -22,11 +22,15 @@ import org.apache.spark.sql.functions._
   * (Huffman + DCT, [[JpegCodec]], r6) that entropy-decodes the same
   * way; WAV content carries PCM16 frames that decode to sample
   * statistics and box-resampled audio; [[resize]] re-encodes each into
-  * its own container. The remaining documented boundary is VIDEO only —
-  * MP4/H.264 needs a full motion-compensation codec, so those rows flow
-  * through with `payload_ok = false` (in PySpark this swap-in stage
-  * would be `mapInPandas`; the Scala-native equivalent is
-  * `mapPartitions` over an Encoder'd case class, used here).
+  * its own container. VIDEO keyframes decode too since this round
+  * ([[H264Codec]]): MP4s carrying an `avcC` record get every sync
+  * sample pixel-decoded ([[decodeKeyframes]], [[extractFeatures]]
+  * stats, keyframe-reel [[resize]]). The remaining documented boundary
+  * is inter-frame (P/B motion-compensated) decode — non-sync samples
+  * and non-AVC codecs flow through with `payload_ok = false` (in
+  * PySpark this swap-in stage would be `mapInPandas`; the Scala-native
+  * equivalent is `mapPartitions` over an Encoder'd case class, used
+  * here).
   */
 object Multimodal {
 
@@ -49,8 +53,9 @@ object Multimodal {
       channels: Int,
       content_hash: String,
       n_frames_sampled: Int,
-      // real payload statistics: decoded PNG/JPEG pixels (0..255) or
-      // WAV PCM16 samples; None for video (mp4)
+      // real payload statistics: decoded PNG/JPEG pixels (0..255), WAV
+      // PCM16 samples, or decoded H.264 keyframe pixels (mp4+avcC);
+      // None only for codecs outside the decode subset
       payload_ok: Boolean,
       sample_mean: Option[Double],
       sample_rms: Option[Double],
@@ -121,13 +126,18 @@ object Multimodal {
             JpegCodec.encode(PixelCodec.PixelImage(w, h, 3, pixelsFor(r.media_id, w, h, 3)),
               chroma420 = true)
           case "audio" => HeaderCodec.synthWav(ch, 8000, durMs) // real PCM16 payload
-          case _ =>
+          case _ if r.media_id % 2 == 0 =>
             // real sample tables since r7: deterministic per-id frame
             // structure (the frame-sampling stage enumerates these
-            // from stts/stss/stsz/stsc/stco, not from a heuristic)
+            // from stts/stss/stsz/stsc/stco, not from a heuristic);
+            // marker payloads model a codec outside the decode subset
             HeaderCodec.synthMp4Frames(w, h,
               frameSizes = videoFrameSizes(r.media_id),
               frameDurMs = 500, syncEvery = 3)
+          case _ =>
+            // real H.264 since this round: avcC parameter sets +
+            // length-prefixed IDR NALs the decode stages fully decode
+            avcVideoBytes(r.media_id, w, h)
         }
         r.copy(content = bytes)
       })
@@ -138,6 +148,50 @@ object Multimodal {
   private[multimodal] def videoFrameSizes(id: Long): Seq[Int] = {
     val n = 4 + (id % 5).toInt
     (0 until n).map(i => 16 + ((id + i * 7) % 48).toInt)
+  }
+
+  /** Deterministic YUV 4:2:0 frame `k` of video `id` (same recomputable
+    * pixel-field family as [[pixelsFor]], shifted per frame and plane).
+    */
+  private[multimodal] def videoYuv(id: Long, k: Int, w: Int, h: Int): H264Codec.Yuv420 = {
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    def plane(n: Int, c: Int): Array[Byte] = {
+      val a = new Array[Byte](n)
+      var i = 0
+      while (i < n) { a(i) = ((i * 31 + id * 17 + k * 53 + c * 101 + 7) & 0xff).toByte; i += 1 }
+      a
+    }
+    H264Codec.Yuv420(w, h, plane(w * h, 0), plane(cw * ch, 1), plane(cw * ch, 2))
+  }
+
+  /** Real AVC MP4 for video `id`: sync samples are genuine H.264 IDR
+    * NALs ([[H264Codec.encodeYuv]] of [[videoYuv]] frames), non-sync
+    * samples are non-IDR-slice placeholders (NAL type 1 — inter frames
+    * are outside the intra codec's scope, and a keyframe pipeline never
+    * decodes them), SPS/PPS ride the `stsd → avc1 → avcC` record with
+    * 4-byte length prefixes — the layout a camera/transcoder writes.
+    * Frame count and sync cadence match the marker-MP4 twin
+    * ([[videoFrameSizes]], every 3rd sample sync) so per-id frame
+    * accounting is one rule across both container shapes.
+    */
+  private[multimodal] def avcVideoBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val sizes = videoFrameSizes(id)
+    var sps: Array[Byte] = null
+    var pps: Array[Byte] = null
+    val nals = sizes.indices.map { k =>
+      if (k % 3 == 0) {
+        val e = H264Codec.encodeYuv(videoYuv(id, k, w, h), qp = 32)
+        sps = e.spsNal; pps = e.ppsNal
+        (e.idrNal, true)
+      } else {
+        val f = new Array[Byte](sizes(k))
+        f(0) = 0x41 // nal_ref_idc=2, nal_unit_type=1 (non-IDR slice)
+        var i = 1
+        while (i < f.length) { f(i) = ((id + k * 19 + i) & 0xff).toByte; i += 1 }
+        (f, false)
+      }
+    }
+    HeaderCodec.synthMp4Avc(w, h, sps, pps, nals, frameDurMs = 500)
   }
 
   /** Scale-proof twin of [[mediaFromDocuments]]: `n` deterministic
@@ -165,9 +219,10 @@ object Multimodal {
             JpegCodec.encode(PixelCodec.PixelImage(w, h, 3, pixelsFor(r.media_id, w, h, 3)),
               chroma420 = true)
           case "audio" => HeaderCodec.synthWav(ch, 8000, durMs)
-          case _ => HeaderCodec.synthMp4Frames(w, h,
+          case _ if r.media_id % 2 == 0 => HeaderCodec.synthMp4Frames(w, h,
             frameSizes = videoFrameSizes(r.media_id),
             frameDurMs = 500, syncEvery = 3)
+          case _ => avcVideoBytes(r.media_id, w, h)
         }
         r.copy(content = bytes)
       })
@@ -220,6 +275,29 @@ object Multimodal {
               .flatMap(img => statsOf(img.pixels.length, i => (img.pixels(i) & 0xff).toDouble))
             case Some("wav") => PixelCodec.decodeWavPcm16(r.content)
               .flatMap(a => statsOf(a.samples.length, i => a.samples(i).toDouble))
+            case Some("mp4") =>
+              // real video payload stats since this round: H.264 pixel
+              // decode of every keyframe (avcC parameter sets + sync
+              // samples). ALL keyframes must decode or the row
+              // quarantines — a half-decoded clip must not publish
+              // stats that silently cover part of its pixels.
+              decodedKeyframes(r.content).flatMap { frames =>
+                var sum = 0.0; var sumSq = 0.0; var peak = 0.0; var cnt = 0L
+                frames.foreach { f =>
+                  Seq(f.y, f.cb, f.cr).foreach { pl =>
+                    var i = 0
+                    while (i < pl.length) {
+                      val v = (pl(i) & 0xff).toDouble
+                      sum += v; sumSq += v * v
+                      if (v > peak) peak = v
+                      i += 1
+                    }
+                    cnt += pl.length
+                  }
+                }
+                if (cnt == 0) None
+                else Some((sum / cnt, math.sqrt(sumSq / cnt), peak))
+              }
             case _ => None
           }
           md5.reset()
@@ -238,6 +316,88 @@ object Multimodal {
             sample_peak = stats.map(_._3))
         }
       }
+      .toDF()
+  }
+
+  /** Pixel decode of every keyframe of an AVC MP4: Some(frames) iff
+    * the container carries an `avcC` record, parseable sample tables,
+    * at least one sync sample, and EVERY sync sample's NAL decodes in
+    * [[H264Codec]]'s subset — partial clips quarantine whole (the
+    * dead-letter discipline: no stage may publish results computed
+    * from some of a row's pixels).
+    */
+  private[multimodal] def decodedKeyframes(
+      content: Array[Byte]): Option[Vector[H264Codec.Yuv420]] =
+    for {
+      cfg <- Mp4SampleTables.parseAvcc(content)
+      samples <- Mp4SampleTables.parse(content)
+      syncs = samples.filter(_.sync)
+      if syncs.nonEmpty
+      decoded = syncs.map(s => H264Codec.decodeAvcSample(cfg.spsNal, cfg.ppsNal,
+        java.util.Arrays.copyOfRange(content, s.offset.toInt, (s.offset + s.size).toInt),
+        cfg.lengthSize))
+      if decoded.forall(_.isDefined)
+    } yield decoded.map(_.get)
+
+  final case class KeyframeRow(
+      media_id: Long,
+      frame_index: Int, // sample index in the container
+      pts_ms: Long,
+      width: Int,
+      height: Int,
+      luma_mean: Double,
+      luma_rms: Double,
+      decode_ok: Boolean)
+
+  /** Keyframe PIXEL decode (X33, this round): one row per sync sample
+    * with the decoded geometry and luma statistics — the stage that
+    * was the documented "video boundary" until [[H264Codec]]. Media
+    * without an AVC config or sample tables (non-MP4 rows, and MP4s
+    * whose codec is outside the subset) dead-letter as a single
+    * `decode_ok = false` row; an AVC clip with an undecodable sync
+    * sample dead-letters per-frame. Executor-side `mapPartitions`,
+    * same batch shape as [[extractFeatures]].
+    */
+  def decodeKeyframes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "kind", "content", "source").as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        val parsed =
+          if (HeaderCodec.isMp4(r.content))
+            for {
+              cfg <- Mp4SampleTables.parseAvcc(r.content)
+              samples <- Mp4SampleTables.parse(r.content)
+            } yield (cfg, samples)
+          else None
+        parsed match {
+          case Some((cfg, samples)) =>
+            samples.iterator.filter(_.sync).map { s =>
+              H264Codec.decodeAvcSample(cfg.spsNal, cfg.ppsNal,
+                java.util.Arrays.copyOfRange(r.content, s.offset.toInt,
+                  (s.offset + s.size).toInt), cfg.lengthSize) match {
+                case Some(f) =>
+                  var sum = 0L; var sumSq = 0L
+                  var i = 0
+                  while (i < f.y.length) {
+                    val v = f.y(i) & 0xff
+                    sum += v; sumSq += v.toLong * v
+                    i += 1
+                  }
+                  val n = f.y.length.toDouble
+                  KeyframeRow(r.media_id, s.index, s.ptsMs, f.width, f.height,
+                    math.rint(sum / n * 10000) / 10000,
+                    math.rint(math.sqrt(sumSq / n) * 10000) / 10000,
+                    decode_ok = true)
+                case None =>
+                  KeyframeRow(r.media_id, s.index, s.ptsMs, 0, 0, 0.0, 0.0,
+                    decode_ok = false)
+              }
+            }
+          case None =>
+            Iterator.single(KeyframeRow(r.media_id, -1, -1L, 0, 0, 0.0, 0.0,
+              decode_ok = false))
+        }
+      })
       .toDF()
   }
 
@@ -283,6 +443,39 @@ object Multimodal {
       .toDF()
   }
 
+  /** Video resize: decode every keyframe, box-resize each YUV plane at
+    * its own resolution, re-encode as IDR frames, and rebuild the MP4
+    * (avcC + length-prefixed NALs). The output is a keyframe reel —
+    * inter frames cannot be transcoded without inter decode, which is
+    * outside the intra codec's scope — spaced at the source's sync
+    * cadence. Odd target dims round up (4:2:0 needs even geometry).
+    */
+  private def resizeVideo(content: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    val w2 = tw + (tw & 1); val h2 = th + (th & 1)
+    def plane(p: Array[Byte], w: Int, h: Int, dw: Int, dh: Int): Array[Byte] =
+      PixelCodec.boxResize(PixelCodec.PixelImage(w, h, 1, p), dw, dh).pixels
+    for {
+      frames <- decodedKeyframes(content)
+      samples <- Mp4SampleTables.parse(content)
+    } yield {
+      val syncPts = samples.filter(_.sync).map(_.ptsMs)
+      val dur =
+        if (syncPts.length >= 2) math.max((syncPts(1) - syncPts(0)).toInt, 1) else 500
+      var sps: Array[Byte] = null
+      var pps: Array[Byte] = null
+      val nals = frames.map { f =>
+        val scaled = H264Codec.Yuv420(w2, h2,
+          plane(f.y, f.width, f.height, w2, h2),
+          plane(f.cb, f.chromaW, f.chromaH, (w2 + 1) / 2, (h2 + 1) / 2),
+          plane(f.cr, f.chromaW, f.chromaH, (w2 + 1) / 2, (h2 + 1) / 2))
+        val e = H264Codec.encodeYuv(scaled, qp = 30)
+        sps = e.spsNal; pps = e.ppsNal
+        (e.idrNal, true)
+      }
+      HeaderCodec.synthMp4Avc(w2, h2, sps, pps, nals, frameDurMs = dur)
+    }
+  }
+
   final case class ResizedRow(
       media_id: Long,
       kind: String,
@@ -318,6 +511,8 @@ object Multimodal {
             else if (HeaderCodec.isWav(r.content))
               PixelCodec.decodeWavPcm16(r.content)
                 .map(a => PixelCodec.encodeWav(PixelCodec.boxResample(a, targetFrames)))
+            else if (HeaderCodec.isMp4(r.content))
+              resizeVideo(r.content, targetW, targetH)
             else None
           ResizedRow(r.media_id, r.kind, resized.isDefined,
             resized.getOrElse(r.content), r.source)

@@ -341,6 +341,14 @@ object Queries {
     "x_multimodal_features" -> ((s: SparkSession, dir: String) =>
       graft.multimodal.Multimodal.extractFeatures(s,
         graft.multimodal.Multimodal.mediaFromDocuments(s, dir)).orderBy("media_id")),
+    // keyframe PIXEL decode (H264Codec, r7): rows-only — container
+    // synthesis, avcC walking, and H.264 entropy decode are not SQL;
+    // MultimodalSpec pins per-frame geometry, luma stats against the
+    // generator's own YUV, and the dead-letter accounting
+    "x_multimodal_video" -> ((s: SparkSession, dir: String) =>
+      graft.multimodal.Multimodal.decodeKeyframes(s,
+        graft.multimodal.Multimodal.mediaFromDocuments(s, dir))
+        .orderBy("media_id", "frame_index")),
     "x_multimodal_resize" -> ((s: SparkSession, dir: String) =>
       graft.multimodal.Multimodal.resize(s,
           graft.multimodal.Multimodal.mediaFromDocuments(s, dir))

@@ -45,6 +45,10 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
       // MP4 box synthesis + sample-table walk are not SQL;
       // MultimodalSpec pins golden boxes + truncation quarantine
       "x_multimodal_frames",
+      // H.264 keyframe pixel decode (avcC + CAVLC entropy) is not SQL;
+      // MultimodalSpec pins per-frame stats against the generator's
+      // own YUV planes, H264CodecSpec pins the codec itself
+      "x_multimodal_video",
       "x_stratified_sample", "q_table_sample",
       // shard boundaries come from reservoir sampling (engine-specific);
       // QueriesRelSpec pins disjointness + coverage + balance

@@ -285,9 +285,17 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       rs.foreach { r =>
         val bytes = r.getAs[Array[Byte]]("frame_bytes")
         val i = r.getAs[Int]("frame_index")
-        assert(bytes.length == Multimodal.videoFrameSizes(id)(i))
-        assert(bytes(0) == 0 && bytes(1) == 0 && bytes(2) == 0 && bytes(3) == 1 &&
-          bytes(4) == i.toByte, s"media $id frame $i bytes are not the frame's own")
+        if (id % 2 == 0) {
+          // marker MP4s: sizes and wire markers from the generator rule
+          assert(bytes.length == Multimodal.videoFrameSizes(id)(i))
+          assert(bytes(0) == 0 && bytes(1) == 0 && bytes(2) == 0 && bytes(3) == 1 &&
+            bytes(4) == i.toByte, s"media $id frame $i bytes are not the frame's own")
+        } else {
+          // AVC MP4s: each sample is a 4-byte length prefix + IDR NAL
+          val len = java.nio.ByteBuffer.wrap(bytes, 0, 4).getInt
+          assert(len == bytes.length - 4, s"media $id frame $i NAL length prefix")
+          assert((bytes(4) & 0x1f) == 5, s"media $id frame $i is not an IDR NAL")
+        }
         assert(r.getAs[Long]("pts_ms") == i * 500L)
       }
     }
@@ -298,6 +306,94 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
         val n = Multimodal.videoFrameSizes(r.getLong(0)).length
         assert(r.getInt(1) == (0 until n).count(_ % 3 == 0))
       }
+  }
+
+  test("avcC parse: round-trips the writer's record; malformed records quarantine") {
+    val src = H264Codec.Yuv420(32, 32,
+      Array.tabulate(1024)(i => (i * 7).toByte),
+      Array.fill(256)(100.toByte), Array.fill(256)(150.toByte))
+    val enc = H264Codec.encodeYuv(src, qp = 30)
+    val mp4 = HeaderCodec.synthMp4Avc(32, 32, enc.spsNal, enc.ppsNal,
+      Seq((enc.idrNal, true)), frameDurMs = 500)
+    val cfg = Mp4SampleTables.parseAvcc(mp4).get
+    assert(cfg.spsNal.toSeq == enc.spsNal.toSeq, "SPS through avcC")
+    assert(cfg.ppsNal.toSeq == enc.ppsNal.toSeq, "PPS through avcC")
+    assert(cfg.lengthSize == 4)
+    // the sample tables coexist with stsd: one sync sample, decodable
+    val samples = Mp4SampleTables.parse(mp4).get
+    assert(samples.length == 1 && samples.head.sync)
+    val s = samples.head
+    val frame = H264Codec.decodeAvcSample(cfg.spsNal, cfg.ppsNal,
+      java.util.Arrays.copyOfRange(mp4, s.offset.toInt, (s.offset + s.size).toInt))
+    assert(frame.isDefined)
+    assert(java.util.Arrays.equals(frame.get.y, enc.recon.y), "pixels through the container")
+    // marker MP4s have no stsd → no config
+    assert(Mp4SampleTables.parseAvcc(
+      HeaderCodec.synthMp4Frames(32, 32, Seq(16, 16), 500, 1)).isEmpty)
+    // corrupt the configurationVersion byte: quarantine (find it by
+    // searching for the avcC box id, version byte follows)
+    val avccAt = (0 until mp4.length - 4)
+      .find(i => new String(mp4, i, 4, "US-ASCII") == "avcC").get
+    val bad = mp4.clone(); bad(avccAt + 4) = 9
+    assert(Mp4SampleTables.parseAvcc(bad).isEmpty, "bad configurationVersion")
+    // truncate the PPS length out of the record: quarantine
+    val cut = java.util.Arrays.copyOf(mp4, avccAt + 10)
+    assert(Mp4SampleTables.parseAvcc(cut).isEmpty, "truncated record")
+  }
+
+  test("decodeKeyframes: per-frame pixel rows for AVC videos, dead-letters elsewhere") {
+    val media = Multimodal.mediaFromDocuments(spark, dir)
+    val rows = Multimodal.decodeKeyframes(spark, media).collect()
+    val allIds = media.select("media_id").collect().map(_.getLong(0)).toSet
+    val avcIds = media.filter(col("kind") === "video")
+      .select("media_id").collect().map(_.getLong(0)).filter(_ % 2 == 1).toSet
+    val ok = rows.filter(_.getAs[Boolean]("decode_ok"))
+    val dead = rows.filter(!_.getAs[Boolean]("decode_ok"))
+    // every AVC video decodes all its keyframes; everything else (images,
+    // audio, marker MP4s) dead-letters exactly once
+    assert(ok.map(_.getAs[Long]("media_id")).toSet == avcIds)
+    assert(dead.map(_.getAs[Long]("media_id")).toSet == allIds -- avcIds)
+    assert(dead.length == (allIds -- avcIds).size)
+    val byId = ok.groupBy(_.getAs[Long]("media_id"))
+    byId.foreach { case (id, rs) =>
+      val (w, h, _, _) = Multimodal.geom(id)
+      val n = Multimodal.videoFrameSizes(id).length
+      val syncIdx = (0 until n).filter(_ % 3 == 0)
+      assert(rs.map(_.getAs[Int]("frame_index")).sorted.toSeq == syncIdx,
+        s"video $id keyframe indexes")
+      rs.foreach { r =>
+        assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+        val k = r.getAs[Int]("frame_index")
+        assert(r.getAs[Long]("pts_ms") == k * 500L)
+        // luma stats equal the codec's own deterministic reconstruction
+        val recon = H264Codec.encodeYuv(Multimodal.videoYuv(id, k, w, h), qp = 32).recon
+        var sum = 0L; var sumSq = 0L
+        recon.y.foreach { b => val v = b & 0xff; sum += v; sumSq += v.toLong * v }
+        val nPix = recon.y.length.toDouble
+        assert(r.getAs[Double]("luma_mean") == math.rint(sum / nPix * 10000) / 10000,
+          s"video $id frame $k luma_mean")
+        assert(r.getAs[Double]("luma_rms") ==
+          math.rint(math.sqrt(sumSq / nPix) * 10000) / 10000,
+          s"video $id frame $k luma_rms")
+      }
+    }
+    // an AVC MP4 whose sync sample is corrupted entropy dead-letters
+    // per-frame (decode_ok=false row, pts preserved)
+    val src = H264Codec.Yuv420(32, 32, Array.tabulate(1024)(i => (i * 13).toByte),
+      Array.fill(256)(80.toByte), Array.fill(256)(170.toByte))
+    val enc = H264Codec.encodeYuv(src, qp = 28)
+    val mp4 = HeaderCodec.synthMp4Avc(32, 32, enc.spsNal, enc.ppsNal,
+      Seq((enc.idrNal, true)), frameDurMs = 500)
+    val s0 = Mp4SampleTables.parse(mp4).get.head
+    val corrupt = mp4.clone()
+    // zero the IDR NAL payload mid-sample (past prefix + NAL header)
+    java.util.Arrays.fill(corrupt, s0.offset.toInt + 8,
+      (s0.offset + s0.size).toInt, 0.toByte)
+    import spark.implicits._
+    val one = Seq(Multimodal.MediaRow(1L, "video", corrupt, "t")).toDF()
+    val r = Multimodal.decodeKeyframes(spark, one).collect()
+    assert(r.length == 1 && !r.head.getAs[Boolean]("decode_ok") &&
+      r.head.getAs[Int]("frame_index") == 0 && r.head.getAs[Long]("pts_ms") == 0L)
   }
 
   // ------------------------------------------------------- pixel codec
@@ -413,12 +509,38 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats.nonEmpty)
     feats.values.foreach { r =>
       r.getString(1) match {
-        // jpeg joined the decoded set in r6 (JpegCodec); video remains
-        // the documented boundary
+        // jpeg joined the decoded set in r6 (JpegCodec); AVC video
+        // (odd ids) joined it this round (H264Codec) — marker MP4s
+        // model a codec outside the subset and stay quarantined
         case "png" | "wav" | "jpeg" => assert(r.getBoolean(2), s"payload not decoded: $r")
-        case _ => assert(!r.getBoolean(2), s"video payload claimed decoded: $r")
+        case "mp4" if r.getLong(0) % 2 == 1 =>
+          assert(r.getBoolean(2), s"AVC keyframes not decoded: $r")
+        case _ => assert(!r.getBoolean(2), s"non-AVC payload claimed decoded: $r")
       }
     }
+    // pin one AVC video row's stats against the codec's OWN deterministic
+    // reconstruction (generator → MP4 → avcC/sample-table parse → CAVLC
+    // decode must equal a direct encode's recon, bit-exactly)
+    val vidId = feats.collect {
+      case (id, r) if r.getString(1) == "mp4" && id % 2 == 1 => id
+    }.min
+    val (vw, vh, _, _) = Multimodal.geom(vidId)
+    val nFrames = Multimodal.videoFrameSizes(vidId).length
+    var sum = 0.0; var sumSq = 0.0; var peak = 0.0; var cnt = 0L
+    (0 until nFrames).filter(_ % 3 == 0).foreach { k =>
+      val recon = H264Codec.encodeYuv(Multimodal.videoYuv(vidId, k, vw, vh), qp = 32).recon
+      Seq(recon.y, recon.cb, recon.cr).foreach { pl =>
+        pl.foreach { b =>
+          val v = (b & 0xff).toDouble
+          sum += v; sumSq += v * v; if (v > peak) peak = v
+        }
+        cnt += pl.length
+      }
+    }
+    val vr = feats(vidId)
+    assert(math.abs(vr.getDouble(3) - sum / cnt) < 1e-9, "video sample_mean")
+    assert(math.abs(vr.getDouble(4) - math.sqrt(sumSq / cnt)) < 1e-9, "video sample_rms")
+    assert(vr.getDouble(5) == peak, "video sample_peak")
     // pin one PNG row's stats against the GENERATOR pixels (no decoder in
     // the expected side): decode must have inverted filter+zlib exactly
     val pngId = feats.collect { case (id, r) if r.getString(1) == "png" => id }.min
@@ -450,8 +572,16 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
           assert(r.getBoolean(2))
           val a = PixelCodec.decodeWavPcm16(bytes).get
           assert(a.samples.length == 100 * a.channels)
-        case _ => // mp4 video: the documented boundary → passthrough
+        case _ if id % 2 == 0 =>
+          // marker MP4s (non-AVC codec stand-in): passthrough boundary
           assert(!r.getBoolean(2))
+        case _ =>
+          // AVC video: keyframe reel re-encoded at the target dims
+          assert(r.getBoolean(2), s"AVC video $id not resized")
+          val frames = Multimodal.decodedKeyframes(bytes).get
+          val nSync = Multimodal.videoFrameSizes(id).indices.count(_ % 3 == 0)
+          assert(frames.length == nSync, s"video $id keyframe reel count")
+          frames.foreach(f => assert(f.width == 16 && f.height == 12))
       }
     }
     // one pinned content check: resized pixels equal a driver-side
