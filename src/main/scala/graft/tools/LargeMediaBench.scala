@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   *  - [[graft.multimodal.Multimodal.resize]]: payload decode →
   *    box-filter resize/resample → re-encode into the same container
   *
-  * Correctness rides along: every non-video row must decode
-  * (`payload_ok`), geometry must equal the deterministic generator
-  * geometry, and resized imagery must re-decode at target dims —
-  * counted over the whole corpus, not sampled.
+  * Correctness rides along: every row except the marker-MP4 stand-ins
+  * must decode (`payload_ok` — images, audio, AND AVC video since the
+  * H.264 codec), every AVC clip's keyframes must CAVLC-decode to the
+  * expected per-clip count, geometry must equal the deterministic
+  * generator geometry, and resized imagery must re-decode at target
+  * dims — counted over the whole corpus, not sampled.
   *
   * {{{ sbt "runMain graft.tools.LargeMediaBench [nRows]" }}}
   */
@@ -66,17 +68,43 @@ object LargeMediaBench {
           sum(when(col("decode_ok"), 1L).otherwise(0L)).as("decoded"),
           sum(when(col("payload_ok"), 1L).otherwise(0L)).as("payload"),
           sum(when(col("container") === "mp4", 1L).otherwise(0L)).as("video"),
-          sum(col("n_bytes").cast("long")).as("bytes"))
+          sum(col("n_bytes").cast("long")).as("bytes"),
+          // marker MP4s (even ids) model an out-of-subset codec and
+          // must stay quarantined; AVC MP4s (odd ids) must decode
+          sum(when(col("container") === "mp4" && col("media_id") % 2 === 0, 1L)
+            .otherwise(0L)).as("marker_video"))
         .collect()(0)
     }
     val rows = featAgg.getLong(0)
     val payloadOk = featAgg.getLong(2)
     val video = featAgg.getLong(3)
+    val markerVideo = featAgg.getLong(5)
     require(rows == n, s"feature rows $rows != $n")
     require(featAgg.getLong(1) == n, "some headers failed to decode")
-    require(payloadOk == n - video,
-      s"payload_ok $payloadOk != non-video ${n - video}: some decodes failed")
-    System.err.println(f"[lmb] features: $featSec%.1f s (${(n / featSec).toLong} rows/s), payload $payloadOk/$n (video $video)")
+    require(payloadOk == n - markerVideo,
+      s"payload_ok $payloadOk != ${n - markerVideo}: images/audio/AVC video must all decode")
+    System.err.println(f"[lmb] features: $featSec%.1f s (${(n / featSec).toLong} rows/s), payload $payloadOk/$n (video $video, marker $markerVideo)")
+
+    // keyframe pixel decode (H264Codec, r7): every AVC video's sync
+    // samples must CAVLC-decode; count expected keyframes from the
+    // deterministic generator rule (n_i = 4 + id%5 frames, every 3rd
+    // sync -> ceil(n_i/3) = (6 + id%5) / 3 keyframes per clip)
+    val (kfSec, kfAgg) = time {
+      graft.multimodal.Multimodal.decodeKeyframes(spark, media)
+        .agg(
+          sum(when(col("decode_ok"), 1L).otherwise(0L)).as("frames"),
+          countDistinct(when(col("decode_ok"), col("media_id"))).as("clips"))
+        .collect()(0)
+    }
+    val expectKf = media.filter(col("kind") === "video" && col("media_id") % 2 === 1)
+      .agg(sum((col("media_id") % 5 + 6) / lit(3) cast "long"),
+        count(lit(1)))
+      .collect()(0)
+    require(kfAgg.getLong(0) == expectKf.getLong(0),
+      s"decoded keyframes ${kfAgg.getLong(0)} != expected ${expectKf.getLong(0)}")
+    require(kfAgg.getLong(1) == expectKf.getLong(1),
+      s"decoded clips ${kfAgg.getLong(1)} != AVC clips ${expectKf.getLong(1)}")
+    System.err.println(f"[lmb] keyframes: $kfSec%.1f s (${(kfAgg.getLong(0) / kfSec).toLong} frames/s), ${kfAgg.getLong(0)} frames over ${kfAgg.getLong(1)} clips")
 
     // resize: decode → box filter → re-encode, then re-decode the
     // resized containers and verify EVERY image carries the target
@@ -102,7 +130,9 @@ object LargeMediaBench {
       f""""generate_sec":$genSec%.1f,"features_sec":$featSec%.1f,""" +
       s""""features_rows_per_s":${(n / featSec).toLong},""" +
       f""""resize_sec":$rzSec%.1f,"resize_rows_per_s":${(n / rzSec).toLong},""" +
-      s""""payload_ok":$payloadOk,"video_rows":$video,""" +
+      f""""keyframes_sec":$kfSec%.1f,"keyframes_decoded":${kfAgg.getLong(0)},""" +
+      s""""keyframes_per_s":${(kfAgg.getLong(0) / kfSec).toLong},""" +
+      s""""payload_ok":$payloadOk,"video_rows":$video,"marker_video_rows":$markerVideo,""" +
       s""""peak_rss_bytes":${LargeConvertBench.peakRssBytes()}}""")
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(scratch)
