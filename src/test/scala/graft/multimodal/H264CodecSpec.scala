@@ -251,6 +251,121 @@ class H264CodecSpec extends AnyFunSuite {
     }
   }
 
+  /** Spec-local bit writer: an independent implementation of the NAL
+    * syntax layer so decode-only paths (fields our encoder never
+    * emits) can be pinned from hand-built streams.
+    */
+  private final class Bits {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0; private var n = 0
+    def put(b: Int): this.type = {
+      acc = (acc << 1) | (b & 1); n += 1
+      if (n == 8) { out.write(acc); acc = 0; n = 0 }
+      this
+    }
+    def bits(v: Int, len: Int): this.type = {
+      var i = len - 1
+      while (i >= 0) { put((v >> i) & 1); i -= 1 }
+      this
+    }
+    def ue(v: Int): this.type = {
+      val c = v + 1
+      val len = 32 - Integer.numberOfLeadingZeros(c)
+      bits(0, len - 1); bits(c, len)
+    }
+    def se(v: Int): this.type = ue(if (v > 0) 2 * v - 1 else -2 * v)
+    def stop(): Array[Byte] = {
+      put(1); while (n != 0) put(0)
+      out.toByteArray
+    }
+  }
+
+  test("decode-only syntax: nonzero slice_qp_delta and mb_qp_delta, hand-built I_16x16 DC") {
+    // SPS/PPS from the encoder (pic_init_qp = 30), slice hand-built:
+    // slice_qp_delta = -4, one I_16x16 mb_type 3 (DC, cbp = 0) with
+    // mb_qp_delta = +6. QP arithmetic must land at 32 and the MB must
+    // decode to the neighborless DC prediction: every plane all-128.
+    val ref = encodeYuv(flat(16, 16, 1, 2, 3), qp = 30)
+    val slice = new Bits
+    slice.ue(0) // first_mb_in_slice
+    slice.ue(7) // slice_type I
+    slice.ue(0) // pps_id
+    slice.bits(0, 4) // frame_num
+    slice.ue(0) // idr_pic_id
+    slice.put(0).put(0) // dec_ref_pic_marking
+    slice.se(-4) // slice_qp_delta (decode-only: encoder always writes 0)
+    slice.ue(1) // disable_deblocking_filter_idc
+    slice.ue(3) // mb_type I_16x16, DC, cbpChroma 0, cbpLuma 0
+    slice.ue(0) // intra_chroma_pred_mode DC
+    slice.se(6) // mb_qp_delta (decode-only: encoder always writes 0)
+    slice.put(1) // luma DC coeff_token nC=0: "1" = TotalCoeff 0
+    val idr = Array[Byte](0x65) ++ slice.stop()
+    val sc = Array[Byte](0, 0, 0, 1)
+    val dec = decodeYuv(sc ++ ref.spsNal ++ sc ++ ref.ppsNal ++ sc ++ idr)
+    assert(dec.isDefined, "hand-built slice must decode")
+    assert(dec.get.y.forall(_ == 128.toByte), "luma all DC-128")
+    assert(dec.get.cb.forall(_ == 128.toByte) && dec.get.cr.forall(_ == 128.toByte),
+      "chroma all DC-128")
+    // the same stream with a delta that drives QP out of [0,51]
+    // quarantines (30 - 4 + 30 = 56)
+    val bad = new Bits
+    bad.ue(0).ue(7).ue(0).bits(0, 4).ue(0).put(0).put(0)
+    bad.se(-4); bad.ue(1)
+    bad.ue(3).ue(0); bad.se(30); bad.put(1)
+    assert(decodeYuv(sc ++ ref.spsNal ++ sc ++ ref.ppsNal ++
+      sc ++ (Array[Byte](0x65) ++ bad.stop())).isEmpty, "qp overflow must quarantine")
+  }
+
+  test("decodeAvcSample handles 1- and 3-byte NAL length prefixes") {
+    val enc = encodeYuv(frame(16, 16, 77), qp = 30)
+    for (ls <- Seq(1, 3) if enc.idrNal.length < (1 << (8 * ls))) {
+      val b = java.nio.ByteBuffer.allocate(ls + enc.idrNal.length)
+      var i = ls - 1
+      while (i >= 0) { b.put(((enc.idrNal.length >> (8 * i)) & 0xff).toByte); i -= 1 }
+      b.put(enc.idrNal)
+      val dec = decodeAvcSample(enc.spsNal, enc.ppsNal, b.array(), lengthSize = ls)
+      assert(dec.isDefined, s"lengthSize $ls")
+      assertSame(dec.get, enc.recon, s"len$ls")
+    }
+  }
+
+  test("fuzz: random bytes, mutated-valid streams, and truncations never throw") {
+    val rnd = new scala.util.Random(20260814L)
+    // pure noise, with and without a start-code prefix
+    for (_ <- 1 to 300) {
+      val buf = new Array[Byte](2 + rnd.nextInt(400))
+      rnd.nextBytes(buf)
+      assert(decodeYuv(buf).forall(f => f.width > 0)) // must not throw
+      if (buf.length >= 5) {
+        buf(0) = 0; buf(1) = 0; buf(2) = 1; buf(3) = 0x67
+        decodeYuv(buf)
+      }
+    }
+    // single-byte mutations of a valid stream: every header field,
+    // parameter-set bit, and entropy byte gets corrupted across runs
+    val good = encodeYuv(frame(32, 32, 3), qp = 24).annexB
+    for (_ <- 1 to 500) {
+      val m = good.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      decodeYuv(m) match { // None or a full frame, never a throw
+        case Some(f) => assert(f.y.length == f.width * f.height)
+        case None => ()
+      }
+    }
+    // truncation sweep + mutated AVC samples through the length-prefix path
+    for (cut <- 1 until good.length by 5) decodeYuv(good.take(cut))
+    val enc = encodeYuv(frame(16, 16, 4), qp = 30)
+    val sample = {
+      val b = java.nio.ByteBuffer.allocate(4 + enc.idrNal.length)
+      b.putInt(enc.idrNal.length).put(enc.idrNal).array()
+    }
+    for (_ <- 1 to 300) {
+      val m = sample.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      decodeAvcSample(enc.spsNal, enc.ppsNal, m) // must not throw
+    }
+  }
+
   test("hostile inputs quarantine to None, never throw or partial-decode") {
     val good = encodeYuv(frame(32, 32, 9), qp = 28).annexB
     assert(decodeYuv(Array.emptyByteArray).isEmpty)
