@@ -115,6 +115,9 @@ object HeaderCodec {
     var o = 12
     var channels = 0
     var byteRate = 0
+    var sampleRate = 0
+    var audioFormat = 0
+    var factSamples = -1L
     var dataSize = -1L
     while (o + 8 <= b.length && (channels == 0 || dataSize < 0)) {
       val id = new String(b, o, 4, "US-ASCII")
@@ -124,8 +127,14 @@ object HeaderCodec {
       // quarantine instead (sizes beyond the buffer are equally bogus)
       if (size > b.length.toLong) return None
       if (id == "fmt " && o + 8 + 16 <= b.length) {
+        audioFormat = le16(b, o + 8)
         channels = le16(b, o + 10)
+        sampleRate = le32(b, o + 12)
         byteRate = le32(b, o + 16)
+      } else if (id == "fact" && o + 12 <= b.length) {
+        // non-PCM WAVs carry the true per-channel frame count here —
+        // byte-rate division is only exact for constant-bitrate PCM
+        factSamples = le32(b, o + 8).toLong & 0xffffffffL
       } else if (id == "data") {
         // clamp to the bytes actually present: a truncated file whose
         // data chunk declares more than remains would otherwise report
@@ -138,7 +147,11 @@ object HeaderCodec {
       o += step
     }
     if (channels <= 0 || byteRate <= 0 || dataSize < 0) return None
-    Some(MediaHeader("wav", 0, 0, dataSize * 1000 / byteRate, channels))
+    val durMs =
+      if (audioFormat != 1 && factSamples >= 0 && sampleRate > 0)
+        factSamples * 1000 / sampleRate
+      else dataSize * 1000 / byteRate
+    Some(MediaHeader("wav", 0, 0, durMs, channels))
   }
 
   private def be64(b: Array[Byte], o: Int): Long =

@@ -125,7 +125,7 @@ object Multimodal {
             // encoder shapes live in the pipeline)
             JpegCodec.encode(PixelCodec.PixelImage(w, h, 3, pixelsFor(r.media_id, w, h, 3)),
               chroma420 = true)
-          case "audio" => HeaderCodec.synthWav(ch, 8000, durMs) // real PCM16 payload
+          case "audio" => audioBytes(r.media_id, durMs, ch) // PCM16 / mu-law / ADPCM
           case _ if r.media_id % 2 == 0 =>
             // real sample tables since r7: deterministic per-id frame
             // structure (the frame-sampling stage enumerates these
@@ -148,6 +148,32 @@ object Multimodal {
   private[multimodal] def videoFrameSizes(id: Long): Seq[Int] = {
     val n = 4 + (id % 5).toInt
     (0 until n).map(i => 16 + ((id + i * 7) % 48).toInt)
+  }
+
+  /** Deterministic PCM16 source tone for audio `id` (specs recompute
+    * it): interleaved sawtooth at 8 kHz, amplitude ±26k.
+    */
+  private[multimodal] def audioPcm(id: Long, frames: Int, ch: Int): PixelCodec.PcmAudio = {
+    val out = new Array[Short](frames * ch)
+    var i = 0
+    while (i < out.length) { out(i) = (((i * 73 + id * 31) % 4096 - 2048) * 13).toShort; i += 1 }
+    PixelCodec.PcmAudio(ch, 8000, out)
+  }
+
+  /** Audio container for `id`: the corpus carries all three WAV shapes
+    * the decode subset supports — PCM16 (`id % 9 == 1`), G.711 µ-law
+    * (`== 4`), IMA ADPCM (`== 7`; audio ids are ≡ 1 mod 3, so the
+    * three classes are equally likely). Compressed rows encode the
+    * deterministic [[audioPcm]] tone with [[AudioCodec]], so the
+    * decode stages exercise real companding/ADPCM wire bytes.
+    */
+  private[multimodal] def audioBytes(id: Long, durMs: Long, ch: Int): Array[Byte] = {
+    val frames = (durMs * 8).toInt // 8 kHz
+    (id % 9) match {
+      case 1 => HeaderCodec.synthWav(ch, 8000, durMs)
+      case 4 => AudioCodec.encodeWavG711(audioPcm(id, frames, ch), alaw = false)
+      case _ => AudioCodec.encodeWavIma(audioPcm(id, frames, ch))._1
+    }
   }
 
   /** Deterministic YUV 4:2:0 frame `k` of video `id` (same recomputable
@@ -218,7 +244,7 @@ object Multimodal {
           case "image" =>
             JpegCodec.encode(PixelCodec.PixelImage(w, h, 3, pixelsFor(r.media_id, w, h, 3)),
               chroma420 = true)
-          case "audio" => HeaderCodec.synthWav(ch, 8000, durMs)
+          case "audio" => audioBytes(r.media_id, durMs, ch)
           case _ if r.media_id % 2 == 0 => HeaderCodec.synthMp4Frames(w, h,
             frameSizes = videoFrameSizes(r.media_id),
             frameDurMs = 500, syncEvery = 3)
@@ -273,7 +299,7 @@ object Multimodal {
               .flatMap(img => statsOf(img.pixels.length, i => (img.pixels(i) & 0xff).toDouble))
             case Some("jpeg") => JpegCodec.decode(r.content)
               .flatMap(img => statsOf(img.pixels.length, i => (img.pixels(i) & 0xff).toDouble))
-            case Some("wav") => PixelCodec.decodeWavPcm16(r.content)
+            case Some("wav") => AudioCodec.decodeWav(r.content) // PCM16/G.711/ADPCM
               .flatMap(a => statsOf(a.samples.length, i => a.samples(i).toDouble))
             case Some("mp4") =>
               // real video payload stats since this round: H.264 pixel
@@ -509,7 +535,8 @@ object Multimodal {
               JpegCodec.decode(r.content)
                 .map(img => JpegCodec.encode(PixelCodec.boxResize(img, targetW, targetH)))
             else if (HeaderCodec.isWav(r.content))
-              PixelCodec.decodeWavPcm16(r.content)
+              // compressed inputs transcode to canonical PCM16 output
+              AudioCodec.decodeWav(r.content)
                 .map(a => PixelCodec.encodeWav(PixelCodec.boxResample(a, targetFrames)))
             else if (HeaderCodec.isMp4(r.content))
               resizeVideo(r.content, targetW, targetH)

@@ -550,6 +550,28 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getDouble(3) - px.sum / px.length) < 1e-9)
     assert(math.abs(r.getDouble(4) - math.sqrt(px.map(v => v * v).sum / px.length)) < 1e-9)
     assert(r.getDouble(5) == px.max)
+    // compressed audio (r7, AudioCodec): pin one mu-law row and one
+    // ADPCM row against the codec's own deterministic decode — the
+    // stats must come from the COMPANDED samples, not the source tone
+    def audioExpect(id: Long): Array[Short] = {
+      val (_, _, durMs, ch) = Multimodal.geom(id)
+      val src = Multimodal.audioPcm(id, (durMs * 8).toInt, ch)
+      (id % 9) match {
+        case 4L => src.samples.map(s => AudioCodec.mulawDecode(AudioCodec.mulawEncode(s)))
+        case 7L => AudioCodec.encodeWavIma(src)._2
+        case _ => fail(s"id $id is not a compressed-audio row")
+      }
+    }
+    for (cls <- Seq(4L, 7L)) {
+      val id = feats.keys.filter(i => i % 3 == 1 && i % 9 == cls).min
+      val exp = audioExpect(id).map(_.toDouble)
+      val ar = feats(id)
+      assert(ar.getString(1) == "wav" && ar.getBoolean(2), s"audio $id not decoded")
+      assert(math.abs(ar.getDouble(3) - exp.sum / exp.length) < 1e-9, s"audio $id mean")
+      assert(math.abs(ar.getDouble(4) -
+        math.sqrt(exp.map(v => v * v).sum / exp.length)) < 1e-9, s"audio $id rms")
+      assert(ar.getDouble(5) == exp.map(math.abs).max, s"audio $id peak")
+    }
   }
 
   test("resize really resizes: PNG/JPEG decode to target dims, WAV to target frames, mp4 passes through") {
