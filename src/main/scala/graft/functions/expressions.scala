@@ -502,10 +502,14 @@ object LshSignBits {
     * to integer micro-units, so every sign decision is exact BIGINT
     * arithmetic — which is what makes the whole LSH banding pipeline
     * DuckDB-expressible (the r7 oracle promotion; the r6 md5-shingle
-    * discipline applied to vectors). No overflow: |element| ≤ ~1e6,
-    * |weight| ≤ 1e6, so a 64-term sum is ≤ 6.4e13 ≪ 2^63.
+    * discipline applied to vectors). Quantized elements clamp to
+    * [[ClampQ]] so the sum is overflow-free for ANY input, not just
+    * normalized embeddings (see the fold in [[bits]]).
     */
   val Scale = 1000000.0
+
+  /** Clamp bound for quantized vector elements (±1e8 ⇒ |x| ≤ 100). */
+  val ClampQ = 100000000L
 
   private val weightCache =
     new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]()
@@ -547,7 +551,13 @@ object LshSignBits {
       var acc = 0L
       var j = 0
       while (j < dim) {
-        val vq = math.floor(v.getFloat(j).toDouble * Scale + 0.5).toLong
+        // quantized elements clamp to ±1e8 (|x| ≤ 100 — far beyond any
+        // normalized embedding) so the 64-term sum is bounded by
+        // 64·1e8·1e6 = 6.4e15 < 2^63: the sign fold can never silently
+        // wrap Long even on un-normalized input. The oracle SQL applies
+        // the identical LEAST/GREATEST clamp.
+        val vq0 = math.floor(v.getFloat(j).toDouble * Scale + 0.5).toLong
+        val vq = if (vq0 > ClampQ) ClampQ else if (vq0 < -ClampQ) -ClampQ else vq0
         acc += vq * w(p * 64 + j)
         j += 1
       }

@@ -294,13 +294,13 @@ object AudioCodec {
         val id = new String(b, o, 4, "US-ASCII")
         val size = le32(b, o + 4).toLong & 0xffffffffL
         if (size > b.length.toLong) return None
-        if (id == "fmt " && o + 8 + 16 <= b.length) {
+        if (id == "fmt " && size >= 16 && o + 8 + 16 <= b.length) {
           tag = le16(b, o + 8)
           channels = le16(b, o + 10)
           rate = le32(b, o + 12)
           blockAlign = le16(b, o + 20)
           bits = le16(b, o + 22)
-        } else if (id == "fact" && o + 12 <= b.length) {
+        } else if (id == "fact" && size >= 4 && o + 12 <= b.length) {
           fact = le32(b, o + 8).toLong & 0xffffffffL
         } else if (id == "data") {
           dataOff = o + 8

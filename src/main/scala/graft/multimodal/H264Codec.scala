@@ -173,14 +173,16 @@ object H264Codec {
       profileIdc: Int, levelIdc: Int,
       log2MaxFrameNum: Int, pocType: Int, log2MaxPocLsb: Int,
       mbWidth: Int, mbHeight: Int,
-      cropLeft: Int, cropRight: Int, cropTop: Int, cropBottom: Int) {
+      cropLeft: Int, cropRight: Int, cropTop: Int, cropBottom: Int,
+      deltaPocAlwaysZero: Boolean = false) {
     def width: Int = mbWidth * 16 - 2 * (cropLeft + cropRight)
     def height: Int = mbHeight * 16 - 2 * (cropTop + cropBottom)
   }
 
   final case class Pps(
       entropyCabac: Boolean, picInitQp: Int, chromaQpOffset: Int,
-      deblockingControlPresent: Boolean, constrainedIntra: Boolean)
+      deblockingControlPresent: Boolean, constrainedIntra: Boolean,
+      bottomFieldPoc: Boolean)
 
   private def parseSps(r: BitReader): Sps = {
     val profile = r.u(8)
@@ -195,9 +197,10 @@ object H264Codec {
     require(log2MaxFrameNum <= 16, "log2_max_frame_num")
     val pocType = r.ue()
     var log2MaxPocLsb = 0
+    var deltaPocAlwaysZero = false
     if (pocType == 0) log2MaxPocLsb = r.ue() + 4
     else if (pocType == 1) {
-      r.u1() // delta_pic_order_always_zero
+      deltaPocAlwaysZero = r.u1() == 1
       r.se(); r.se()
       val n = r.ue()
       var i = 0
@@ -215,7 +218,7 @@ object H264Codec {
     // vui_parameters ignored (we stop parsing here; callers never read
     // past the fields above)
     val sps = Sps(profile, level, log2MaxFrameNum, pocType, log2MaxPocLsb,
-      mbW, mbH, cl, cr2, ct, cb)
+      mbW, mbH, cl, cr2, ct, cb, deltaPocAlwaysZero)
     require(sps.width > 0 && sps.height > 0, "cropping exceeds frame")
     require(mbW * mbH <= (1 << 18), "frame too large") // hostile-count guard
     sps
@@ -247,7 +250,7 @@ object H264Codec {
     require(r.ue() == 0, "pps_id")
     require(r.ue() == 0, "pps sps_id")
     val cabac = r.u1() == 1
-    r.u1() // bottom_field_pic_order_in_frame_present
+    val bottomFieldPoc = r.u1() == 1 // adds POC syntax to slice headers
     require(r.ue() == 0, "slice groups (FMO) unsupported")
     r.ue(); r.ue() // num_ref_idx_l0/l1_active_minus1
     r.u1() // weighted_pred
@@ -260,7 +263,7 @@ object H264Codec {
     r.u1() // redundant_pic_cnt_present
     require(qp >= 0 && qp <= 51, "pic_init_qp")
     require(cqo >= -12 && cqo <= 12, "chroma_qp_index_offset")
-    Pps(cabac, qp, cqo, dbc, cip)
+    Pps(cabac, qp, cqo, dbc, cip, bottomFieldPoc)
   }
 
   private def writePps(w: BitWriter, qp: Int): Unit = {
@@ -332,6 +335,18 @@ object H264Codec {
     val lens: Array[Int] = entries.map(_._1.length).toArray
     val syms: Array[Int] = entries.map(_._2).toArray
     private val bySym = syms.zipWithIndex.toMap
+    // decode index: per accumulated length, code → symbol+1 (0 = no
+    // code of that length) — one map probe per peeked bit instead of a
+    // scan of the whole table inside the residual hot loop
+    private val byLen: Array[scala.collection.immutable.IntMap[Int]] = {
+      val maps = Array.fill(lens.max + 1)(scala.collection.immutable.IntMap.empty[Int])
+      var i = 0
+      while (i < codes.length) {
+        maps(lens(i)) = maps(lens(i)).updated(codes(i), syms(i) + 1)
+        i += 1
+      }
+      maps
+    }
     def write(w: BitWriter, sym: Int): Unit = {
       val i = bySym(sym)
       w.putBits(codes(i), lens(i))
@@ -339,14 +354,11 @@ object H264Codec {
     def read(r: BitReader): Int = {
       var acc = 0
       var len = 0
-      while (len < 17) {
+      while (len < byLen.length - 1) {
         acc = (acc << 1) | r.u1()
         len += 1
-        var i = 0
-        while (i < codes.length) {
-          if (lens(i) == len && codes(i) == acc) return syms(i)
-          i += 1
-        }
+        val s = byLen(len).getOrElse(acc, 0)
+        if (s != 0) return s - 1
       }
       throw new IllegalStateException("vlc: no code")
     }
@@ -1279,7 +1291,13 @@ object H264Codec {
     require(r.ue() == 0, "pps_id")
     r.u(sps.log2MaxFrameNum) // frame_num
     r.ue() // idr_pic_id
-    if (sps.pocType == 0) r.u(sps.log2MaxPocLsb) // pic_order_cnt_lsb
+    if (sps.pocType == 0) {
+      r.u(sps.log2MaxPocLsb) // pic_order_cnt_lsb
+      if (pps.bottomFieldPoc) r.se() // delta_pic_order_cnt_bottom
+    } else if (sps.pocType == 1 && !sps.deltaPocAlwaysZero) {
+      r.se() // delta_pic_order_cnt[0]
+      if (pps.bottomFieldPoc) r.se() // delta_pic_order_cnt[1]
+    }
     if (refIdc != 0) { r.u1(); r.u1() } // dec_ref_pic_marking (IDR)
     var qp = pps.picInitQp + r.se()
     require(qp >= 0 && qp <= 51, "slice qp")

@@ -126,12 +126,12 @@ object HeaderCodec {
       // word-aligned step wrap to zero (or negative) and spin forever —
       // quarantine instead (sizes beyond the buffer are equally bogus)
       if (size > b.length.toLong) return None
-      if (id == "fmt " && o + 8 + 16 <= b.length) {
+      if (id == "fmt " && size >= 16 && o + 8 + 16 <= b.length) {
         audioFormat = le16(b, o + 8)
         channels = le16(b, o + 10)
         sampleRate = le32(b, o + 12)
         byteRate = le32(b, o + 16)
-      } else if (id == "fact" && o + 12 <= b.length) {
+      } else if (id == "fact" && size >= 4 && o + 12 <= b.length) {
         // non-PCM WAVs carry the true per-channel frame count here —
         // byte-rate division is only exact for constant-bitrate PCM
         factSamples = le32(b, o + 8).toLong & 0xffffffffL

@@ -48,24 +48,39 @@ object Mp4SampleTables {
   final case class AvcConfig(spsNal: Array[Byte], ppsNal: Array[Byte], lengthSize: Int)
 
   def parseAvcc(b: Array[Byte]): Option[AvcConfig] =
-    try parseAvccOrNull(b) catch { case NonFatal(_) => None }
+    parseAvc(b).map(_._1)
 
-  private def parseAvccOrNull(b: Array[Byte]): Option[AvcConfig] = {
-    val moov = child(b, 0, b.length, "moov").getOrElse(return None)
-    children(b, moov._1, moov._2).collect { case ("trak", p, e) => (p, e) }
-      .iterator.flatMap { case (tp, te) =>
-        for {
-          (mp, me) <- child(b, tp, te, "mdia")
-          (np, ne) <- child(b, mp, me, "minf")
-          (sp, se) <- child(b, np, ne, "stbl")
-          (dp, de) <- child(b, sp, se, "stsd")
-          if dp + 8 <= de // version/flags + entry_count
-          cfg <- children(b, dp + 8, de).collectFirst {
-            case ("avc1", ep, ee) if ep + 78 <= ee => avccOf(b, ep + 78, ee)
-          }.flatten
-        } yield cfg
-      }.nextOption()
-  }
+  /** AVC config AND sample tables from the SAME trak — the only safe
+    * pairing for decode (a multi-track file may list an audio trak
+    * with complete sample tables before the video trak; pairing the
+    * video's avcC with that trak's samples would feed audio bytes to
+    * the H.264 decoder). The first trak carrying both a well-formed
+    * `avc1/avcC` entry and a complete sample-table set wins; one box
+    * walk serves both results.
+    */
+  def parseAvc(b: Array[Byte]): Option[(AvcConfig, Vector[Mp4Sample])] =
+    try {
+      val moov = child(b, 0, b.length, "moov").getOrElse(return None)
+      children(b, moov._1, moov._2).collect { case ("trak", p, e) => (p, e) }
+        .iterator.flatMap { case (tp, te) =>
+          for {
+            cfg <- trakAvcc(b, tp, te)
+            samples <- parseTrak(b, tp, te)
+          } yield (cfg, samples)
+        }.nextOption()
+    } catch { case NonFatal(_) => None }
+
+  private def trakAvcc(b: Array[Byte], tp: Int, te: Int): Option[AvcConfig] =
+    for {
+      (mp, me) <- child(b, tp, te, "mdia")
+      (np, ne) <- child(b, mp, me, "minf")
+      (sp, se) <- child(b, np, ne, "stbl")
+      (dp, de) <- child(b, sp, se, "stsd")
+      if dp + 8 <= de // version/flags + entry_count
+      cfg <- children(b, dp + 8, de).collectFirst {
+        case ("avc1", ep, ee) if ep + 78 <= ee => avccOf(b, ep + 78, ee)
+      }.flatten
+    } yield cfg
 
   private def avccOf(b: Array[Byte], from: Int, to: Int): Option[AvcConfig] = {
     val (p, e) = child(b, from, to, "avcC").getOrElse(return None)

@@ -274,9 +274,14 @@ object Multimodal {
           }
           // MP4 with parseable sample tables: the REAL keyframe count
           // (stss sync samples) replaces the duration heuristic —
-          // frame geometry now comes from the container, not a guess
-          val frames = (if (hdr.exists(_.container == "mp4"))
-              Mp4SampleTables.parse(r.content).map(_.count(_.sync)) else None)
+          // frame geometry now comes from the container, not a guess.
+          // One box walk serves the count AND the AVC pixel decode
+          // below (parseAvc pairs config + samples from the same trak)
+          val isMp4 = hdr.exists(_.container == "mp4")
+          val mp4Avc = if (isMp4) Mp4SampleTables.parseAvc(r.content) else None
+          val mp4Samples =
+            mp4Avc.map(_._2).orElse(if (isMp4) Mp4SampleTables.parse(r.content) else None)
+          val frames = mp4Samples.map(_.count(_.sync))
             .getOrElse(if (dur == 0) 1 else (1 + dur / frameEveryMs).toInt)
           // real payload decode: PNG/JPEG → pixel bytes (0..255), WAV →
           // PCM16 samples; mp4 video is the documented boundary.
@@ -307,7 +312,9 @@ object Multimodal {
               // samples). ALL keyframes must decode or the row
               // quarantines — a half-decoded clip must not publish
               // stats that silently cover part of its pixels.
-              decodedKeyframes(r.content).flatMap { frames =>
+              mp4Avc.flatMap { case (cfg, samples) =>
+                decodedKeyframes(r.content, cfg, samples)
+              }.flatMap { frames =>
                 var sum = 0.0; var sumSq = 0.0; var peak = 0.0; var cnt = 0L
                 frames.foreach { f =>
                   Seq(f.y, f.cb, f.cr).foreach { pl =>
@@ -354,16 +361,23 @@ object Multimodal {
     */
   private[multimodal] def decodedKeyframes(
       content: Array[Byte]): Option[Vector[H264Codec.Yuv420]] =
-    for {
-      cfg <- Mp4SampleTables.parseAvcc(content)
-      samples <- Mp4SampleTables.parse(content)
-      syncs = samples.filter(_.sync)
-      if syncs.nonEmpty
-      decoded = syncs.map(s => H264Codec.decodeAvcSample(cfg.spsNal, cfg.ppsNal,
-        java.util.Arrays.copyOfRange(content, s.offset.toInt, (s.offset + s.size).toInt),
-        cfg.lengthSize))
-      if decoded.forall(_.isDefined)
-    } yield decoded.map(_.get)
+    Mp4SampleTables.parseAvc(content).flatMap { case (cfg, samples) =>
+      decodedKeyframes(content, cfg, samples)
+    }
+
+  /** Pre-parsed overload for callers that already walked the boxes
+    * (one walk per row in the hot partition loops).
+    */
+  private[multimodal] def decodedKeyframes(content: Array[Byte],
+      cfg: Mp4SampleTables.AvcConfig,
+      samples: Vector[Mp4SampleTables.Mp4Sample]): Option[Vector[H264Codec.Yuv420]] = {
+    val syncs = samples.filter(_.sync)
+    if (syncs.isEmpty) return None
+    val decoded = syncs.map(s => H264Codec.decodeAvcSample(cfg.spsNal, cfg.ppsNal,
+      java.util.Arrays.copyOfRange(content, s.offset.toInt, (s.offset + s.size).toInt),
+      cfg.lengthSize))
+    if (decoded.forall(_.isDefined)) Some(decoded.map(_.get)) else None
+  }
 
   final case class KeyframeRow(
       media_id: Long,
@@ -389,13 +403,14 @@ object Multimodal {
     media.select("media_id", "kind", "content", "source").as[MediaRow]
       .mapPartitions(_.flatMap { r =>
         val parsed =
-          if (HeaderCodec.isMp4(r.content))
-            for {
-              cfg <- Mp4SampleTables.parseAvcc(r.content)
-              samples <- Mp4SampleTables.parse(r.content)
-            } yield (cfg, samples)
+          if (HeaderCodec.isMp4(r.content)) Mp4SampleTables.parseAvc(r.content)
           else None
         parsed match {
+          // a clip with no sync samples has nothing decodable: that is
+          // a dead-letter row, not a silently vanished media_id
+          case Some((_, samples)) if !samples.exists(_.sync) =>
+            Iterator.single(KeyframeRow(r.media_id, -1, -1L, 0, 0, 0.0, 0.0,
+              decode_ok = false))
           case Some((cfg, samples)) =>
             samples.iterator.filter(_.sync).map { s =>
               H264Codec.decodeAvcSample(cfg.spsNal, cfg.ppsNal,
@@ -454,6 +469,10 @@ object Multimodal {
           if (HeaderCodec.isMp4(r.content)) Mp4SampleTables.parse(r.content)
           else None
         parsed match {
+          // no sync samples -> dead-letter, never a vanished media_id
+          case Some(samples) if !samples.exists(_.sync) =>
+            Iterator.single(FrameRow(r.media_id, -1, -1L,
+              Array.emptyByteArray, frame_ok = false))
           case Some(samples) =>
             samples.iterator.filter(_.sync).map { s =>
               FrameRow(r.media_id, s.index, s.ptsMs,
@@ -481,8 +500,8 @@ object Multimodal {
     def plane(p: Array[Byte], w: Int, h: Int, dw: Int, dh: Int): Array[Byte] =
       PixelCodec.boxResize(PixelCodec.PixelImage(w, h, 1, p), dw, dh).pixels
     for {
-      frames <- decodedKeyframes(content)
-      samples <- Mp4SampleTables.parse(content)
+      (cfg, samples) <- Mp4SampleTables.parseAvc(content)
+      frames <- decodedKeyframes(content, cfg, samples)
     } yield {
       val syncPts = samples.filter(_.sync).map(_.ptsMs)
       val dur =

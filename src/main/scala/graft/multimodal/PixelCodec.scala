@@ -233,7 +233,7 @@ object PixelCodec {
         val id = new String(b, o, 4, "US-ASCII")
         val size = le32(b, o + 4).toLong & 0xffffffffL
         if (size > b.length.toLong) return None
-        if (id == "fmt " && o + 8 + 16 <= b.length) {
+        if (id == "fmt " && size >= 16 && o + 8 + 16 <= b.length) {
           if (le16(b, o + 8) != 1) return None // PCM only
           channels = le16(b, o + 10)
           sampleRate = le32(b, o + 12)

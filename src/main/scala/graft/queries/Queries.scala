@@ -390,7 +390,7 @@ object Queries {
       base +: (0 until bpt).map(i => s"xor($base, ${1L << i})")
     }.mkString(",\n    ")
     s"""WITH vq AS (SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q,
+       |    list_transform(embedding, x -> LEAST(GREATEST(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT), -100000000), 100000000)) AS q,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |bits AS (SELECT vec_id, v, [

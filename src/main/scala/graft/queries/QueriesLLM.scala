@@ -707,6 +707,13 @@ object QueriesLLM {
       array((0 until m).map(j => col(s"code_$j")): _*).as("codes"))
       .localCheckpoint()
     // codebook as a broadcastable (subspace, code, centroid, norm2) table
+    // the ADC LUT addresses entry j·nCodes+code with a uniform stride,
+    // so a sub-quantizer that trained to FEWER centers (degenerate
+    // corpus: distinct sub-vectors < k) must fail loudly here, not
+    // silently misalign every downstream score
+    val perSub = subModels.map(_.clusterCenters.length)
+    require(perSub.forall(_ == perSub.head),
+      s"PQ codebooks must be uniform across subspaces, got ${perSub.mkString(",")}")
     val bookRows = subModels.zipWithIndex.flatMap { case (model, j) =>
       model.clusterCenters.zipWithIndex.map { case (c, code) =>
         val arr = c.toArray
@@ -737,6 +744,9 @@ object QueriesLLM {
     val idx = pqIndexFor(s, dir, k, m)
     val codes = s.createDataFrame(idx.codesRdd, idx.schema)
     val book = idx.book.toDF("j", "code", "centroid", "cnorm2")
+    // LUT stride = codes per subspace, derived from the codebook itself
+    // (pqIndexFor guarantees uniformity across subspaces)
+    val nCodes = idx.book.map(_._2).max + 1
     val cents = idx.cents.toDF("cell", "centroid")
     val e = t(s, dir, "embeddings")
     // query side: float vectors, nprobe nearest coarse cells
@@ -764,7 +774,7 @@ object QueriesLLM {
           col("centroid").cast("array<float>")).as("partial"))
     val lutArr = lut
       .groupBy(col("query_id"))
-      .agg(array_sort(collect_list(struct((col("j") * 16 + col("code")).as("idx"),
+      .agg(array_sort(collect_list(struct((col("j") * nCodes + col("code")).as("idx"),
         col("partial")))).as("entries"))
       .select(col("query_id"),
         expr("transform(entries, e -> e.partial)").as("lut"))

@@ -225,6 +225,34 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bad = e.limit(1).select(
       GraftFunctions.dot(col("embedding"), slice(col("embedding"), 1, 8)).as("d"))
     assert(bad.head().isNullAt(0))
+
+    // un-normalized input: quantized elements clamp at ±1e8, so the
+    // 64-term fold cannot wrap Long (unclamped, elements of 1e6 give
+    // vq·w ≈ 1e18 and the sum wraps — the sign bit would silently
+    // flip). Reference computed in BigInt with the same clamp.
+    import spark.implicits._
+    val hot = Seq(
+      Array.fill(64)(1e6.toFloat),
+      Array.tabulate(64)(j => if (j % 2 == 0) 1e7f else -1e7f),
+      Array.tabulate(64)(j => (j - 32) * 500f)).toDF("embedding")
+    val got = hot.select(GraftFunctions.lshSignBits(col("embedding"), nBits).as("k"))
+      .collect().map(_.getSeq[Int](0))
+    val expect = Seq(
+      Array.fill(64)(1e6), Array.tabulate(64)(j => if (j % 2 == 0) 1e7 else -1e7),
+      Array.tabulate(64)(j => (j - 32) * 500.0)).map { v =>
+      (0 until nBits).map { p =>
+        val s = (0 until 64).map { j =>
+          val vq = math.floor(v(j) * 1e6 + 0.5).toLong
+            .max(-graft.functions.LshSignBits.ClampQ)
+            .min(graft.functions.LshSignBits.ClampQ)
+          BigInt(vq) * BigInt(weights(p * 64 + j))
+        }.sum
+        if (s >= 0) 1 else 0
+      }
+    }
+    got.zip(expect).zipWithIndex.foreach { case ((g, x), i) =>
+      assert(g == x, s"clamped sign bits differ on hot vector $i")
+    }
   }
 
   test("adc_score kernel: identical to the explicit m-lookup sum, null contracts") {

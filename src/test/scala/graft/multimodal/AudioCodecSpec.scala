@@ -161,5 +161,11 @@ class AudioCodecSpec extends AnyFunSuite {
       m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
       decodeWav(m)
     }
+    // a fmt chunk whose DECLARED size is too short to hold the fields
+    // must quarantine, not read the next chunk's bytes as blockAlign
+    val shortFmt = g.clone()
+    shortFmt(16) = 6 // fmt size LE32 := 6 (was 18)
+    assert(decodeWav(shortFmt).isEmpty, "short-declared fmt must quarantine")
+    assert(HeaderCodec.decode(shortFmt).isEmpty, "header walk must agree")
   }
 }

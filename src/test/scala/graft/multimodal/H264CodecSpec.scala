@@ -316,6 +316,51 @@ class H264CodecSpec extends AnyFunSuite {
       sc ++ (Array[Byte](0x65) ++ bad.stop())).isEmpty, "qp overflow must quarantine")
   }
 
+  test("decode-only syntax: POC type 0 with bottom-field POC present parses, not desyncs") {
+    // foreign-encoder shape our writer never emits: SPS
+    // pic_order_cnt_type=0 (log2_max_poc_lsb=4) and a PPS with
+    // bottom_field_pic_order_in_frame_present=1, so the slice header
+    // carries pic_order_cnt_lsb AND delta_pic_order_cnt_bottom
+    val sps = new Bits
+    sps.bits(66, 8).bits(0xc0, 8).bits(30, 8) // profile/constraints/level
+    sps.ue(0) // sps_id
+    sps.ue(0) // log2_max_frame_num_minus4
+    sps.ue(0) // pic_order_cnt_type = 0
+    sps.ue(0) // log2_max_pic_order_cnt_lsb_minus4
+    sps.ue(0) // max_num_ref_frames
+    sps.put(0) // gaps allowed
+    sps.ue(0).ue(0) // 1x1 MBs
+    sps.put(1).put(1) // frame_mbs_only, direct_8x8
+    sps.put(0).put(0) // no crop, no vui
+    val pps = new Bits
+    pps.ue(0).ue(0) // pps_id, sps_id
+    pps.put(0) // CAVLC
+    pps.put(1) // bottom_field_pic_order_in_frame_present = 1
+    pps.ue(0) // slice groups
+    pps.ue(0).ue(0) // ref idx counts
+    pps.put(0).bits(0, 2) // weighted pred/bipred
+    pps.se(30 - 26) // pic_init_qp
+    pps.se(0).se(0) // qs, chroma offset
+    pps.put(1).put(0).put(0) // deblocking present, constrained intra, redundant
+    val slice = new Bits
+    slice.ue(0).ue(7).ue(0) // first_mb, type I, pps_id
+    slice.bits(0, 4) // frame_num
+    slice.ue(0) // idr_pic_id
+    slice.bits(9, 4) // pic_order_cnt_lsb (poc type 0)
+    slice.se(-2) // delta_pic_order_cnt_bottom (present due to the PPS flag)
+    slice.put(0).put(0) // dec_ref_pic_marking
+    slice.se(0) // slice_qp_delta
+    slice.ue(1) // disable deblocking
+    slice.ue(3).ue(0).se(0).put(1) // I_16x16 DC, chroma DC, qp_delta 0, empty luma DC
+    val sc = Array[Byte](0, 0, 0, 1)
+    val stream = sc ++ (Array[Byte](0x67) ++ sps.stop()) ++
+      sc ++ (Array[Byte](0x68) ++ pps.stop()) ++
+      sc ++ (Array[Byte](0x65) ++ slice.stop())
+    val dec = decodeYuv(stream)
+    assert(dec.isDefined, "POC syntax must parse, not desync")
+    assert(dec.get.width == 16 && dec.get.y.forall(_ == 128.toByte))
+  }
+
   test("decodeAvcSample handles 1- and 3-byte NAL length prefixes") {
     val enc = encodeYuv(frame(16, 16, 77), qp = 30)
     for (ls <- Seq(1, 3) if enc.idrNal.length < (1 << (8 * ls))) {

@@ -396,6 +396,28 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.head.getAs[Int]("frame_index") == 0 && r.head.getAs[Long]("pts_ms") == 0L)
   }
 
+  test("zero-sync-sample MP4s dead-letter instead of silently vanishing") {
+    // patch the stss entry count of a valid marker MP4 to zero: the
+    // clip parses but has nothing decodable — both frame stages must
+    // emit their dead-letter row, not drop the media_id
+    val b = HeaderCodec.synthMp4Frames(32, 24, Seq(16, 16, 16, 16), 500, syncEvery = 3)
+    val stssAt = (0 until b.length - 4)
+      .find(i => new String(b, i, 4, "US-ASCII") == "stss").get
+    val noSync = b.clone()
+    // payload: version/flags (4) then entry_count BE32
+    noSync(stssAt + 8) = 0; noSync(stssAt + 9) = 0
+    noSync(stssAt + 10) = 0; noSync(stssAt + 11) = 0
+    assert(Mp4SampleTables.parse(noSync).exists(_.forall(!_.sync)))
+    import spark.implicits._
+    val one = Seq(Multimodal.MediaRow(9L, "video", noSync, "t")).toDF()
+    val fr = Multimodal.sampleFrames(spark, one).collect()
+    assert(fr.length == 1 && !fr.head.getAs[Boolean]("frame_ok"),
+      "sampleFrames must dead-letter a sync-less clip")
+    val kf = Multimodal.decodeKeyframes(spark, one).collect()
+    assert(kf.length == 1 && !kf.head.getAs[Boolean]("decode_ok"),
+      "decodeKeyframes must dead-letter a sync-less clip")
+  }
+
   // ------------------------------------------------------- pixel codec
 
   test("PNG pixel decode: hand-filtered scanline vectors (Sub/Up/Average/Paeth)") {
