@@ -10,10 +10,17 @@ package graft.multimodal
   *    arbitrary sampling factors 1..2 per axis (4:4:4, 4:2:2, 4:2:0),
   *    restart intervals (DRI/RSTn), byte-stuffed entropy data. Returns
   *    interleaved 8-bit pixels ([[PixelCodec.PixelImage]], channels 1
-  *    or 3, RGB via the JFIF YCbCr transform). Progressive (SOF2),
-  *    arithmetic coding, and 12-bit precision are out of scope →
-  *    `None` (quarantine, never throw — the dead-letter discipline of
-  *    the decode stage).
+  *    or 3, RGB via the JFIF YCbCr transform). PROGRESSIVE (SOF2)
+  *    decodes too since r7: the full T.81 G.2 multi-scan model —
+  *    spectral selection, successive approximation (DC and AC first +
+  *    refinement passes with G.1.2.3 correction-bit semantics and
+  *    EOBRUN), interleaved DC scans over the MCU grid, per-component
+  *    AC scans over the ceil(dim/8) grid, coefficients accumulated to
+  *    EOI then dequantized/IDCT'd once; spec-pinned against
+  *    ImageIO-WRITTEN progressive streams both ways. Arithmetic
+  *    coding, hierarchical/lossless modes, and 12-bit precision are
+  *    out of scope → `None` (quarantine, never throw — the
+  *    dead-letter discipline of the decode stage).
   *  - [[encode]]: baseline 4:4:4 (or single-component grayscale),
   *    Annex K quantization matrices, and deliberately SIMPLE custom
   *    Huffman tables (all 12 DC categories at 4 bits, all 162 AC
@@ -328,8 +335,10 @@ object JpegCodec {
               if (comp.h < 1 || comp.h > 4 || comp.v < 1 || comp.v > 4) return None
               comp
             }
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-            return None // progressive/lossless/arithmetic: out of scope
+          case 0xc2 => // progressive: its own multi-scan path (since r7)
+            return decodeProgressiveOrNull(b)
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // lossless/differential/arithmetic: out of scope
           case 0xdd => // DRI
             restartInterval = u16(b, seg)
           case 0xda => // SOS
@@ -451,7 +460,406 @@ object JpegCodec {
       mcu += 1
     }
 
-    // assemble interleaved output (nearest-sample chroma upscale)
+    Some(assemble(comps, planes, planeW, w, h, hMax, vMax))
+  }
+
+  /** Progressive (SOF2) decode — T.81 G.2: coefficients accumulate
+    * across scans (spectral selection × successive approximation) in
+    * per-component integer buffers; dequantization + IDCT happen once
+    * at EOI. DC scans may interleave any component subset; AC scans
+    * are single-component over the component's own ceil(dim/8) block
+    * grid (G.1.1.1.1). Refinement correction-bit semantics follow
+    * G.1.2.3 (the same structure libjpeg's jdphuff implements: a
+    * correction bit for every nonzero-history coefficient crossed,
+    * EOBRUN consuming whole blocks of correction bits). Any structural
+    * inconsistency — bad scan header, table missing at first use,
+    * entropy exhaustion, missing EOI — quarantines to None.
+    */
+  private def decodeProgressiveOrNull(b: Array[Byte]): Option[PixelImage] = {
+    val qt = new Array[Array[Int]](4)
+    val dcT = new Array[HuffTable](4)
+    val acT = new Array[HuffTable](4)
+    var comps: Array[Comp] = null
+    var w = 0; var h = 0
+    var restartInterval = 0
+    var mcusX = 0; var mcusY = 0; var hMax = 0; var vMax = 0
+    var blocksW: Array[Int] = null // padded MCU-grid blocks per row
+    var blocksH: Array[Int] = null
+    var nbW: Array[Int] = null // non-interleaved (ceil) grid
+    var nbH: Array[Int] = null
+    var coefs: Array[Array[Int]] = null
+    var sawScan = false
+    var i = 2
+    var done = false
+    while (!done) {
+      if (i + 2 > b.length) return None
+      if ((b(i) & 0xff) != 0xff) return None
+      val marker = b(i + 1) & 0xff
+      if (marker == 0xd9) { // EOI: coefficients are final
+        if (comps == null || !sawScan) return None
+        done = true
+      } else if (marker == 0xd8 || marker == 0x01 ||
+          (marker >= 0xd0 && marker <= 0xd7)) { i += 2 }
+      else {
+        if (i + 4 > b.length) return None
+        val len = u16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val seg = i + 4
+        val segEnd = i + 2 + len
+        marker match {
+          case 0xdb =>
+            var p = seg
+            while (p < segEnd) {
+              val pq = (b(p) >> 4) & 0x0f
+              val tq = b(p) & 0x0f
+              if (tq > 3) return None
+              p += 1
+              if (p + (if (pq == 0) 64 else 128) > segEnd) return None
+              val t = new Array[Int](64)
+              var z = 0
+              while (z < 64) {
+                val v = if (pq == 0) b(p) & 0xff else { val x = u16(b, p); p += 1; x }
+                p += 1
+                t(Zigzag(z)) = v
+                z += 1
+              }
+              qt(tq) = t
+            }
+          case 0xc4 =>
+            var p = seg
+            while (p < segEnd) {
+              val tc = (b(p) >> 4) & 0x0f
+              val th = b(p) & 0x0f
+              if (th > 3) return None
+              p += 1
+              if (p + 16 > segEnd) return None
+              val bits = Array.tabulate(16)(k => b(p + k) & 0xff)
+              p += 16
+              val n = bits.sum
+              if (n > 256 || p + n > segEnd) return None
+              val vals = Array.tabulate(n)(k => b(p + k) & 0xff)
+              p += n
+              val t = new HuffTable(bits, vals)
+              if (tc == 0) dcT(th) = t else acT(th) = t
+            }
+          case 0xc2 =>
+            if (comps != null) return None // one frame header only
+            val prec = b(seg) & 0xff
+            if (prec != 8) return None
+            h = u16(b, seg + 1); w = u16(b, seg + 3)
+            val nc = b(seg + 5) & 0xff
+            if (w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return None
+            if (w.toLong * h > MaxPixels) return None
+            if (seg + 6 + 3 * nc > segEnd) return None
+            comps = Array.tabulate(nc) { c =>
+              val o = seg + 6 + c * 3
+              val hv = b(o + 1) & 0xff
+              val comp = Comp(b(o) & 0xff, (hv >> 4) & 0x0f, hv & 0x0f, b(o + 2) & 0x0f)
+              if (comp.h < 1 || comp.h > 4 || comp.v < 1 || comp.v > 4) return None
+              comp
+            }
+            // T.81 A.2 single-component rule, as in the baseline path
+            if (comps.length == 1) comps = Array(comps(0).copy(h = 1, v = 1))
+            hMax = comps.map(_.h).max
+            vMax = comps.map(_.v).max
+            mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+            blocksW = comps.map(c => mcusX * c.h)
+            blocksH = comps.map(c => mcusY * c.v)
+            nbW = comps.map(c => ((w * c.h + hMax - 1) / hMax + 7) / 8)
+            nbH = comps.map(c => ((h * c.v + vMax - 1) / vMax + 7) / 8)
+            if (comps.indices.exists(ci =>
+              blocksW(ci).toLong * blocksH(ci) * 64 > 4L * MaxPixels)) return None
+            coefs = comps.indices.map(ci =>
+              new Array[Int](blocksW(ci) * blocksH(ci) * 64)).toArray
+          case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd |
+              0xce | 0xcf =>
+            return None // second frame header of any kind
+          case 0xdd =>
+            restartInterval = u16(b, seg)
+          case 0xda =>
+            if (comps == null) return None
+            val next = progressiveScan(b, seg, segEnd, comps, qt, dcT, acT,
+              restartInterval, mcusX, mcusY, blocksW, nbW, nbH, coefs)
+            if (next < 0) return None
+            sawScan = true
+            i = next
+          case _ => () // APPn/COM
+        }
+        if (marker != 0xda) i = segEnd
+      }
+    }
+
+    // dequantize + IDCT the full padded grid, then shared assembly
+    val planeW = comps.indices.map(ci => blocksW(ci) * 8).toArray
+    val planes = comps.indices.map(ci =>
+      new Array[Byte](planeW(ci) * blocksH(ci) * 8)).toArray
+    val blk = new Array[Double](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val q = qt(comps(ci).tq)
+      if (q == null) return None
+      val co = coefs(ci)
+      val pw = planeW(ci)
+      var by = 0
+      while (by < blocksH(ci)) {
+        var bx = 0
+        while (bx < blocksW(ci)) {
+          val off = (by * blocksW(ci) + bx) * 64
+          var z = 0
+          while (z < 64) { blk(z) = co(off + z).toDouble * q(z); z += 1 }
+          val px = idct(blk)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              val v = math.round(px(yy * 8 + xx) + 128.0).toInt
+              planes(ci)((by * 8 + yy) * pw + bx * 8 + xx) =
+                (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+              xx += 1
+            }
+            yy += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    Some(assemble(comps, planes, planeW, w, h, hMax, vMax))
+  }
+
+  /** Decode one progressive scan's entropy data; returns the byte
+    * offset of the next marker, or -1 on any inconsistency.
+    */
+  private def progressiveScan(b: Array[Byte], seg: Int, segEnd: Int,
+      comps: Array[Comp], qt: Array[Array[Int]],
+      dcT: Array[HuffTable], acT: Array[HuffTable],
+      restartInterval: Int, mcusX: Int, mcusY: Int,
+      blocksW: Array[Int], nbW: Array[Int], nbH: Array[Int],
+      coefs: Array[Array[Int]]): Int = {
+    val ns = b(seg) & 0xff
+    if (ns < 1 || ns > comps.length || seg + 1 + 2 * ns + 3 != segEnd) return -1
+    val scanIdx = new Array[Int](ns)
+    var p = seg + 1
+    var c = 0
+    while (c < ns) {
+      val cid = b(p) & 0xff
+      val tt = b(p + 1) & 0xff
+      val ci = comps.indexWhere(_.id == cid)
+      if (ci < 0) return -1
+      scanIdx(c) = ci
+      comps(ci).td = (tt >> 4) & 0x0f
+      comps(ci).ta = tt & 0x0f
+      p += 2
+      c += 1
+    }
+    val ss = b(segEnd - 3) & 0xff
+    val se = b(segEnd - 2) & 0xff
+    val ah = (b(segEnd - 1) >> 4) & 0x0f
+    val al = b(segEnd - 1) & 0x0f
+    // scan-header constraints (G.1.1.1.1): DC scans cover exactly the
+    // DC band; AC scans are single-component; refinement steps one bit
+    if (ss > 63 || se > 63 || se < ss || al > 13) return -1
+    if (ss == 0 && se != 0) return -1
+    if (ss > 0 && ns != 1) return -1
+    if (ah != 0 && ah != al + 1) return -1
+
+    val r = new BitReader(b, segEnd)
+    var eobrun = 0
+    val pred = new Array[Int](comps.length)
+    val p1 = 1 << al
+
+    def maybeRestart(unit: Int): Boolean =
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        if (!r.syncRestart()) false
+        else { java.util.Arrays.fill(pred, 0); eobrun = 0; true }
+      } else true
+
+    def dcBlock(ci: Int, off: Int): Boolean = {
+      val co = coefs(ci)
+      if (ah == 0) {
+        val t = dcT(comps(ci).td)
+        if (t == null) return false
+        val s = huffDecode(r, t)
+        if (s < 0 || s > 15) return false
+        val diffBits = if (s == 0) 0 else r.bits(s)
+        if (diffBits < 0) return false
+        pred(ci) += extend(diffBits, s)
+        co(off) = pred(ci) << al
+      } else {
+        val bit = r.bit()
+        if (bit < 0) return false
+        if (bit != 0) co(off) |= p1
+      }
+      true
+    }
+
+    def acFirstBlock(ci: Int, off: Int): Boolean = {
+      val co = coefs(ci)
+      if (eobrun > 0) { eobrun -= 1; return true }
+      val t = acT(comps(ci).ta)
+      if (t == null) return false
+      var k = ss
+      while (k <= se) {
+        val rs = huffDecode(r, t)
+        if (rs < 0) return false
+        val run = (rs >> 4) & 0x0f
+        val size = rs & 0x0f
+        if (size == 0) {
+          if (run == 15) k += 16
+          else {
+            eobrun = (1 << run) - 1
+            if (run > 0) {
+              val eb = r.bits(run)
+              if (eb < 0) return false
+              eobrun += eb
+            }
+            return true
+          }
+        } else {
+          k += run
+          if (k > se) return false
+          val vb = r.bits(size)
+          if (vb < 0) return false
+          co(off + Zigzag(k)) = extend(vb, size) << al
+          k += 1
+        }
+      }
+      true
+    }
+
+    def correct(co: Array[Int], at: Int): Boolean = {
+      val cb = r.bit()
+      if (cb < 0) return false
+      if (cb != 0 && (co(at) & p1) == 0)
+        co(at) += (if (co(at) >= 0) p1 else -p1)
+      true
+    }
+
+    def acRefineBlock(ci: Int, off: Int): Boolean = {
+      val co = coefs(ci)
+      val t = acT(comps(ci).ta)
+      if (t == null) return false
+      var k = ss
+      if (eobrun == 0) {
+        var atEob = false
+        while (k <= se && !atEob) {
+          val rs = huffDecode(r, t)
+          if (rs < 0) return false
+          var run = (rs >> 4) & 0x0f
+          val size = rs & 0x0f
+          var newval = 0
+          if (size == 0) {
+            if (run < 15) {
+              eobrun = 1 << run
+              if (run > 0) {
+                val eb = r.bits(run)
+                if (eb < 0) return false
+                eobrun += eb
+              }
+              atEob = true
+            } // run == 15: skip 16 zero-history coefficients
+          } else {
+            if (size != 1) return false
+            val sb = r.bit()
+            if (sb < 0) return false
+            newval = if (sb != 0) p1 else -p1
+          }
+          if (!atEob) {
+            var placed = false
+            while (k <= se && !placed) {
+              val at = off + Zigzag(k)
+              if (co(at) != 0) {
+                if (!correct(co, at)) return false
+                k += 1
+              } else if (run == 0) {
+                if (newval != 0) co(at) = newval
+                k += 1
+                placed = true
+              } else { run -= 1; k += 1 }
+            }
+            if (!placed && newval != 0) return false // ran off the band
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) {
+          val at = off + Zigzag(k)
+          if (co(at) != 0 && !correct(co, at)) return false
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+
+    // drive the scan's block order
+    if (ss == 0 && ns > 1) {
+      // interleaved DC scan over the full MCU grid
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      while (mcu < nMcus) {
+        if (!maybeRestart(mcu)) return -1
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        var s = 0
+        while (s < ns) {
+          val ci = scanIdx(s)
+          val cc = comps(ci)
+          var by = 0
+          while (by < cc.v) {
+            var bx = 0
+            while (bx < cc.h) {
+              val off = ((my * cc.v + by) * blocksW(ci) + mx * cc.h + bx) * 64
+              if (!dcBlock(ci, off)) return -1
+              bx += 1
+            }
+            by += 1
+          }
+          s += 1
+        }
+        mcu += 1
+      }
+    } else {
+      // non-interleaved: one block per MCU over the component's grid
+      val ci = scanIdx(0)
+      val nBlocks = nbW(ci) * nbH(ci)
+      var blkIdx = 0
+      while (blkIdx < nBlocks) {
+        if (!maybeRestart(blkIdx)) return -1
+        val bx = blkIdx % nbW(ci)
+        val by = blkIdx / nbW(ci)
+        val off = (by * blocksW(ci) + bx) * 64
+        val ok =
+          if (ss == 0) dcBlock(ci, off)
+          else if (ah == 0) acFirstBlock(ci, off)
+          else acRefineBlock(ci, off)
+        if (!ok) return -1
+        blkIdx += 1
+      }
+    }
+
+    // resync: the next true marker (skipping any trailing RSTs and
+    // stuffed bytes) ends this scan's entropy segment
+    var q2 = r.pos
+    while (q2 + 1 < b.length) {
+      val isMarker = (b(q2) & 0xff) == 0xff && {
+        val m = b(q2 + 1) & 0xff
+        m != 0x00 && !(m >= 0xd0 && m <= 0xd7)
+      }
+      if (isMarker) return q2
+      q2 += 1
+    }
+    -1 // entropy data ran to EOF without a terminating marker
+  }
+
+  /** Assemble per-component padded planes into the interleaved output
+    * (nearest-sample chroma upscale) — shared by the baseline and
+    * progressive paths.
+    */
+  private def assemble(comps: Array[Comp], planes: Array[Array[Byte]],
+      planeW: Array[Int], w: Int, h: Int, hMax: Int, vMax: Int): PixelImage = {
     if (comps.length == 1) {
       val out = new Array[Byte](w * h)
       val pw = planeW(0)
@@ -460,7 +868,7 @@ object JpegCodec {
         System.arraycopy(planes(0), y * pw, out, y * w, w)
         y += 1
       }
-      Some(PixelImage(w, h, 1, out))
+      PixelImage(w, h, 1, out)
     } else {
       val out = new Array[Byte](w * h * 3)
       val y0 = planes(0); val cb0 = planes(1); val cr0 = planes(2)
@@ -482,7 +890,7 @@ object JpegCodec {
         }
         y += 1
       }
-      Some(PixelImage(w, h, 3, out))
+      PixelImage(w, h, 3, out)
     }
   }
 

@@ -187,6 +187,96 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(worst <= 12, s"decoder disagreement on subsampled stream: $worst")
   }
 
+  test("progressive JPEG (SOF2): ImageIO-written streams decode, agreeing with ImageIO") {
+    import java.awt.image.BufferedImage
+    for ((w, h, gray) <- Seq((56, 40, false), (33, 21, false), (64, 48, false),
+        (40, 24, true))) {
+      val bi = new BufferedImage(w, h,
+        if (gray) BufferedImage.TYPE_BYTE_GRAY else BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        // smooth per-channel gradients + a SHARED texture term: adding
+        // the same offset to all three channels perturbs only luma
+        // (the RGB→YCbCr chroma differences cancel it), so every scan
+        // — DC, low AC, both refinements — carries real information
+        // while chroma stays smooth enough that the two decoders'
+        // different upsampling filters cannot dominate the comparison
+        val tex = (x * 31 + y * 17) % 32
+        val g1 = (x * 160) / math.max(w - 1, 1) + 32
+        val g2 = (y * 160) / math.max(h - 1, 1) + 32
+        val v = (g1 + g2) / 2 + tex
+        bi.setRGB(x, y, if (gray) (v << 16) | (v << 8) | v
+          else ((g1 + tex) << 16) | ((g2 + tex) << 8) | ((g1 + g2) / 2 + tex))
+      }
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+      ios.close(); writer.dispose()
+      val jpg = bos.toByteArray
+      // the writer really emitted a progressive frame (SOF2)
+      assert((0 until jpg.length - 1).exists(i =>
+        (jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == 0xc2),
+        s"ImageIO did not write SOF2 for ${w}x$h")
+      val ours = JpegCodec.decode(jpg)
+      assert(ours.isDefined, s"progressive ${w}x$h gray=$gray rejected")
+      val got = ours.get
+      assert(got.width == w && got.height == h)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+      var worst = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        if (got.channels == 1) {
+          // raster samples, NOT getRGB: TYPE_BYTE_GRAY getRGB passes
+          // through linear-gray↔sRGB color management, which would
+          // compare color-converted values against the raw luma
+          // samples both codecs actually decode
+          val rv = ref.getRaster.getSample(x, y, 0)
+          worst = math.max(worst, math.abs(rv - (got.pixels(y * w + x) & 0xff)))
+        } else {
+          val rgb = ref.getRGB(x, y)
+          val o = (y * w + x) * 3
+          worst = math.max(worst, math.abs(((rgb >> 16) & 0xff) - (got.pixels(o) & 0xff)))
+          worst = math.max(worst, math.abs(((rgb >> 8) & 0xff) - (got.pixels(o + 1) & 0xff)))
+          worst = math.max(worst, math.abs((rgb & 0xff) - (got.pixels(o + 2) & 0xff)))
+        }
+      }
+      // two conformant decoders of the same stream: IDCT precision +
+      // upsampling-filter differences only (same budget as the
+      // sequential ImageIO interop test)
+      assert(worst <= 12, s"progressive decoder disagreement ${w}x$h gray=$gray: $worst")
+    }
+  }
+
+  test("progressive hostile inputs: truncated scans and mutations quarantine, never throw") {
+    val bi = new java.awt.image.BufferedImage(48, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 48)
+      bi.setRGB(x, y, (x * 5 << 16) | (y * 7 << 8) | ((x + y) * 3 % 256))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    ios.close(); writer.dispose()
+    val jpg = bos.toByteArray
+    // truncation sweep: every prefix is None or a full image, no throw
+    for (cut <- 4 until jpg.length by 11) {
+      JpegCodec.decode(jpg.take(cut)).foreach(img =>
+        assert(img.width == 48 && img.height == 32))
+    }
+    // single-byte mutations
+    val rnd = new scala.util.Random(42L)
+    for (_ <- 1 to 400) {
+      val m = jpg.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      JpegCodec.decode(m)
+    }
+  }
+
   test("single-component scan ignores declared sampling factors (T.81 A.2)") {
     // libjpeg converting color→gray often keeps the 2×2 luma sampling
     // declaration; per T.81 a one-component scan is non-interleaved
