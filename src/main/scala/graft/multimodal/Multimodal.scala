@@ -113,18 +113,12 @@ object Multimodal {
       .mapPartitions(_.map { r =>
         val (w, h, durMs, ch) = geom(r.media_id)
         val bytes = r.kind match {
-          case "image" if r.media_id % 2 == 0 =>
-            // REAL pixels: filtered zlib scanlines the feature/resize
-            // stages genuinely decode (not a payload-synthetic stand-in)
-            PixelCodec.encodePng(PixelCodec.PixelImage(w, h, 3, pixelsFor(r.media_id, w, h, 3)))
           case "image" =>
-            // REAL baseline JPEG since r6 (Huffman + FDCT + quantize,
-            // JpegCodec), 4:2:0-subsampled — the dominant real-world
-            // shape; the feature/resize stages entropy-decode its
-            // interleaved MCUs (resize re-encodes 4:4:4, so both
-            // encoder shapes live in the pipeline)
-            JpegCodec.encode(PixelCodec.PixelImage(w, h, 3, pixelsFor(r.media_id, w, h, 3)),
-              chroma420 = true)
+            // REAL containers the feature/resize stages genuinely
+            // decode: filtered-zlib PNG (even ids), our baseline
+            // 4:2:0 JPEG (id%4==1), and ImageIO-written PROGRESSIVE
+            // JPEG (id%4==3) — see imageBytes
+            imageBytes(r.media_id, w, h)
           case "audio" => audioBytes(r.media_id, durMs, ch) // PCM16 / mu-law / ADPCM
           case _ if r.media_id % 2 == 0 =>
             // real sample tables since r7: deterministic per-id frame
@@ -148,6 +142,46 @@ object Multimodal {
   private[multimodal] def videoFrameSizes(id: Long): Seq[Int] = {
     val n = 4 + (id % 5).toInt
     (0 until n).map(i => 16 + ((id + i * 7) % 48).toInt)
+  }
+
+  /** Image container for `id`: PNG for even ids; odd ids are JPEG,
+    * split baseline (our encoder, `id % 4 == 1`) / PROGRESSIVE
+    * (`id % 4 == 3`) — the progressive twin is written by the JDK's
+    * ImageIO encoder (a FOREIGN encoder, scan script and tables we
+    * don't control), so the SOF2 multi-scan decode path faces real
+    * third-party streams corpus-wide, not just our own bytes.
+    */
+  private[multimodal] def imageBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val px = pixelsFor(id, w, h, 3)
+    if (id % 2 == 0)
+      PixelCodec.encodePng(PixelCodec.PixelImage(w, h, 3, px))
+    else if (id % 4 == 1)
+      JpegCodec.encode(PixelCodec.PixelImage(w, h, 3, px), chroma420 = true)
+    else {
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val o = (y * w + x) * 3
+          bi.setRGB(x, y, ((px(o) & 0xff) << 16) | ((px(o + 1) & 0xff) << 8) |
+            (px(o + 2) & 0xff))
+          x += 1
+        }
+        y += 1
+      }
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+      } finally { ios.close(); writer.dispose() }
+      bos.toByteArray
+    }
   }
 
   /** Deterministic PCM16 source tone for audio `id` (specs recompute
@@ -239,11 +273,7 @@ object Multimodal {
       .mapPartitions(_.map { r =>
         val (w, h, durMs, ch) = geom(r.media_id)
         val bytes = r.kind match {
-          case "image" if r.media_id % 2 == 0 =>
-            PixelCodec.encodePng(PixelCodec.PixelImage(w, h, 3, pixelsFor(r.media_id, w, h, 3)))
-          case "image" =>
-            JpegCodec.encode(PixelCodec.PixelImage(w, h, 3, pixelsFor(r.media_id, w, h, 3)),
-              chroma420 = true)
+          case "image" => imageBytes(r.media_id, w, h)
           case "audio" => audioBytes(r.media_id, durMs, ch)
           case _ if r.media_id % 2 == 0 => HeaderCodec.synthMp4Frames(w, h,
             frameSizes = videoFrameSizes(r.media_id),

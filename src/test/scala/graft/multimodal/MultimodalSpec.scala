@@ -572,6 +572,39 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getDouble(3) - px.sum / px.length) < 1e-9)
     assert(math.abs(r.getDouble(4) - math.sqrt(px.map(v => v * v).sum / px.length)) < 1e-9)
     assert(r.getDouble(5) == px.max)
+    // progressive JPEG (r7): image ids with id%4==3 are written by
+    // ImageIO's PROGRESSIVE encoder (a foreign scan script); the
+    // pipeline stats must equal our own decoder's output on those
+    // foreign bytes, and the decode must agree with ImageIO's reader
+    val progId = feats.keys.filter(i => i % 3 == 0 && i % 4 == 3).min
+    val (pw, ph, _, _) = Multimodal.geom(progId)
+    val progBytes = Multimodal.imageBytes(progId, pw, ph)
+    // really progressive: SOF2 marker present
+    assert((0 until progBytes.length - 1).exists(i =>
+      (progBytes(i) & 0xff) == 0xff && (progBytes(i + 1) & 0xff) == 0xc2),
+      "generator did not produce a progressive stream")
+    val progImg = JpegCodec.decode(progBytes).get
+    val pexp = progImg.pixels.map(p => (p & 0xff).toDouble)
+    val pr = feats(progId)
+    assert(pr.getString(1) == "jpeg" && pr.getBoolean(2), "progressive row not decoded")
+    assert(math.abs(pr.getDouble(3) - pexp.sum / pexp.length) < 1e-9, "prog mean")
+    assert(math.abs(pr.getDouble(4) -
+      math.sqrt(pexp.map(v => v * v).sum / pexp.length)) < 1e-9, "prog rms")
+    // per-pixel interop on SMOOTH imagery is pinned in JpegCodecSpec;
+    // the corpus texture is noise-like chroma where two conformant
+    // upsampling filters legitimately diverge per pixel — so here the
+    // cross-decoder check is at the statistic level (means must agree;
+    // upsampling is mean-preserving)
+    val refProg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(progBytes))
+    var refSum = 0.0
+    for (y <- 0 until ph; x <- 0 until pw) {
+      val rgb = refProg.getRGB(x, y)
+      refSum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+    }
+    val refMean = refSum / (pw * ph * 3)
+    assert(math.abs(refMean - pr.getDouble(3)) <= 2.0,
+      s"progressive corpus mean: ours ${pr.getDouble(3)} vs ImageIO $refMean")
+
     // compressed audio (r7, AudioCodec): pin one mu-law row and one
     // ADPCM row against the codec's own deterministic decode — the
     // stats must come from the COMPANDED samples, not the source tone
