@@ -153,35 +153,46 @@ object Multimodal {
     */
   private[multimodal] def imageBytes(id: Long, w: Int, h: Int): Array[Byte] = {
     val px = pixelsFor(id, w, h, 3)
-    if (id % 2 == 0)
-      PixelCodec.encodePng(PixelCodec.PixelImage(w, h, 3, px))
-    else if (id % 4 == 1)
+    if (id % 2 == 0) {
+      // PNG population: our filtered-zlib encoder, with every 12th id
+      // (image ids ≡ 0 mod 3 and even ⇒ id%12 == 6) written by
+      // ImageIO as Adam7-INTERLACED — the foreign seven-pass layout
+      if (id % 12 == 6) imageioBytes(px, w, h, "png")
+      else PixelCodec.encodePng(PixelCodec.PixelImage(w, h, 3, px))
+    } else if (id % 4 == 1)
       JpegCodec.encode(PixelCodec.PixelImage(w, h, 3, px), chroma420 = true)
-    else {
-      val bi = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val o = (y * w + x) * 3
-          bi.setRGB(x, y, ((px(o) & 0xff) << 16) | ((px(o + 1) & 0xff) << 8) |
-            (px(o + 2) & 0xff))
-          x += 1
-        }
-        y += 1
+    else
+      imageioBytes(px, w, h, "jpeg") // foreign progressive scan script
+  }
+
+  /** ImageIO-written container in "progressive" mode: Adam7 for PNG,
+    * the multi-scan SOF2 script for JPEG — foreign-encoder layouts our
+    * decoders must face beyond their own output.
+    */
+  private def imageioBytes(px: Array[Byte], w: Int, h: Int, format: String): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        bi.setRGB(x, y, ((px(o) & 0xff) << 16) | ((px(o + 1) & 0xff) << 8) |
+          (px(o + 2) & 0xff))
+        x += 1
       }
-      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-      val param = writer.getDefaultWriteParam
-      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
-      val bos = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-      try {
-        writer.setOutput(ios)
-        writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
-      } finally { ios.close(); writer.dispose() }
-      bos.toByteArray
+      y += 1
     }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName(format).next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
   }
 
   /** Deterministic PCM16 source tone for audio `id` (specs recompute

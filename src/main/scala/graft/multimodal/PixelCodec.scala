@@ -39,16 +39,20 @@ object PixelCodec {
   }
 
   /** Full PNG pixel decode: IHDR geometry, every IDAT chunk inflated as
-    * one zlib stream, scanlines unfiltered in place. Supports the 8-bit
-    * non-interlaced color types 0/2/4/6 (palette and 16-bit depths
-    * quarantine — they need PLTE/scaling logic a training-data ingest
-    * would normalize upstream anyway).
+    * one zlib stream, scanlines unfiltered per pass. Supports the 8-bit
+    * color types 0/2/4/6, both non-interlaced and Adam7-INTERLACED
+    * (since r7: seven sub-images, each independently filtered, pixels
+    * scattered to the pass grid — pinned byte-exactly against
+    * ImageIO-written interlaced files, PNG being lossless). Palette
+    * and 16-bit depths quarantine — they need PLTE/scaling logic a
+    * training-data ingest would normalize upstream anyway.
     */
   def decodePng(b: Array[Byte]): Option[PixelImage] =
     try {
       if (!HeaderCodec.isPng(b)) return None
       var o = 8
       var w = 0; var h = 0; var ch = -1
+      var interlaced = false
       val idat = new ByteArrayOutputStream()
       var done = false
       while (!done && o + 8 <= b.length) {
@@ -61,8 +65,8 @@ object PixelCodec {
             w = be32(b, o + 8); h = be32(b, o + 12)
             val depth = b(o + 16) & 0xff
             ch = channelsOf(b(o + 17) & 0xff)
-            val interlace = b(o + 20) & 0xff
-            if (depth != 8 || ch < 0 || interlace != 0) return None
+            interlaced = (b(o + 20) & 0xff) == 1
+            if (depth != 8 || ch < 0 || (b(o + 20) & 0xff) > 1) return None
           case "IDAT" => idat.write(b, o + 8, len)
           case "IEND" => done = true
           case _ => ()
@@ -76,37 +80,81 @@ object PixelCodec {
       // so it would escape the quarantine catch and kill the task. Cap
       // the raw buffer at 64 MB and at deflate's theoretical maximum
       // expansion (~1032:1) of the IDAT actually present.
-      val rawLenL = h.toLong * (w.toLong * ch + 1) // +1 filter byte per scanline
-      if (rawLenL > (64L << 20) || rawLenL > idat.size().toLong * 1032L + 64L) return None
-      val stride = w * ch
+      // Adam7 (interlace 1) is seven sub-images, each with its own
+      // filtered scanlines, concatenated in one zlib stream; the
+      // non-interlaced case is the single full-geometry "pass"
+      val passes: Seq[(Int, Int, Int, Int)] =
+        if (!interlaced) Seq((0, 0, 1, 1))
+        else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      val passDims = passes.map { case (x0, y0, dx, dy) =>
+        (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+          if (h > y0) (h - y0 + dy - 1) / dy else 0)
+      }
+      val rawLenL = passDims.map { case (pw, ph) =>
+        if (pw == 0 || ph == 0) 0L else ph.toLong * (pw.toLong * ch + 1)
+      }.sum
+      if (rawLenL <= 0 || rawLenL > (64L << 20) ||
+        rawLenL > idat.size().toLong * 1032L + 64L) return None
       val rawLen = rawLenL.toInt
       val raw = inflate(idat.toByteArray, rawLen)
       if (raw == null || raw.length != rawLen) return None
-      val out = new Array[Byte](h * stride)
-      var r = 0
-      while (r < h) {
-        val filter = raw(r * (stride + 1)) & 0xff
-        if (filter > 4) return None
-        var i = 0
-        while (i < stride) {
-          val x = raw(r * (stride + 1) + 1 + i) & 0xff
-          val a = if (i >= ch) out(r * stride + i - ch) & 0xff else 0
-          val u = if (r > 0) out((r - 1) * stride + i) & 0xff else 0
-          val c = if (r > 0 && i >= ch) out((r - 1) * stride + i - ch) & 0xff else 0
-          val v = filter match {
-            case 0 => x
-            case 1 => x + a
-            case 2 => x + u
-            case 3 => x + (a + u) / 2
-            case 4 => x + paeth(a, u, c)
+      val out = new Array[Byte](h * w * ch)
+      var rawOff = 0
+      passes.zip(passDims).foreach { case ((x0, y0, dx, dy), (pw, ph)) =>
+        if (pw > 0 && ph > 0) {
+          val pix = unfilterScanlines(raw, rawOff, pw, ph, ch)
+          if (pix == null) return None
+          var py = 0
+          while (py < ph) {
+            val oy = y0 + py * dy
+            var px = 0
+            while (px < pw) {
+              System.arraycopy(pix, (py * pw + px) * ch, out,
+                (oy * w + x0 + px * dx) * ch, ch)
+              px += 1
+            }
+            py += 1
           }
-          out(r * stride + i) = (v & 0xff).toByte
-          i += 1
+          rawOff += ph * (pw * ch + 1)
         }
-        r += 1
       }
       Some(PixelImage(w, h, ch, out))
     } catch { case _: Exception => None }
+
+  /** Unfilter `h` scanlines of `w`×`ch` pixels starting at `raw(off)`
+    * (each prefixed by its filter byte) into a contiguous pixel
+    * buffer; null on an invalid filter type.
+    */
+  private def unfilterScanlines(raw: Array[Byte], off: Int,
+      w: Int, h: Int, ch: Int): Array[Byte] = {
+    val stride = w * ch
+    val out = new Array[Byte](h * stride)
+    var r = 0
+    while (r < h) {
+      val base = off + r * (stride + 1)
+      val filter = raw(base) & 0xff
+      if (filter > 4) return null
+      var i = 0
+      while (i < stride) {
+        val x = raw(base + 1 + i) & 0xff
+        val a = if (i >= ch) out(r * stride + i - ch) & 0xff else 0
+        val u = if (r > 0) out((r - 1) * stride + i) & 0xff else 0
+        val c = if (r > 0 && i >= ch) out((r - 1) * stride + i - ch) & 0xff else 0
+        val v = filter match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + u
+          case 3 => x + (a + u) / 2
+          case 4 => x + paeth(a, u, c)
+        }
+        out(r * stride + i) = (v & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
 
   /** Paeth predictor (PNG spec §9.4): nearest of left/up/up-left to
     * the initial estimate a + b − c, ties broken a, then b, then c.

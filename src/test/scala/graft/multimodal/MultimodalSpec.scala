@@ -458,6 +458,42 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(decodePng(HeaderCodec.synthPng(10, 10, payload)).isEmpty)
   }
 
+  test("Adam7 interlaced PNG: ImageIO-written files decode byte-exactly (lossless)") {
+    import java.awt.image.BufferedImage
+    // odd dims force uneven pass geometry (empty trailing columns in
+    // several passes); 8x8-multiples exercise the full 7-pass layout
+    for ((w, h) <- Seq((23, 13), (32, 16), (7, 3), (1, 1), (2, 9), (40, 25))) {
+      val bi = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        bi.setRGB(x, y, ((x * 37 + y * 91) % 256 << 16) |
+          ((x * 53 + y * 7) % 256 << 8) | ((x + y * 131) % 256))
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT) // Adam7
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+      ios.close(); writer.dispose()
+      val png = bos.toByteArray
+      assert(png(8 + 8 + 12) == 1, s"ImageIO did not write interlace=1 for ${w}x$h")
+      val got = PixelCodec.decodePng(png)
+      assert(got.isDefined, s"interlaced ${w}x$h rejected")
+      val img = got.get
+      assert(img.width == w && img.height == h && img.channels == 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = bi.getRGB(x, y)
+        val o = (y * w + x) * 3
+        assert((img.pixels(o) & 0xff) == ((rgb >> 16) & 0xff) &&
+          (img.pixels(o + 1) & 0xff) == ((rgb >> 8) & 0xff) &&
+          (img.pixels(o + 2) & 0xff) == (rgb & 0xff),
+          s"interlaced ${w}x$h pixel ($x,$y)")
+      }
+      // truncation sweep never throws
+      for (cut <- 8 until png.length by 13) PixelCodec.decodePng(png.take(cut))
+    }
+  }
+
   test("hostile PNGs quarantine: FDICT zlib stream and giant declared IHDR dims") {
     import PixelCodec._
     // zlib header with the FDICT bit set (0x78 0x20: (120·256+32) % 31
@@ -572,6 +608,22 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getDouble(3) - px.sum / px.length) < 1e-9)
     assert(math.abs(r.getDouble(4) - math.sqrt(px.map(v => v * v).sum / px.length)) < 1e-9)
     assert(r.getDouble(5) == px.max)
+    // Adam7 PNG population (r7): id%12==6 rows are ImageIO-written
+    // interlaced — PNG is lossless, so the pipeline stats must equal
+    // the GENERATOR pixels exactly even through the foreign 7-pass
+    // layout
+    val ilId = feats.keys.filter(i => i % 12 == 6).min
+    val (iw, ih, _, _) = Multimodal.geom(ilId)
+    val ilBytes = Multimodal.imageBytes(ilId, iw, ih)
+    assert(ilBytes(28) == 1, "generator did not produce an interlaced PNG")
+    val ilPx = Multimodal.pixelsFor(ilId, iw, ih, 3).map(p => (p & 0xff).toDouble)
+    val ir = feats(ilId)
+    assert(ir.getString(1) == "png" && ir.getBoolean(2), "interlaced row not decoded")
+    assert(math.abs(ir.getDouble(3) - ilPx.sum / ilPx.length) < 1e-9, "adam7 mean")
+    assert(math.abs(ir.getDouble(4) -
+      math.sqrt(ilPx.map(v => v * v).sum / ilPx.length)) < 1e-9, "adam7 rms")
+    assert(ir.getDouble(5) == ilPx.max, "adam7 peak")
+
     // progressive JPEG (r7): image ids with id%4==3 are written by
     // ImageIO's PROGRESSIVE encoder (a foreign scan script); the
     // pipeline stats must equal our own decoder's output on those
