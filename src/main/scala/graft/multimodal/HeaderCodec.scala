@@ -33,8 +33,53 @@ object HeaderCodec {
       else if (isJpeg(b)) decodeJpeg(b)
       else if (isWav(b)) decodeWav(b)
       else if (isMp4(b)) decodeMp4(b)
+      else if (GifCodec.isGif(b)) decodeGif(b)
       else None
     } catch { case _: Exception => None }
+
+  /** GIF: screen geometry from the logical screen descriptor; duration
+    * = summed graphic-control delays (0 for a static image), walked at
+    * the block level WITHOUT entropy decode (header stage discipline).
+    */
+  def decodeGif(b: Array[Byte]): Option[MediaHeader] = {
+    val (w, h) = GifCodec.screenDims(b).getOrElse(return None)
+    var p = 13
+    val packed = b(10) & 0xff
+    if ((packed & 0x80) != 0) p += 3 * (2 << (packed & 7))
+    var durMs = 0L
+    var done = false
+    def skipSubs(): Boolean = {
+      while (p < b.length) {
+        val n = b(p) & 0xff
+        p += 1
+        if (n == 0) return true
+        p += n
+      }
+      false
+    }
+    while (!done && p < b.length) {
+      (b(p) & 0xff) match {
+        case 0x3b => done = true
+        case 0x21 =>
+          if (p + 2 > b.length) return None
+          val label = b(p + 1) & 0xff
+          p += 2
+          if (label == 0xf9 && p + 4 <= b.length && (b(p) & 0xff) == 4)
+            durMs += le16(b, p + 2) * 10L
+          if (!skipSubs()) return None
+        case 0x2c =>
+          if (p + 10 > b.length) return None
+          val ipacked = b(p + 9) & 0xff
+          p += 10
+          if ((ipacked & 0x80) != 0) p += 3 * (2 << (ipacked & 7))
+          p += 1 // LZW min code size
+          if (!skipSubs()) return None
+        case _ => return None
+      }
+    }
+    if (!done) return None
+    Some(MediaHeader("gif", w, h, durMs, 3))
+  }
 
   def isPng(b: Array[Byte]): Boolean =
     b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&

@@ -154,10 +154,12 @@ object Multimodal {
   private[multimodal] def imageBytes(id: Long, w: Int, h: Int): Array[Byte] = {
     val px = pixelsFor(id, w, h, 3)
     if (id % 2 == 0) {
-      // PNG population: our filtered-zlib encoder, with every 12th id
-      // (image ids ≡ 0 mod 3 and even ⇒ id%12 == 6) written by
-      // ImageIO as Adam7-INTERLACED — the foreign seven-pass layout
+      // even image ids: PNG (ours), with every id%12==6 written by
+      // ImageIO as Adam7-INTERLACED (the foreign seven-pass layout)
+      // and every id%24==12 as GIF (3:3:2-quantized LZW — the fourth
+      // everyday image container)
       if (id % 12 == 6) imageioBytes(px, w, h, "png")
+      else if (id % 24 == 12) GifCodec.encode(PixelCodec.PixelImage(w, h, 3, px))
       else PixelCodec.encodePng(PixelCodec.PixelImage(w, h, 3, px))
     } else if (id % 4 == 1)
       JpegCodec.encode(PixelCodec.PixelImage(w, h, 3, px), chroma420 = true)
@@ -347,6 +349,8 @@ object Multimodal {
               .flatMap(img => statsOf(img.pixels.length, i => (img.pixels(i) & 0xff).toDouble))
             case Some("wav") => AudioCodec.decodeWav(r.content) // PCM16/G.711/ADPCM
               .flatMap(a => statsOf(a.samples.length, i => a.samples(i).toDouble))
+            case Some("gif") => GifCodec.decode(r.content)
+              .flatMap(img => statsOf(img.pixels.length, i => (img.pixels(i) & 0xff).toDouble))
             case Some("mp4") =>
               // real video payload stats since this round: H.264 pixel
               // decode of every keyframe (avcC parameter sets + sync
@@ -598,6 +602,9 @@ object Multimodal {
               // compressed inputs transcode to canonical PCM16 output
               AudioCodec.decodeWav(r.content)
                 .map(a => PixelCodec.encodeWav(PixelCodec.boxResample(a, targetFrames)))
+            else if (GifCodec.isGif(r.content))
+              GifCodec.decode(r.content)
+                .map(img => GifCodec.encode(PixelCodec.boxResize(img, targetW, targetH)))
             else if (HeaderCodec.isMp4(r.content))
               resizeVideo(r.content, targetW, targetH)
             else None

@@ -43,9 +43,11 @@ object PixelCodec {
     * color types 0/2/4/6, both non-interlaced and Adam7-INTERLACED
     * (since r7: seven sub-images, each independently filtered, pixels
     * scattered to the pass grid — pinned byte-exactly against
-    * ImageIO-written interlaced files, PNG being lossless). Palette
-    * and 16-bit depths quarantine — they need PLTE/scaling logic a
-    * training-data ingest would normalize upstream anyway.
+    * ImageIO-written interlaced files, PNG being lossless), and
+    * 8-bit PALETTE images (color type 3, since r7: PLTE lookup to
+    * 3-channel RGB; an index past the declared palette quarantines).
+    * Sub-8-bit and 16-bit depths quarantine — they need bit-unpacking
+    * a training-data ingest would normalize upstream anyway.
     */
   def decodePng(b: Array[Byte]): Option[PixelImage] =
     try {
@@ -53,6 +55,8 @@ object PixelCodec {
       var o = 8
       var w = 0; var h = 0; var ch = -1
       var interlaced = false
+      var indexed = false
+      var palette: Array[Byte] = null
       val idat = new ByteArrayOutputStream()
       var done = false
       while (!done && o + 8 <= b.length) {
@@ -64,9 +68,14 @@ object PixelCodec {
             if (len < 13) return None
             w = be32(b, o + 8); h = be32(b, o + 12)
             val depth = b(o + 16) & 0xff
-            ch = channelsOf(b(o + 17) & 0xff)
+            val colorType = b(o + 17) & 0xff
+            indexed = colorType == 3 // palette: 1 index byte/pixel on the wire
+            ch = if (indexed) 1 else channelsOf(colorType)
             interlaced = (b(o + 20) & 0xff) == 1
             if (depth != 8 || ch < 0 || (b(o + 20) & 0xff) > 1) return None
+          case "PLTE" =>
+            if (len % 3 != 0 || len == 0 || len > 768) return None
+            palette = java.util.Arrays.copyOfRange(b, o + 8, o + 8 + len)
           case "IDAT" => idat.write(b, o + 8, len)
           case "IEND" => done = true
           case _ => ()
@@ -119,7 +128,24 @@ object PixelCodec {
           rawOff += ph * (pw * ch + 1)
         }
       }
-      Some(PixelImage(w, h, ch, out))
+      if (!indexed) Some(PixelImage(w, h, ch, out))
+      else {
+        // expand palette indices to RGB; an index past the declared
+        // PLTE is corrupt media, not a default color
+        if (palette == null) return None
+        val nColors = palette.length / 3
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          val ix = out(i) & 0xff
+          if (ix >= nColors) return None
+          rgb(i * 3) = palette(ix * 3)
+          rgb(i * 3 + 1) = palette(ix * 3 + 1)
+          rgb(i * 3 + 2) = palette(ix * 3 + 2)
+          i += 1
+        }
+        Some(PixelImage(w, h, 3, rgb))
+      }
     } catch { case _: Exception => None }
 
   /** Unfilter `h` scanlines of `w`×`ch` pixels starting at `raw(off)`

@@ -177,7 +177,7 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every synthesized container parses — no quarantined rows
     assert(feats.filter(col("decode_ok") === false).count() == 0)
     assert(feats.select("container").distinct().collect().map(_.getString(0)).toSet
-      .subsetOf(Set("png", "jpeg", "wav", "mp4")))
+      .subsetOf(Set("png", "jpeg", "gif", "wav", "mp4")))
     // parsed geometry equals the deterministic generator geometry —
     // the features really came from the container headers
     feats.select("media_id", "kind", "container", "width", "height", "duration_ms", "channels")
@@ -187,7 +187,9 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getString(1) match {
           case "image" =>
             assert(r.getInt(3) == w && r.getInt(4) == h && r.getLong(5) == 0L)
-            assert(r.getString(2) == (if (id % 2 == 0) "png" else "jpeg"))
+            val expectContainer =
+              if (id % 24 == 12) "gif" else if (id % 2 == 0) "png" else "jpeg"
+            assert(r.getString(2) == expectContainer)
           case "audio" =>
             assert(r.getString(2) == "wav")
             assert(r.getLong(5) == durMs && r.getInt(6) == ch)
@@ -494,6 +496,58 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("palette PNG (color type 3): ImageIO-written indexed files decode exactly") {
+    import java.awt.image.BufferedImage
+    val w = 37; val h = 19
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.setRGB(x, y, ((x * 41) % 256 << 16) | ((y * 67) % 256 << 8) | ((x * y) % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "png", bos))
+    val png = bos.toByteArray
+    assert(png(25) == 3, "ImageIO did not write color type 3")
+    val got = PixelCodec.decodePng(png)
+    assert(got.isDefined, "palette PNG rejected")
+    val img = got.get
+    assert(img.width == w && img.height == h && img.channels == 3)
+    // exact: the palette-quantized colors ImageIO itself decodes
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = ref.getRGB(x, y)
+      val o = (y * w + x) * 3
+      assert((img.pixels(o) & 0xff) == ((rgb >> 16) & 0xff) &&
+        (img.pixels(o + 1) & 0xff) == ((rgb >> 8) & 0xff) &&
+        (img.pixels(o + 2) & 0xff) == (rgb & 0xff), s"palette pixel ($x,$y)")
+    }
+    for (cut <- 8 until png.length by 17) PixelCodec.decodePng(png.take(cut))
+    // hand-built palette PNG whose index stream points past the
+    // declared 2-entry PLTE: corrupt media, must quarantine
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + payload.length)
+      b.putInt(payload.length).put(id.getBytes("US-ASCII")).put(payload)
+      val crc = new java.util.zip.CRC32()
+      crc.update(b.array(), 4, 4 + payload.length)
+      b.putInt(crc.getValue.toInt)
+      b.array()
+    }
+    val ihdr = {
+      val b = java.nio.ByteBuffer.allocate(13)
+      b.putInt(2).putInt(1).put(8.toByte).put(3.toByte) // 2x1, depth 8, palette
+      b.put(0.toByte).put(0.toByte).put(0.toByte)
+      b.array()
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(Array[Byte](0, 0, 5)) // filter 0, indices 0 and 5
+    deflater.finish()
+    val zbuf = new Array[Byte](64)
+    val zn = deflater.deflate(zbuf)
+    val bad = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++
+      chunk("PLTE", Array[Byte](10, 20, 30, 40, 50, 60)) ++
+      chunk("IDAT", zbuf.take(zn)) ++ chunk("IEND", Array.emptyByteArray)
+    assert(PixelCodec.decodePng(bad).isEmpty, "out-of-palette index must quarantine")
+  }
+
   test("hostile PNGs quarantine: FDICT zlib stream and giant declared IHDR dims") {
     import PixelCodec._
     // zlib header with the FDICT bit set (0x78 0x20: (120·256+32) % 31
@@ -570,7 +624,8 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
         // jpeg joined the decoded set in r6 (JpegCodec); AVC video
         // (odd ids) joined it this round (H264Codec) — marker MP4s
         // model a codec outside the subset and stay quarantined
-        case "png" | "wav" | "jpeg" => assert(r.getBoolean(2), s"payload not decoded: $r")
+        case "png" | "wav" | "jpeg" | "gif" =>
+          assert(r.getBoolean(2), s"payload not decoded: $r")
         case "mp4" if r.getLong(0) % 2 == 1 =>
           assert(r.getBoolean(2), s"AVC keyframes not decoded: $r")
         case _ => assert(!r.getBoolean(2), s"non-AVC payload claimed decoded: $r")
@@ -689,6 +744,11 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.foreach { r =>
       val id = r.getLong(0); val bytes = r.getAs[Array[Byte]](3)
       r.getString(1) match {
+        case "image" if id % 24 == 12 =>
+          // gif rows resize into gif containers at the target dims
+          assert(r.getBoolean(2))
+          val img = GifCodec.decode(bytes).get
+          assert(img.width == 16 && img.height == 12 && img.channels == 3)
         case "image" if id % 2 == 0 =>
           assert(r.getBoolean(2))
           val img = PixelCodec.decodePng(bytes).get
