@@ -205,6 +205,93 @@ object GifCodec {
     Some(out.result())
   }
 
+  /** One frame's byte extents in a GIF stream: `[start, end)` spans the
+    * image descriptor through its data terminator; `[gceStart, gceEnd)`
+    * the preceding graphic-control extension (-1/-1 if absent).
+    * `ptsMs` is the display start (cumulative prior delays), `delayMs`
+    * the frame's own display duration.
+    */
+  final case class GifFrameRange(
+      index: Int, ptsMs: Long, delayMs: Int,
+      gceStart: Int, gceEnd: Int,
+      start: Int, end: Int)
+
+  /** Frame byte ranges + timestamps from a BLOCK-LEVEL walk — no LZW
+    * decode, the frame-sampling discipline (the MP4 path's sample-table
+    * enumeration, in GIF's sub-block framing). Structural damage
+    * (missing trailer, truncated sub-blocks, out-of-range code size)
+    * quarantines to None.
+    */
+  def frameRanges(b: Array[Byte]): Option[Vector[GifFrameRange]] =
+    try {
+      if (!isGif(b) || b.length < 14) return None
+      if (screenDims(b).isEmpty) return None
+      var p = 13 + gctLength(b)
+      if (p > b.length) return None
+      val out = Vector.newBuilder[GifFrameRange]
+      var idx = 0
+      var pts = 0L
+      var delay = 0
+      var gceS = -1; var gceE = -1
+      var done = false
+      while (!done) {
+        if (p >= b.length) return None
+        (b(p) & 0xff) match {
+          case 0x3b => done = true
+          case 0x21 =>
+            if (p + 2 > b.length) return None
+            val label = b(p + 1) & 0xff
+            val extStart = p
+            p += 2
+            if (label == 0xf9 && p + 6 <= b.length && (b(p) & 0xff) == 4)
+              delay = le16(b, p + 2) * 10
+            p = skipSubBlocks(b, p).getOrElse(return None)
+            if (label == 0xf9) { gceS = extStart; gceE = p }
+          case 0x2c =>
+            val start = p
+            if (p + 10 > b.length) return None
+            val packed = b(p + 9) & 0xff
+            p += 10
+            if ((packed & 0x80) != 0) {
+              p += 3 * (2 << (packed & 7))
+              if (p > b.length) return None
+            }
+            if (p >= b.length) return None
+            val minCode = b(p) & 0xff
+            if (minCode < 2 || minCode > 11) return None
+            p += 1
+            p = skipSubBlocks(b, p).getOrElse(return None)
+            out += GifFrameRange(idx, pts, delay, gceS, gceE, start, p)
+            pts += delay
+            idx += 1; delay = 0; gceS = -1; gceE = -1
+          case _ => return None
+        }
+      }
+      Some(out.result())
+    } catch { case NonFatal(_) => None }
+
+  private def gctLength(b: Array[Byte]): Int = {
+    val packed = b(10) & 0xff
+    if ((packed & 0x80) != 0) 3 * (2 << (packed & 7)) else 0
+  }
+
+  /** Re-wrap one frame of `b` as a STANDALONE single-frame GIF: the
+    * source's header + logical screen descriptor + global color table,
+    * the frame's own graphic-control extension (if any), the frame
+    * bytes verbatim, and a trailer — pure byte slices, no entropy
+    * work, and decodable by any conformant reader because the source
+    * was. `f` must come from [[frameRanges]] of the same bytes.
+    */
+  def extractFrame(b: Array[Byte], f: GifFrameRange): Array[Byte] = {
+    val headerEnd = 13 + gctLength(b)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(b, 0, headerEnd)
+    if (f.gceStart >= 0) out.write(b, f.gceStart, f.gceEnd - f.gceStart)
+    out.write(b, f.start, f.end - f.start)
+    out.write(0x3b)
+    out.toByteArray
+  }
+
   private def skipSubBlocks(b: Array[Byte], from: Int): Option[Int] = {
     var p = from
     while (p < b.length) {

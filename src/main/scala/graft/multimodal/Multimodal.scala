@@ -157,8 +157,14 @@ object Multimodal {
       // even image ids: PNG (ours), with every id%12==6 written by
       // ImageIO as Adam7-INTERLACED (the foreign seven-pass layout)
       // and every id%24==12 as GIF (3:3:2-quantized LZW — the fourth
-      // everyday image container)
+      // everyday image container), the id%48==36 half of those
+      // ANIMATED (3 frames at 100 ms, frame k's pixel field keyed by
+      // id + 7k — the multi-frame shape the frame-sampling stage
+      // enumerates block-level)
       if (id % 12 == 6) imageioBytes(px, w, h, "png")
+      else if (id % 48 == 36)
+        GifCodec.encodeFrames((0 until 3).map(k =>
+          (PixelCodec.PixelImage(w, h, 3, pixelsFor(id + 7 * k, w, h, 3)), 100)))
       else if (id % 24 == 12) GifCodec.encode(PixelCodec.PixelImage(w, h, 3, px))
       else PixelCodec.encodePng(PixelCodec.PixelImage(w, h, 3, px))
     } else if (id % 4 == 1)
@@ -325,6 +331,12 @@ object Multimodal {
           val mp4Samples =
             mp4Avc.map(_._2).orElse(if (isMp4) Mp4SampleTables.parse(r.content) else None)
           val frames = mp4Samples.map(_.count(_.sync))
+            .orElse(
+              // GIF: the REAL frame count from the block-level walk —
+              // animated GIFs report every frame, not a duration guess
+              if (hdr.exists(_.container == "gif"))
+                GifCodec.frameRanges(r.content).map(_.length)
+              else None)
             .getOrElse(if (dur == 0) 1 else (1 + dur / frameEveryMs).toInt)
           // real payload decode: PNG/JPEG → pixel bytes (0..255), WAV →
           // PCM16 samples; mp4 video is the documented boundary.
@@ -494,40 +506,51 @@ object Multimodal {
       frame_bytes: Array[Byte], // encoded sample bytes (no pixel decode)
       frame_ok: Boolean)
 
-  /** MP4 frame sampling from the REAL sample tables (X33, r7): one row
-    * per SYNC sample (keyframe) with the encoded bytes and timestamp,
-    * enumerated from stts/stss/stsz/stsc/stco by
-    * [[Mp4SampleTables.parse]] — the half of video support a VLM
-    * training pipeline needs first (give every downstream decoder the
-    * keyframe byte ranges; H.264 PIXEL decode of those bytes is the
-    * remaining documented boundary). Rows that are not MP4 or whose
-    * sample tables are missing/truncated quarantine as one
-    * `frame_ok = false` row — dead-letter accounting, never a throw
-    * mid-scan. Executor-side `mapPartitions`, same batch shape as
-    * [[extractFeatures]].
+  /** Frame sampling from the REAL container structures (X33, r7): for
+    * MP4, one row per SYNC sample (keyframe) with the encoded bytes
+    * and timestamp, enumerated from stts/stss/stsz/stsc/stco by
+    * [[Mp4SampleTables.parse]]; for (possibly animated) GIF, one row
+    * per frame from [[GifCodec.frameRanges]]'s block-level walk, each
+    * re-wrapped as a STANDALONE single-frame GIF (header + palette +
+    * the frame's own control extension + frame bytes — pure slices, no
+    * entropy work), pts from cumulative graphic-control delays. This
+    * is the half of video support a VLM training pipeline needs first
+    * (give every downstream decoder the keyframe byte ranges; pixel
+    * decode of those bytes is a separate stage). Rows of other
+    * containers or with missing/truncated structure tables quarantine
+    * as one `frame_ok = false` row — dead-letter accounting, never a
+    * throw mid-scan. Executor-side `mapPartitions`, same batch shape
+    * as [[extractFeatures]].
     */
   def sampleFrames(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select("media_id", "kind", "content", "source").as[MediaRow]
       .mapPartitions(_.flatMap { r =>
-        val parsed =
-          if (HeaderCodec.isMp4(r.content)) Mp4SampleTables.parse(r.content)
-          else None
-        parsed match {
-          // no sync samples -> dead-letter, never a vanished media_id
-          case Some(samples) if !samples.exists(_.sync) =>
-            Iterator.single(FrameRow(r.media_id, -1, -1L,
-              Array.emptyByteArray, frame_ok = false))
-          case Some(samples) =>
-            samples.iterator.filter(_.sync).map { s =>
-              FrameRow(r.media_id, s.index, s.ptsMs,
-                java.util.Arrays.copyOfRange(r.content, s.offset.toInt,
-                  (s.offset + s.size).toInt),
-                frame_ok = true)
-            }
-          case None =>
-            Iterator.single(FrameRow(r.media_id, -1, -1L,
-              Array.emptyByteArray, frame_ok = false))
+        val dead = Iterator.single(FrameRow(r.media_id, -1, -1L,
+          Array.emptyByteArray, frame_ok = false))
+        if (GifCodec.isGif(r.content))
+          GifCodec.frameRanges(r.content) match {
+            case Some(fs) if fs.nonEmpty =>
+              fs.iterator.map(f => FrameRow(r.media_id, f.index, f.ptsMs,
+                GifCodec.extractFrame(r.content, f), frame_ok = true))
+            case _ => dead
+          }
+        else {
+          val parsed =
+            if (HeaderCodec.isMp4(r.content)) Mp4SampleTables.parse(r.content)
+            else None
+          parsed match {
+            // no sync samples -> dead-letter, never a vanished media_id
+            case Some(samples) if !samples.exists(_.sync) => dead
+            case Some(samples) =>
+              samples.iterator.filter(_.sync).map { s =>
+                FrameRow(r.media_id, s.index, s.ptsMs,
+                  java.util.Arrays.copyOfRange(r.content, s.offset.toInt,
+                    (s.offset + s.size).toInt),
+                  frame_ok = true)
+              }
+            case None => dead
+          }
         }
       })
       .toDF()

@@ -1930,12 +1930,15 @@ object QueriesLLM {
       .orderBy(col("doc_id"))
 
   /** X33 frame sampling (r7): keyframe rows enumerated from the MP4
-    * sample tables ([[graft.multimodal.Mp4SampleTables]]) — per-frame
-    * pts + encoded-byte digest, plus the dead-letter rows for non-MP4
-    * media. Rows-only (the container synthesis and box walking are not
-    * SQL); MultimodalSpec pins golden hand-built boxes, truncated-stbl
-    * quarantine, and that every emitted byte range lands on its
-    * frame's marker. Deterministic: all inputs derive from doc_id.
+    * sample tables ([[graft.multimodal.Mp4SampleTables]]) and, for
+    * (possibly animated) GIFs, from the block-level frame walk
+    * ([[graft.multimodal.GifCodec.frameRanges]], each frame re-wrapped
+    * standalone) — per-frame pts + encoded-byte digest, plus the
+    * dead-letter rows for other containers. Rows-only (the container
+    * synthesis and box walking are not SQL); MultimodalSpec pins
+    * golden hand-built boxes, truncated-stbl quarantine, that every
+    * emitted byte range lands on its frame's marker, and standalone
+    * GIF frame decode. Deterministic: all inputs derive from doc_id.
     */
   def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
     val media = graft.multimodal.Multimodal.mediaFromDocuments(s, dir)

@@ -96,6 +96,44 @@ class GifCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("frameRanges + extractFrame: block walk matches the full parse; standalone frames decode") {
+    val fs = (0 until 4).map(k => (rgb(24, 16, 100 + k), k * 40))
+    val gif = encodeFrames(fs)
+    val ranges = frameRanges(gif)
+    assert(ranges.isDefined && ranges.get.length == 4)
+    val full = frames(gif).get
+    var pts = 0L
+    ranges.get.zipWithIndex.foreach { case (fr, k) =>
+      assert(fr.index == k && fr.delayMs == k * 40 && fr.ptsMs == pts, s"frame $k timing")
+      pts += fr.delayMs
+      assert(fr.gceStart >= 0 && fr.gceEnd > fr.gceStart, "encoder writes a GCE per frame")
+      // re-wrapped standalone single-frame GIF: decodes to the same
+      // pixels the full parse produced for that frame, keeps the delay
+      val standalone = extractFrame(gif, fr)
+      assert(isGif(standalone))
+      assert(decode(standalone).get.pixels.toSeq == full(k).pixels.toSeq, s"frame $k pixels")
+      val solo = frames(standalone).get
+      assert(solo.length == 1 && solo.head.delayMs == k * 40)
+    }
+    // foreign stream: ImageIO's writer (its own palette, real LZW, no
+    // GCE on a plain single-frame write) must walk and re-wrap too
+    val src = new java.awt.image.BufferedImage(29, 17,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 17; x <- 0 until 29)
+      src.setRGB(x, y, ((x * 53) % 256 << 16) | ((y * 29) % 256 << 8) | ((x ^ y) % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "gif", bos))
+    val foreign = bos.toByteArray
+    val fr2 = frameRanges(foreign)
+    assert(fr2.isDefined && fr2.get.length == 1)
+    val rewrapped = extractFrame(foreign, fr2.get.head)
+    assert(decode(rewrapped).get.pixels.toSeq == decode(foreign).get.pixels.toSeq)
+    // structural damage: dropped trailer quarantines; truncation sweep
+    // never throws
+    assert(frameRanges(gif.dropRight(1)).isEmpty)
+    for (cut <- 1 until gif.length by 7) frameRanges(gif.take(cut))
+  }
+
   test("header geometry and hostile inputs") {
     val gif = encode(rgb(19, 11, 1))
     assert(screenDims(gif).contains((19, 11)))

@@ -186,7 +186,10 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
         val (w, h, durMs, ch) = Multimodal.geom(id)
         r.getString(1) match {
           case "image" =>
-            assert(r.getInt(3) == w && r.getInt(4) == h && r.getLong(5) == 0L)
+            // animated GIFs (id%48==36) report their summed
+            // graphic-control delays: 3 frames at 100 ms
+            val expectDur = if (id % 48 == 36) 300L else 0L
+            assert(r.getInt(3) == w && r.getInt(4) == h && r.getLong(5) == expectDur)
             val expectContainer =
               if (id % 24 == 12) "gif" else if (id % 2 == 0) "png" else "jpeg"
             assert(r.getString(2) == expectContainer)
@@ -205,8 +208,12 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = Multimodal.extractFeatures(spark, media)
     assert(feats.orderBy("media_id").collect().toSeq ==
       again.orderBy("media_id").collect().toSeq)
-    // images sample exactly one frame; audio/video sample by duration
-    assert(feats.filter(col("kind") === "image" && col("n_frames_sampled") =!= 1).count() == 0)
+    // images sample exactly one frame — except animated GIFs, whose
+    // REAL frame count comes from the block-level walk
+    assert(feats.filter(col("kind") === "image" && col("media_id") % 48 =!= 36
+      && col("n_frames_sampled") =!= 1).count() == 0)
+    assert(feats.filter(col("kind") === "image" && col("media_id") % 48 === 36
+      && col("n_frames_sampled") =!= 3).count() == 0)
   }
 
   test("MP4 sample tables: golden hand-built boxes yield exact offsets/pts/sync") {
@@ -272,15 +279,18 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ok = rows.filter(_.getAs[Boolean]("frame_ok"))
     val dead = rows.filter(!_.getAs[Boolean]("frame_ok"))
     assert(ok.nonEmpty, "no keyframes sampled")
-    // every video row yields exactly its sync-sample count; every
-    // non-video row yields exactly one dead-letter row
+    // every video row yields exactly its sync-sample count, every GIF
+    // row its frame count (r7: frame sampling covers GIFs too); every
+    // other row yields exactly one dead-letter row
     val videoIds = media.filter(col("kind") === "video")
       .select("media_id").collect().map(_.getLong(0)).toSet
+    val gifIds = media.filter(col("kind") === "image" && col("media_id") % 24 === 12)
+      .select("media_id").collect().map(_.getLong(0)).toSet
     assert(dead.map(_.getAs[Long]("media_id")).toSet ==
-      media.select("media_id").collect().map(_.getLong(0)).toSet -- videoIds)
+      media.select("media_id").collect().map(_.getLong(0)).toSet -- videoIds -- gifIds)
     val byId = ok.groupBy(_.getAs[Long]("media_id"))
-    assert(byId.keySet == videoIds)
-    byId.foreach { case (id, rs) =>
+    assert(byId.keySet == videoIds ++ gifIds)
+    byId.filter(kv => videoIds(kv._1)).foreach { case (id, rs) =>
       val n = Multimodal.videoFrameSizes(id).length
       val expectSync = (0 until n).count(_ % 3 == 0)
       assert(rs.length == expectSync, s"media $id: ${rs.length} vs $expectSync keyframes")
@@ -299,6 +309,33 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
           assert((bytes(4) & 0x1f) == 5, s"media $id frame $i is not an IDR NAL")
         }
         assert(r.getAs[Long]("pts_ms") == i * 500L)
+      }
+    }
+    // GIF rows: each emitted frame is a STANDALONE single-frame GIF
+    // decoding to exactly the generator's quantized pixel field
+    // (frame k of an animated id is keyed by id + 7k), pts at the
+    // 100 ms graphic-control cadence
+    assert(gifIds.exists(_ % 48 == 36), "corpus must carry an animated GIF")
+    byId.filter(kv => gifIds(kv._1)).foreach { case (id, rs) =>
+      val (w, h, _, _) = Multimodal.geom(id)
+      val expectFrames = if (id % 48 == 36) 3 else 1
+      assert(rs.length == expectFrames, s"media $id: ${rs.length} vs $expectFrames frames")
+      rs.foreach { r =>
+        val k = r.getAs[Int]("frame_index")
+        assert(r.getAs[Long]("pts_ms") == (if (id % 48 == 36) k * 100L else 0L))
+        val standalone = GifCodec.decode(r.getAs[Array[Byte]]("frame_bytes"))
+        assert(standalone.isDefined, s"media $id frame $k is not a decodable GIF")
+        val src = Multimodal.pixelsFor(if (id % 48 == 36) id + 7 * k else id, w, h, 3)
+        val want = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          want(i * 3) = ((((src(i * 3) & 0xff) >> 5) * 255) / 7).toByte
+          want(i * 3 + 1) = ((((src(i * 3 + 1) & 0xff) >> 5) * 255) / 7).toByte
+          want(i * 3 + 2) = ((((src(i * 3 + 2) & 0xff) >> 6) * 255) / 3).toByte
+          i += 1
+        }
+        assert(standalone.get.width == w && standalone.get.height == h)
+        assert(standalone.get.pixels.toSeq == want.toSeq, s"media $id frame $k pixels")
       }
     }
     // the features stage reports the REAL keyframe count for video rows
