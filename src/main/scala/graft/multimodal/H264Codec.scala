@@ -2,42 +2,55 @@ package graft.multimodal
 
 import scala.util.control.NonFatal
 
-/** Pure-JVM H.264/AVC intra codec (ITU-T H.264, constrained baseline
-  * subset): CAVLC entropy coding, 4:2:0 8-bit, I slices only — the
-  * decoder handles I_PCM, I_4x4 (all nine prediction modes) and
-  * I_16x16 (all four modes, including Plane) macroblocks; the encoder
-  * emits real compressed IDR frames (prediction → integer transform →
-  * quantization → CAVLC) and also exposes an I_PCM path whose
-  * bitstream is hand-verifiable byte by byte.
+/** Pure-JVM H.264/AVC codec (ITU-T H.264, constrained baseline
+  * subset): CAVLC entropy coding, 4:2:0 8-bit, I and P slices — the
+  * decoder handles I_PCM, I_4x4 (all nine prediction modes), I_16x16
+  * (all four modes, including Plane), and since r7 the full P-slice
+  * inter layer: P_Skip with the 8.4.1.1 skip-vector rule, all
+  * partition shapes (16x16/16x8/8x16 and 8x8 with 8x8/8x4/4x8/4x4
+  * sub-partitions), median MV prediction with the 16x8/8x16
+  * directional shortcuts (8.4.1.3), multi-reference lists in default
+  * decode-recency order, quarter-pel luma (6-tap half + averaged
+  * quarters) and eighth-pel bilinear chroma interpolation (8.4.2.2),
+  * and intra MBs inside P slices. The encoder emits real compressed
+  * IDR frames (prediction → integer transform → quantization → CAVLC),
+  * an I_PCM path whose bitstream is hand-verifiable byte by byte, and
+  * — via [[encodeSequence]] — real P frames: SAD+lambda·bits motion
+  * search over every partition shape with exact mvp chaining, P_Skip
+  * emission when the residual quantizes away, and an intra fallback.
   *
   * Like [[JpegCodec]] (r6), this closes a documented capability
   * boundary with an original implementation written from the public
   * standard: reference utxo-to-parquet has no media code at all
-  * (/root/reference is 288 lines of Rust ETL), and video keyframe
-  * decode is the half of "video support" that was still missing after
-  * r7's MP4 sample-table parsing ([[Mp4SampleTables]]) — a VLM
-  * training pipeline samples keyframes via stss and then needs their
-  * PIXELS.
+  * (/root/reference is 288 lines of Rust ETL). Keyframe pixels closed
+  * the first half of the video boundary; the P-slice layer closes the
+  * inter half — a VLM pipeline that samples beyond sync points needs
+  * every frame of the GOP, not just the IDRs.
   *
   * Correctness contract: the encoder reconstructs every macroblock
   * through the *decoder's own* integer pipeline (shared prediction /
-  * dequant / inverse-transform code), so `decodeYuv(encodeYuv(x))`
-  * must equal the encoder's reconstruction BIT-EXACTLY — that
-  * equality, over all QPs, geometries and prediction modes, is the
-  * spec's oracle. Conformance caveat, stated honestly: this container
-  * has no reference H.264 decoder (no ffmpeg, no JDK codec — unlike
-  * JPEG's two-way ImageIO interop), so the VLC tables transcribed
-  * from the standard (coeff_token Table 9-5, total_zeros 9-7/9-9a,
-  * run_before 9-10, the CBP mapping of Table 9-4) are pinned by
-  * structural checks (prefix-freeness, domain coverage, permutation)
-  * and exhaustive encode↔decode round-trips rather than by an
-  * external codec. The fully hand-checkable surfaces — Exp-Golomb,
-  * emulation prevention, SPS/PPS/slice-header syntax, I_PCM — have
-  * byte-level golden tests.
+  * MC interpolation / dequant / inverse-transform code), so
+  * `decodeYuv(encodeYuv(x))` — and per-frame
+  * `decodeYuvFrames(encodeSequence(xs).annexB)` — must equal the
+  * encoder's reconstruction BIT-EXACTLY; that equality, over QPs,
+  * geometries, prediction modes and motion shapes, is the spec's
+  * oracle. Conformance caveat, stated honestly: this container has no
+  * reference H.264 decoder (no ffmpeg, no JDK codec — unlike JPEG's
+  * two-way ImageIO interop), so the VLC tables transcribed from the
+  * standard (coeff_token Table 9-5, total_zeros 9-7/9-9a, run_before
+  * 9-10, the CBP mappings of Table 9-4) are pinned by structural
+  * checks (prefix-freeness, domain coverage, permutation) and
+  * exhaustive encode↔decode round-trips rather than by an external
+  * codec; the quarter-pel interpolator is additionally pinned against
+  * an independent literal transcription of 8.4.2.2.1 in the spec.
+  * The fully hand-checkable surfaces — Exp-Golomb, emulation
+  * prevention, SPS/PPS/slice-header syntax, I_PCM — have byte-level
+  * golden tests.
   *
   * Deliberately out of scope (documented boundary, quarantined to
   * None, never mis-decoded): CABAC (entropy_coding_mode_flag = 1),
-  * inter prediction (P/B slices), fields/MBAFF, high-profile 8x8
+  * B/SP/SI slices, weighted prediction, reference-list modification
+  * and MMCO (adaptive marking), fields/MBAFF, high-profile 8x8
   * transforms and scaling lists, multi-slice pictures, and the
   * in-loop deblocking filter (streams that do not disable it via
   * `disable_deblocking_filter_idc` are rejected rather than decoded
@@ -174,7 +187,7 @@ object H264Codec {
       log2MaxFrameNum: Int, pocType: Int, log2MaxPocLsb: Int,
       mbWidth: Int, mbHeight: Int,
       cropLeft: Int, cropRight: Int, cropTop: Int, cropBottom: Int,
-      deltaPocAlwaysZero: Boolean = false) {
+      deltaPocAlwaysZero: Boolean = false, maxNumRefFrames: Int = 1) {
     def width: Int = mbWidth * 16 - 2 * (cropLeft + cropRight)
     def height: Int = mbHeight * 16 - 2 * (cropTop + cropBottom)
   }
@@ -182,7 +195,8 @@ object H264Codec {
   final case class Pps(
       entropyCabac: Boolean, picInitQp: Int, chromaQpOffset: Int,
       deblockingControlPresent: Boolean, constrainedIntra: Boolean,
-      bottomFieldPoc: Boolean)
+      bottomFieldPoc: Boolean, numRefIdxL0: Int = 1,
+      weightedPred: Boolean = false)
 
   private def parseSps(r: BitReader): Sps = {
     val profile = r.u(8)
@@ -206,7 +220,7 @@ object H264Codec {
       var i = 0
       while (i < n) { r.se(); i += 1 }
     }
-    r.ue() // max_num_ref_frames
+    val maxNumRefFrames = r.ue()
     r.u1() // gaps_in_frame_num_value_allowed
     val mbW = r.ue() + 1
     val mbH = r.ue() + 1
@@ -218,21 +232,22 @@ object H264Codec {
     // vui_parameters ignored (we stop parsing here; callers never read
     // past the fields above)
     val sps = Sps(profile, level, log2MaxFrameNum, pocType, log2MaxPocLsb,
-      mbW, mbH, cl, cr2, ct, cb, deltaPocAlwaysZero)
+      mbW, mbH, cl, cr2, ct, cb, deltaPocAlwaysZero,
+      math.max(1, math.min(16, maxNumRefFrames)))
     require(sps.width > 0 && sps.height > 0, "cropping exceeds frame")
     require(mbW * mbH <= (1 << 18), "frame too large") // hostile-count guard
     sps
   }
 
   private def writeSps(w: BitWriter, mbW: Int, mbH: Int,
-      cropRight: Int, cropBottom: Int): Unit = {
+      cropRight: Int, cropBottom: Int, numRefFrames: Int = 0): Unit = {
     w.putBits(66, 8) // baseline
     w.putBits(0xc0, 8) // constraint_set0/1, reserved zero
     w.putBits(30, 8) // level 3.0
     w.ue(0) // sps_id
     w.ue(0) // log2_max_frame_num_minus4
     w.ue(2) // pic_order_cnt_type 2: no POC syntax in slice headers
-    w.ue(0) // max_num_ref_frames
+    w.ue(numRefFrames) // max_num_ref_frames
     w.put(0) // gaps_in_frame_num_value_allowed
     w.ue(mbW - 1)
     w.ue(mbH - 1)
@@ -252,8 +267,9 @@ object H264Codec {
     val cabac = r.u1() == 1
     val bottomFieldPoc = r.u1() == 1 // adds POC syntax to slice headers
     require(r.ue() == 0, "slice groups (FMO) unsupported")
-    r.ue(); r.ue() // num_ref_idx_l0/l1_active_minus1
-    r.u1() // weighted_pred
+    val numRefL0 = r.ue() + 1 // num_ref_idx_l0_active_minus1
+    r.ue() // num_ref_idx_l1_active_minus1
+    val wp = r.u1() == 1 // weighted_pred
     r.u(2) // weighted_bipred_idc
     val qp = r.se() + 26
     r.se() // pic_init_qs
@@ -263,7 +279,8 @@ object H264Codec {
     r.u1() // redundant_pic_cnt_present
     require(qp >= 0 && qp <= 51, "pic_init_qp")
     require(cqo >= -12 && cqo <= 12, "chroma_qp_index_offset")
-    Pps(cabac, qp, cqo, dbc, cip, bottomFieldPoc)
+    require(numRefL0 <= 16, "num_ref_idx_l0_active")
+    Pps(cabac, qp, cqo, dbc, cip, bottomFieldPoc, numRefL0, wp)
   }
 
   private def writePps(w: BitWriter, qp: Int): Unit = {
@@ -323,6 +340,21 @@ object H264Codec {
     val inv = new Array[Int](48)
     var i = 0
     while (i < 48) { inv(CbpIntra(i)) = i; i += 1 }
+    inv
+  }
+
+  /** coded_block_pattern me(v) mapping for inter MBs (Table 9-4, the
+    * Inter column): codeNum → cbp. Structural pin: a permutation of
+    * 0..47, like [[CbpIntra]].
+    */
+  private[multimodal] val CbpInter = Array(
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41)
+  private val CbpInterInv: Array[Int] = {
+    val inv = new Array[Int](48)
+    var i = 0
+    while (i < 48) { inv(CbpInter(i)) = i; i += 1 }
     inv
   }
 
@@ -1031,6 +1063,30 @@ object H264Codec {
     val tcCr: Array[Int] = Array.fill(cbW * cbH)(-1)
     // per-4x4 intra pred mode; 2 for non-I_4x4 intra MBs, -1 undecoded
     val modeY: Array[Int] = Array.fill(bW * bH)(-1)
+    // per-4x4 motion data (P slices): quarter-pel L0 vector and its
+    // reference index; -2 = not yet decoded, -1 = intra-coded block
+    val mvX: Array[Int] = new Array[Int](bW * bH)
+    val mvY: Array[Int] = new Array[Int](bW * bH)
+    val refL0: Array[Int] = Array.fill(bW * bH)(-2)
+
+    /** Record one inter partition's motion over its 4x4 grid cells. */
+    def setMotion(bx: Int, by: Int, w4: Int, h4: Int,
+        mx: Int, my: Int, ref: Int): Unit = {
+      var y = by
+      while (y < by + h4) {
+        var x = bx
+        while (x < bx + w4) {
+          val i = y * bW + x
+          mvX(i) = mx; mvY(i) = my; refL0(i) = ref
+          x += 1
+        }
+        y += 1
+      }
+    }
+
+    /** Mark a whole MB's grid cells intra (no inter motion data). */
+    def markIntra(mbX: Int, mbY: Int): Unit =
+      setMotion(mbX * 4, mbY * 4, 4, 4, 0, 0, -1)
 
     def lumaNc(bx: Int, by: Int): Int = {
       val nA = if (bx > 0) tcY(by * bW + bx - 1) else -1
@@ -1102,14 +1158,188 @@ object H264Codec {
   }
 
   // ---------------------------------------------------------------
+  // Inter prediction — 8.4 (P slices). MV prediction over the 4x4
+  // motion grid; quarter-pel luma / eighth-pel chroma interpolation.
+  // Shared verbatim by decoder and encoder reconstruction (the same
+  // structural-equality discipline as the intra predictors).
+  // ---------------------------------------------------------------
+
+  /** Motion data of grid cell (bx,by): (mvx, mvy, refIdx, available).
+    * Out-of-picture or not-yet-decoded cells are unavailable (the
+    * decode-order rule of 6.4.11.7 falls out of the grid state);
+    * intra cells are available with refIdx -1 / zero mv (8.4.1.3.2).
+    */
+  private def motionAt(st: FrameState, bx: Int, by: Int): (Int, Int, Int, Boolean) =
+    if (bx < 0 || by < 0 || bx >= st.bW || by >= st.bH) (0, 0, -1, false)
+    else {
+      val i = by * st.bW + bx
+      if (st.refL0(i) == -2) (0, 0, -1, false)
+      else if (st.refL0(i) == -1) (0, 0, -1, true)
+      else (st.mvX(i), st.mvY(i), st.refL0(i), true)
+    }
+
+  /** 8.4.1.3 luma MV predictor for the partition whose top-left 4x4
+    * cell is (bx,by), w4 cells wide, predicting against reference
+    * `ref`. `shape` selects the 16x8/8x16 directional shortcuts:
+    * 0 = median, 1 = 16x8 top, 2 = 16x8 bottom, 3 = 8x16 left,
+    * 4 = 8x16 right.
+    */
+  private def mvPred(st: FrameState, bx: Int, by: Int, w4: Int,
+      ref: Int, shape: Int): (Int, Int) = {
+    val a = motionAt(st, bx - 1, by)
+    val b = motionAt(st, bx, by - 1)
+    var c = motionAt(st, bx + w4, by - 1)
+    if (!c._4) c = motionAt(st, bx - 1, by - 1) // D fallback (8.4.1.3.2)
+    // directional shortcuts (8.4.1.3) use the raw A/B/C neighbours
+    shape match {
+      case 1 => if (b._3 == ref) return (b._1, b._2)
+      case 2 => if (a._3 == ref) return (a._1, a._2)
+      case 3 => if (a._3 == ref) return (a._1, a._2)
+      case 4 => if (c._3 == ref) return (c._1, c._2)
+      case _ => ()
+    }
+    // median process (8.4.1.3.1): top-row substitution, then the
+    // only-one-match rule, then the component-wise median
+    val (b2, c2) = if (!b._4 && !c._4 && a._4) (a, a) else (b, c)
+    val nA = a._3 == ref; val nB = b2._3 == ref; val nC = c2._3 == ref
+    val matches = (if (nA) 1 else 0) + (if (nB) 1 else 0) + (if (nC) 1 else 0)
+    if (matches == 1) {
+      if (nA) (a._1, a._2) else if (nB) (b2._1, b2._2) else (c2._1, c2._2)
+    } else {
+      @inline def med(x: Int, y: Int, z: Int) =
+        math.max(math.min(x, y), math.min(math.max(x, y), z))
+      (med(a._1, b2._1, c2._1), med(a._2, b2._2, c2._2))
+    }
+  }
+
+  /** P_Skip motion vector (8.4.1.1): the 16x16 median predictor with
+    * refIdx 0, zeroed when either top/left MB neighbour is missing or
+    * carries a zero vector against reference 0.
+    */
+  private def skipMv(st: FrameState, mbX: Int, mbY: Int): (Int, Int) = {
+    val a = motionAt(st, mbX * 4 - 1, mbY * 4)
+    val b = motionAt(st, mbX * 4, mbY * 4 - 1)
+    if (!a._4 || !b._4 ||
+      (a._3 == 0 && a._1 == 0 && a._2 == 0) ||
+      (b._3 == 0 && b._1 == 0 && b._2 == 0)) (0, 0)
+    else mvPred(st, mbX * 4, mbY * 4, 4, 0, 0)
+  }
+
+  @inline private def clampI(v: Int, max: Int): Int =
+    if (v < 0) 0 else if (v > max) max else v
+
+  /** Quarter-pel luma motion compensation (8.4.2.2.1/.2): writes a
+    * blkW x blkH prediction into `pred` at predOff/predStride, reading
+    * the reference plane with edge clamping (out-of-frame vectors
+    * replicate the border, as the standard's coordinate clips do).
+    * Half-pel samples are the 6-tap (1,-5,20,20,-5,1) filter; the
+    * centre j is the 6-tap over unrounded intermediates; quarter
+    * samples average the two nearest integer/half samples.
+    */
+  private[multimodal] def mcLuma(ref: Array[Byte], rw: Int, rh: Int,
+      px: Int, py: Int, mvx: Int, mvy: Int, blkW: Int, blkH: Int,
+      pred: Array[Int], predOff: Int, predStride: Int): Unit = {
+    val x0 = px + (mvx >> 2); val y0 = py + (mvy >> 2)
+    val xf = mvx & 3; val yf = mvy & 3
+    // clamped full-pel patch with a 2-left/top, 3-right/bottom apron
+    val pw = blkW + 5; val ph = blkH + 5
+    val patch = new Array[Int](pw * ph)
+    var y = 0
+    while (y < ph) {
+      val sy = clampI(y0 - 2 + y, rh - 1) * rw
+      var x = 0
+      while (x < pw) {
+        patch(y * pw + x) = ref(sy + clampI(x0 - 2 + x, rw - 1)) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    @inline def p(x: Int, y: Int): Int = patch((y + 2) * pw + (x + 2))
+    // unrounded 6-tap sums; (x,y) address the half sample's left/top
+    // full-pel anchor, matching p's coordinates
+    @inline def bRaw(x: Int, y: Int): Int =
+      p(x - 2, y) - 5 * p(x - 1, y) + 20 * p(x, y) + 20 * p(x + 1, y) -
+        5 * p(x + 2, y) + p(x + 3, y)
+    @inline def hRaw(x: Int, y: Int): Int =
+      p(x, y - 2) - 5 * p(x, y - 1) + 20 * p(x, y) + 20 * p(x, y + 1) -
+        5 * p(x, y + 2) + p(x, y + 3)
+    @inline def bS(x: Int, y: Int): Int = clip255((bRaw(x, y) + 16) >> 5)
+    @inline def hS(x: Int, y: Int): Int = clip255((hRaw(x, y) + 16) >> 5)
+    @inline def jS(x: Int, y: Int): Int = {
+      val s = bRaw(x, y - 2) - 5 * bRaw(x, y - 1) + 20 * bRaw(x, y) +
+        20 * bRaw(x, y + 1) - 5 * bRaw(x, y + 2) + bRaw(x, y + 3)
+      clip255((s + 512) >> 10)
+    }
+    @inline def avg(u: Int, v: Int): Int = (u + v + 1) >> 1
+    var oy = 0
+    while (oy < blkH) {
+      var ox = 0
+      while (ox < blkW) {
+        val v = (xf, yf) match {
+          case (0, 0) => p(ox, oy)
+          case (1, 0) => avg(p(ox, oy), bS(ox, oy))
+          case (2, 0) => bS(ox, oy)
+          case (3, 0) => avg(bS(ox, oy), p(ox + 1, oy))
+          case (0, 1) => avg(p(ox, oy), hS(ox, oy))
+          case (0, 2) => hS(ox, oy)
+          case (0, 3) => avg(hS(ox, oy), p(ox, oy + 1))
+          case (2, 2) => jS(ox, oy)
+          case (1, 1) => avg(bS(ox, oy), hS(ox, oy))
+          case (3, 1) => avg(bS(ox, oy), hS(ox + 1, oy))
+          case (1, 3) => avg(bS(ox, oy + 1), hS(ox, oy))
+          case (3, 3) => avg(bS(ox, oy + 1), hS(ox + 1, oy))
+          case (2, 1) => avg(bS(ox, oy), jS(ox, oy))
+          case (2, 3) => avg(jS(ox, oy), bS(ox, oy + 1))
+          case (1, 2) => avg(hS(ox, oy), jS(ox, oy))
+          case (3, 2) => avg(jS(ox, oy), hS(ox + 1, oy))
+          case _ => throw new IllegalStateException("frac")
+        }
+        pred(predOff + oy * predStride + ox) = v
+        ox += 1
+      }
+      oy += 1
+    }
+  }
+
+  /** Eighth-pel chroma motion compensation (8.4.2.2.2, 4:2:0):
+    * bilinear over the four nearest chroma samples, edge-clamped.
+    * The chroma vector is the luma vector (quarter-luma units are
+    * eighth-chroma units at half resolution).
+    */
+  private[multimodal] def mcChroma(ref: Array[Byte], rw: Int, rh: Int,
+      cpx: Int, cpy: Int, mvx: Int, mvy: Int, blkW: Int, blkH: Int,
+      pred: Array[Int], predOff: Int, predStride: Int): Unit = {
+    val x0 = cpx + (mvx >> 3); val y0 = cpy + (mvy >> 3)
+    val xf = mvx & 7; val yf = mvy & 7
+    @inline def s(x: Int, y: Int): Int =
+      ref(clampI(y, rh - 1) * rw + clampI(x, rw - 1)) & 0xff
+    var oy = 0
+    while (oy < blkH) {
+      var ox = 0
+      while (ox < blkW) {
+        val x = x0 + ox; val y = y0 + oy
+        pred(predOff + oy * predStride + ox) =
+          ((8 - xf) * (8 - yf) * s(x, y) + xf * (8 - yf) * s(x + 1, y) +
+            (8 - xf) * yf * s(x, y + 1) + xf * yf * s(x + 1, y + 1) + 32) >> 6
+        ox += 1
+      }
+      oy += 1
+    }
+  }
+
+  // ---------------------------------------------------------------
   // Decoder
   // ---------------------------------------------------------------
 
-  /** Decode the chroma half of any intra MB (prediction + DC/AC
-    * residual) — shared by the I_4x4 and I_16x16 paths.
+  /** Decode the chroma half of any MB (prediction + DC/AC residual).
+    * Intra MBs predict with `chromaMode` from reconstructed
+    * neighbours; inter MBs pass their motion-compensated predictions
+    * via `interPred` (cb then cr, 64 samples each) and chromaMode is
+    * ignored. Shared by the I_4x4, I_16x16 and P paths.
     */
   private def decodeMbChroma(r: BitReader, st: FrameState, pps: Pps,
-      mbX: Int, mbY: Int, cbpChroma: Int, chromaMode: Int, qp: Int): Unit = {
+      mbX: Int, mbY: Int, cbpChroma: Int, chromaMode: Int, qp: Int,
+      interPred: Array[Array[Int]] = null): Unit = {
     val qpc = chromaQp(qp, pps.chromaQpOffset)
     val cpx0 = mbX * 8; val cpy0 = mbY * 8
     val aL = mbX > 0; val aT = mbY > 0
@@ -1118,14 +1348,19 @@ object H264Codec {
       readResidual(r, -1, 4, dcCb)
       readResidual(r, -1, 4, dcCr)
     }
-    val pred = new Array[Int](64)
+    val predBuf = new Array[Int](64)
     val coeff = new Array[Int](15)
     val blk = new Array[Int](16)
     var pi = 0
     while (pi < 2) {
       val (plane, tcArr, dcRaw) =
         if (pi == 0) (st.cb, st.tcCb, dcCb) else (st.cr, st.tcCr, dcCr)
-      predictChroma8(plane, st.cw, cpx0, cpy0, chromaMode, aL, aT, pred)
+      val pred =
+        if (interPred != null) interPred(pi)
+        else {
+          predictChroma8(plane, st.cw, cpx0, cpy0, chromaMode, aL, aT, predBuf)
+          predBuf
+        }
       // inverse 2x2 Hadamard + DC scaling
       val dc = dcRaw.clone()
       hadamard2(dc)
@@ -1148,14 +1383,16 @@ object H264Codec {
     }
   }
 
-  /** Decode one macroblock; returns the updated slice QP. */
+  /** Decode one intra macroblock (mb_type already read — P slices
+    * offset theirs by 5); returns the updated slice QP.
+    */
   private def decodeMb(r: BitReader, st: FrameState, pps: Pps,
-      mbX: Int, mbY: Int, qpIn: Int): Int = {
+      mbX: Int, mbY: Int, qpIn: Int, mbType: Int): Int = {
     var qp = qpIn
     val bx0 = mbX * 4; val by0 = mbY * 4
     val px0 = mbX * 16; val py0 = mbY * 16
-    val mbType = r.ue()
-    require(mbType <= 25, s"mb_type $mbType invalid in I slice")
+    require(mbType >= 0 && mbType <= 25, s"mb_type $mbType invalid in I slice")
+    st.markIntra(mbX, mbY)
 
     if (mbType == 25) { // I_PCM
       r.byteAlign()
@@ -1280,17 +1517,188 @@ object H264Codec {
     qp
   }
 
-  /** Decode an IDR slice (header + all MBs) into a frame. */
-  private def decodeSlice(rbsp: Array[Byte], refIdc: Int, sps: Sps, pps: Pps): FrameState = {
+  /** Decode one P macroblock (mb_type 0..4, already read): partition
+    * ref indices and mvds, motion compensation against `refs`, then
+    * the inter residual; returns the updated slice QP.
+    */
+  private def decodeMbP(r: BitReader, st: FrameState, pps: Pps,
+      refs: IndexedSeq[FrameState], numRefActive: Int,
+      mbX: Int, mbY: Int, mbTypeP: Int, qpIn: Int): Int = {
+    var qp = qpIn
+    val bx0 = mbX * 4; val by0 = mbY * 4
+    val px0 = mbX * 16; val py0 = mbY * 16
+    val predY = new Array[Int](256)
+    val predC = Array.ofDim[Int](2, 64)
+
+    def readRefIdx(): Int = {
+      val v =
+        if (numRefActive == 1) 0
+        else if (numRefActive == 2) 1 - r.u1() // te(v) with range 1
+        else r.ue()
+      require(v >= 0 && v < refs.length, "ref_idx_l0 out of range")
+      v
+    }
+    def readMvd(): Int = {
+      val v = r.se()
+      require(math.abs(v) < (1 << 14), "mvd out of range")
+      v
+    }
+    def mcPart(dx: Int, dy: Int, w4: Int, h4: Int,
+        mx: Int, my: Int, ref: Int): Unit = {
+      val rf = refs(ref)
+      mcLuma(rf.y, st.w, st.h, px0 + dx * 4, py0 + dy * 4, mx, my,
+        w4 * 4, h4 * 4, predY, dy * 4 * 16 + dx * 4, 16)
+      mcChroma(rf.cb, st.cw, st.ch, mbX * 8 + dx * 2, mbY * 8 + dy * 2,
+        mx, my, w4 * 2, h4 * 2, predC(0), dy * 2 * 8 + dx * 2, 8)
+      mcChroma(rf.cr, st.cw, st.ch, mbX * 8 + dx * 2, mbY * 8 + dy * 2,
+        mx, my, w4 * 2, h4 * 2, predC(1), dy * 2 * 8 + dx * 2, 8)
+    }
+
+    if (mbTypeP <= 2) { // 16x16 / 16x8 / 8x16: (dx, dy, w4, h4, shape)
+      val parts: Array[Array[Int]] = mbTypeP match {
+        case 0 => Array(Array(0, 0, 4, 4, 0))
+        case 1 => Array(Array(0, 0, 4, 2, 1), Array(0, 2, 4, 2, 2))
+        case _ => Array(Array(0, 0, 2, 4, 3), Array(2, 0, 2, 4, 4))
+      }
+      val refIdxs = parts.map(_ => readRefIdx())
+      var p = 0
+      while (p < parts.length) {
+        val Array(dx, dy, w4, h4, shape) = parts(p)
+        val mvdX = readMvd(); val mvdY = readMvd()
+        val (mpx, mpy) = mvPred(st, bx0 + dx, by0 + dy, w4, refIdxs(p), shape)
+        val mx = mpx + mvdX; val my = mpy + mvdY
+        st.setMotion(bx0 + dx, by0 + dy, w4, h4, mx, my, refIdxs(p))
+        mcPart(dx, dy, w4, h4, mx, my, refIdxs(p))
+        p += 1
+      }
+    } else { // P_8x8 (3) / P_8x8ref0 (4)
+      val subTypes = new Array[Int](4)
+      var i = 0
+      while (i < 4) {
+        subTypes(i) = r.ue()
+        require(subTypes(i) <= 3, s"sub_mb_type ${subTypes(i)}")
+        i += 1
+      }
+      val refIdxs = new Array[Int](4)
+      i = 0
+      while (i < 4) {
+        refIdxs(i) = if (mbTypeP == 4) 0 else readRefIdx()
+        require(refIdxs(i) < refs.length, "ref_idx_l0")
+        i += 1
+      }
+      i = 0
+      while (i < 4) {
+        val ox = (i & 1) * 2; val oy = (i >> 1) * 2
+        val subParts: Array[Array[Int]] = subTypes(i) match { // (dx, dy, w4, h4)
+          case 0 => Array(Array(0, 0, 2, 2))
+          case 1 => Array(Array(0, 0, 2, 1), Array(0, 1, 2, 1))
+          case 2 => Array(Array(0, 0, 1, 2), Array(1, 0, 1, 2))
+          case _ => Array(Array(0, 0, 1, 1), Array(1, 0, 1, 1),
+            Array(0, 1, 1, 1), Array(1, 1, 1, 1))
+        }
+        var j = 0
+        while (j < subParts.length) {
+          val Array(sdx, sdy, w4, h4) = subParts(j)
+          val mvdX = readMvd(); val mvdY = readMvd()
+          val (mpx, mpy) = mvPred(st, bx0 + ox + sdx, by0 + oy + sdy, w4, refIdxs(i), 0)
+          val mx = mpx + mvdX; val my = mpy + mvdY
+          st.setMotion(bx0 + ox + sdx, by0 + oy + sdy, w4, h4, mx, my, refIdxs(i))
+          mcPart(ox + sdx, oy + sdy, w4, h4, mx, my, refIdxs(i))
+          j += 1
+        }
+        i += 1
+      }
+    }
+
+    val cbpCode = r.ue()
+    require(cbpCode < 48, "cbp")
+    val cbp = CbpInter(cbpCode)
+    if (cbp != 0) { qp += r.se(); require(qp >= 0 && qp <= 51, "qp") }
+    val coeff = new Array[Int](16)
+    val blk = new Array[Int](16)
+    var k = 0
+    while (k < 16) {
+      val (zx, zy) = ZPos(k)
+      val bx = bx0 + zx; val by = by0 + zy
+      val b8 = (zy >> 1) * 2 + (zx >> 1)
+      val tc =
+        if ((cbp & (1 << b8)) != 0) readResidual(r, st.lumaNc(bx, by), 16, coeff)
+        else { java.util.Arrays.fill(coeff, 0); 0 }
+      st.tcY(by * st.bW + bx) = tc
+      st.modeY(by * st.bW + bx) = 2 // inter block: DC for intra contexts
+      if (tc > 0) {
+        dequantFull(coeff, qp, blk)
+        idct4(blk)
+        reconBlock(st.y, st.w, px0 + zx * 4, py0 + zy * 4,
+          predY, zy * 4 * 16 + zx * 4, 16, blk)
+      } else writePredBlock(st.y, st.w, px0 + zx * 4, py0 + zy * 4,
+        predY, zy * 4 * 16 + zx * 4, 16)
+      k += 1
+    }
+    decodeMbChroma(r, st, pps, mbX, mbY, cbp >> 4, 0, qp, predC)
+    qp
+  }
+
+  /** Reconstruct one P_Skip macroblock: motion-compensated copy at
+    * the skip vector, zero residual everywhere.
+    */
+  private def decodeMbSkip(st: FrameState, refs: IndexedSeq[FrameState],
+      mbX: Int, mbY: Int): Unit = {
+    val (mx, my) = skipMv(st, mbX, mbY)
+    st.setMotion(mbX * 4, mbY * 4, 4, 4, mx, my, 0)
+    val rf = refs(0)
+    val predY = new Array[Int](256)
+    val predC = Array.ofDim[Int](2, 64)
+    mcLuma(rf.y, st.w, st.h, mbX * 16, mbY * 16, mx, my, 16, 16, predY, 0, 16)
+    mcChroma(rf.cb, st.cw, st.ch, mbX * 8, mbY * 8, mx, my, 8, 8, predC(0), 0, 8)
+    mcChroma(rf.cr, st.cw, st.ch, mbX * 8, mbY * 8, mx, my, 8, 8, predC(1), 0, 8)
+    var i = 0
+    while (i < 256) {
+      st.y((mbY * 16 + (i >> 4)) * st.w + mbX * 16 + (i & 15)) = predY(i).toByte
+      i += 1
+    }
+    i = 0
+    while (i < 64) {
+      val o = (mbY * 8 + (i >> 3)) * st.cw + mbX * 8 + (i & 7)
+      st.cb(o) = predC(0)(i).toByte
+      st.cr(o) = predC(1)(i).toByte
+      i += 1
+    }
+    var k = 0
+    while (k < 16) {
+      val (zx, zy) = ZPos(k)
+      st.tcY((mbY * 4 + zy) * st.bW + mbX * 4 + zx) = 0
+      st.modeY((mbY * 4 + zy) * st.bW + mbX * 4 + zx) = 2
+      k += 1
+    }
+    k = 0
+    while (k < 4) {
+      st.tcCb((mbY * 2 + (k >> 1)) * st.cbW + mbX * 2 + (k & 1)) = 0
+      st.tcCr((mbY * 2 + (k >> 1)) * st.cbW + mbX * 2 + (k & 1)) = 0
+      k += 1
+    }
+  }
+
+  /** Decode one slice (header + all MBs) into a frame. IDR/I slices
+    * need no references; P slices (slice_type 0/5, CAVLC, single-ref
+    * list in decode-recency order — list modification and MMCO are
+    * out of subset) predict against `refs`, most recent first.
+    */
+  private def decodeSlice(rbsp: Array[Byte], refIdc: Int, nalType: Int,
+      sps: Sps, pps: Pps,
+      refs: IndexedSeq[FrameState] = IndexedSeq.empty): FrameState = {
     require(!pps.entropyCabac, "CABAC unsupported (CAVLC only)")
     require(!pps.constrainedIntra, "constrained_intra_pred unsupported")
     val r = new BitReader(rbsp)
     require(r.ue() == 0, "multi-slice pictures unsupported")
     val sliceType = r.ue()
-    require(sliceType == 2 || sliceType == 7, s"slice_type $sliceType (inter) unsupported")
+    val isP = sliceType == 0 || sliceType == 5
+    require(sliceType == 2 || sliceType == 7 || isP,
+      s"slice_type $sliceType (B/SP/SI) unsupported")
+    require(!isP || nalType != 5, "P slice inside an IDR access unit")
     require(r.ue() == 0, "pps_id")
     r.u(sps.log2MaxFrameNum) // frame_num
-    r.ue() // idr_pic_id
+    if (nalType == 5) r.ue() // idr_pic_id
     if (sps.pocType == 0) {
       r.u(sps.log2MaxPocLsb) // pic_order_cnt_lsb
       if (pps.bottomFieldPoc) r.se() // delta_pic_order_cnt_bottom
@@ -1298,7 +1706,20 @@ object H264Codec {
       r.se() // delta_pic_order_cnt[0]
       if (pps.bottomFieldPoc) r.se() // delta_pic_order_cnt[1]
     }
-    if (refIdc != 0) { r.u1(); r.u1() } // dec_ref_pic_marking (IDR)
+    var numRefActive = pps.numRefIdxL0
+    if (isP) {
+      if (r.u1() == 1) numRefActive = r.ue() + 1 // override
+      require(numRefActive <= 16, "num_ref_idx_l0_active")
+      require(r.u1() == 0, "ref_pic_list_modification unsupported")
+      require(!pps.weightedPred, "weighted prediction unsupported")
+      require(refs.nonEmpty, "P slice without a decoded reference")
+      // a conformant single-ref stream may still declare more actives
+      // than we hold; individual ref_idx values are range-checked
+    }
+    if (refIdc != 0) {
+      if (nalType == 5) { r.u1(); r.u1() } // dec_ref_pic_marking (IDR)
+      else require(r.u1() == 0, "adaptive ref-pic marking (MMCO) unsupported")
+    }
     var qp = pps.picInitQp + r.se()
     require(qp >= 0 && qp <= 51, "slice qp")
     if (pps.deblockingControlPresent) {
@@ -1308,10 +1729,33 @@ object H264Codec {
     } else throw new IllegalStateException(
       "deblocking filter signalled active; not implemented")
     val st = new FrameState(sps.mbWidth, sps.mbHeight)
+    refs.foreach(rf => require(rf.w == st.w && rf.h == st.h, "reference dims"))
+    val total = sps.mbWidth * sps.mbHeight
     var mb = 0
-    while (mb < sps.mbWidth * sps.mbHeight) {
-      qp = decodeMb(r, st, pps, mb % sps.mbWidth, mb / sps.mbWidth, qp)
-      mb += 1
+    if (!isP) {
+      while (mb < total) {
+        qp = decodeMb(r, st, pps, mb % sps.mbWidth, mb / sps.mbWidth, qp, r.ue())
+        mb += 1
+      }
+    } else {
+      while (mb < total) {
+        var skipRun = r.ue()
+        require(mb + skipRun <= total, "mb_skip_run overflow")
+        while (skipRun > 0) {
+          decodeMbSkip(st, refs, mb % sps.mbWidth, mb / sps.mbWidth)
+          mb += 1; skipRun -= 1
+        }
+        if (mb < total) {
+          val mbType = r.ue()
+          require(mbType <= 30, s"mb_type $mbType invalid in P slice")
+          qp =
+            if (mbType >= 5)
+              decodeMb(r, st, pps, mb % sps.mbWidth, mb / sps.mbWidth, qp, mbType - 5)
+            else decodeMbP(r, st, pps, refs, numRefActive,
+              mb % sps.mbWidth, mb / sps.mbWidth, mbType, qp)
+          mb += 1
+        }
+      }
     }
     require(!r.moreRbsp(), "trailing data after last MB (desync?)")
     st
@@ -1364,26 +1808,51 @@ object H264Codec {
     * out-of-subset streams quarantine to None (never a partial frame).
     */
   def decodeYuv(annexB: Array[Byte]): Option[Yuv420] =
+    decodeYuvFrames(annexB, maxFrames = 1).flatMap(_.headOption)
+
+  /** Decode an Annex-B stream's pictures in decode order: the first
+    * IDR and every following P picture (reference chain maintained by
+    * decode recency, sliding window at the SPS's max_num_ref_frames).
+    * Any undecodable or out-of-subset NAL quarantines the WHOLE
+    * stream to None — never a partial or mis-predicted sequence.
+    */
+  def decodeYuvFrames(annexB: Array[Byte],
+      maxFrames: Int = 4096): Option[Vector[Yuv420]] =
     try {
       var sps: Option[Sps] = None
       var pps: Option[Pps] = None
-      splitAnnexB(annexB).foreach { case (nalType, refIdc, rbsp) =>
+      var refs: Vector[FrameState] = Vector.empty
+      var started = false
+      val out = Vector.newBuilder[Yuv420]
+      var n = 0
+      val nals = splitAnnexB(annexB)
+      var idx = 0
+      while (idx < nals.length && n < maxFrames) {
+        val (nalType, refIdc, rbsp) = nals(idx)
         nalType match {
           case 7 => sps = Some(parseSps(new BitReader(rbsp)))
           case 8 => pps = Some(parsePps(new BitReader(rbsp)))
-          case 5 =>
+          case 5 | 1 =>
             val s = sps.getOrElse(throw new IllegalStateException("no SPS"))
             val p = pps.getOrElse(throw new IllegalStateException("no PPS"))
-            return Some(cropFrame(decodeSlice(rbsp, refIdc, s, p), s))
-          case 1 => throw new IllegalStateException("non-IDR slice (inter) unsupported")
+            if (nalType == 5) { refs = Vector.empty; started = true }
+            else require(started, "non-IDR slice before the first IDR")
+            val st = decodeSlice(rbsp, refIdc, nalType, s, p, refs)
+            if (refIdc != 0) refs = (st +: refs).take(s.maxNumRefFrames)
+            out += cropFrame(st, s)
+            n += 1
           case _ => () // SEI / AUD / filler: ignored
         }
+        idx += 1
       }
-      None
+      val frames = out.result()
+      if (frames.isEmpty) None else Some(frames)
     } catch { case NonFatal(_) => None }
 
   /** Decode one MP4/AVC sample (length-prefixed NAL units) using
-    * out-of-band SPS/PPS NAL payloads (from an avcC record).
+    * out-of-band SPS/PPS NAL payloads (from an avcC record). Decodes
+    * the sample's IDR picture only — mid-stream P samples need the
+    * reference chain a stateful [[AvcDecoder]] carries.
     */
   def decodeAvcSample(spsNal: Array[Byte], ppsNal: Array[Byte],
       sample: Array[Byte], lengthSize: Int = 4): Option[Yuv420] =
@@ -1400,11 +1869,51 @@ object H264Codec {
         val hdr = sample(i) & 0xff
         if ((hdr & 0x1f) == 5)
           return Some(cropFrame(
-            decodeSlice(unescapeRbsp(sample, i + 1, i + len), (hdr >> 5) & 3, sps, pps), sps))
+            decodeSlice(unescapeRbsp(sample, i + 1, i + len),
+              (hdr >> 5) & 3, 5, sps, pps), sps))
         i += len
       }
       None
     } catch { case NonFatal(_) => None }
+
+  /** Stateful MP4/AVC sample decoder: feed samples in decode order
+    * (one picture per sample); IDR samples reset the reference chain,
+    * P samples predict against it. A failed sample returns None and
+    * poisons every following sample until the next IDR — a broken
+    * reference chain must never be predicted from. Construction
+    * throws on a malformed SPS/PPS (callers quarantine).
+    */
+  final class AvcDecoder(spsNal: Array[Byte], ppsNal: Array[Byte],
+      lengthSize: Int = 4) {
+    private val sps = parseSps(new BitReader(unescapeRbsp(spsNal, 1, spsNal.length)))
+    private val pps = parsePps(new BitReader(unescapeRbsp(ppsNal, 1, ppsNal.length)))
+    private var refs: Vector[FrameState] = Vector.empty
+    private var broken = true // nothing decodable until the first IDR
+
+    def decodeSample(sample: Array[Byte]): Option[Yuv420] =
+      try {
+        var i = 0
+        while (i + lengthSize <= sample.length) {
+          var len = 0
+          var k = 0
+          while (k < lengthSize) { len = (len << 8) | (sample(i + k) & 0xff); k += 1 }
+          i += lengthSize
+          require(len > 0 && i + len <= sample.length, "NAL length")
+          val hdr = sample(i) & 0xff
+          val nalType = hdr & 0x1f
+          if (nalType == 5 || nalType == 1) {
+            if (nalType == 5) { refs = Vector.empty; broken = false }
+            else require(!broken, "P sample on a broken reference chain")
+            val st = decodeSlice(unescapeRbsp(sample, i + 1, i + len),
+              (hdr >> 5) & 3, nalType, sps, pps, refs)
+            if (((hdr >> 5) & 3) != 0) refs = (st +: refs).take(sps.maxNumRefFrames)
+            return Some(cropFrame(st, sps))
+          }
+          i += len
+        }
+        None
+      } catch { case NonFatal(_) => broken = true; None }
+  }
 
   // ---------------------------------------------------------------
   // Encoder
@@ -1439,25 +1948,34 @@ object H264Codec {
     require(qp >= 0 && qp <= 51, s"qp $qp")
     val mbW = (src.width + 15) / 16
     val mbH = (src.height + 15) / 16
-    // edge-replicated source at MB-padded size
-    def pad(p: Array[Byte], w: Int, h: Int, dw: Int, dh: Int): Array[Byte] = {
-      val out = new Array[Byte](dw * dh)
-      var y = 0
-      while (y < dh) {
-        val sy = math.min(y, h - 1)
-        var x = 0
-        while (x < dw) { out(y * dw + x) = p(sy * w + math.min(x, w - 1)); x += 1 }
-        y += 1
-      }
-      out
-    }
     val st = new FrameState(mbW, mbH)
-    val srcY = pad(src.y, src.width, src.height, st.w, st.h)
-    val srcCb = pad(src.cb, src.chromaW, src.chromaH, st.cw, st.ch)
-    val srcCr = pad(src.cr, src.chromaW, src.chromaH, st.cw, st.ch)
+    val srcY = padPlane(src.y, src.width, src.height, st.w, st.h)
+    val srcCb = padPlane(src.cb, src.chromaW, src.chromaH, st.cw, st.ch)
+    val srcCr = padPlane(src.cr, src.chromaW, src.chromaH, st.cw, st.ch)
 
+    val rbsp = encodeIdrSliceRbsp(st, srcY, srcCb, srcCr, qp, forcePcm)
+
+    val spsW = new BitWriter
+    writeSps(spsW, mbW, mbH, (mbW * 16 - src.width) / 2, (mbH * 16 - src.height) / 2)
+    val ppsW = new BitWriter
+    writePps(ppsW, qp)
+    val spsNal = Array[Byte](0x67.toByte) ++ escapeRbsp(spsW.bytes)
+    val ppsNal = Array[Byte](0x68.toByte) ++ escapeRbsp(ppsW.bytes)
+    val idrNal = Array[Byte](0x65.toByte) ++ escapeRbsp(rbsp)
+    val sc = Array[Byte](0, 0, 0, 1)
+    val annexB = sc ++ spsNal ++ sc ++ ppsNal ++ sc ++ idrNal
+    val sps = Sps(66, 30, 4, 2, 0, mbW, mbH,
+      0, (mbW * 16 - src.width) / 2, 0, (mbH * 16 - src.height) / 2)
+    Encoded(annexB, spsNal, ppsNal, idrNal, cropFrame(st, sps))
+  }
+
+  /** Write one IDR slice (header + all MBs) into `st`; returns the
+    * RBSP bytes. Mirrors decodeSlice's I path exactly.
+    */
+  private def encodeIdrSliceRbsp(st: FrameState, srcY: Array[Byte],
+      srcCb: Array[Byte], srcCr: Array[Byte], qp: Int,
+      forcePcm: Boolean): Array[Byte] = {
     val w = new BitWriter
-    // slice header (mirrors decodeSlice exactly)
     w.ue(0) // first_mb_in_slice
     w.ue(7) // slice_type: I (all slices in picture)
     w.ue(0) // pps_id
@@ -1466,34 +1984,532 @@ object H264Codec {
     w.put(0); w.put(0) // dec_ref_pic_marking: no_output_of_prior, long_term
     w.se(0) // slice_qp_delta (pic_init_qp carries the QP)
     w.ue(1) // disable_deblocking_filter_idc = 1
-
     var mb = 0
-    while (mb < mbW * mbH) {
-      val mbX = mb % mbW; val mbY = mb / mbW
+    while (mb < st.mbW * st.mbH) {
+      val mbX = mb % st.mbW; val mbY = mb / st.mbW
       if (forcePcm) encodeMbPcm(w, st, srcY, srcCb, srcCr, mbX, mbY)
       else encodeMbIntra(w, st, srcY, srcCb, srcCr, mbX, mbY, qp)
       mb += 1
     }
     w.trailing()
+    w.bytes
+  }
 
+  // ---------------------------------------------------------------
+  // P-frame encoder (inter prediction): motion search over all
+  // partition shapes, P_Skip, intra fallback — reconstruction through
+  // the decoder's own MC + residual pipeline, like the intra paths.
+  // ---------------------------------------------------------------
+
+  /** Edge-replicate a plane to the MB-padded size. */
+  private def padPlane(p: Array[Byte], w: Int, h: Int, dw: Int, dh: Int): Array[Byte] = {
+    val out = new Array[Byte](dw * dh)
+    var y = 0
+    while (y < dh) {
+      val sy = math.min(y, h - 1)
+      var x = 0
+      while (x < dw) { out(y * dw + x) = p(sy * w + math.min(x, w - 1)); x += 1 }
+      y += 1
+    }
+    out
+  }
+
+  /** Bits of ue(k) / se(v) — for motion-cost estimates only. */
+  @inline private def ueBits(k: Int): Int =
+    2 * (31 - Integer.numberOfLeadingZeros(k + 1)) + 1
+  @inline private def seBits(v: Int): Int =
+    ueBits(if (v > 0) 2 * v - 1 else -2 * v)
+
+  /** Full-pel SAD of the bw x bh luma block at (px,py) against the
+    * clamped reference at offset (ox,oy).
+    */
+  private def fullSad(refY: Array[Byte], rw: Int, rh: Int, src: Array[Byte],
+      px: Int, py: Int, bw: Int, bh: Int, ox: Int, oy: Int): Int = {
+    var s = 0
+    var y = 0
+    while (y < bh) {
+      val sy = clampI(py + oy + y, rh - 1) * rw
+      var x = 0
+      while (x < bw) {
+        s += math.abs((refY(sy + clampI(px + ox + x, rw - 1)) & 0xff) -
+          (src((py + y) * rw + px + x) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    s
+  }
+
+  /** Motion search for one partition: full-pel exhaustive around the
+    * predictor (plus the zero vector), then half- and quarter-pel
+    * refinement through the decoder's own interpolator. Returns
+    * (mvx, mvy, sad) in quarter-pel units.
+    */
+  private def searchPart(refY: Array[Byte], st: FrameState, src: Array[Byte],
+      px: Int, py: Int, bw: Int, bh: Int, mpx: Int, mpy: Int,
+      range: Int): (Int, Int, Int) = {
+    val cx = mpx >> 2; val cy = mpy >> 2
+    var bestX = 0; var bestY = 0
+    var bestS = fullSad(refY, st.w, st.h, src, px, py, bw, bh, 0, 0)
+    var dy = -range
+    while (dy <= range) {
+      var dx = -range
+      while (dx <= range) {
+        val s = fullSad(refY, st.w, st.h, src, px, py, bw, bh, cx + dx, cy + dy)
+        if (s < bestS) { bestS = s; bestX = cx + dx; bestY = cy + dy }
+        dx += 1
+      }
+      dy += 1
+    }
+    var qx = bestX * 4; var qy = bestY * 4
+    val tmp = new Array[Int](bw * bh)
+    def sadQ(mx: Int, my: Int): Int = {
+      mcLuma(refY, st.w, st.h, px, py, mx, my, bw, bh, tmp, 0, bw)
+      var s = 0
+      var i = 0
+      while (i < bw * bh) {
+        s += math.abs(tmp(i) - (src((py + i / bw) * st.w + px + i % bw) & 0xff))
+        i += 1
+      }
+      s
+    }
+    var step = 2
+    while (step >= 1) {
+      var bx = 0; var by = 0; var bs = bestS
+      var d = 0
+      val dirs = Array((step, 0), (-step, 0), (0, step), (0, -step),
+        (step, step), (step, -step), (-step, step), (-step, -step))
+      while (d < dirs.length) {
+        val s = sadQ(qx + dirs(d)._1, qy + dirs(d)._2)
+        if (s < bs) { bs = s; bx = dirs(d)._1; by = dirs(d)._2 }
+        d += 1
+      }
+      if (bs < bestS) { bestS = bs; qx += bx; qy += by }
+      step -= 1
+    }
+    @inline def clampMv(v: Int): Int =
+      math.max(-(1 << 13), math.min(1 << 13, v))
+    (clampMv(qx), clampMv(qy), bestS)
+  }
+
+  /** One planned inter partition: grid geometry (4x4 units), the
+    * mvPred shape selector, and the chosen quarter-pel vector.
+    */
+  private final case class PartPlan(dx: Int, dy: Int, w4: Int, h4: Int,
+      shape: Int, mx: Int, my: Int)
+
+  /** True iff the MB quantizes to an exact P_Skip at the skip vector
+    * (all luma, chroma-DC and chroma-AC levels zero).
+    */
+  private def trySkip(st: FrameState, ref: FrameState, srcY: Array[Byte],
+      srcCb: Array[Byte], srcCr: Array[Byte], mbX: Int, mbY: Int, qp: Int): Boolean = {
+    val (mx, my) = skipMv(st, mbX, mbY)
+    val predY = new Array[Int](256)
+    mcLuma(ref.y, st.w, st.h, mbX * 16, mbY * 16, mx, my, 16, 16, predY, 0, 16)
+    val blk = new Array[Int](16)
+    var k = 0
+    while (k < 16) {
+      val ox = (k & 3) * 4; val oy = (k >> 2) * 4
+      var i = 0
+      while (i < 16) {
+        val x = ox + (i & 3); val y = oy + (i >> 2)
+        blk(i) = (srcY((mbY * 16 + y) * st.w + mbX * 16 + x) & 0xff) - predY(y * 16 + x)
+        i += 1
+      }
+      fdct4(blk)
+      i = 0
+      while (i < 16) {
+        val pos = Zig4(i)
+        if (quant(blk(pos), pos, qp) != 0) return false
+        i += 1
+      }
+      k += 1
+    }
+    val qpc = chromaQp(qp, 0)
+    val predC = new Array[Int](64)
+    var pi = 0
+    while (pi < 2) {
+      val (sp, rp) = if (pi == 0) (srcCb, ref.cb) else (srcCr, ref.cr)
+      mcChroma(rp, st.cw, st.ch, mbX * 8, mbY * 8, mx, my, 8, 8, predC, 0, 8)
+      val dcRaw = new Array[Int](4)
+      var b = 0
+      while (b < 4) {
+        val ox = (b & 1) * 4; val oy = (b >> 1) * 4
+        var i = 0
+        while (i < 16) {
+          val x = ox + (i & 3); val y = oy + (i >> 2)
+          blk(i) = (sp((mbY * 8 + y) * st.cw + mbX * 8 + x) & 0xff) - predC(y * 8 + x)
+          i += 1
+        }
+        fdct4(blk)
+        dcRaw(b) = blk(0)
+        i = 1
+        while (i < 16) {
+          val pos = Zig4(i)
+          if (quant(blk(pos), pos, qpc) != 0) return false
+          i += 1
+        }
+        b += 1
+      }
+      hadamard2(dcRaw)
+      b = 0
+      while (b < 4) { if (quantDc(dcRaw(b), qpc) != 0) return false; b += 1 }
+      pi += 1
+    }
+    true
+  }
+
+  /** Choose the best inter shape for one MB by SAD + lambda·mvd-bits.
+    * Commits trial motion to the grid (exact mvp chaining between
+    * partitions) and fully restores it before returning; the caller's
+    * encode pass re-commits the winning plan.
+    * Returns (cost, mb_type 0..3, partition plans in decode order).
+    */
+  private def planInter(st: FrameState, ref: FrameState, srcY: Array[Byte],
+      mbX: Int, mbY: Int, qp: Int, searchRange: Int): (Int, Int, Vector[PartPlan]) = {
+    val bx0 = mbX * 4; val by0 = mbY * 4
+    val lambda = 1 << math.max(0, (qp - 12) / 6)
+    val savedMx = new Array[Int](16)
+    val savedMy = new Array[Int](16)
+    val savedRef = new Array[Int](16)
+    def snapshot(): Unit = {
+      var k = 0
+      while (k < 16) {
+        val i = (by0 + (k >> 2)) * st.bW + bx0 + (k & 3)
+        savedMx(k) = st.mvX(i); savedMy(k) = st.mvY(i); savedRef(k) = st.refL0(i)
+        k += 1
+      }
+    }
+    def restore(): Unit = {
+      var k = 0
+      while (k < 16) {
+        val i = (by0 + (k >> 2)) * st.bW + bx0 + (k & 3)
+        st.mvX(i) = savedMx(k); st.mvY(i) = savedMy(k); st.refL0(i) = savedRef(k)
+        k += 1
+      }
+    }
+    snapshot()
+    // search + cost one partition list in order, committing motion
+    def planParts(parts: Seq[Array[Int]]): (Int, Vector[PartPlan]) = {
+      var cost = 0
+      val out = Vector.newBuilder[PartPlan]
+      parts.foreach { case Array(dx, dy, w4, h4, shape) =>
+        val (mpx, mpy) = mvPred(st, bx0 + dx, by0 + dy, w4, 0, shape)
+        val (mx, my, sad) = searchPart(ref.y, st, srcY,
+          mbX * 16 + dx * 4, mbY * 16 + dy * 4, w4 * 4, h4 * 4, mpx, mpy, searchRange)
+        cost += sad + lambda * (seBits(mx - mpx) + seBits(my - mpy))
+        st.setMotion(bx0 + dx, by0 + dy, w4, h4, mx, my, 0)
+        out += PartPlan(dx, dy, w4, h4, shape, mx, my)
+      }
+      (cost, out.result())
+    }
+    var bestCost = Int.MaxValue
+    var bestType = 0
+    var bestParts = Vector.empty[PartPlan]
+    val shapes = Seq(
+      (0, Seq(Array(0, 0, 4, 4, 0))),
+      (1, Seq(Array(0, 0, 4, 2, 1), Array(0, 2, 4, 2, 2))),
+      (2, Seq(Array(0, 0, 2, 4, 3), Array(2, 0, 2, 4, 4))))
+    shapes.foreach { case (t, parts) =>
+      val (c, pl) = planParts(parts)
+      val cT = c + lambda * ueBits(t)
+      if (cT < bestCost) { bestCost = cT; bestType = t; bestParts = pl }
+      restore()
+    }
+    // P_8x8: per 8x8 choose the best sub shape; chosen sub-partitions
+    // stay committed while planning the next 8x8 (exact mvp chaining)
+    locally {
+      var cost = lambda * ueBits(3)
+      val all = Vector.newBuilder[PartPlan]
+      val sub8Mx = new Array[Int](4); val sub8My = new Array[Int](4)
+      val sub8Ref = new Array[Int](4)
+      var i = 0
+      while (i < 4) {
+        val ox = (i & 1) * 2; val oy = (i >> 1) * 2
+        // snapshot just this 8x8's cells between sub-shape trials
+        var k = 0
+        while (k < 4) {
+          val gi = (by0 + oy + (k >> 1)) * st.bW + bx0 + ox + (k & 1)
+          sub8Mx(k) = st.mvX(gi); sub8My(k) = st.mvY(gi); sub8Ref(k) = st.refL0(gi)
+          k += 1
+        }
+        def restore8(): Unit = {
+          var k2 = 0
+          while (k2 < 4) {
+            val gi = (by0 + oy + (k2 >> 1)) * st.bW + bx0 + ox + (k2 & 1)
+            st.mvX(gi) = sub8Mx(k2); st.mvY(gi) = sub8My(k2); st.refL0(gi) = sub8Ref(k2)
+            k2 += 1
+          }
+        }
+        val subShapes = Seq(
+          (0, Seq(Array(ox, oy, 2, 2, 0))),
+          (1, Seq(Array(ox, oy, 2, 1, 0), Array(ox, oy + 1, 2, 1, 0))),
+          (2, Seq(Array(ox, oy, 1, 2, 0), Array(ox + 1, oy, 1, 2, 0))),
+          (3, Seq(Array(ox, oy, 1, 1, 0), Array(ox + 1, oy, 1, 1, 0),
+            Array(ox, oy + 1, 1, 1, 0), Array(ox + 1, oy + 1, 1, 1, 0))))
+        var bSub = Int.MaxValue
+        var bSubParts = Vector.empty[PartPlan]
+        subShapes.foreach { case (t, parts) =>
+          val (c, pl) = planParts(parts)
+          val cT = c + lambda * ueBits(t)
+          if (cT < bSub) { bSub = cT; bSubParts = pl }
+          restore8()
+        }
+        // re-commit the winning sub shape for the next 8x8's mvp context
+        bSubParts.foreach(p =>
+          st.setMotion(bx0 + p.dx, by0 + p.dy, p.w4, p.h4, p.mx, p.my, 0))
+        cost += bSub
+        all ++= bSubParts
+        i += 1
+      }
+      if (cost < bestCost) { bestCost = cost; bestType = 3; bestParts = all.result() }
+      restore()
+    }
+    (bestCost, bestType, bestParts)
+  }
+
+  /** Serialize one inter MB (mb_type, sub types, mvds, residual) and
+    * reconstruct it decoder-identically.
+    */
+  private def encodeMbPInter(w: BitWriter, st: FrameState, ref: FrameState,
+      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
+      mbX: Int, mbY: Int, qp: Int, mbTypeP: Int, parts: Vector[PartPlan]): Unit = {
+    val bx0 = mbX * 4; val by0 = mbY * 4
+    val px0 = mbX * 16; val py0 = mbY * 16
+    val predY = new Array[Int](256)
+    val predC = Array.ofDim[Int](2, 64)
+    w.ue(mbTypeP)
+    if (mbTypeP == 3) {
+      var i = 0
+      while (i < 4) {
+        val ox = (i & 1) * 2; val oy = (i >> 1) * 2
+        val p0 = parts.find(p => p.dx == ox && p.dy == oy).get
+        w.ue((p0.w4, p0.h4) match {
+          case (2, 2) => 0
+          case (2, 1) => 1
+          case (1, 2) => 2
+          case _ => 3
+        })
+        i += 1
+      }
+    }
+    // single-reference stream: no ref_idx_l0 syntax. Derive mvds in
+    // partition order, committing motion exactly as the decoder will.
+    val mvds = parts.map { p =>
+      val (mpx, mpy) = mvPred(st, bx0 + p.dx, by0 + p.dy, p.w4, 0, p.shape)
+      st.setMotion(bx0 + p.dx, by0 + p.dy, p.w4, p.h4, p.mx, p.my, 0)
+      mcLuma(ref.y, st.w, st.h, px0 + p.dx * 4, py0 + p.dy * 4, p.mx, p.my,
+        p.w4 * 4, p.h4 * 4, predY, p.dy * 4 * 16 + p.dx * 4, 16)
+      mcChroma(ref.cb, st.cw, st.ch, mbX * 8 + p.dx * 2, mbY * 8 + p.dy * 2,
+        p.mx, p.my, p.w4 * 2, p.h4 * 2, predC(0), p.dy * 2 * 8 + p.dx * 2, 8)
+      mcChroma(ref.cr, st.cw, st.ch, mbX * 8 + p.dx * 2, mbY * 8 + p.dy * 2,
+        p.mx, p.my, p.w4 * 2, p.h4 * 2, predC(1), p.dy * 2 * 8 + p.dx * 2, 8)
+      (p.mx - mpx, p.my - mpy)
+    }
+    mvds.foreach { case (dx, dy) => w.se(dx); w.se(dy) }
+    // luma levels + cbp
+    val blk = new Array[Int](16)
+    val levels = Array.ofDim[Int](16, 16)
+    var cbpL = 0
+    var k = 0
+    while (k < 16) {
+      val (zx, zy) = ZPos(k)
+      var i = 0
+      while (i < 16) {
+        val x = px0 + zx * 4 + (i & 3); val y = py0 + zy * 4 + (i >> 2)
+        blk(i) = (srcY(y * st.w + x) & 0xff) -
+          predY((zy * 4 + (i >> 2)) * 16 + zx * 4 + (i & 3))
+        i += 1
+      }
+      fdct4(blk)
+      i = 0
+      while (i < 16) {
+        val pos = Zig4(i)
+        levels(k)(i) = quant(blk(pos), pos, qp)
+        i += 1
+      }
+      if (levels(k).exists(_ != 0)) cbpL |= 1 << ((zy >> 1) * 2 + (zx >> 1))
+      k += 1
+    }
+    val (cbpChroma, _, dcCb, dcCr, acCb, acCr) =
+      encodeChroma(st, srcCb, srcCr, mbX, mbY, qp, interPred = predC)
+    val cbp = cbpL | (cbpChroma << 4)
+    w.ue(CbpInterInv(cbp))
+    if (cbp != 0) w.se(0) // mb_qp_delta
+    k = 0
+    while (k < 16) {
+      val (zx, zy) = ZPos(k)
+      val bx = bx0 + zx; val by = by0 + zy
+      val b8 = (zy >> 1) * 2 + (zx >> 1)
+      val coded = (cbp & (1 << b8)) != 0
+      if (coded) writeResidual(w, st.lumaNc(bx, by), 16, levels(k))
+      val tc = if (coded) levels(k).count(_ != 0) else 0
+      st.tcY(by * st.bW + bx) = tc
+      st.modeY(by * st.bW + bx) = 2
+      if (tc > 0) {
+        dequantFull(levels(k), qp, blk)
+        idct4(blk)
+        reconBlock(st.y, st.w, px0 + zx * 4, py0 + zy * 4,
+          predY, zy * 4 * 16 + zx * 4, 16, blk)
+      } else writePredBlock(st.y, st.w, px0 + zx * 4, py0 + zy * 4,
+        predY, zy * 4 * 16 + zx * 4, 16)
+      k += 1
+    }
+    writeChromaResidual(w, st, mbX, mbY, cbpChroma, dcCb, dcCr, acCb, acCr)
+  }
+
+  /** Write one P slice (header + all MBs) into `st` predicting against
+    * `ref`; returns the RBSP bytes. Mirrors decodeSlice's P path.
+    */
+  private def encodePSliceRbsp(st: FrameState, ref: FrameState,
+      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
+      qp: Int, frameNum: Int, searchRange: Int,
+      modes: scala.collection.mutable.Map[String, Int]): Array[Byte] = {
+    val w = new BitWriter
+    w.ue(0) // first_mb_in_slice
+    w.ue(5) // slice_type: P (all slices in picture)
+    w.ue(0) // pps_id
+    w.putBits(frameNum & 15, 4)
+    w.put(0) // num_ref_idx_active_override_flag
+    w.put(0) // ref_pic_list_modification_flag_l0
+    w.put(0) // adaptive_ref_pic_marking_mode_flag (sliding window)
+    w.se(0) // slice_qp_delta
+    w.ue(1) // disable_deblocking_filter_idc = 1
+    val refs = IndexedSeq(ref)
+    val lambda = 1 << math.max(0, (qp - 12) / 6)
+    val pred256 = new Array[Int](256)
+    var skipRun = 0
+    var mb = 0
+    while (mb < st.mbW * st.mbH) {
+      val mbX = mb % st.mbW; val mbY = mb / st.mbW
+      if (trySkip(st, ref, srcY, srcCb, srcCr, mbX, mbY, qp)) {
+        decodeMbSkip(st, refs, mbX, mbY)
+        skipRun += 1
+        modes("P_Skip") += 1
+      } else {
+        val (interCost, mbTypeP, parts) =
+          planInter(st, ref, srcY, mbX, mbY, qp, searchRange)
+        // intra fallback estimate: best whole-MB I_16x16 prediction
+        val aL = mbX > 0; val aT = mbY > 0
+        val cand = Seq(2) ++ (if (aT) Seq(0) else Nil) ++
+          (if (aL) Seq(1) else Nil) ++ (if (aL && aT) Seq(3) else Nil)
+        val intraSad = cand.map { m =>
+          predict16(st.y, st.w, mbX * 16, mbY * 16, m, aL, aT, pred256)
+          sad16(pred256, srcY, st.w, mbX * 16, mbY * 16, 16)
+        }.min
+        w.ue(skipRun); skipRun = 0
+        if (intraSad + lambda * 48 < interCost) {
+          encodeMbIntra(w, st, srcY, srcCb, srcCr, mbX, mbY, qp, typeOffset = 5)
+          modes("I_in_P") += 1
+        } else {
+          encodeMbPInter(w, st, ref, srcY, srcCb, srcCr, mbX, mbY, qp, mbTypeP, parts)
+          modes(mbTypeP match {
+            case 0 => "P_16x16"
+            case 1 => "P_16x8"
+            case 2 => "P_8x16"
+            case _ => "P_8x8"
+          }) += 1
+          if (mbTypeP == 3) parts.foreach { p =>
+            modes((p.w4, p.h4) match {
+              case (2, 2) => "sub_8x8"
+              case (2, 1) => "sub_8x4"
+              case (1, 2) => "sub_4x8"
+              case _ => "sub_4x4"
+            }) += 1
+          }
+        }
+      }
+      mb += 1
+    }
+    if (skipRun > 0) w.ue(skipRun)
+    w.trailing()
+    w.bytes
+  }
+
+  /** One frame of [[encodeSequence]]: the slice NAL (ready for MP4
+    * sample framing), its sync flag, the decoder-identical
+    * reconstruction, and the MB-mode histogram (spec coverage
+    * accounting; empty for IDR frames).
+    */
+  final case class EncodedFrame(nal: Array[Byte], idr: Boolean,
+      recon: Yuv420, mbModes: Map[String, Int])
+
+  /** An encoded GOP sequence: shared SPS/PPS (max_num_ref_frames = 1)
+    * and the per-frame slice NALs.
+    */
+  final case class EncodedSeq(spsNal: Array[Byte], ppsNal: Array[Byte],
+      frames: Vector[EncodedFrame]) {
+    /** The whole sequence as one Annex-B stream. */
+    def annexB: Array[Byte] = {
+      val sc = Array[Byte](0, 0, 0, 1)
+      val b = Array.newBuilder[Byte]
+      b ++= sc; b ++= spsNal; b ++= sc; b ++= ppsNal
+      frames.foreach { f => b ++= sc; b ++= f.nal }
+      b.result()
+    }
+  }
+
+  /** Encode a GOP sequence: an IDR every `gop` frames, P frames in
+    * between predicting the immediately previous reconstruction
+    * (single-reference sliding window, the chain [[decodeYuvFrames]]
+    * and [[AvcDecoder]] maintain). Same structural oracle as
+    * [[encodeYuv]]: every frame's `recon` is produced through the
+    * decoder's own prediction/MC/residual pipeline, so decoding the
+    * stream must reproduce it bit-exactly.
+    */
+  def encodeSequence(srcFrames: Seq[Yuv420], qp: Int = 28, gop: Int = 12,
+      searchRange: Int = 4): EncodedSeq = {
+    require(srcFrames.nonEmpty, "empty sequence")
+    require(qp >= 0 && qp <= 51, s"qp $qp")
+    require(gop >= 1, "gop")
+    require(searchRange >= 1 && searchRange <= 16, "searchRange")
+    val head = srcFrames.head
+    require(head.width > 0 && head.height > 0 &&
+      head.width % 2 == 0 && head.height % 2 == 0,
+      s"dims ${head.width}x${head.height}: 4:2:0 needs even sizes")
+    require(srcFrames.forall(f => f.width == head.width && f.height == head.height),
+      "all frames must share dimensions")
+    val mbW = (head.width + 15) / 16
+    val mbH = (head.height + 15) / 16
+    val sps = Sps(66, 30, 4, 2, 0, mbW, mbH,
+      0, (mbW * 16 - head.width) / 2, 0, (mbH * 16 - head.height) / 2)
     val spsW = new BitWriter
-    writeSps(spsW, mbW, mbH, (mbW * 16 - src.width) / 2, (mbH * 16 - src.height) / 2)
+    writeSps(spsW, mbW, mbH, sps.cropRight, sps.cropBottom, numRefFrames = 1)
     val ppsW = new BitWriter
     writePps(ppsW, qp)
     val spsNal = Array[Byte](0x67.toByte) ++ escapeRbsp(spsW.bytes)
     val ppsNal = Array[Byte](0x68.toByte) ++ escapeRbsp(ppsW.bytes)
-    val idrNal = Array[Byte](0x65.toByte) ++ escapeRbsp(w.bytes)
-    val sc = Array[Byte](0, 0, 0, 1)
-    val annexB = sc ++ spsNal ++ sc ++ ppsNal ++ sc ++ idrNal
-    val sps = Sps(66, 30, 4, 2, 0, mbW, mbH,
-      0, (mbW * 16 - src.width) / 2, 0, (mbH * 16 - src.height) / 2)
-    Encoded(annexB, spsNal, ppsNal, idrNal, cropFrame(st, sps))
+    var prev: FrameState = null
+    var frameNum = 0
+    val frames = srcFrames.iterator.zipWithIndex.map { case (src, i) =>
+      val st = new FrameState(mbW, mbH)
+      val srcY = padPlane(src.y, src.width, src.height, st.w, st.h)
+      val srcCb = padPlane(src.cb, src.chromaW, src.chromaH, st.cw, st.ch)
+      val srcCr = padPlane(src.cr, src.chromaW, src.chromaH, st.cw, st.ch)
+      val idr = i % gop == 0
+      val (nal, histo) =
+        if (idr) {
+          frameNum = 0
+          val rbsp = encodeIdrSliceRbsp(st, srcY, srcCb, srcCr, qp, forcePcm = false)
+          (Array[Byte](0x65.toByte) ++ escapeRbsp(rbsp), Map.empty[String, Int])
+        } else {
+          val modes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+          val rbsp = encodePSliceRbsp(st, prev, srcY, srcCb, srcCr,
+            qp, frameNum, searchRange, modes)
+          (Array[Byte](0x41.toByte) ++ escapeRbsp(rbsp), modes.toMap)
+        }
+      prev = st
+      frameNum = (frameNum + 1) & 15
+      EncodedFrame(nal, idr, cropFrame(st, sps), histo)
+    }.toVector
+    EncodedSeq(spsNal, ppsNal, frames)
   }
 
   private def encodeMbPcm(w: BitWriter, st: FrameState,
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
-      mbX: Int, mbY: Int): Unit = {
-    w.ue(25)
+      mbX: Int, mbY: Int, typeOffset: Int = 0): Unit = {
+    st.markIntra(mbX, mbY)
+    w.ue(25 + typeOffset)
     w.align() // pcm_alignment_zero_bit
     var i = 0
     while (i < 256) {
@@ -1529,12 +2545,15 @@ object H264Codec {
     }
   }
 
-  /** Chroma encode shared by both intra MB paths: mode selection,
-    * 2x2-Hadamard DC + AC quantization, decoder-identical recon.
-    * Returns (cbpChroma, chromaMode, dcCb, dcCr, acCb, acCr, acTcCb, acTcCr).
+  /** Chroma encode shared by the intra MB paths and the inter path:
+    * intra mode selection (or the caller's MC prediction via
+    * `interPred`), 2x2-Hadamard DC + AC quantization,
+    * decoder-identical recon.
+    * Returns (cbpChroma, chromaMode, dcCb, dcCr, acCb, acCr).
     */
   private def encodeChroma(st: FrameState, srcCb: Array[Byte], srcCr: Array[Byte],
-      mbX: Int, mbY: Int, qp: Int): (Int, Int, Array[Int], Array[Int],
+      mbX: Int, mbY: Int, qp: Int,
+      interPred: Array[Array[Int]] = null): (Int, Int, Array[Int], Array[Int],
       Array[Array[Int]], Array[Array[Int]]) = {
     val qpc = chromaQp(qp, 0)
     val cpx0 = mbX * 8; val cpy0 = mbY * 8
@@ -1543,7 +2562,7 @@ object H264Codec {
     val candidates = Seq(0) ++ (if (aL) Seq(1) else Nil) ++
       (if (aT) Seq(2) else Nil) ++ (if (aL && aT) Seq(3) else Nil)
     val pred = new Array[Int](64)
-    val chromaMode = candidates.minBy { m =>
+    val chromaMode = if (interPred != null) 0 else candidates.minBy { m =>
       predictChroma8(st.cb, st.cw, cpx0, cpy0, m, aL, aT, pred)
       val s1 = sad16(pred, srcCb, st.cw, cpx0, cpy0, 8)
       predictChroma8(st.cr, st.cw, cpx0, cpy0, m, aL, aT, pred)
@@ -1557,7 +2576,8 @@ object H264Codec {
     var pi = 0
     while (pi < 2) {
       val (sp, plane) = if (pi == 0) (srcCb, st.cb) else (srcCr, st.cr)
-      predictChroma8(plane, st.cw, cpx0, cpy0, chromaMode, aL, aT, predP(pi))
+      if (interPred != null) System.arraycopy(interPred(pi), 0, predP(pi), 0, 64)
+      else predictChroma8(plane, st.cw, cpx0, cpy0, chromaMode, aL, aT, predP(pi))
       val dcRaw = new Array[Int](4)
       var b = 0
       while (b < 4) {
@@ -1647,7 +2667,7 @@ object H264Codec {
 
   private def encodeMbIntra(w: BitWriter, st: FrameState,
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
-      mbX: Int, mbY: Int, qp: Int): Unit = {
+      mbX: Int, mbY: Int, qp: Int, typeOffset: Int = 0): Unit = {
     val px0 = mbX * 16; val py0 = mbY * 16
     val aLmb = mbX > 0; val aTmb = mbY > 0
     // I_16x16 candidate: best full-block prediction SAD
@@ -1688,13 +2708,15 @@ object H264Codec {
       sad4Est += best
       k += 1
     }
-    if (sad16Best <= sad4Est) encodeMbI16(w, st, srcY, srcCb, srcCr, mbX, mbY, qp, mode16, pred256)
-    else encodeMbI4(w, st, srcY, srcCb, srcCr, mbX, mbY, qp)
+    if (sad16Best <= sad4Est) encodeMbI16(w, st, srcY, srcCb, srcCr, mbX, mbY, qp, mode16, pred256, typeOffset)
+    else encodeMbI4(w, st, srcY, srcCb, srcCr, mbX, mbY, qp, typeOffset)
   }
 
   private def encodeMbI16(w: BitWriter, st: FrameState,
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
-      mbX: Int, mbY: Int, qp: Int, mode16: Int, pred256: Array[Int]): Unit = {
+      mbX: Int, mbY: Int, qp: Int, mode16: Int, pred256: Array[Int],
+      typeOffset: Int = 0): Unit = {
+    st.markIntra(mbX, mbY)
     val px0 = mbX * 16; val py0 = mbY * 16
     val bx0 = mbX * 4; val by0 = mbY * 4
     val blk = new Array[Int](16)
@@ -1732,7 +2754,7 @@ object H264Codec {
       encodeChroma(st, srcCb, srcCr, mbX, mbY, qp)
     // ---- serialize ----
     val mbType = 1 + mode16 + 4 * cbpChroma + (if (cbpLuma == 15) 12 else 0)
-    w.ue(mbType)
+    w.ue(mbType + typeOffset)
     w.ue(chromaMode)
     w.se(0) // mb_qp_delta
     // luma DC (context of block 0, before this MB's tc values are set)
@@ -1762,7 +2784,8 @@ object H264Codec {
 
   private def encodeMbI4(w: BitWriter, st: FrameState,
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
-      mbX: Int, mbY: Int, qp: Int): Unit = {
+      mbX: Int, mbY: Int, qp: Int, typeOffset: Int = 0): Unit = {
+    st.markIntra(mbX, mbY)
     val px0 = mbX * 16; val py0 = mbY * 16
     val bx0 = mbX * 4; val by0 = mbY * 4
     val blk = new Array[Int](16)
@@ -1835,7 +2858,7 @@ object H264Codec {
       encodeChroma(st, srcCb, srcCr, mbX, mbY, qp)
     val cbp = cbpL | (cbpChroma << 4)
     // ---- serialize ----
-    w.ue(0) // mb_type I_4x4
+    w.ue(typeOffset) // mb_type I_4x4 (offset 5 inside P slices)
     k = 0
     while (k < 16) {
       val (zx, zy) = ZPos(k)

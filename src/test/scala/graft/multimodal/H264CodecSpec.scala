@@ -411,6 +411,267 @@ class H264CodecSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------
+  // P slices (inter prediction, r7)
+  // ---------------------------------------------------------------
+
+  /** A camera-pan sequence: every frame samples one fixed textured
+    * field at a per-frame offset (quarter-smooth content with real
+    * structure), so motion search has a true answer to find.
+    */
+  private def panSeq(w: Int, h: Int, n: Int, stepX: Int, stepY: Int): Vector[Yuv420] = {
+    def field(x: Int, y: Int, c: Int): Int =
+      ((x * 3 + y * 5 + (x / 7) * (y / 5) * 11 + c * 101 + 31) & 0xff)
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    Vector.tabulate(n) { k =>
+      val ox = k * stepX; val oy = k * stepY
+      Yuv420(w, h,
+        Array.tabulate(w * h)(i => field(i % w + ox, i / w + oy, 0).toByte),
+        Array.tabulate(cw * ch)(i => field(i % cw + ox / 2, i / cw + oy / 2, 1).toByte),
+        Array.tabulate(cw * ch)(i => field(i % cw + ox / 2, i / cw + oy / 2, 2).toByte))
+    }
+  }
+
+  /** Literal per-sample transcription of the fractional luma
+    * interpolation (8.4.2.2.1/.2, Table 8-12 letters), written
+    * independently of mcLuma's patch machinery — and with the centre
+    * sample j computed in the OPPOSITE separability order (vertical
+    * raw sums, then the horizontal 6-tap), which the standard defines
+    * to be identical.
+    */
+  private def lumaSampleQ(ref: Array[Byte], rw: Int, rh: Int, qx: Int, qy: Int): Int = {
+    def at(x: Int, y: Int): Int =
+      ref(math.max(0, math.min(rh - 1, y)) * rw + math.max(0, math.min(rw - 1, x))) & 0xff
+    def clip(v: Int) = math.max(0, math.min(255, v))
+    val xI = Math.floorDiv(qx, 4); val yI = Math.floorDiv(qy, 4)
+    val fx = qx - 4 * xI; val fy = qy - 4 * yI
+    def bRaw(x: Int, y: Int) =
+      at(x - 2, y) - 5 * at(x - 1, y) + 20 * at(x, y) + 20 * at(x + 1, y) -
+        5 * at(x + 2, y) + at(x + 3, y)
+    def hRaw(x: Int, y: Int) =
+      at(x, y - 2) - 5 * at(x, y - 1) + 20 * at(x, y) + 20 * at(x, y + 1) -
+        5 * at(x, y + 2) + at(x, y + 3)
+    def b(x: Int, y: Int) = clip((bRaw(x, y) + 16) >> 5)
+    def h(x: Int, y: Int) = clip((hRaw(x, y) + 16) >> 5)
+    def j(x: Int, y: Int) = clip((hRaw(x - 2, y) - 5 * hRaw(x - 1, y) +
+      20 * hRaw(x, y) + 20 * hRaw(x + 1, y) - 5 * hRaw(x + 2, y) +
+      hRaw(x + 3, y) + 512) >> 10)
+    def avg(u: Int, v: Int) = (u + v + 1) >> 1
+    val G = at(xI, yI)
+    (fx, fy) match {
+      case (0, 0) => G
+      case (1, 0) => avg(G, b(xI, yI)) // a
+      case (2, 0) => b(xI, yI)
+      case (3, 0) => avg(b(xI, yI), at(xI + 1, yI)) // c
+      case (0, 1) => avg(G, h(xI, yI)) // d
+      case (0, 2) => h(xI, yI)
+      case (0, 3) => avg(h(xI, yI), at(xI, yI + 1)) // n
+      case (1, 1) => avg(b(xI, yI), h(xI, yI)) // e
+      case (2, 1) => avg(b(xI, yI), j(xI, yI)) // f
+      case (3, 1) => avg(b(xI, yI), h(xI + 1, yI)) // g
+      case (1, 2) => avg(h(xI, yI), j(xI, yI)) // i
+      case (2, 2) => j(xI, yI)
+      case (3, 2) => avg(j(xI, yI), h(xI + 1, yI)) // k
+      case (1, 3) => avg(h(xI, yI), b(xI, yI + 1)) // p
+      case (2, 3) => avg(j(xI, yI), b(xI, yI + 1)) // q
+      case _ => avg(h(xI + 1, yI), b(xI, yI + 1)) // r
+    }
+  }
+
+  test("quarter-pel luma interpolator == independent 8.4.2.2.1 transcription") {
+    val rnd = new java.util.Random(7L)
+    val rw = 40; val rh = 28
+    val ref = new Array[Byte](rw * rh); rnd.nextBytes(ref)
+    val pred = new Array[Int](16 * 16)
+    for (_ <- 1 to 200) {
+      val bw = Seq(4, 8, 16)(rnd.nextInt(3)); val bh = Seq(4, 8, 16)(rnd.nextInt(3))
+      val px = rnd.nextInt(rw - bw + 1); val py = rnd.nextInt(rh - bh + 1)
+      val mvx = rnd.nextInt(81) - 40; val mvy = rnd.nextInt(81) - 40
+      H264Codec.mcLuma(ref, rw, rh, px, py, mvx, mvy, bw, bh, pred, 0, bw)
+      for (y <- 0 until bh; x <- 0 until bw) {
+        val want = lumaSampleQ(ref, rw, rh, (px + x) * 4 + mvx, (py + y) * 4 + mvy)
+        assert(pred(y * bw + x) == want,
+          s"($x,$y) mv($mvx,$mvy) at ($px,$py) ${bw}x$bh: got ${pred(y * bw + x)}, want $want")
+      }
+    }
+  }
+
+  test("eighth-pel chroma interpolator == independent 8.4.2.2.2 bilinear") {
+    val rnd = new java.util.Random(8L)
+    val rw = 20; val rh = 14
+    val ref = new Array[Byte](rw * rh); rnd.nextBytes(ref)
+    def at(x: Int, y: Int): Int =
+      ref(math.max(0, math.min(rh - 1, y)) * rw + math.max(0, math.min(rw - 1, x))) & 0xff
+    val pred = new Array[Int](64)
+    for (_ <- 1 to 200) {
+      val bw = Seq(2, 4, 8)(rnd.nextInt(3)); val bh = Seq(2, 4, 8)(rnd.nextInt(3))
+      val px = rnd.nextInt(rw - bw + 1); val py = rnd.nextInt(rh - bh + 1)
+      val mvx = rnd.nextInt(121) - 60; val mvy = rnd.nextInt(121) - 60
+      H264Codec.mcChroma(ref, rw, rh, px, py, mvx, mvy, bw, bh, pred, 0, bw)
+      val fx = Math.floorMod(mvx, 8); val fy = Math.floorMod(mvy, 8)
+      for (y <- 0 until bh; x <- 0 until bw) {
+        val ax = px + x + Math.floorDiv(mvx, 8); val ay = py + y + Math.floorDiv(mvy, 8)
+        val want = ((8 - fx) * (8 - fy) * at(ax, ay) + fx * (8 - fy) * at(ax + 1, ay) +
+          (8 - fx) * fy * at(ax, ay + 1) + fx * fy * at(ax + 1, ay + 1) + 32) >> 6
+        assert(pred(y * bw + x) == want, s"($x,$y) mv($mvx,$mvy) at ($px,$py)")
+      }
+    }
+  }
+
+  test("P sequence: pans at full/half/quarter-pel speeds decode bit-exactly to recon") {
+    for {
+      (sx, sy) <- Seq((4, 0), (2, 1), (1, 3), (-3, 2)) // quarter-pel steps/frame... full=4
+      qp <- Seq(22, 34)
+    } {
+      // sub-pel pans: shift the FIELD by k*s quarter-pels means the
+      // best MV is exactly (-k*s); integer fields shift by whole
+      // pixels, so model sub-pel by small per-frame pixel shifts
+      // alternated with static frames (motion search still exercises
+      // sub-pel refinement around the optimum).
+      val frames = panSeq(48, 32, 5, sx, sy)
+      val seq = H264Codec.encodeSequence(frames, qp = qp, gop = 100)
+      assert(seq.frames.head.idr && seq.frames.tail.forall(!_.idr))
+      val dec = H264Codec.decodeYuvFrames(seq.annexB)
+      assert(dec.isDefined, s"pan ($sx,$sy) qp$qp must decode")
+      assert(dec.get.length == 5)
+      for (k <- 0 until 5)
+        assertSame(dec.get(k), seq.frames(k).recon, s"pan ($sx,$sy) qp$qp frame$k")
+      val pModes = seq.frames.tail.flatMap(_.mbModes.keys).toSet
+      assert(pModes.exists(Set("P_16x16", "P_16x8", "P_8x16", "P_8x8", "P_Skip")),
+        s"inter modes must appear, got $pModes")
+    }
+  }
+
+  test("static scene: P frame is all P_Skip, a few bytes, recon == previous frame") {
+    // all-128 flat intra-codes losslessly (DC prediction exact), so
+    // the P frames' references EQUAL their sources and every MB must
+    // quantize to an exact skip — {P_Skip: all} is structural, not a
+    // tuning accident (a lossy still would legitimately code P_16x16)
+    val still = flat(48, 48, 128, 128, 128)
+    val seq = H264Codec.encodeSequence(Vector(still, still, still), qp = 28, gop = 100)
+    assertSame(seq.frames.head.recon, still, "flat-128 intra is lossless")
+    val p = seq.frames(1)
+    assert(p.mbModes == Map("P_Skip" -> 9), s"got ${p.mbModes}")
+    assert(p.nal.length <= 8, s"all-skip P frame should be tiny, got ${p.nal.length}B")
+    assertSame(p.recon, seq.frames.head.recon, "skip recon == ref")
+    val dec = H264Codec.decodeYuvFrames(seq.annexB).get
+    for (k <- 0 until 3) assertSame(dec(k), seq.frames(k).recon, s"static frame$k")
+  }
+
+  test("split motion selects split shapes; a bright flat burst falls back to intra-in-P") {
+    // top half pans right, bottom half pans left: 16x8 partitions (or
+    // finer) must beat 16x16 somewhere. The last frame grows a flat
+    // 250-luma square over range-limited texture (max 167): no inter
+    // candidate can approximate it (per-sample error >= 83) while its
+    // interior MBs intra-predict near-exactly — intra must win there.
+    val w = 64; val h = 64
+    def field(x: Int, y: Int): Int = 40 + ((x * 3 + y * 7 + (x / 6) * (y / 4) * 5) & 0x7f)
+    val frames = Vector.tabulate(4) { k =>
+      val y = Array.tabulate(w * h) { i =>
+        val (xx, yy) = (i % w, i / w)
+        if (yy < h / 2) field(xx + 3 * k, yy).toByte else field(xx - 3 * k, yy).toByte
+      }
+      if (k == 3) { // flat bright burst over the top-left 32x32
+        for (yy <- 0 until 32; xx <- 0 until 32) y(yy * w + xx) = 250.toByte
+      }
+      Yuv420(w, h, y, Array.fill(w * h / 4)(100.toByte), Array.fill(w * h / 4)(140.toByte))
+    }
+    val seq = H264Codec.encodeSequence(frames, qp = 26, gop = 100)
+    val dec = H264Codec.decodeYuvFrames(seq.annexB)
+    assert(dec.isDefined, "split-motion stream must decode")
+    for (k <- frames.indices) assertSame(dec.get(k), seq.frames(k).recon, s"frame$k")
+    val all = seq.frames.tail.flatMap(_.mbModes.toSeq)
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    assert(Set("P_16x8", "P_8x16", "P_8x8").exists(all.getOrElse(_, 0) > 0),
+      s"split shapes must win somewhere on split motion, got $all")
+    assert(all.getOrElse("I_in_P", 0) > 0, s"flat burst must go intra, got $all")
+  }
+
+  test("sub-8x8 partitions: quadrant-opposed motion uses P_8x8, decodes bit-exactly") {
+    val w = 32; val h = 32
+    def field(x: Int, y: Int): Int = ((x * 5 + y * 3 + (x / 4) * (y / 7) * 13) & 0xff)
+    val frames = Vector.tabulate(4) { k =>
+      val y = Array.tabulate(w * h) { i =>
+        val (xx, yy) = (i % w, i / w)
+        val dx = (if (xx < w / 2) 2 else -2) * k + (if (yy < h / 2) k else -k)
+        val dy = (if (yy < h / 2) 1 else -2) * k
+        field(xx + dx, yy + dy).toByte
+      }
+      Yuv420(w, h, y, Array.fill(w * h / 4)(90.toByte), Array.fill(w * h / 4)(150.toByte))
+    }
+    val seq = H264Codec.encodeSequence(frames, qp = 24, gop = 100)
+    val dec = H264Codec.decodeYuvFrames(seq.annexB)
+    assert(dec.isDefined)
+    for (k <- frames.indices) assertSame(dec.get(k), seq.frames(k).recon, s"quad frame$k")
+    val all = seq.frames.tail.flatMap(_.mbModes.toSeq)
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    assert(all.getOrElse("P_8x8", 0) > 0, s"quadrant motion should pick P_8x8, got $all")
+  }
+
+  test("GOP structure: IDR refresh mid-sequence, sync flags and frame count") {
+    val frames = panSeq(32, 32, 7, 2, 1)
+    val seq = H264Codec.encodeSequence(frames, qp = 30, gop = 3)
+    assert(seq.frames.map(_.idr) == Vector(true, false, false, true, false, false, true))
+    val dec = H264Codec.decodeYuvFrames(seq.annexB)
+    assert(dec.isDefined && dec.get.length == 7)
+    for (k <- 0 until 7) assertSame(dec.get(k), seq.frames(k).recon, s"gop frame$k")
+    // decodeYuv (first frame only) still works on a multi-frame stream
+    assertSame(H264Codec.decodeYuv(seq.annexB).get, seq.frames.head.recon, "first")
+  }
+
+  test("AvcDecoder: sample-wise GOP decode; P-before-IDR and corruption poison the chain") {
+    val frames = panSeq(32, 32, 6, 3, 2)
+    val seq = H264Codec.encodeSequence(frames, qp = 28, gop = 3)
+    def sample(nal: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 + nal.length)
+      b.putInt(nal.length).put(nal).array()
+    }
+    val d = new H264Codec.AvcDecoder(seq.spsNal, seq.ppsNal)
+    for ((f, k) <- seq.frames.zipWithIndex) {
+      val out = d.decodeSample(sample(f.nal))
+      assert(out.isDefined, s"sample $k")
+      assertSame(out.get, f.recon, s"avc sample $k")
+    }
+    // a fresh decoder fed a P sample first must refuse (no reference)
+    val d2 = new H264Codec.AvcDecoder(seq.spsNal, seq.ppsNal)
+    assert(d2.decodeSample(sample(seq.frames(1).nal)).isEmpty, "P before IDR")
+    // corruption mid-GOP poisons every following P until the next IDR
+    val d3 = new H264Codec.AvcDecoder(seq.spsNal, seq.ppsNal)
+    assert(d3.decodeSample(sample(seq.frames(0).nal)).isDefined)
+    val bad = sample(seq.frames(1).nal)
+    bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x5a).toByte
+    d3.decodeSample(bad) // None or a full frame — but if None, the chain is broken
+    val after = d3.decodeSample(sample(seq.frames(2).nal))
+    // frame 2 predicted against frame 1; with frame 1 corrupted either the
+    // corrupt decode survived (rare) or frame 2 must be refused
+    val idr = d3.decodeSample(sample(seq.frames(3).nal))
+    assert(idr.isDefined, "IDR must always recover the chain")
+    assertSame(idr.get, seq.frames(3).recon, "post-IDR recovery")
+    assert(d3.decodeSample(sample(seq.frames(4).nal)).isDefined, "P after recovery IDR")
+  }
+
+  test("P-stream fuzz: mutations and truncations of inter NALs never throw") {
+    val seq = H264Codec.encodeSequence(panSeq(32, 32, 4, 3, 1), qp = 26, gop = 100)
+    val good = seq.annexB
+    val rnd = new scala.util.Random(20260815L)
+    for (_ <- 1 to 400) {
+      val m = good.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      H264Codec.decodeYuvFrames(m) match {
+        case Some(fs) => fs.foreach(f => assert(f.y.length == f.width * f.height))
+        case None => ()
+      }
+    }
+    for (cut <- 1 until good.length by 7) H264Codec.decodeYuvFrames(good.take(cut))
+  }
+
+  test("CbpInter table (9-4 inter column) is a permutation of 0..47") {
+    assert(H264Codec.CbpInter.sorted.toSeq == (0 until 48))
+    // golden spot values from the standard's table
+    assert(H264Codec.CbpInter(0) == 0 && H264Codec.CbpInter(1) == 16 &&
+      H264Codec.CbpInter(12) == 47 && H264Codec.CbpInter(47) == 41)
+  }
+
   test("hostile inputs quarantine to None, never throw or partial-decode") {
     val good = encodeYuv(frame(32, 32, 9), qp = 28).annexB
     assert(decodeYuv(Array.emptyByteArray).isEmpty)
