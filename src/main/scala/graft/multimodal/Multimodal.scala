@@ -234,43 +234,37 @@ object Multimodal {
     */
   private[multimodal] def videoYuv(id: Long, k: Int, w: Int, h: Int): H264Codec.Yuv420 = {
     val cw = (w + 1) / 2; val ch = (h + 1) / 2
-    def plane(n: Int, c: Int): Array[Byte] = {
-      val a = new Array[Byte](n)
+    // a per-id textured field panning (+2,+1) px/frame: temporally
+    // COHERENT frames, so the GOP's P samples carry real motion for
+    // inter prediction to find (uncorrelated noise per frame has none)
+    @inline def field(x: Int, y: Int, c: Int): Byte =
+      ((x * 31 + y * 17 + (x / 5) * (y / 3) * 7 + id * 13 + c * 101 + 7) & 0xff).toByte
+    def plane(pw: Int, ph: Int, c: Int, ox: Int, oy: Int): Array[Byte] = {
+      val a = new Array[Byte](pw * ph)
       var i = 0
-      while (i < n) { a(i) = ((i * 31 + id * 17 + k * 53 + c * 101 + 7) & 0xff).toByte; i += 1 }
+      while (i < a.length) { a(i) = field(i % pw + ox, i / pw + oy, c); i += 1 }
       a
     }
-    H264Codec.Yuv420(w, h, plane(w * h, 0), plane(cw * ch, 1), plane(cw * ch, 2))
+    H264Codec.Yuv420(w, h, plane(w, h, 0, 2 * k, k),
+      plane(cw, ch, 1, k, k / 2), plane(cw, ch, 2, k, k / 2))
   }
 
-  /** Real AVC MP4 for video `id`: sync samples are genuine H.264 IDR
-    * NALs ([[H264Codec.encodeYuv]] of [[videoYuv]] frames), non-sync
-    * samples are non-IDR-slice placeholders (NAL type 1 — inter frames
-    * are outside the intra codec's scope, and a keyframe pipeline never
-    * decodes them), SPS/PPS ride the `stsd → avc1 → avcC` record with
-    * 4-byte length prefixes — the layout a camera/transcoder writes.
-    * Frame count and sync cadence match the marker-MP4 twin
-    * ([[videoFrameSizes]], every 3rd sample sync) so per-id frame
-    * accounting is one rule across both container shapes.
+  /** Real AVC MP4 for video `id`: a genuine H.264 GOP —
+    * [[H264Codec.encodeSequence]] of the [[videoYuv]] frames, IDR
+    * every 3rd sample (the marker twin's sync cadence), REAL
+    * motion-compensated P frames between them (since the P layer
+    * landed) — with SPS/PPS riding the `stsd → avc1 → avcC` record
+    * and 4-byte length prefixes, the layout a camera/transcoder
+    * writes. Frame count matches the marker-MP4 twin
+    * ([[videoFrameSizes]]) so per-id frame accounting is one rule
+    * across both container shapes.
     */
   private[multimodal] def avcVideoBytes(id: Long, w: Int, h: Int): Array[Byte] = {
-    val sizes = videoFrameSizes(id)
-    var sps: Array[Byte] = null
-    var pps: Array[Byte] = null
-    val nals = sizes.indices.map { k =>
-      if (k % 3 == 0) {
-        val e = H264Codec.encodeYuv(videoYuv(id, k, w, h), qp = 32)
-        sps = e.spsNal; pps = e.ppsNal
-        (e.idrNal, true)
-      } else {
-        val f = new Array[Byte](sizes(k))
-        f(0) = 0x41 // nal_ref_idc=2, nal_unit_type=1 (non-IDR slice)
-        var i = 1
-        while (i < f.length) { f(i) = ((id + k * 19 + i) & 0xff).toByte; i += 1 }
-        (f, false)
-      }
-    }
-    HeaderCodec.synthMp4Avc(w, h, sps, pps, nals, frameDurMs = 500)
+    val n = videoFrameSizes(id).length
+    val seq = H264Codec.encodeSequence(
+      Vector.tabulate(n)(k => videoYuv(id, k, w, h)), qp = 32, gop = 3)
+    HeaderCodec.synthMp4Avc(w, h, seq.spsNal, seq.ppsNal,
+      seq.frames.map(f => (f.nal, f.idr)), frameDurMs = 500)
   }
 
   /** Scale-proof twin of [[mediaFromDocuments]]: `n` deterministic
@@ -364,13 +358,14 @@ object Multimodal {
             case Some("gif") => GifCodec.decode(r.content)
               .flatMap(img => statsOf(img.pixels.length, i => (img.pixels(i) & 0xff).toDouble))
             case Some("mp4") =>
-              // real video payload stats since this round: H.264 pixel
-              // decode of every keyframe (avcC parameter sets + sync
-              // samples). ALL keyframes must decode or the row
-              // quarantines — a half-decoded clip must not publish
-              // stats that silently cover part of its pixels.
+              // real video payload stats: H.264 pixel decode of the
+              // WHOLE GOP (IDR + motion-compensated P samples through
+              // the stateful decoder, since the inter layer landed).
+              // ALL samples must decode or the row quarantines — a
+              // half-decoded clip must not publish stats that silently
+              // cover part of its pixels.
               mp4Avc.flatMap { case (cfg, samples) =>
-                decodedKeyframes(r.content, cfg, samples)
+                decodedAllFrames(r.content, cfg, samples)
               }.flatMap { frames =>
                 var sum = 0.0; var sumSq = 0.0; var peak = 0.0; var cnt = 0L
                 frames.foreach { f =>
@@ -436,6 +431,30 @@ object Multimodal {
     if (decoded.forall(_.isDefined)) Some(decoded.map(_.get)) else None
   }
 
+  /** Pixel decode of EVERY frame of an AVC MP4 in decode order — IDRs
+    * and motion-compensated P samples through a stateful
+    * [[H264Codec.AvcDecoder]] (the r7 inter layer). Some(frames) iff
+    * every sample decodes; a clip whose chain breaks anywhere
+    * quarantines whole (the [[decodedKeyframes]] discipline).
+    */
+  private[multimodal] def decodedAllFrames(content: Array[Byte],
+      cfg: Mp4SampleTables.AvcConfig,
+      samples: Vector[Mp4SampleTables.Mp4Sample]): Option[Vector[H264Codec.Yuv420]] = {
+    if (samples.isEmpty) return None
+    val dec =
+      try new H264Codec.AvcDecoder(cfg.spsNal, cfg.ppsNal, cfg.lengthSize)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val out = Vector.newBuilder[H264Codec.Yuv420]
+    samples.foreach { s =>
+      dec.decodeSample(java.util.Arrays.copyOfRange(content, s.offset.toInt,
+        (s.offset + s.size).toInt)) match {
+        case Some(f) => out += f
+        case None => return None
+      }
+    }
+    Some(out.result())
+  }
+
   final case class KeyframeRow(
       media_id: Long,
       frame_index: Int, // sample index in the container
@@ -499,6 +518,73 @@ object Multimodal {
       .toDF()
   }
 
+  final case class GopFrameRow(
+      media_id: Long,
+      frame_index: Int,
+      pts_ms: Long,
+      sync: Boolean,
+      width: Int,
+      height: Int,
+      luma_mean: Double,
+      luma_rms: Double,
+      decode_ok: Boolean)
+
+  /** Full-GOP pixel decode (X33, the r7 inter layer): one row per
+    * SAMPLE — IDRs and motion-compensated P frames alike — decoded in
+    * order through a stateful [[H264Codec.AvcDecoder]]. A sample that
+    * fails poisons the chain until the next IDR; those samples
+    * dead-letter per-frame (`decode_ok = false`, pts preserved) rather
+    * than silently vanishing, and non-AVC rows dead-letter once. This
+    * is the stage [[decodeKeyframes]] could not be until P slices
+    * decoded: a VLM pipeline that samples between sync points gets
+    * every frame's pixels, not just the IDRs'. Executor-side
+    * `mapPartitions`, same batch shape as [[extractFeatures]].
+    */
+  def decodeFrames(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "kind", "content", "source").as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        val dead = Iterator.single(
+          GopFrameRow(r.media_id, -1, -1L, sync = false, 0, 0, 0.0, 0.0,
+            decode_ok = false))
+        val parsed =
+          if (HeaderCodec.isMp4(r.content)) Mp4SampleTables.parseAvc(r.content)
+          else None
+        parsed match {
+          case Some((cfg, samples)) if samples.nonEmpty =>
+            (try Some(new H264Codec.AvcDecoder(cfg.spsNal, cfg.ppsNal, cfg.lengthSize))
+            catch { case scala.util.control.NonFatal(_) => None }) match {
+              case Some(d) =>
+                samples.iterator.map { s =>
+                  d.decodeSample(java.util.Arrays.copyOfRange(r.content,
+                    s.offset.toInt, (s.offset + s.size).toInt)) match {
+                    case Some(f) =>
+                      var sum = 0L; var sumSq = 0L
+                      var i = 0
+                      while (i < f.y.length) {
+                        val v = f.y(i) & 0xff
+                        sum += v; sumSq += v.toLong * v
+                        i += 1
+                      }
+                      val n = f.y.length.toDouble
+                      GopFrameRow(r.media_id, s.index, s.ptsMs, s.sync,
+                        f.width, f.height,
+                        math.rint(sum / n * 10000) / 10000,
+                        math.rint(math.sqrt(sumSq / n) * 10000) / 10000,
+                        decode_ok = true)
+                    case None =>
+                      GopFrameRow(r.media_id, s.index, s.ptsMs, s.sync,
+                        0, 0, 0.0, 0.0, decode_ok = false)
+                  }
+                }
+              case None => dead
+            }
+          case _ => dead
+        }
+      })
+      .toDF()
+  }
+
   final case class FrameRow(
       media_id: Long,
       frame_index: Int,
@@ -556,12 +642,13 @@ object Multimodal {
       .toDF()
   }
 
-  /** Video resize: decode every keyframe, box-resize each YUV plane at
-    * its own resolution, re-encode as IDR frames, and rebuild the MP4
-    * (avcC + length-prefixed NALs). The output is a keyframe reel —
-    * inter frames cannot be transcoded without inter decode, which is
-    * outside the intra codec's scope — spaced at the source's sync
-    * cadence. Odd target dims round up (4:2:0 needs even geometry).
+  /** Video resize — a full transcode since the inter layer landed:
+    * decode EVERY frame (IDR + P through the stateful decoder),
+    * box-resize each YUV plane at its own resolution, and re-encode
+    * as a real GOP at the source's sync cadence
+    * ([[H264Codec.encodeSequence]]: motion-compensated P frames out,
+    * not a keyframe reel), rebuilding the MP4 (avcC + length-prefixed
+    * NALs). Odd target dims round up (4:2:0 needs even geometry).
     */
   private def resizeVideo(content: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
     val w2 = tw + (tw & 1); val h2 = th + (th & 1)
@@ -569,23 +656,23 @@ object Multimodal {
       PixelCodec.boxResize(PixelCodec.PixelImage(w, h, 1, p), dw, dh).pixels
     for {
       (cfg, samples) <- Mp4SampleTables.parseAvc(content)
-      frames <- decodedKeyframes(content, cfg, samples)
+      frames <- decodedAllFrames(content, cfg, samples)
     } yield {
-      val syncPts = samples.filter(_.sync).map(_.ptsMs)
       val dur =
-        if (syncPts.length >= 2) math.max((syncPts(1) - syncPts(0)).toInt, 1) else 500
-      var sps: Array[Byte] = null
-      var pps: Array[Byte] = null
-      val nals = frames.map { f =>
-        val scaled = H264Codec.Yuv420(w2, h2,
+        if (samples.length >= 2)
+          math.max((samples(1).ptsMs - samples(0).ptsMs).toInt, 1)
+        else 500
+      val syncIdx = samples.indices.filter(samples(_).sync)
+      val gop = if (syncIdx.length >= 2) syncIdx(1) - syncIdx(0) else frames.length
+      val scaled = frames.map { f =>
+        H264Codec.Yuv420(w2, h2,
           plane(f.y, f.width, f.height, w2, h2),
           plane(f.cb, f.chromaW, f.chromaH, (w2 + 1) / 2, (h2 + 1) / 2),
           plane(f.cr, f.chromaW, f.chromaH, (w2 + 1) / 2, (h2 + 1) / 2))
-        val e = H264Codec.encodeYuv(scaled, qp = 30)
-        sps = e.spsNal; pps = e.ppsNal
-        (e.idrNal, true)
       }
-      HeaderCodec.synthMp4Avc(w2, h2, sps, pps, nals, frameDurMs = dur)
+      val seq = H264Codec.encodeSequence(scaled, qp = 30, gop = math.max(1, gop))
+      HeaderCodec.synthMp4Avc(w2, h2, seq.spsNal, seq.ppsNal,
+        seq.frames.map(f => (f.nal, f.idr)), frameDurMs = dur)
     }
   }
 
@@ -602,7 +689,9 @@ object Multimodal {
     * PNG; JPEG content is entropy-decoded ([[JpegCodec.decode]]:
     * Huffman + dequant + IDCT), resized, and re-encoded as a real
     * baseline JPEG; WAV content is PCM16-decoded and box-resampled to
-    * `targetFrames` frames. Video (MP4 — the documented boundary)
+    * `targetFrames` frames; AVC MP4s are fully transcoded
+    * ([[resizeVideo]]: whole-GOP decode, per-frame resize, re-encode
+    * with real P frames). Out-of-subset video (the marker MP4 twin)
     * passes through unchanged with `resized_ok = false`, the
     * dead-letter discipline of the decode stage. Binary→binary
     * partition transform: one pass, no driver collection, fixed output

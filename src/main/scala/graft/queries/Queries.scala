@@ -349,6 +349,15 @@ object Queries {
       graft.multimodal.Multimodal.decodeKeyframes(s,
         graft.multimodal.Multimodal.mediaFromDocuments(s, dir))
         .orderBy("media_id", "frame_index")),
+    // full-GOP pixel decode (P-slice inter layer, r7): one row per
+    // sample, IDR and motion-compensated P frames alike — rows-only
+    // for the same reason as x_multimodal_video; MultimodalSpec pins
+    // every frame's luma stats against the encoder's reconstruction
+    // and the chain-poisoning dead-letter accounting
+    "x_multimodal_gop" -> ((s: SparkSession, dir: String) =>
+      graft.multimodal.Multimodal.decodeFrames(s,
+        graft.multimodal.Multimodal.mediaFromDocuments(s, dir))
+        .orderBy("media_id", "frame_index")),
     "x_multimodal_resize" -> ((s: SparkSession, dir: String) =>
       graft.multimodal.Multimodal.resize(s,
           graft.multimodal.Multimodal.mediaFromDocuments(s, dir))

@@ -49,6 +49,10 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
       // MultimodalSpec pins per-frame stats against the generator's
       // own YUV planes, H264CodecSpec pins the codec itself
       "x_multimodal_video",
+      // whole-GOP decode (IDR + motion-compensated P frames) — same
+      // reason; MultimodalSpec pins every frame's stats against the
+      // encoder's reconstruction and the chain-poisoning accounting
+      "x_multimodal_gop",
       "x_stratified_sample", "q_table_sample",
       // shard boundaries come from reservoir sampling (engine-specific);
       // QueriesRelSpec pins disjointness + coverage + balance

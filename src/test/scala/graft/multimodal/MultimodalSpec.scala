@@ -435,6 +435,66 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.head.getAs[Int]("frame_index") == 0 && r.head.getAs[Long]("pts_ms") == 0L)
   }
 
+  test("decodeFrames: whole-GOP pixel rows (IDR + P); corruption poisons to the next IDR") {
+    val media = Multimodal.mediaFromDocuments(spark, dir)
+    val rows = Multimodal.decodeFrames(spark, media).collect()
+    val allIds = media.select("media_id").collect().map(_.getLong(0)).toSet
+    val avcIds = media.filter(col("kind") === "video")
+      .select("media_id").collect().map(_.getLong(0)).filter(_ % 2 == 1).toSet
+    val ok = rows.filter(_.getAs[Boolean]("decode_ok"))
+    val dead = rows.filter(!_.getAs[Boolean]("decode_ok"))
+    // every AVC clip decodes EVERY sample; everything else dead-letters once
+    assert(ok.map(_.getAs[Long]("media_id")).toSet == avcIds)
+    assert(dead.map(_.getAs[Long]("media_id")).toSet == allIds -- avcIds)
+    assert(dead.length == (allIds -- avcIds).size)
+    ok.groupBy(_.getAs[Long]("media_id")).foreach { case (id, rs) =>
+      val (w, h, _, _) = Multimodal.geom(id)
+      val n = Multimodal.videoFrameSizes(id).length
+      assert(rs.map(_.getAs[Int]("frame_index")).sorted.toSeq == (0 until n),
+        s"video $id must decode all $n samples")
+      // bit-exact oracle: every frame's luma stats equal the encoder's
+      // own reconstruction — IDRs AND motion-compensated P frames
+      val seq = H264Codec.encodeSequence(
+        Vector.tabulate(n)(k => Multimodal.videoYuv(id, k, w, h)), qp = 32, gop = 3)
+      rs.foreach { r =>
+        val k = r.getAs[Int]("frame_index")
+        assert(r.getAs[Boolean]("sync") == (k % 3 == 0), s"video $id frame $k sync")
+        assert(r.getAs[Long]("pts_ms") == k * 500L)
+        assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+        val y = seq.frames(k).recon.y
+        var sum = 0L; var sumSq = 0L
+        y.foreach { b => val v = b & 0xff; sum += v; sumSq += v.toLong * v }
+        val nPix = y.length.toDouble
+        assert(r.getAs[Double]("luma_mean") == math.rint(sum / nPix * 10000) / 10000,
+          s"video $id frame $k luma_mean")
+        assert(r.getAs[Double]("luma_rms") ==
+          math.rint(math.sqrt(sumSq / nPix) * 10000) / 10000,
+          s"video $id frame $k luma_rms")
+      }
+    }
+    // chain poisoning: corrupt P sample 1 of a 6-frame gop-3 clip —
+    // frame 0 decodes, frames 1..2 dead-letter (poisoned chain), the
+    // IDR at 3 recovers, 4..5 decode
+    val frames6 = Vector.tabulate(6)(k => Multimodal.videoYuv(77L, k, 32, 32))
+    val seq6 = H264Codec.encodeSequence(frames6, qp = 30, gop = 3)
+    val mp4 = HeaderCodec.synthMp4Avc(32, 32, seq6.spsNal, seq6.ppsNal,
+      seq6.frames.map(f => (f.nal, f.idr)), frameDurMs = 500)
+    val s1 = Mp4SampleTables.parse(mp4).get(1)
+    val corrupt = mp4.clone()
+    java.util.Arrays.fill(corrupt, s1.offset.toInt + 6,
+      (s1.offset + s1.size).toInt, 0.toByte)
+    import spark.implicits._
+    val one = Seq(Multimodal.MediaRow(5L, "video", corrupt, "t")).toDF()
+    val got = Multimodal.decodeFrames(spark, one).collect()
+      .map(r => r.getAs[Int]("frame_index") -> r.getAs[Boolean]("decode_ok"))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0 until 6), "pts accounting survives poisoning")
+    val okByFrame = got.toMap
+    assert(okByFrame(0), "IDR 0 decodes")
+    assert(!okByFrame(1) && !okByFrame(2), "poisoned chain dead-letters per frame")
+    assert(okByFrame(3) && okByFrame(4) && okByFrame(5), "IDR 3 recovers the chain")
+  }
+
   test("zero-sync-sample MP4s dead-letter instead of silently vanishing") {
     // patch the stss entry count of a valid marker MP4 to zero: the
     // clip parses but has nothing decodable — both frame stages must
@@ -669,17 +729,19 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
     // pin one AVC video row's stats against the codec's OWN deterministic
-    // reconstruction (generator → MP4 → avcC/sample-table parse → CAVLC
-    // decode must equal a direct encode's recon, bit-exactly)
+    // reconstruction of the WHOLE GOP (generator → encodeSequence with
+    // real P frames → MP4 → avcC/sample-table parse → stateful decode
+    // must equal the encoder's recons, bit-exactly, IDR and P alike)
     val vidId = feats.collect {
       case (id, r) if r.getString(1) == "mp4" && id % 2 == 1 => id
     }.min
     val (vw, vh, _, _) = Multimodal.geom(vidId)
     val nFrames = Multimodal.videoFrameSizes(vidId).length
     var sum = 0.0; var sumSq = 0.0; var peak = 0.0; var cnt = 0L
-    (0 until nFrames).filter(_ % 3 == 0).foreach { k =>
-      val recon = H264Codec.encodeYuv(Multimodal.videoYuv(vidId, k, vw, vh), qp = 32).recon
-      Seq(recon.y, recon.cb, recon.cr).foreach { pl =>
+    H264Codec.encodeSequence(
+      Vector.tabulate(nFrames)(k => Multimodal.videoYuv(vidId, k, vw, vh)),
+      qp = 32, gop = 3).frames.foreach { f =>
+      Seq(f.recon.y, f.recon.cb, f.recon.cr).foreach { pl =>
         pl.foreach { b =>
           val v = (b & 0xff).toDouble
           sum += v; sumSq += v * v; if (v > peak) peak = v
@@ -802,11 +864,16 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
           // marker MP4s (non-AVC codec stand-in): passthrough boundary
           assert(!r.getBoolean(2))
         case _ =>
-          // AVC video: keyframe reel re-encoded at the target dims
+          // AVC video: FULL-GOP transcode at the target dims (every
+          // source frame survives — IDRs and P frames alike — at the
+          // source's sync cadence)
           assert(r.getBoolean(2), s"AVC video $id not resized")
-          val frames = Multimodal.decodedKeyframes(bytes).get
-          val nSync = Multimodal.videoFrameSizes(id).indices.count(_ % 3 == 0)
-          assert(frames.length == nSync, s"video $id keyframe reel count")
+          val (cfg, samples) = Mp4SampleTables.parseAvc(bytes).get
+          val frames = Multimodal.decodedAllFrames(bytes, cfg, samples).get
+          val n = Multimodal.videoFrameSizes(id).length
+          assert(frames.length == n, s"video $id full-GOP transcode count")
+          assert(samples.count(_.sync) == (0 until n).count(_ % 3 == 0),
+            s"video $id sync cadence preserved")
           frames.foreach(f => assert(f.width == 16 && f.height == 12))
       }
     }
