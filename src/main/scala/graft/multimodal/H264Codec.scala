@@ -329,6 +329,33 @@ object H264Codec {
     if (q < 30) q else ChromaQp(q - 30)
   }
 
+  @inline private def clip3(lo: Int, hi: Int, v: Int): Int =
+    if (v < lo) lo else if (v > hi) hi else v
+
+  /** Deblocking thresholds alpha/beta by index (Table 8-16) and the
+    * clipping values t'C0 by (indexA, bS-1) (Table 8-17) — all zero
+    * below index 16, so low-QP smooth content passes untouched.
+    */
+  private[multimodal] val AlphaTab: Array[Int] =
+    Array.fill(16)(0) ++ Array(4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17,
+      20, 22, 25, 28, 32, 36, 40, 45, 50, 56, 63, 71, 80, 90, 101, 113,
+      127, 144, 162, 182, 203, 226, 255, 255)
+  private[multimodal] val BetaTab: Array[Int] =
+    Array.fill(16)(0) ++ Array(2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7,
+      8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16,
+      17, 17, 18, 18)
+  private[multimodal] val Tc0Tab: Array[Array[Int]] =
+    Array.fill(16)(Array(0, 0, 0)) ++ Array(
+      Array(0, 0, 0), Array(0, 0, 1), Array(0, 0, 1), Array(0, 0, 1),
+      Array(0, 0, 1), Array(0, 1, 1), Array(0, 1, 1), Array(1, 1, 1),
+      Array(1, 1, 1), Array(1, 1, 1), Array(1, 1, 1), Array(1, 1, 2),
+      Array(1, 1, 2), Array(1, 1, 2), Array(1, 1, 2), Array(1, 2, 3),
+      Array(1, 2, 3), Array(2, 2, 3), Array(2, 2, 4), Array(2, 3, 4),
+      Array(2, 3, 4), Array(3, 3, 5), Array(3, 4, 6), Array(3, 4, 6),
+      Array(4, 5, 7), Array(4, 5, 8), Array(5, 6, 9), Array(6, 7, 10),
+      Array(6, 8, 11), Array(7, 9, 13), Array(8, 10, 14), Array(9, 12, 16),
+      Array(10, 13, 18), Array(11, 15, 20), Array(13, 17, 23), Array(14, 19, 25))
+
   /** coded_block_pattern me(v) mapping for intra MBs (Table 9-4):
     * codeNum → cbp. Structural pin: a permutation of 0..47.
     */
@@ -1068,6 +1095,9 @@ object H264Codec {
     val mvX: Array[Int] = new Array[Int](bW * bH)
     val mvY: Array[Int] = new Array[Int](bW * bH)
     val refL0: Array[Int] = Array.fill(bW * bH)(-2)
+    // per-MB QP_Y as coded (0 for I_PCM) — the deblocking filter's
+    // threshold inputs (8.7.2)
+    val qpMb: Array[Int] = new Array[Int](mbW * mbH)
 
     /** Record one inter partition's motion over its 4x4 grid cells. */
     def setMotion(bx: Int, by: Int, w4: Int, h4: Int,
@@ -1328,6 +1358,169 @@ object H264Codec {
   }
 
   // ---------------------------------------------------------------
+  // In-loop deblocking filter — 8.7. Applied to the fully
+  // reconstructed picture in MB raster order (intra prediction reads
+  // UNFILTERED samples, so filtering happens after the slice's MB
+  // loop); shared verbatim by decoder and encoder reconstruction.
+  // ---------------------------------------------------------------
+
+  /** Boundary strength (8.7.2.1, frame MBs): 4 = intra at an MB edge,
+    * 3 = intra internal, 2 = residual coefficients on either side,
+    * 1 = motion discontinuity (different ref or any mv component
+    * differing by >= 4 quarter-pels), 0 = skip filtering.
+    */
+  private def boundaryStrength(st: FrameState, pbx: Int, pby: Int,
+      qbx: Int, qby: Int, mbEdge: Boolean): Int = {
+    val pi = pby * st.bW + pbx; val qi = qby * st.bW + qbx
+    val pIntra = st.refL0(pi) < 0; val qIntra = st.refL0(qi) < 0
+    if (pIntra || qIntra) { if (mbEdge) 4 else 3 }
+    else if (st.tcY(pi) > 0 || st.tcY(qi) > 0) 2
+    else if (st.refL0(pi) != st.refL0(qi) ||
+      math.abs(st.mvX(pi) - st.mvX(qi)) >= 4 ||
+      math.abs(st.mvY(pi) - st.mvY(qi)) >= 4) 1
+    else 0
+  }
+
+  /** Filter `nLines` sample lines across one edge (8.7.2.3/.4).
+    * `base` addresses the q0 sample of the first line; `across` steps
+    * from q toward q3 (p side at negative multiples), `along` steps
+    * between lines. All outputs are computed from the line's input
+    * values before any of its writes.
+    */
+  private[multimodal] def filterEdge(plane: Array[Byte], base: Int,
+      across: Int, along: Int, nLines: Int, bS: Int,
+      indexA: Int, indexB: Int, chroma: Boolean): Unit = {
+    val alpha = AlphaTab(indexA); val beta = BetaTab(indexB)
+    if (bS == 0 || alpha == 0) return
+    var l = 0
+    while (l < nLines) {
+      val o = base + l * along
+      @inline def s(k: Int): Int = plane(o + k * across) & 0xff
+      val p0 = s(-1); val q0 = s(0); val p1 = s(-2); val q1 = s(1)
+      if (math.abs(p0 - q0) < alpha &&
+        math.abs(p1 - p0) < beta && math.abs(q1 - q0) < beta) {
+        if (bS < 4) {
+          val tc0 = Tc0Tab(indexA)(bS - 1)
+          if (chroma) {
+            val tc = tc0 + 1
+            val d = clip3(-tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
+            plane(o - across) = clip255(p0 + d).toByte
+            plane(o) = clip255(q0 - d).toByte
+          } else {
+            val p2 = s(-3); val q2 = s(2)
+            val ap = math.abs(p2 - p0) < beta
+            val aq = math.abs(q2 - q0) < beta
+            val tc = tc0 + (if (ap) 1 else 0) + (if (aq) 1 else 0)
+            val d = clip3(-tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
+            if (ap) plane(o - 2 * across) =
+              (p1 + clip3(-tc0, tc0, (p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1)).toByte
+            if (aq) plane(o + across) =
+              (q1 + clip3(-tc0, tc0, (q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1)).toByte
+            plane(o - across) = clip255(p0 + d).toByte
+            plane(o) = clip255(q0 - d).toByte
+          }
+        } else { // bS == 4
+          if (chroma) {
+            plane(o - across) = ((2 * p1 + p0 + q1 + 2) >> 2).toByte
+            plane(o) = ((2 * q1 + q0 + p1 + 2) >> 2).toByte
+          } else {
+            val p2 = s(-3); val q2 = s(2)
+            val strong = math.abs(p0 - q0) < (alpha >> 2) + 2
+            if (strong && math.abs(p2 - p0) < beta) {
+              val p3 = s(-4)
+              plane(o - across) = ((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3).toByte
+              plane(o - 2 * across) = ((p2 + p1 + p0 + q0 + 2) >> 2).toByte
+              plane(o - 3 * across) = ((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3).toByte
+            } else plane(o - across) = ((2 * p1 + p0 + q1 + 2) >> 2).toByte
+            if (strong && math.abs(q2 - q0) < beta) {
+              val q3 = s(3)
+              plane(o) = ((q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3).toByte
+              plane(o + across) = ((q2 + q1 + q0 + p0 + 2) >> 2).toByte
+              plane(o + 2 * across) = ((2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3).toByte
+            } else plane(o) = ((2 * q1 + q0 + p1 + 2) >> 2).toByte
+          }
+        }
+      }
+      l += 1
+    }
+  }
+
+  /** Deblock one MB: all vertical edges left→right, then all
+    * horizontal edges top→bottom, each reading the progressively
+    * filtered sample array (the standard's MB-raster process).
+    */
+  private def deblockMb(st: FrameState, cqo: Int, mbX: Int, mbY: Int,
+      offA: Int, offB: Int): Unit = {
+    val qpQ = st.qpMb(mbY * st.mbW + mbX)
+    // one direction for one plane family: dir 0 = vertical edges
+    // (filter across x), dir 1 = horizontal (across y)
+    def edges(dir: Int): Unit = {
+      var e = 0
+      while (e < 4) {
+        val atMbEdge = e == 0
+        val inside = if (dir == 0) mbX > 0 else mbY > 0
+        if (!atMbEdge || inside) {
+          val qpP =
+            if (!atMbEdge) qpQ
+            else if (dir == 0) st.qpMb(mbY * st.mbW + mbX - 1)
+            else st.qpMb((mbY - 1) * st.mbW + mbX)
+          val iAY = clip3(0, 51, ((qpP + qpQ + 1) >> 1) + offA)
+          val iBY = clip3(0, 51, ((qpP + qpQ + 1) >> 1) + offB)
+          val qpcP = chromaQp(qpP, cqo)
+          val qpcQ = chromaQp(qpQ, cqo)
+          val iAC = clip3(0, 51, ((qpcP + qpcQ + 1) >> 1) + offA)
+          val iBC = clip3(0, 51, ((qpcP + qpcQ + 1) >> 1) + offB)
+          var seg = 0
+          while (seg < 4) {
+            // adjacent 4x4 luma blocks for this 4-line segment
+            val (pbx, pby, qbx, qby, base, along) =
+              if (dir == 0) {
+                val qbx = mbX * 4 + e; val by = mbY * 4 + seg
+                (qbx - 1, by, qbx, by,
+                  (mbY * 16 + seg * 4) * st.w + mbX * 16 + e * 4, st.w)
+              } else {
+                val qby = mbY * 4 + e; val bx = mbX * 4 + seg
+                (bx, qby - 1, bx, qby,
+                  (mbY * 16 + e * 4) * st.w + mbX * 16 + seg * 4, 1)
+              }
+            val bS = boundaryStrength(st, pbx, pby, qbx, qby, atMbEdge)
+            if (bS > 0) {
+              filterEdge(st.y, base, if (dir == 0) 1 else st.w, along, 4,
+                bS, iAY, iBY, chroma = false)
+              if ((e & 1) == 0) {
+                // chroma edges exist at luma edges 0 and 8 only
+                // (4:2:0); 2 chroma lines per luma 4x4 segment
+                val cBase =
+                  if (dir == 0)
+                    (mbY * 8 + seg * 2) * st.cw + mbX * 8 + e * 2
+                  else (mbY * 8 + e * 2) * st.cw + mbX * 8 + seg * 2
+                val cAcross = if (dir == 0) 1 else st.cw
+                val cAlong = if (dir == 0) st.cw else 1
+                filterEdge(st.cb, cBase, cAcross, cAlong, 2, bS, iAC, iBC, chroma = true)
+                filterEdge(st.cr, cBase, cAcross, cAlong, 2, bS, iAC, iBC, chroma = true)
+              }
+            }
+            seg += 1
+          }
+        }
+        e += 1
+      }
+    }
+    edges(0)
+    edges(1)
+  }
+
+  /** Apply the in-loop filter to a reconstructed picture. */
+  private def deblockPicture(st: FrameState, cqo: Int,
+      offA: Int, offB: Int): Unit = {
+    var mb = 0
+    while (mb < st.mbW * st.mbH) {
+      deblockMb(st, cqo, mb % st.mbW, mb / st.mbW, offA, offB)
+      mb += 1
+    }
+  }
+
+  // ---------------------------------------------------------------
   // Decoder
   // ---------------------------------------------------------------
 
@@ -1424,6 +1617,7 @@ object H264Codec {
         st.tcCr((mbY * 2 + (k >> 1)) * st.cbW + mbX * 2 + (k & 1)) = 16
         k += 1
       }
+      st.qpMb(mbY * st.mbW + mbX) = 0 // I_PCM deblocks at QP 0 (8.7.2)
       return qp
     }
 
@@ -1514,6 +1708,7 @@ object H264Codec {
       }
       decodeMbChroma(r, st, pps, mbX, mbY, cbpChroma, chromaMode, qp)
     }
+    st.qpMb(mbY * st.mbW + mbX) = qp
     qp
   }
 
@@ -1636,6 +1831,7 @@ object H264Codec {
       k += 1
     }
     decodeMbChroma(r, st, pps, mbX, mbY, cbp >> 4, 0, qp, predC)
+    st.qpMb(mbY * st.mbW + mbX) = qp
     qp
   }
 
@@ -1643,7 +1839,8 @@ object H264Codec {
     * the skip vector, zero residual everywhere.
     */
   private def decodeMbSkip(st: FrameState, refs: IndexedSeq[FrameState],
-      mbX: Int, mbY: Int): Unit = {
+      mbX: Int, mbY: Int, qp: Int): Unit = {
+    st.qpMb(mbY * st.mbW + mbX) = qp
     val (mx, my) = skipMv(st, mbX, mbY)
     st.setMotion(mbX * 4, mbY * 4, 4, 4, mx, my, 0)
     val rf = refs(0)
@@ -1722,12 +1919,20 @@ object H264Codec {
     }
     var qp = pps.picInitQp + r.se()
     require(qp >= 0 && qp <= 51, "slice qp")
+    // in-loop deblocking (8.7): idc 0 filters everything, 2 skips
+    // slice edges (== 0 for our single-slice pictures), 1 disables
+    var deblockIdc = 0
+    var offA = 0
+    var offB = 0
     if (pps.deblockingControlPresent) {
-      val idc = r.ue()
-      require(idc == 1,
-        "in-loop deblocking not implemented; only disable_deblocking_filter_idc=1 streams")
-    } else throw new IllegalStateException(
-      "deblocking filter signalled active; not implemented")
+      deblockIdc = r.ue()
+      require(deblockIdc <= 2, s"disable_deblocking_filter_idc $deblockIdc")
+      if (deblockIdc != 1) {
+        offA = 2 * r.se(); offB = 2 * r.se()
+        require(offA >= -12 && offA <= 12 && offB >= -12 && offB <= 12,
+          "deblocking offsets")
+      }
+    }
     val st = new FrameState(sps.mbWidth, sps.mbHeight)
     refs.foreach(rf => require(rf.w == st.w && rf.h == st.h, "reference dims"))
     val total = sps.mbWidth * sps.mbHeight
@@ -1742,7 +1947,7 @@ object H264Codec {
         var skipRun = r.ue()
         require(mb + skipRun <= total, "mb_skip_run overflow")
         while (skipRun > 0) {
-          decodeMbSkip(st, refs, mb % sps.mbWidth, mb / sps.mbWidth)
+          decodeMbSkip(st, refs, mb % sps.mbWidth, mb / sps.mbWidth, qp)
           mb += 1; skipRun -= 1
         }
         if (mb < total) {
@@ -1758,6 +1963,7 @@ object H264Codec {
       }
     }
     require(!r.moreRbsp(), "trailing data after last MB (desync?)")
+    if (deblockIdc != 1) deblockPicture(st, pps.chromaQpOffset, offA, offB)
     st
   }
 
@@ -1974,7 +2180,7 @@ object H264Codec {
     */
   private def encodeIdrSliceRbsp(st: FrameState, srcY: Array[Byte],
       srcCb: Array[Byte], srcCr: Array[Byte], qp: Int,
-      forcePcm: Boolean): Array[Byte] = {
+      forcePcm: Boolean, deblock: Boolean = false): Array[Byte] = {
     val w = new BitWriter
     w.ue(0) // first_mb_in_slice
     w.ue(7) // slice_type: I (all slices in picture)
@@ -1983,7 +2189,8 @@ object H264Codec {
     w.ue(0) // idr_pic_id
     w.put(0); w.put(0) // dec_ref_pic_marking: no_output_of_prior, long_term
     w.se(0) // slice_qp_delta (pic_init_qp carries the QP)
-    w.ue(1) // disable_deblocking_filter_idc = 1
+    if (deblock) { w.ue(0); w.se(0); w.se(0) } // filter on, zero offsets
+    else w.ue(1) // disable_deblocking_filter_idc = 1
     var mb = 0
     while (mb < st.mbW * st.mbH) {
       val mbX = mb % st.mbW; val mbY = mb / st.mbW
@@ -1992,6 +2199,7 @@ object H264Codec {
       mb += 1
     }
     w.trailing()
+    if (deblock) deblockPicture(st, 0, 0, 0) // recon = what the decoder shows
     w.bytes
   }
 
@@ -2274,6 +2482,7 @@ object H264Codec {
   private def encodeMbPInter(w: BitWriter, st: FrameState, ref: FrameState,
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       mbX: Int, mbY: Int, qp: Int, mbTypeP: Int, parts: Vector[PartPlan]): Unit = {
+    st.qpMb(mbY * st.mbW + mbX) = qp
     val bx0 = mbX * 4; val by0 = mbY * 4
     val px0 = mbX * 16; val py0 = mbY * 16
     val predY = new Array[Int](256)
@@ -2364,7 +2573,8 @@ object H264Codec {
   private def encodePSliceRbsp(st: FrameState, ref: FrameState,
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       qp: Int, frameNum: Int, searchRange: Int,
-      modes: scala.collection.mutable.Map[String, Int]): Array[Byte] = {
+      modes: scala.collection.mutable.Map[String, Int],
+      deblock: Boolean = false): Array[Byte] = {
     val w = new BitWriter
     w.ue(0) // first_mb_in_slice
     w.ue(5) // slice_type: P (all slices in picture)
@@ -2374,7 +2584,8 @@ object H264Codec {
     w.put(0) // ref_pic_list_modification_flag_l0
     w.put(0) // adaptive_ref_pic_marking_mode_flag (sliding window)
     w.se(0) // slice_qp_delta
-    w.ue(1) // disable_deblocking_filter_idc = 1
+    if (deblock) { w.ue(0); w.se(0); w.se(0) } // filter on, zero offsets
+    else w.ue(1) // disable_deblocking_filter_idc = 1
     val refs = IndexedSeq(ref)
     val lambda = 1 << math.max(0, (qp - 12) / 6)
     val pred256 = new Array[Int](256)
@@ -2383,7 +2594,7 @@ object H264Codec {
     while (mb < st.mbW * st.mbH) {
       val mbX = mb % st.mbW; val mbY = mb / st.mbW
       if (trySkip(st, ref, srcY, srcCb, srcCr, mbX, mbY, qp)) {
-        decodeMbSkip(st, refs, mbX, mbY)
+        decodeMbSkip(st, refs, mbX, mbY, qp)
         skipRun += 1
         modes("P_Skip") += 1
       } else {
@@ -2423,6 +2634,7 @@ object H264Codec {
     }
     if (skipRun > 0) w.ue(skipRun)
     w.trailing()
+    if (deblock) deblockPicture(st, 0, 0, 0) // recon = what the decoder shows
     w.bytes
   }
 
@@ -2458,7 +2670,7 @@ object H264Codec {
     * stream must reproduce it bit-exactly.
     */
   def encodeSequence(srcFrames: Seq[Yuv420], qp: Int = 28, gop: Int = 12,
-      searchRange: Int = 4): EncodedSeq = {
+      searchRange: Int = 4, deblock: Boolean = false): EncodedSeq = {
     require(srcFrames.nonEmpty, "empty sequence")
     require(qp >= 0 && qp <= 51, s"qp $qp")
     require(gop >= 1, "gop")
@@ -2490,12 +2702,13 @@ object H264Codec {
       val (nal, histo) =
         if (idr) {
           frameNum = 0
-          val rbsp = encodeIdrSliceRbsp(st, srcY, srcCb, srcCr, qp, forcePcm = false)
+          val rbsp = encodeIdrSliceRbsp(st, srcY, srcCb, srcCr, qp,
+            forcePcm = false, deblock = deblock)
           (Array[Byte](0x65.toByte) ++ escapeRbsp(rbsp), Map.empty[String, Int])
         } else {
           val modes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
           val rbsp = encodePSliceRbsp(st, prev, srcY, srcCb, srcCr,
-            qp, frameNum, searchRange, modes)
+            qp, frameNum, searchRange, modes, deblock = deblock)
           (Array[Byte](0x41.toByte) ++ escapeRbsp(rbsp), modes.toMap)
         }
       prev = st
@@ -2509,6 +2722,7 @@ object H264Codec {
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       mbX: Int, mbY: Int, typeOffset: Int = 0): Unit = {
     st.markIntra(mbX, mbY)
+    st.qpMb(mbY * st.mbW + mbX) = 0 // I_PCM deblocks at QP 0
     w.ue(25 + typeOffset)
     w.align() // pcm_alignment_zero_bit
     var i = 0
@@ -2717,6 +2931,7 @@ object H264Codec {
       mbX: Int, mbY: Int, qp: Int, mode16: Int, pred256: Array[Int],
       typeOffset: Int = 0): Unit = {
     st.markIntra(mbX, mbY)
+    st.qpMb(mbY * st.mbW + mbX) = qp
     val px0 = mbX * 16; val py0 = mbY * 16
     val bx0 = mbX * 4; val by0 = mbY * 4
     val blk = new Array[Int](16)
@@ -2786,6 +3001,7 @@ object H264Codec {
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       mbX: Int, mbY: Int, qp: Int, typeOffset: Int = 0): Unit = {
     st.markIntra(mbX, mbY)
+    st.qpMb(mbY * st.mbW + mbX) = qp
     val px0 = mbX * 16; val py0 = mbY * 16
     val bx0 = mbX * 4; val by0 = mbY * 4
     val blk = new Array[Int](16)

@@ -22,15 +22,18 @@ import org.apache.spark.sql.functions._
   * (Huffman + DCT, [[JpegCodec]], r6) that entropy-decodes the same
   * way; WAV content carries PCM16 frames that decode to sample
   * statistics and box-resampled audio; [[resize]] re-encodes each into
-  * its own container. VIDEO keyframes decode too since this round
-  * ([[H264Codec]]): MP4s carrying an `avcC` record get every sync
-  * sample pixel-decoded ([[decodeKeyframes]], [[extractFeatures]]
-  * stats, keyframe-reel [[resize]]). The remaining documented boundary
-  * is inter-frame (P/B motion-compensated) decode — non-sync samples
-  * and non-AVC codecs flow through with `payload_ok = false` (in
-  * PySpark this swap-in stage would be `mapInPandas`; the Scala-native
-  * equivalent is `mapPartitions` over an Encoder'd case class, used
-  * here).
+  * its own container. VIDEO decodes WHOLE GOPs since the P-slice inter
+  * layer ([[H264Codec]]): MP4s carrying an `avcC` record get every
+  * sample pixel-decoded — sync samples standalone
+  * ([[decodeKeyframes]]) and full IDR+P chains through the stateful
+  * decoder ([[decodeFrames]], [[extractFeatures]] stats, full-GOP
+  * transcode [[resize]]), with the in-loop deblocking filter active
+  * like real camera output. The remaining documented boundary is
+  * Main-profile video (B slices, CABAC, weighted prediction) — the
+  * marker-MP4 twin and non-AVC codecs flow through with
+  * `payload_ok = false` (in PySpark this swap-in stage would be
+  * `mapInPandas`; the Scala-native equivalent is `mapPartitions` over
+  * an Encoder'd case class, used here).
   */
 object Multimodal {
 
@@ -262,7 +265,8 @@ object Multimodal {
   private[multimodal] def avcVideoBytes(id: Long, w: Int, h: Int): Array[Byte] = {
     val n = videoFrameSizes(id).length
     val seq = H264Codec.encodeSequence(
-      Vector.tabulate(n)(k => videoYuv(id, k, w, h)), qp = 32, gop = 3)
+      Vector.tabulate(n)(k => videoYuv(id, k, w, h)), qp = 32, gop = 3,
+      deblock = true) // in-loop filter active, like real camera output
     HeaderCodec.synthMp4Avc(w, h, seq.spsNal, seq.ppsNal,
       seq.frames.map(f => (f.nal, f.idr)), frameDurMs = 500)
   }
@@ -670,7 +674,8 @@ object Multimodal {
           plane(f.cb, f.chromaW, f.chromaH, (w2 + 1) / 2, (h2 + 1) / 2),
           plane(f.cr, f.chromaW, f.chromaH, (w2 + 1) / 2, (h2 + 1) / 2))
       }
-      val seq = H264Codec.encodeSequence(scaled, qp = 30, gop = math.max(1, gop))
+      val seq = H264Codec.encodeSequence(scaled, qp = 30, gop = math.max(1, gop),
+        deblock = true)
       HeaderCodec.synthMp4Avc(w2, h2, seq.spsNal, seq.ppsNal,
         seq.frames.map(f => (f.nal, f.idr)), frameDurMs = dur)
     }

@@ -106,6 +106,28 @@ object LargeMediaBench {
       s"decoded clips ${kfAgg.getLong(1)} != AVC clips ${expectKf.getLong(1)}")
     System.err.println(f"[lmb] keyframes: $kfSec%.1f s (${(kfAgg.getLong(0) / kfSec).toLong} frames/s), ${kfAgg.getLong(0)} frames over ${kfAgg.getLong(1)} clips")
 
+    // whole-GOP pixel decode (P-slice inter layer): EVERY sample of
+    // every AVC clip — IDRs and motion-compensated P frames — must
+    // decode; expected total = sum of per-clip frame counts (4+id%5)
+    val (gopSec, gopAgg) = time {
+      graft.multimodal.Multimodal.decodeFrames(spark, media)
+        .agg(
+          sum(when(col("decode_ok"), 1L).otherwise(0L)).as("frames"),
+          sum(when(col("decode_ok") && !col("sync"), 1L).otherwise(0L)).as("inter"),
+          countDistinct(when(col("decode_ok"), col("media_id"))).as("clips"))
+        .collect()(0)
+    }
+    val expectGop = media.filter(col("kind") === "video" && col("media_id") % 2 === 1)
+      .agg(sum(col("media_id") % 5 + 4).cast("long"), count(lit(1)))
+      .collect()(0)
+    require(gopAgg.getLong(0) == expectGop.getLong(0),
+      s"decoded GOP frames ${gopAgg.getLong(0)} != expected ${expectGop.getLong(0)}")
+    require(gopAgg.getLong(2) == expectGop.getLong(1),
+      s"decoded clips ${gopAgg.getLong(2)} != AVC clips ${expectGop.getLong(1)}")
+    require(gopAgg.getLong(1) == gopAgg.getLong(0) - kfAgg.getLong(0),
+      "inter-frame count must be total minus keyframes")
+    System.err.println(f"[lmb] gop: $gopSec%.1f s (${(gopAgg.getLong(0) / gopSec).toLong} frames/s), ${gopAgg.getLong(0)} frames (${gopAgg.getLong(1)} inter) over ${gopAgg.getLong(2)} clips")
+
     // resize: decode → box filter → re-encode, then re-decode the
     // resized containers and verify EVERY image carries the target
     // dims — one fused pass, timed end to end (resize + audit)
@@ -132,6 +154,9 @@ object LargeMediaBench {
       f""""resize_sec":$rzSec%.1f,"resize_rows_per_s":${(n / rzSec).toLong},""" +
       f""""keyframes_sec":$kfSec%.1f,"keyframes_decoded":${kfAgg.getLong(0)},""" +
       s""""keyframes_per_s":${(kfAgg.getLong(0) / kfSec).toLong},""" +
+      f""""gop_sec":$gopSec%.1f,"gop_frames":${gopAgg.getLong(0)},""" +
+      s""""gop_inter_frames":${gopAgg.getLong(1)},""" +
+      s""""gop_frames_per_s":${(gopAgg.getLong(0) / gopSec).toLong},""" +
       s""""payload_ok":$payloadOk,"video_rows":$video,"marker_video_rows":$markerVideo,""" +
       s""""peak_rss_bytes":${LargeConvertBench.peakRssBytes()}}""")
     spark.stop()

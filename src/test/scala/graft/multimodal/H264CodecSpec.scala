@@ -665,6 +665,135 @@ class H264CodecSpec extends AnyFunSuite {
     for (cut <- 1 until good.length by 7) H264Codec.decodeYuvFrames(good.take(cut))
   }
 
+  // ---------------------------------------------------------------
+  // In-loop deblocking filter (8.7)
+  // ---------------------------------------------------------------
+
+  test("deblocking threshold tables: zeros below 16, goldens, monotone") {
+    import H264Codec.{AlphaTab, BetaTab, Tc0Tab}
+    assert(AlphaTab.length == 52 && BetaTab.length == 52 && Tc0Tab.length == 52)
+    assert(AlphaTab.take(16).forall(_ == 0) && BetaTab.take(16).forall(_ == 0))
+    assert(Tc0Tab.take(17).forall(_.forall(_ == 0))) // first nonzero at 17
+    // golden endpoints from Tables 8-16/8-17
+    assert(AlphaTab(16) == 4 && AlphaTab(26) == 15 && AlphaTab(36) == 50 &&
+      AlphaTab(51) == 255)
+    assert(BetaTab(16) == 2 && BetaTab(26) == 6 && BetaTab(36) == 11 &&
+      BetaTab(51) == 18)
+    assert(Tc0Tab(17).toSeq == Seq(0, 0, 1) && Tc0Tab(40).toSeq == Seq(4, 5, 7) &&
+      Tc0Tab(51).toSeq == Seq(14, 19, 25))
+    (17 until 52).foreach { i =>
+      assert(AlphaTab(i) >= AlphaTab(i - 1) && BetaTab(i) >= BetaTab(i - 1))
+      (0 until 3).foreach(b => assert(Tc0Tab(i)(b) >= Tc0Tab(i - 1)(b)))
+    }
+    (16 until 52).foreach(i =>
+      assert(Tc0Tab(i)(0) <= Tc0Tab(i)(1) && Tc0Tab(i)(1) <= Tc0Tab(i)(2)))
+  }
+
+  test("filterEdge: hand-computed 8.7.2.3/.4 vectors for every bS family") {
+    // one line across an edge: p3 p2 p1 p0 | q0 q1 q2 q3, base at q0
+    def run(vals: Seq[Int], bS: Int, iA: Int, iB: Int, chroma: Boolean): Seq[Int] = {
+      val a = vals.map(_.toByte).toArray
+      H264Codec.filterEdge(a, 4, 1, 8, 1, bS, iA, iB, chroma)
+      a.map(_ & 0xff).toSeq
+    }
+    val ramp = Seq(86, 88, 90, 92, 100, 102, 104, 106) // p3..p0, q0..q3
+    // bS=4 luma strong both sides at indexA=40 (alpha 80, beta 13):
+    // p0'=(p2+2p1+2p0+2q0+q1+4)>>3=94, p1'=(p2+p1+p0+q0+2)>>2=93,
+    // p2'=(2p3+3p2+p1+p0+q0+4)>>3=90; q0'=98, q1'=100, q2'=102
+    assert(run(ramp, 4, 40, 40, chroma = false) ==
+      Seq(86, 90, 93, 94, 98, 100, 102, 106))
+    // bS=2 luma at indexA=40: tc0=5, ap&aq -> tc=7,
+    // delta=((8<<2)+(90-102)+4)>>3=3 -> p0'=95 q0'=97;
+    // p1'=90+clip(+-5,(88+96-180)>>1)=92, q1'=102+((104+96-204)>>1)=100
+    assert(run(ramp, 2, 40, 40, chroma = false) ==
+      Seq(86, 88, 92, 95, 97, 100, 104, 106))
+    // chroma bS=2: tc=tc0+1=6, delta=3, p1/q1 untouched
+    assert(run(ramp, 2, 40, 40, chroma = true) ==
+      Seq(86, 88, 90, 95, 97, 102, 104, 106))
+    // chroma bS=4: p0'=(2p1+p0+q1+2)>>2=94, q0'=(2q1+q0+p1+2)>>2=99
+    assert(run(ramp, 4, 40, 40, chroma = true) ==
+      Seq(86, 88, 90, 94, 99, 102, 104, 106))
+    // below index 16 alpha=0: identity at any bS
+    assert(run(ramp, 4, 15, 15, chroma = false) == ramp)
+    // a hard step (|p0-q0| >= alpha) is a REAL edge: left untouched
+    val step = Seq(30, 30, 30, 30, 200, 200, 200, 200)
+    assert(run(step, 3, 30, 30, chroma = false) == step)
+    // uniform content: all deltas/averages are identity
+    val flatLine = Seq.fill(8)(128)
+    for (bs <- 1 to 4; ch <- Seq(true, false))
+      assert(run(flatLine, bs, 51, 51, ch) == flatLine, s"flat bs$bs ch$ch")
+  }
+
+  test("deblocked streams: decode == encoder recon over QPs; the filter really fires") {
+    for (qp <- Seq(22, 34, 44)) {
+      val frames = panSeq(48, 32, 4, 3, 1)
+      val on = H264Codec.encodeSequence(frames, qp = qp, gop = 100, deblock = true)
+      val off = H264Codec.encodeSequence(frames, qp = qp, gop = 100)
+      val dec = H264Codec.decodeYuvFrames(on.annexB)
+      assert(dec.isDefined, s"deblocked qp$qp must decode")
+      for (k <- frames.indices)
+        assertSame(dec.get(k), on.frames(k).recon, s"deblock qp$qp frame$k")
+      // at blocky QPs the filter must actually change pixels
+      if (qp >= 34)
+        assert(!java.util.Arrays.equals(on.frames.head.recon.y, off.frames.head.recon.y),
+          s"qp$qp filter should alter the recon")
+    }
+    // flat content: the filter is the identity (all deltas zero), so
+    // deblocked and unfiltered recons agree exactly
+    val still = Vector.fill(2)(flat(32, 32, 128, 128, 128))
+    val on = H264Codec.encodeSequence(still, qp = 30, gop = 100, deblock = true)
+    val off = H264Codec.encodeSequence(still, qp = 30, gop = 100)
+    for (k <- 0 until 2) assertSame(on.frames(k).recon, off.frames(k).recon, s"flat $k")
+  }
+
+  test("foreign deblocking syntax: idc 0/2 with offsets parse; absent control means filter on") {
+    // hand-built flat I_16x16 DC stream with idc=0 and nonzero offsets:
+    // uniform 128 output is filter-invariant, so the pixels pin the
+    // PARSE (a desync would shift everything after the offsets)
+    val ref = encodeYuv(flat(16, 16, 1, 2, 3), qp = 30)
+    val sc = Array[Byte](0, 0, 0, 1)
+    for (idc <- Seq(0, 2)) {
+      val slice = new Bits
+      slice.ue(0).ue(7).ue(0) // first_mb, I, pps
+      slice.bits(0, 4) // frame_num
+      slice.ue(0) // idr_pic_id
+      slice.put(0).put(0) // dec_ref_pic_marking
+      slice.se(0) // slice_qp_delta
+      slice.ue(idc) // disable_deblocking_filter_idc
+      slice.se(-2) // slice_alpha_c0_offset_div2
+      slice.se(3) // slice_beta_offset_div2
+      slice.ue(3).ue(0).se(0).put(1) // I_16x16 DC, chroma DC, qp_delta, empty DC
+      val dec = decodeYuv(sc ++ ref.spsNal ++ sc ++ ref.ppsNal ++
+        sc ++ (Array[Byte](0x65) ++ slice.stop()))
+      assert(dec.isDefined, s"idc $idc with offsets must parse")
+      assert(dec.get.y.forall(_ == 128.toByte), s"idc $idc flat DC output")
+    }
+    // PPS without deblocking_filter_control_present: the filter
+    // defaults ON (idc 0, zero offsets) — previously out of subset
+    val pps = new Bits
+    pps.ue(0).ue(0) // pps_id, sps_id
+    pps.put(0) // CAVLC
+    pps.put(0) // no bottom-field POC
+    pps.ue(0) // slice groups
+    pps.ue(0).ue(0) // ref idx counts
+    pps.put(0).bits(0, 2) // weighted pred/bipred
+    pps.se(30 - 26) // pic_init_qp
+    pps.se(0).se(0) // qs, chroma offset
+    pps.put(0).put(0).put(0) // NO deblocking control, constrained, redundant
+    val slice = new Bits
+    slice.ue(0).ue(7).ue(0)
+    slice.bits(0, 4)
+    slice.ue(0)
+    slice.put(0).put(0)
+    slice.se(0) // slice_qp_delta — and NO deblocking syntax follows
+    slice.ue(3).ue(0).se(0).put(1)
+    val dec = decodeYuv(sc ++ ref.spsNal ++
+      sc ++ (Array[Byte](0x68) ++ pps.stop()) ++
+      sc ++ (Array[Byte](0x65) ++ slice.stop()))
+    assert(dec.isDefined, "absent deblocking control must decode (filter on)")
+    assert(dec.get.y.forall(_ == 128.toByte))
+  }
+
   test("CbpInter table (9-4 inter column) is a permutation of 0..47") {
     assert(H264Codec.CbpInter.sorted.toSeq == (0 until 48))
     // golden spot values from the standard's table

@@ -400,12 +400,17 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       val syncIdx = (0 until n).filter(_ % 3 == 0)
       assert(rs.map(_.getAs[Int]("frame_index")).sorted.toSeq == syncIdx,
         s"video $id keyframe indexes")
+      // the corpus GOPs are deblocked, so the expected recon is the
+      // sequence encoder's (the filter rides the reconstruction)
+      val seq = H264Codec.encodeSequence(
+        Vector.tabulate(n)(k => Multimodal.videoYuv(id, k, w, h)),
+        qp = 32, gop = 3, deblock = true)
       rs.foreach { r =>
         assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
         val k = r.getAs[Int]("frame_index")
         assert(r.getAs[Long]("pts_ms") == k * 500L)
         // luma stats equal the codec's own deterministic reconstruction
-        val recon = H264Codec.encodeYuv(Multimodal.videoYuv(id, k, w, h), qp = 32).recon
+        val recon = seq.frames(k).recon
         var sum = 0L; var sumSq = 0L
         recon.y.foreach { b => val v = b & 0xff; sum += v; sumSq += v.toLong * v }
         val nPix = recon.y.length.toDouble
@@ -455,7 +460,8 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       // bit-exact oracle: every frame's luma stats equal the encoder's
       // own reconstruction — IDRs AND motion-compensated P frames
       val seq = H264Codec.encodeSequence(
-        Vector.tabulate(n)(k => Multimodal.videoYuv(id, k, w, h)), qp = 32, gop = 3)
+        Vector.tabulate(n)(k => Multimodal.videoYuv(id, k, w, h)), qp = 32, gop = 3,
+        deblock = true)
       rs.foreach { r =>
         val k = r.getAs[Int]("frame_index")
         assert(r.getAs[Boolean]("sync") == (k % 3 == 0), s"video $id frame $k sync")
@@ -740,7 +746,7 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     var sum = 0.0; var sumSq = 0.0; var peak = 0.0; var cnt = 0L
     H264Codec.encodeSequence(
       Vector.tabulate(nFrames)(k => Multimodal.videoYuv(vidId, k, vw, vh)),
-      qp = 32, gop = 3).frames.foreach { f =>
+      qp = 32, gop = 3, deblock = true).frames.foreach { f =>
       Seq(f.recon.y, f.recon.cb, f.recon.cr).foreach { pl =>
         pl.foreach { b =>
           val v = (b & 0xff).toDouble
