@@ -47,14 +47,28 @@ import scala.util.control.NonFatal
   * prevention, SPS/PPS/slice-header syntax, I_PCM — have byte-level
   * golden tests.
   *
+  * Also in the subset since the inter layer: the full in-loop
+  * deblocking filter (8.7 — idc 0/2 streams with alpha/beta offsets,
+  * thresholds from Tables 8-16/8-17, boundary strengths from the
+  * motion grid, shared by encoder reconstruction via
+  * `encodeSequence(deblock = true)`), and explicit weighted
+  * prediction for P slices (pred_weight_table parse + 8.4.2.3
+  * application; the encoder detects fades x264-weightp-style and
+  * emits real luma weights via `encodeSequence(weighted = true)`).
+  *
+  * Multi-slice pictures are in the subset: consecutive slice NALs in
+  * raster MB order assemble one picture (constrained baseline forbids
+  * FMO/ASO), with slice-boundary availability enforced everywhere the
+  * standard does (intra prediction and its mode contexts, CAVLC nC,
+  * MV prediction, the P_Skip rule) and per-slice deblocking
+  * parameters (idc 2 leaves cross-slice edges unfiltered). The
+  * encoder emits them via `encodeSequence(slices = k)`.
+  *
   * Deliberately out of scope (documented boundary, quarantined to
   * None, never mis-decoded): CABAC (entropy_coding_mode_flag = 1),
-  * B/SP/SI slices, weighted prediction, reference-list modification
-  * and MMCO (adaptive marking), fields/MBAFF, high-profile 8x8
-  * transforms and scaling lists, multi-slice pictures, and the
-  * in-loop deblocking filter (streams that do not disable it via
-  * `disable_deblocking_filter_idc` are rejected rather than decoded
-  * approximately — our encoder always disables it).
+  * B/SP/SI slices (and with them weighted bi-prediction),
+  * reference-list modification and MMCO (adaptive marking),
+  * fields/MBAFF, and high-profile 8x8 transforms and scaling lists.
   */
 object H264Codec {
 
@@ -283,13 +297,14 @@ object H264Codec {
     Pps(cabac, qp, cqo, dbc, cip, bottomFieldPoc, numRefL0, wp)
   }
 
-  private def writePps(w: BitWriter, qp: Int): Unit = {
+  private def writePps(w: BitWriter, qp: Int,
+      weightedPred: Boolean = false): Unit = {
     w.ue(0); w.ue(0) // pps_id, sps_id
     w.put(0) // CAVLC
     w.put(0) // bottom_field_pic_order_in_frame_present
     w.ue(0) // num_slice_groups_minus1
     w.ue(0); w.ue(0) // num_ref_idx_active
-    w.put(0) // weighted_pred
+    w.put(if (weightedPred) 1 else 0) // weighted_pred
     w.putBits(0, 2) // weighted_bipred_idc
     w.se(qp - 26) // pic_init_qp_minus26
     w.se(0) // pic_init_qs_minus26
@@ -1098,6 +1113,22 @@ object H264Codec {
     // per-MB QP_Y as coded (0 for I_PCM) — the deblocking filter's
     // threshold inputs (8.7.2)
     val qpMb: Array[Int] = new Array[Int](mbW * mbH)
+    // multi-slice pictures: which slice coded each MB (-1 undecoded),
+    // the slice now being decoded, the next expected MB in raster
+    // order (constrained baseline forbids FMO/ASO), and each slice's
+    // deblocking parameters (idc, offsetA, offsetB)
+    val sliceMb: Array[Int] = Array.fill(mbW * mbH)(-1)
+    var curSlice: Int = 0
+    var mbNext: Int = 0
+    val sliceDb = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+
+    def markMb(mbX: Int, mbY: Int): Unit =
+      sliceMb(mbY * mbW + mbX) = curSlice
+    /** MB availability (6.4.9): decoded AND in the current slice. */
+    @inline def mbUsable(mbX: Int, mbY: Int): Boolean =
+      sliceMb(mbY * mbW + mbX) == curSlice
+    @inline def cellUsable(bx: Int, by: Int): Boolean =
+      sliceMb((by >> 2) * mbW + (bx >> 2)) == curSlice
 
     /** Record one inter partition's motion over its 4x4 grid cells. */
     def setMotion(bx: Int, by: Int, w4: Int, h4: Int,
@@ -1119,20 +1150,31 @@ object H264Codec {
       setMotion(mbX * 4, mbY * 4, 4, 4, 0, 0, -1)
 
     def lumaNc(bx: Int, by: Int): Int = {
-      val nA = if (bx > 0) tcY(by * bW + bx - 1) else -1
-      val nB = if (by > 0) tcY((by - 1) * bW + bx) else -1
+      val nA =
+        if (bx > 0 && cellUsable(bx - 1, by)) tcY(by * bW + bx - 1) else -1
+      val nB =
+        if (by > 0 && cellUsable(bx, by - 1)) tcY((by - 1) * bW + bx) else -1
       if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
       else if (nA >= 0) nA else if (nB >= 0) nB else 0
     }
     def chromaNc(tc: Array[Int], cx: Int, cy: Int): Int = {
-      val nA = if (cx > 0) tc(cy * cbW + cx - 1) else -1
-      val nB = if (cy > 0) tc((cy - 1) * cbW + cx) else -1
+      val nA =
+        if (cx > 0 && sliceMb((cy >> 1) * mbW + ((cx - 1) >> 1)) == curSlice)
+          tc(cy * cbW + cx - 1)
+        else -1
+      val nB =
+        if (cy > 0 && sliceMb(((cy - 1) >> 1) * mbW + (cx >> 1)) == curSlice)
+          tc((cy - 1) * cbW + cx)
+        else -1
       if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
       else if (nA >= 0) nA else if (nB >= 0) nB else 0
     }
-    /** 4x4 block decoded already (⇔ usable as a prediction neighbor). */
+    /** 4x4 block usable as a prediction neighbor: decoded, in picture,
+      * AND in the current slice (6.4.9 availability).
+      */
     def blockDone(bx: Int, by: Int): Boolean =
-      bx >= 0 && by >= 0 && bx < bW && by < bH && tcY(by * bW + bx) >= 0
+      bx >= 0 && by >= 0 && bx < bW && by < bH &&
+        tcY(by * bW + bx) >= 0 && cellUsable(bx, by)
   }
 
   /** Dequantize a full 16-coeff scan-order block into raster `blk`. */
@@ -1203,7 +1245,9 @@ object H264Codec {
     if (bx < 0 || by < 0 || bx >= st.bW || by >= st.bH) (0, 0, -1, false)
     else {
       val i = by * st.bW + bx
-      if (st.refL0(i) == -2) (0, 0, -1, false)
+      if (st.refL0(i) == -2 ||
+        st.sliceMb((by >> 2) * st.mbW + (bx >> 2)) != st.curSlice)
+        (0, 0, -1, false) // undecoded or another slice: unavailable
       else if (st.refL0(i) == -1) (0, 0, -1, true)
       else (st.mvX(i), st.mvY(i), st.refL0(i), true)
     }
@@ -1257,6 +1301,37 @@ object H264Codec {
 
   @inline private def clampI(v: Int, max: Int): Int =
     if (v < 0) 0 else if (v > max) max else v
+
+  /** Explicit weighted-prediction factors for one reference list
+    * (pred_weight_table, 7.3.3.2): per-refIdx luma and chroma
+    * (weight, offset) at the given log2 denominators. Entries with
+    * their flag unset carry the identity (w = 1 << denom, o = 0).
+    */
+  private final case class RefWeights(lwd: Int, cwd: Int,
+      wY: Array[Int], oY: Array[Int],
+      wCb: Array[Int], oCb: Array[Int],
+      wCr: Array[Int], oCr: Array[Int])
+
+  /** Apply 8.4.2.3.2 unidirectional explicit weighting in place over
+    * a prediction window: clip(((p·w + 2^(d−1)) >> d) + o), or the
+    * unshifted form when d == 0.
+    */
+  private def applyWeights(pred: Array[Int], off: Int, stride: Int,
+      bw: Int, bh: Int, w: Int, o: Int, d: Int): Unit = {
+    if (w == (1 << d) && o == 0) return // identity
+    val half = if (d > 0) 1 << (d - 1) else 0
+    var y = 0
+    while (y < bh) {
+      var x = 0
+      while (x < bw) {
+        val i = off + y * stride + x
+        pred(i) = clip255((if (d > 0) (pred(i) * w + half) >> d
+          else pred(i) * w) + o)
+        x += 1
+      }
+      y += 1
+    }
+  }
 
   /** Quarter-pel luma motion compensation (8.4.2.2.1/.2): writes a
     * blkW x blkH prediction into `pred` at predOff/predStride, reading
@@ -1447,10 +1522,14 @@ object H264Codec {
 
   /** Deblock one MB: all vertical edges left→right, then all
     * horizontal edges top→bottom, each reading the progressively
-    * filtered sample array (the standard's MB-raster process).
+    * filtered sample array (the standard's MB-raster process). The
+    * governing idc/offsets are the current (q-side) MB's slice's; for
+    * idc 2, MB edges against another slice are left unfiltered.
     */
-  private def deblockMb(st: FrameState, cqo: Int, mbX: Int, mbY: Int,
-      offA: Int, offB: Int): Unit = {
+  private def deblockMb(st: FrameState, cqo: Int, mbX: Int, mbY: Int): Unit = {
+    val mySlice = st.sliceMb(mbY * st.mbW + mbX)
+    val (idc, offA, offB) = st.sliceDb(mySlice)
+    if (idc == 1) return
     val qpQ = st.qpMb(mbY * st.mbW + mbX)
     // one direction for one plane family: dir 0 = vertical edges
     // (filter across x), dir 1 = horizontal (across y)
@@ -1459,7 +1538,12 @@ object H264Codec {
       while (e < 4) {
         val atMbEdge = e == 0
         val inside = if (dir == 0) mbX > 0 else mbY > 0
-        if (!atMbEdge || inside) {
+        val crossSliceOk = !atMbEdge || !inside || idc != 2 || {
+          val nb = if (dir == 0) mbY * st.mbW + mbX - 1
+            else (mbY - 1) * st.mbW + mbX
+          st.sliceMb(nb) == mySlice
+        }
+        if ((!atMbEdge || inside) && crossSliceOk) {
           val qpP =
             if (!atMbEdge) qpQ
             else if (dir == 0) st.qpMb(mbY * st.mbW + mbX - 1)
@@ -1510,12 +1594,13 @@ object H264Codec {
     edges(1)
   }
 
-  /** Apply the in-loop filter to a reconstructed picture. */
-  private def deblockPicture(st: FrameState, cqo: Int,
-      offA: Int, offB: Int): Unit = {
+  /** Apply the in-loop filter to a completed picture, each MB under
+    * its own slice's parameters.
+    */
+  private def deblockPicture(st: FrameState, cqo: Int): Unit = {
     var mb = 0
     while (mb < st.mbW * st.mbH) {
-      deblockMb(st, cqo, mb % st.mbW, mb / st.mbW, offA, offB)
+      deblockMb(st, cqo, mb % st.mbW, mb / st.mbW)
       mb += 1
     }
   }
@@ -1535,7 +1620,8 @@ object H264Codec {
       interPred: Array[Array[Int]] = null): Unit = {
     val qpc = chromaQp(qp, pps.chromaQpOffset)
     val cpx0 = mbX * 8; val cpy0 = mbY * 8
-    val aL = mbX > 0; val aT = mbY > 0
+    val aL = mbX > 0 && st.mbUsable(mbX - 1, mbY)
+    val aT = mbY > 0 && st.mbUsable(mbX, mbY - 1)
     val dcCb = new Array[Int](4); val dcCr = new Array[Int](4)
     if (cbpChroma != 0) {
       readResidual(r, -1, 4, dcCb)
@@ -1586,6 +1672,7 @@ object H264Codec {
     val px0 = mbX * 16; val py0 = mbY * 16
     require(mbType >= 0 && mbType <= 25, s"mb_type $mbType invalid in I slice")
     st.markIntra(mbX, mbY)
+    st.markMb(mbX, mbY)
 
     if (mbType == 25) { // I_PCM
       r.byteAlign()
@@ -1630,8 +1717,10 @@ object H264Codec {
       while (k < 16) {
         val (zx, zy) = ZPos(k)
         val bx = bx0 + zx; val by = by0 + zy
-        val availA = bx > 0 && st.modeY(by * st.bW + bx - 1) >= 0
-        val availB = by > 0 && st.modeY((by - 1) * st.bW + bx) >= 0
+        val availA = bx > 0 && st.cellUsable(bx - 1, by) &&
+          st.modeY(by * st.bW + bx - 1) >= 0
+        val availB = by > 0 && st.cellUsable(bx, by - 1) &&
+          st.modeY((by - 1) * st.bW + bx) >= 0
         val predMode =
           if (!availA || !availB) 2
           else math.min(st.modeY(by * st.bW + bx - 1), st.modeY((by - 1) * st.bW + bx))
@@ -1689,7 +1778,9 @@ object H264Codec {
       k = 0
       while (k < 16) { dcArr(k) = dequantLumaDc(dcArr(k), qp); k += 1 }
       val pred256 = new Array[Int](256)
-      predict16(st.y, st.w, px0, py0, predMode16, mbX > 0, mbY > 0, pred256)
+      predict16(st.y, st.w, px0, py0, predMode16,
+        mbX > 0 && st.mbUsable(mbX - 1, mbY),
+        mbY > 0 && st.mbUsable(mbX, mbY - 1), pred256)
       val acCoeff = new Array[Int](15)
       k = 0
       while (k < 16) {
@@ -1718,7 +1809,9 @@ object H264Codec {
     */
   private def decodeMbP(r: BitReader, st: FrameState, pps: Pps,
       refs: IndexedSeq[FrameState], numRefActive: Int,
-      mbX: Int, mbY: Int, mbTypeP: Int, qpIn: Int): Int = {
+      mbX: Int, mbY: Int, mbTypeP: Int, qpIn: Int,
+      wp: RefWeights = null): Int = {
+    st.markMb(mbX, mbY)
     var qp = qpIn
     val bx0 = mbX * 4; val by0 = mbY * 4
     val px0 = mbX * 16; val py0 = mbY * 16
@@ -1747,6 +1840,14 @@ object H264Codec {
         mx, my, w4 * 2, h4 * 2, predC(0), dy * 2 * 8 + dx * 2, 8)
       mcChroma(rf.cr, st.cw, st.ch, mbX * 8 + dx * 2, mbY * 8 + dy * 2,
         mx, my, w4 * 2, h4 * 2, predC(1), dy * 2 * 8 + dx * 2, 8)
+      if (wp != null) {
+        applyWeights(predY, dy * 4 * 16 + dx * 4, 16, w4 * 4, h4 * 4,
+          wp.wY(ref), wp.oY(ref), wp.lwd)
+        applyWeights(predC(0), dy * 2 * 8 + dx * 2, 8, w4 * 2, h4 * 2,
+          wp.wCb(ref), wp.oCb(ref), wp.cwd)
+        applyWeights(predC(1), dy * 2 * 8 + dx * 2, 8, w4 * 2, h4 * 2,
+          wp.wCr(ref), wp.oCr(ref), wp.cwd)
+      }
     }
 
     if (mbTypeP <= 2) { // 16x16 / 16x8 / 8x16: (dx, dy, w4, h4, shape)
@@ -1839,7 +1940,8 @@ object H264Codec {
     * the skip vector, zero residual everywhere.
     */
   private def decodeMbSkip(st: FrameState, refs: IndexedSeq[FrameState],
-      mbX: Int, mbY: Int, qp: Int): Unit = {
+      mbX: Int, mbY: Int, qp: Int, wp: RefWeights = null): Unit = {
+    st.markMb(mbX, mbY)
     st.qpMb(mbY * st.mbW + mbX) = qp
     val (mx, my) = skipMv(st, mbX, mbY)
     st.setMotion(mbX * 4, mbY * 4, 4, 4, mx, my, 0)
@@ -1849,6 +1951,11 @@ object H264Codec {
     mcLuma(rf.y, st.w, st.h, mbX * 16, mbY * 16, mx, my, 16, 16, predY, 0, 16)
     mcChroma(rf.cb, st.cw, st.ch, mbX * 8, mbY * 8, mx, my, 8, 8, predC(0), 0, 8)
     mcChroma(rf.cr, st.cw, st.ch, mbX * 8, mbY * 8, mx, my, 8, 8, predC(1), 0, 8)
+    if (wp != null) {
+      applyWeights(predY, 0, 16, 16, 16, wp.wY(0), wp.oY(0), wp.lwd)
+      applyWeights(predC(0), 0, 8, 8, 8, wp.wCb(0), wp.oCb(0), wp.cwd)
+      applyWeights(predC(1), 0, 8, 8, 8, wp.wCr(0), wp.oCr(0), wp.cwd)
+    }
     var i = 0
     while (i < 256) {
       st.y((mbY * 16 + (i >> 4)) * st.w + mbX * 16 + (i & 15)) = predY(i).toByte
@@ -1876,18 +1983,25 @@ object H264Codec {
     }
   }
 
-  /** Decode one slice (header + all MBs) into a frame. IDR/I slices
-    * need no references; P slices (slice_type 0/5, CAVLC, single-ref
-    * list in decode-recency order — list modification and MMCO are
-    * out of subset) predict against `refs`, most recent first.
+  /** Decode one slice (header + its macroblocks) INTO `st` at the
+    * picture's next raster MB (constrained baseline forbids FMO/ASO,
+    * so slices cover the picture in order). IDR/I slices need no
+    * references; P slices (slice_type 0/5, CAVLC, single-ref list in
+    * decode-recency order — list modification and MMCO are out of
+    * subset) predict against `refs`, most recent first. Advances
+    * `st.mbNext`, records the slice's deblocking parameters; the
+    * caller runs [[deblockPicture]] once the picture completes.
     */
-  private def decodeSlice(rbsp: Array[Byte], refIdc: Int, nalType: Int,
-      sps: Sps, pps: Pps,
-      refs: IndexedSeq[FrameState] = IndexedSeq.empty): FrameState = {
+  private def decodeSliceInto(st: FrameState, rbsp: Array[Byte],
+      refIdc: Int, nalType: Int, sps: Sps, pps: Pps,
+      refs: IndexedSeq[FrameState] = IndexedSeq.empty): Unit = {
     require(!pps.entropyCabac, "CABAC unsupported (CAVLC only)")
     require(!pps.constrainedIntra, "constrained_intra_pred unsupported")
     val r = new BitReader(rbsp)
-    require(r.ue() == 0, "multi-slice pictures unsupported")
+    val firstMb = r.ue()
+    require(firstMb == st.mbNext,
+      s"slice at MB $firstMb, expected ${st.mbNext} (FMO/ASO unsupported)")
+    st.curSlice = st.sliceDb.length
     val sliceType = r.ue()
     val isP = sliceType == 0 || sliceType == 5
     require(sliceType == 2 || sliceType == 7 || isP,
@@ -1908,10 +2022,35 @@ object H264Codec {
       if (r.u1() == 1) numRefActive = r.ue() + 1 // override
       require(numRefActive <= 16, "num_ref_idx_l0_active")
       require(r.u1() == 0, "ref_pic_list_modification unsupported")
-      require(!pps.weightedPred, "weighted prediction unsupported")
       require(refs.nonEmpty, "P slice without a decoded reference")
       // a conformant single-ref stream may still declare more actives
       // than we hold; individual ref_idx values are range-checked
+    }
+    var wp: RefWeights = null
+    if (isP && pps.weightedPred) { // pred_weight_table (7.3.3.2)
+      val lwd = r.ue(); val cwd = r.ue()
+      require(lwd <= 7 && cwd <= 7, "log2 weight denom")
+      val n = numRefActive
+      val weights = RefWeights(lwd, cwd,
+        Array.fill(n)(1 << lwd), new Array[Int](n),
+        Array.fill(n)(1 << cwd), new Array[Int](n),
+        Array.fill(n)(1 << cwd), new Array[Int](n))
+      var i = 0
+      while (i < n) {
+        if (r.u1() == 1) {
+          weights.wY(i) = r.se(); weights.oY(i) = r.se()
+          require(weights.wY(i) >= -128 && weights.wY(i) <= 127 &&
+            weights.oY(i) >= -128 && weights.oY(i) <= 127, "luma weight")
+        }
+        if (r.u1() == 1) {
+          weights.wCb(i) = r.se(); weights.oCb(i) = r.se()
+          weights.wCr(i) = r.se(); weights.oCr(i) = r.se()
+          require(Seq(weights.wCb(i), weights.oCb(i), weights.wCr(i),
+            weights.oCr(i)).forall(v => v >= -128 && v <= 127), "chroma weight")
+        }
+        i += 1
+      }
+      wp = weights
     }
     if (refIdc != 0) {
       if (nalType == 5) { r.u1(); r.u1() } // dec_ref_pic_marking (IDR)
@@ -1933,38 +2072,40 @@ object H264Codec {
           "deblocking offsets")
       }
     }
-    val st = new FrameState(sps.mbWidth, sps.mbHeight)
     refs.foreach(rf => require(rf.w == st.w && rf.h == st.h, "reference dims"))
     val total = sps.mbWidth * sps.mbHeight
-    var mb = 0
     if (!isP) {
-      while (mb < total) {
-        qp = decodeMb(r, st, pps, mb % sps.mbWidth, mb / sps.mbWidth, qp, r.ue())
-        mb += 1
+      while (st.mbNext < total && r.moreRbsp()) {
+        qp = decodeMb(r, st, pps, st.mbNext % sps.mbWidth,
+          st.mbNext / sps.mbWidth, qp, r.ue())
+        st.mbNext += 1
       }
     } else {
-      while (mb < total) {
+      while (st.mbNext < total && r.moreRbsp()) {
         var skipRun = r.ue()
-        require(mb + skipRun <= total, "mb_skip_run overflow")
+        require(st.mbNext + skipRun <= total, "mb_skip_run overflow")
         while (skipRun > 0) {
-          decodeMbSkip(st, refs, mb % sps.mbWidth, mb / sps.mbWidth, qp)
-          mb += 1; skipRun -= 1
+          decodeMbSkip(st, refs, st.mbNext % sps.mbWidth,
+            st.mbNext / sps.mbWidth, qp, wp)
+          st.mbNext += 1; skipRun -= 1
         }
-        if (mb < total) {
+        if (st.mbNext < total && r.moreRbsp()) {
           val mbType = r.ue()
           require(mbType <= 30, s"mb_type $mbType invalid in P slice")
           qp =
             if (mbType >= 5)
-              decodeMb(r, st, pps, mb % sps.mbWidth, mb / sps.mbWidth, qp, mbType - 5)
+              decodeMb(r, st, pps, st.mbNext % sps.mbWidth,
+                st.mbNext / sps.mbWidth, qp, mbType - 5)
             else decodeMbP(r, st, pps, refs, numRefActive,
-              mb % sps.mbWidth, mb / sps.mbWidth, mbType, qp)
-          mb += 1
+              st.mbNext % sps.mbWidth, st.mbNext / sps.mbWidth, mbType, qp, wp)
+          st.mbNext += 1
         }
       }
     }
-    require(!r.moreRbsp(), "trailing data after last MB (desync?)")
-    if (deblockIdc != 1) deblockPicture(st, pps.chromaQpOffset, offA, offB)
-    st
+    require(st.mbNext > firstMb, "empty slice")
+    if (st.mbNext == total)
+      require(!r.moreRbsp(), "trailing data after last MB (desync?)")
+    st.sliceDb += ((deblockIdc, offA, offB))
   }
 
   /** Split an Annex-B byte stream into (nalType, refIdc, rbsp) units. */
@@ -2043,7 +2184,17 @@ object H264Codec {
             val p = pps.getOrElse(throw new IllegalStateException("no PPS"))
             if (nalType == 5) { refs = Vector.empty; started = true }
             else require(started, "non-IDR slice before the first IDR")
-            val st = decodeSlice(rbsp, refIdc, nalType, s, p, refs)
+            // a picture = consecutive slice NALs covering all MBs
+            val st = new FrameState(s.mbWidth, s.mbHeight)
+            decodeSliceInto(st, rbsp, refIdc, nalType, s, p, refs)
+            while (st.mbNext < s.mbWidth * s.mbHeight) {
+              idx += 1
+              require(idx < nals.length, "picture truncated: missing slices")
+              val (nt2, ri2, rb2) = nals(idx)
+              require(nt2 == nalType, "mixed NAL types inside a picture")
+              decodeSliceInto(st, rb2, ri2, nt2, s, p, refs)
+            }
+            deblockPicture(st, p.chromaQpOffset)
             if (refIdc != 0) refs = (st +: refs).take(s.maxNumRefFrames)
             out += cropFrame(st, s)
             n += 1
@@ -2065,6 +2216,7 @@ object H264Codec {
     try {
       val sps = parseSps(new BitReader(unescapeRbsp(spsNal, 1, spsNal.length)))
       val pps = parsePps(new BitReader(unescapeRbsp(ppsNal, 1, ppsNal.length)))
+      var st: FrameState = null
       var i = 0
       while (i + lengthSize <= sample.length) {
         var len = 0
@@ -2073,10 +2225,15 @@ object H264Codec {
         i += lengthSize
         require(len > 0 && i + len <= sample.length, "NAL length")
         val hdr = sample(i) & 0xff
-        if ((hdr & 0x1f) == 5)
-          return Some(cropFrame(
-            decodeSlice(unescapeRbsp(sample, i + 1, i + len),
-              (hdr >> 5) & 3, 5, sps, pps), sps))
+        if ((hdr & 0x1f) == 5) {
+          if (st == null) st = new FrameState(sps.mbWidth, sps.mbHeight)
+          decodeSliceInto(st, unescapeRbsp(sample, i + 1, i + len),
+            (hdr >> 5) & 3, 5, sps, pps)
+          if (st.mbNext == sps.mbWidth * sps.mbHeight) {
+            deblockPicture(st, pps.chromaQpOffset)
+            return Some(cropFrame(st, sps))
+          }
+        }
         i += len
       }
       None
@@ -2098,6 +2255,9 @@ object H264Codec {
 
     def decodeSample(sample: Array[Byte]): Option[Yuv420] =
       try {
+        var st: FrameState = null
+        var picType = -1
+        var picRefIdc = 0
         var i = 0
         while (i + lengthSize <= sample.length) {
           var len = 0
@@ -2108,15 +2268,24 @@ object H264Codec {
           val hdr = sample(i) & 0xff
           val nalType = hdr & 0x1f
           if (nalType == 5 || nalType == 1) {
-            if (nalType == 5) { refs = Vector.empty; broken = false }
-            else require(!broken, "P sample on a broken reference chain")
-            val st = decodeSlice(unescapeRbsp(sample, i + 1, i + len),
+            if (st == null) {
+              if (nalType == 5) { refs = Vector.empty; broken = false }
+              else require(!broken, "P sample on a broken reference chain")
+              st = new FrameState(sps.mbWidth, sps.mbHeight)
+              picType = nalType
+              picRefIdc = (hdr >> 5) & 3
+            } else require(nalType == picType, "mixed NAL types inside a picture")
+            decodeSliceInto(st, unescapeRbsp(sample, i + 1, i + len),
               (hdr >> 5) & 3, nalType, sps, pps, refs)
-            if (((hdr >> 5) & 3) != 0) refs = (st +: refs).take(sps.maxNumRefFrames)
-            return Some(cropFrame(st, sps))
+            if (st.mbNext == sps.mbWidth * sps.mbHeight) {
+              deblockPicture(st, pps.chromaQpOffset)
+              if (picRefIdc != 0) refs = (st +: refs).take(sps.maxNumRefFrames)
+              return Some(cropFrame(st, sps))
+            }
           }
           i += len
         }
+        require(st == null, "sample ended with an incomplete picture")
         None
       } catch { case NonFatal(_) => broken = true; None }
   }
@@ -2175,31 +2344,37 @@ object H264Codec {
     Encoded(annexB, spsNal, ppsNal, idrNal, cropFrame(st, sps))
   }
 
-  /** Write one IDR slice (header + all MBs) into `st`; returns the
-    * RBSP bytes. Mirrors decodeSlice's I path exactly.
+  /** Write one IDR slice (header + `nMbs` MBs from `firstMb`) into
+    * `st`; returns the RBSP bytes. Mirrors decodeSliceInto's I path
+    * exactly; the caller runs the deblocking filter once the picture
+    * is complete.
     */
   private def encodeIdrSliceRbsp(st: FrameState, srcY: Array[Byte],
       srcCb: Array[Byte], srcCr: Array[Byte], qp: Int,
-      forcePcm: Boolean, deblock: Boolean = false): Array[Byte] = {
+      forcePcm: Boolean, dbIdc: Int = 1,
+      firstMb: Int = 0, nMbs: Int = -1): Array[Byte] = {
+    val count = if (nMbs < 0) st.mbW * st.mbH - firstMb else nMbs
+    st.curSlice = st.sliceDb.length
     val w = new BitWriter
-    w.ue(0) // first_mb_in_slice
+    w.ue(firstMb) // first_mb_in_slice
     w.ue(7) // slice_type: I (all slices in picture)
     w.ue(0) // pps_id
     w.putBits(0, 4) // frame_num, log2_max_frame_num = 4
     w.ue(0) // idr_pic_id
     w.put(0); w.put(0) // dec_ref_pic_marking: no_output_of_prior, long_term
     w.se(0) // slice_qp_delta (pic_init_qp carries the QP)
-    if (deblock) { w.ue(0); w.se(0); w.se(0) } // filter on, zero offsets
+    if (dbIdc != 1) { w.ue(dbIdc); w.se(0); w.se(0) } // filter on, zero offsets
     else w.ue(1) // disable_deblocking_filter_idc = 1
-    var mb = 0
-    while (mb < st.mbW * st.mbH) {
+    var mb = firstMb
+    while (mb < firstMb + count) {
       val mbX = mb % st.mbW; val mbY = mb / st.mbW
       if (forcePcm) encodeMbPcm(w, st, srcY, srcCb, srcCr, mbX, mbY)
       else encodeMbIntra(w, st, srcY, srcCb, srcCr, mbX, mbY, qp)
       mb += 1
     }
     w.trailing()
-    if (deblock) deblockPicture(st, 0, 0, 0) // recon = what the decoder shows
+    st.mbNext = firstMb + count
+    st.sliceDb += ((dbIdc, 0, 0))
     w.bytes
   }
 
@@ -2253,17 +2428,18 @@ object H264Codec {
     * refinement through the decoder's own interpolator. Returns
     * (mvx, mvy, sad) in quarter-pel units.
     */
-  private def searchPart(refY: Array[Byte], st: FrameState, src: Array[Byte],
+  private def searchPart(refY: Array[Byte], searchRefY: Array[Byte],
+      st: FrameState, src: Array[Byte],
       px: Int, py: Int, bw: Int, bh: Int, mpx: Int, mpy: Int,
-      range: Int): (Int, Int, Int) = {
+      range: Int, wp: RefWeights): (Int, Int, Int) = {
     val cx = mpx >> 2; val cy = mpy >> 2
     var bestX = 0; var bestY = 0
-    var bestS = fullSad(refY, st.w, st.h, src, px, py, bw, bh, 0, 0)
+    var bestS = fullSad(searchRefY, st.w, st.h, src, px, py, bw, bh, 0, 0)
     var dy = -range
     while (dy <= range) {
       var dx = -range
       while (dx <= range) {
-        val s = fullSad(refY, st.w, st.h, src, px, py, bw, bh, cx + dx, cy + dy)
+        val s = fullSad(searchRefY, st.w, st.h, src, px, py, bw, bh, cx + dx, cy + dy)
         if (s < bestS) { bestS = s; bestX = cx + dx; bestY = cy + dy }
         dx += 1
       }
@@ -2273,6 +2449,7 @@ object H264Codec {
     val tmp = new Array[Int](bw * bh)
     def sadQ(mx: Int, my: Int): Int = {
       mcLuma(refY, st.w, st.h, px, py, mx, my, bw, bh, tmp, 0, bw)
+      if (wp != null) applyWeights(tmp, 0, bw, bw, bh, wp.wY(0), wp.oY(0), wp.lwd)
       var s = 0
       var i = 0
       while (i < bw * bh) {
@@ -2310,10 +2487,12 @@ object H264Codec {
     * (all luma, chroma-DC and chroma-AC levels zero).
     */
   private def trySkip(st: FrameState, ref: FrameState, srcY: Array[Byte],
-      srcCb: Array[Byte], srcCr: Array[Byte], mbX: Int, mbY: Int, qp: Int): Boolean = {
+      srcCb: Array[Byte], srcCr: Array[Byte], mbX: Int, mbY: Int, qp: Int,
+      wp: RefWeights): Boolean = {
     val (mx, my) = skipMv(st, mbX, mbY)
     val predY = new Array[Int](256)
     mcLuma(ref.y, st.w, st.h, mbX * 16, mbY * 16, mx, my, 16, 16, predY, 0, 16)
+    if (wp != null) applyWeights(predY, 0, 16, 16, 16, wp.wY(0), wp.oY(0), wp.lwd)
     val blk = new Array[Int](16)
     var k = 0
     while (k < 16) {
@@ -2339,6 +2518,9 @@ object H264Codec {
     while (pi < 2) {
       val (sp, rp) = if (pi == 0) (srcCb, ref.cb) else (srcCr, ref.cr)
       mcChroma(rp, st.cw, st.ch, mbX * 8, mbY * 8, mx, my, 8, 8, predC, 0, 8)
+      if (wp != null) applyWeights(predC, 0, 8, 8, 8,
+        if (pi == 0) wp.wCb(0) else wp.wCr(0),
+        if (pi == 0) wp.oCb(0) else wp.oCr(0), wp.cwd)
       val dcRaw = new Array[Int](4)
       var b = 0
       while (b < 4) {
@@ -2373,8 +2555,10 @@ object H264Codec {
     * encode pass re-commits the winning plan.
     * Returns (cost, mb_type 0..3, partition plans in decode order).
     */
-  private def planInter(st: FrameState, ref: FrameState, srcY: Array[Byte],
-      mbX: Int, mbY: Int, qp: Int, searchRange: Int): (Int, Int, Vector[PartPlan]) = {
+  private def planInter(st: FrameState, ref: FrameState,
+      searchRefY: Array[Byte], srcY: Array[Byte],
+      mbX: Int, mbY: Int, qp: Int, searchRange: Int,
+      wp: RefWeights): (Int, Int, Vector[PartPlan]) = {
     val bx0 = mbX * 4; val by0 = mbY * 4
     val lambda = 1 << math.max(0, (qp - 12) / 6)
     val savedMx = new Array[Int](16)
@@ -2403,8 +2587,9 @@ object H264Codec {
       val out = Vector.newBuilder[PartPlan]
       parts.foreach { case Array(dx, dy, w4, h4, shape) =>
         val (mpx, mpy) = mvPred(st, bx0 + dx, by0 + dy, w4, 0, shape)
-        val (mx, my, sad) = searchPart(ref.y, st, srcY,
-          mbX * 16 + dx * 4, mbY * 16 + dy * 4, w4 * 4, h4 * 4, mpx, mpy, searchRange)
+        val (mx, my, sad) = searchPart(ref.y, searchRefY, st, srcY,
+          mbX * 16 + dx * 4, mbY * 16 + dy * 4, w4 * 4, h4 * 4, mpx, mpy,
+          searchRange, wp)
         cost += sad + lambda * (seBits(mx - mpx) + seBits(my - mpy))
         st.setMotion(bx0 + dx, by0 + dy, w4, h4, mx, my, 0)
         out += PartPlan(dx, dy, w4, h4, shape, mx, my)
@@ -2481,7 +2666,9 @@ object H264Codec {
     */
   private def encodeMbPInter(w: BitWriter, st: FrameState, ref: FrameState,
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
-      mbX: Int, mbY: Int, qp: Int, mbTypeP: Int, parts: Vector[PartPlan]): Unit = {
+      mbX: Int, mbY: Int, qp: Int, mbTypeP: Int, parts: Vector[PartPlan],
+      wp: RefWeights): Unit = {
+    st.markMb(mbX, mbY)
     st.qpMb(mbY * st.mbW + mbX) = qp
     val bx0 = mbX * 4; val by0 = mbY * 4
     val px0 = mbX * 16; val py0 = mbY * 16
@@ -2513,6 +2700,14 @@ object H264Codec {
         p.mx, p.my, p.w4 * 2, p.h4 * 2, predC(0), p.dy * 2 * 8 + p.dx * 2, 8)
       mcChroma(ref.cr, st.cw, st.ch, mbX * 8 + p.dx * 2, mbY * 8 + p.dy * 2,
         p.mx, p.my, p.w4 * 2, p.h4 * 2, predC(1), p.dy * 2 * 8 + p.dx * 2, 8)
+      if (wp != null) {
+        applyWeights(predY, p.dy * 4 * 16 + p.dx * 4, 16, p.w4 * 4, p.h4 * 4,
+          wp.wY(0), wp.oY(0), wp.lwd)
+        applyWeights(predC(0), p.dy * 2 * 8 + p.dx * 2, 8, p.w4 * 2, p.h4 * 2,
+          wp.wCb(0), wp.oCb(0), wp.cwd)
+        applyWeights(predC(1), p.dy * 2 * 8 + p.dx * 2, 8, p.w4 * 2, p.h4 * 2,
+          wp.wCr(0), wp.oCr(0), wp.cwd)
+      }
       (p.mx - mpx, p.my - mpy)
     }
     mvds.foreach { case (dx, dy) => w.se(dx); w.se(dy) }
@@ -2574,34 +2769,59 @@ object H264Codec {
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       qp: Int, frameNum: Int, searchRange: Int,
       modes: scala.collection.mutable.Map[String, Int],
-      deblock: Boolean = false): Array[Byte] = {
+      dbIdc: Int = 1, wp: RefWeights = null,
+      firstMb: Int = 0, nMbs: Int = -1): Array[Byte] = {
+    val count = if (nMbs < 0) st.mbW * st.mbH - firstMb else nMbs
+    st.curSlice = st.sliceDb.length
     val w = new BitWriter
-    w.ue(0) // first_mb_in_slice
+    w.ue(firstMb) // first_mb_in_slice
     w.ue(5) // slice_type: P (all slices in picture)
     w.ue(0) // pps_id
     w.putBits(frameNum & 15, 4)
     w.put(0) // num_ref_idx_active_override_flag
     w.put(0) // ref_pic_list_modification_flag_l0
+    if (wp != null) { // pred_weight_table (the PPS declared WP)
+      w.ue(wp.lwd); w.ue(wp.cwd)
+      if (wp.wY(0) == (1 << wp.lwd) && wp.oY(0) == 0) w.put(0)
+      else { w.put(1); w.se(wp.wY(0)); w.se(wp.oY(0)) }
+      w.put(0) // chroma_weight_l0_flag: identity (luma-only weighting)
+    }
     w.put(0) // adaptive_ref_pic_marking_mode_flag (sliding window)
     w.se(0) // slice_qp_delta
-    if (deblock) { w.ue(0); w.se(0); w.se(0) } // filter on, zero offsets
+    if (dbIdc != 1) { w.ue(dbIdc); w.se(0); w.se(0) } // filter on, zero offsets
     else w.ue(1) // disable_deblocking_filter_idc = 1
     val refs = IndexedSeq(ref)
     val lambda = 1 << math.max(0, (qp - 12) / 6)
     val pred256 = new Array[Int](256)
+    // full-pel search plane: the reference pre-transformed by the luma
+    // weights (decision-only approximation; subpel and recon apply the
+    // exact post-interpolation weighting)
+    val searchRefY =
+      if (wp == null || (wp.wY(0) == (1 << wp.lwd) && wp.oY(0) == 0)) ref.y
+      else {
+        val t = new Array[Byte](ref.y.length)
+        val half = if (wp.lwd > 0) 1 << (wp.lwd - 1) else 0
+        var i = 0
+        while (i < t.length) {
+          t(i) = clip255((((ref.y(i) & 0xff) * wp.wY(0) + half) >> wp.lwd) + wp.oY(0)).toByte
+          i += 1
+        }
+        t
+      }
     var skipRun = 0
-    var mb = 0
-    while (mb < st.mbW * st.mbH) {
+    var mb = firstMb
+    while (mb < firstMb + count) {
       val mbX = mb % st.mbW; val mbY = mb / st.mbW
-      if (trySkip(st, ref, srcY, srcCb, srcCr, mbX, mbY, qp)) {
-        decodeMbSkip(st, refs, mbX, mbY, qp)
+      if (trySkip(st, ref, srcY, srcCb, srcCr, mbX, mbY, qp, wp)) {
+        decodeMbSkip(st, refs, mbX, mbY, qp, wp)
         skipRun += 1
         modes("P_Skip") += 1
       } else {
         val (interCost, mbTypeP, parts) =
-          planInter(st, ref, srcY, mbX, mbY, qp, searchRange)
+          planInter(st, ref, searchRefY, srcY, mbX, mbY, qp, searchRange, wp)
         // intra fallback estimate: best whole-MB I_16x16 prediction
-        val aL = mbX > 0; val aT = mbY > 0
+        val aL = mbX > 0 && st.mbUsable(mbX - 1, mbY)
+        val aT = mbY > 0 && st.mbUsable(mbX, mbY - 1)
         val cand = Seq(2) ++ (if (aT) Seq(0) else Nil) ++
           (if (aL) Seq(1) else Nil) ++ (if (aL && aT) Seq(3) else Nil)
         val intraSad = cand.map { m =>
@@ -2613,7 +2833,8 @@ object H264Codec {
           encodeMbIntra(w, st, srcY, srcCb, srcCr, mbX, mbY, qp, typeOffset = 5)
           modes("I_in_P") += 1
         } else {
-          encodeMbPInter(w, st, ref, srcY, srcCb, srcCr, mbX, mbY, qp, mbTypeP, parts)
+          encodeMbPInter(w, st, ref, srcY, srcCb, srcCr, mbX, mbY, qp,
+            mbTypeP, parts, wp)
           modes(mbTypeP match {
             case 0 => "P_16x16"
             case 1 => "P_16x8"
@@ -2634,17 +2855,24 @@ object H264Codec {
     }
     if (skipRun > 0) w.ue(skipRun)
     w.trailing()
-    if (deblock) deblockPicture(st, 0, 0, 0) // recon = what the decoder shows
+    st.mbNext = firstMb + count
+    st.sliceDb += ((dbIdc, 0, 0))
     w.bytes
   }
 
-  /** One frame of [[encodeSequence]]: the slice NAL (ready for MP4
-    * sample framing), its sync flag, the decoder-identical
-    * reconstruction, and the MB-mode histogram (spec coverage
-    * accounting; empty for IDR frames).
+  /** One frame of [[encodeSequence]]: the slice NALs (one per slice,
+    * ready for MP4 sample framing — `nal` when single-slice), the sync
+    * flag, the decoder-identical reconstruction, and the MB-mode
+    * histogram (spec coverage accounting; empty for IDR frames).
     */
-  final case class EncodedFrame(nal: Array[Byte], idr: Boolean,
-      recon: Yuv420, mbModes: Map[String, Int])
+  final case class EncodedFrame(nals: Vector[Array[Byte]], idr: Boolean,
+      recon: Yuv420, mbModes: Map[String, Int]) {
+    /** The frame's single NAL (callers framing one NAL per sample). */
+    def nal: Array[Byte] = {
+      require(nals.length == 1, s"frame has ${nals.length} slices")
+      nals.head
+    }
+  }
 
   /** An encoded GOP sequence: shared SPS/PPS (max_num_ref_frames = 1)
     * and the per-frame slice NALs.
@@ -2656,7 +2884,7 @@ object H264Codec {
       val sc = Array[Byte](0, 0, 0, 1)
       val b = Array.newBuilder[Byte]
       b ++= sc; b ++= spsNal; b ++= sc; b ++= ppsNal
-      frames.foreach { f => b ++= sc; b ++= f.nal }
+      frames.foreach(_.nals.foreach { n => b ++= sc; b ++= n })
       b.result()
     }
   }
@@ -2670,10 +2898,13 @@ object H264Codec {
     * stream must reproduce it bit-exactly.
     */
   def encodeSequence(srcFrames: Seq[Yuv420], qp: Int = 28, gop: Int = 12,
-      searchRange: Int = 4, deblock: Boolean = false): EncodedSeq = {
+      searchRange: Int = 4, deblock: Boolean = false,
+      weighted: Boolean = false, slices: Int = 1,
+      deblockAcrossSlices: Boolean = true): EncodedSeq = {
     require(srcFrames.nonEmpty, "empty sequence")
     require(qp >= 0 && qp <= 51, s"qp $qp")
     require(gop >= 1, "gop")
+    require(slices >= 1, "slices")
     require(searchRange >= 1 && searchRange <= 16, "searchRange")
     val head = srcFrames.head
     require(head.width > 0 && head.height > 0 &&
@@ -2688,9 +2919,44 @@ object H264Codec {
     val spsW = new BitWriter
     writeSps(spsW, mbW, mbH, sps.cropRight, sps.cropBottom, numRefFrames = 1)
     val ppsW = new BitWriter
-    writePps(ppsW, qp)
+    writePps(ppsW, qp, weightedPred = weighted)
     val spsNal = Array[Byte](0x67.toByte) ++ escapeRbsp(spsW.bytes)
     val ppsNal = Array[Byte](0x68.toByte) ++ escapeRbsp(ppsW.bytes)
+    // fade detector (x264-weightp style): least-squares luma gain+bias
+    // of the source against the reference recon; identity when the
+    // match is already linear-free
+    def lumaWeights(refY: Array[Byte], srcY: Array[Byte]): RefWeights = {
+      var sR = 0.0; var sS = 0.0
+      var i = 0
+      while (i < refY.length) { sR += refY(i) & 0xff; sS += srcY(i) & 0xff; i += 1 }
+      val mR = sR / refY.length; val mS = sS / srcY.length
+      var vR = 0.0; var vS = 0.0
+      i = 0
+      while (i < refY.length) {
+        val dR = (refY(i) & 0xff) - mR; val dS = (srcY(i) & 0xff) - mS
+        vR += dR * dR; vS += dS * dS
+        i += 1
+      }
+      var wY = if (vR < 1e-9) 64 else math.round(64.0 * math.sqrt(vS / vR)).toInt
+      wY = clip3(1, 127, wY)
+      var oY = clip3(-128, 127, math.round(mS - wY * mR / 64.0).toInt)
+      // enable only when the mapping genuinely beats identity: a >=10%
+      // global L1 reduction (the x264 cost gate) — statistical drift
+      // from panning content must not trigger spurious weights
+      if (wY != 64 || oY != 0) {
+        var idErr = 0L; var wpErr = 0L
+        i = 0
+        while (i < refY.length) {
+          val r0 = refY(i) & 0xff; val s0 = srcY(i) & 0xff
+          idErr += math.abs(s0 - r0)
+          wpErr += math.abs(s0 - clip255(((r0 * wY + 32) >> 6) + oY))
+          i += 1
+        }
+        if (wpErr * 10 >= idErr * 9) { wY = 64; oY = 0 }
+      }
+      RefWeights(6, 6, Array(wY), Array(oY),
+        Array(64), Array(0), Array(64), Array(0))
+    }
     var prev: FrameState = null
     var frameNum = 0
     val frames = srcFrames.iterator.zipWithIndex.map { case (src, i) =>
@@ -2699,21 +2965,41 @@ object H264Codec {
       val srcCb = padPlane(src.cb, src.chromaW, src.chromaH, st.cw, st.ch)
       val srcCr = padPlane(src.cr, src.chromaW, src.chromaH, st.cw, st.ch)
       val idr = i % gop == 0
-      val (nal, histo) =
+      // contiguous MB-range slices (constrained baseline: raster order)
+      val total = mbW * mbH
+      val nSlices = math.min(slices, total)
+      val dbIdc = if (!deblock) 1 else if (deblockAcrossSlices) 0 else 2
+      val bounds = (0 until nSlices).map { k =>
+        val a = k * total / nSlices; val b = (k + 1) * total / nSlices
+        (a, b - a)
+      }
+      val (nals, histo) =
         if (idr) {
           frameNum = 0
-          val rbsp = encodeIdrSliceRbsp(st, srcY, srcCb, srcCr, qp,
-            forcePcm = false, deblock = deblock)
-          (Array[Byte](0x65.toByte) ++ escapeRbsp(rbsp), Map.empty[String, Int])
+          val ns = bounds.map { case (a, n0) =>
+            Array[Byte](0x65.toByte) ++ escapeRbsp(encodeIdrSliceRbsp(
+              st, srcY, srcCb, srcCr, qp, forcePcm = false,
+              dbIdc = dbIdc, firstMb = a, nMbs = n0))
+          }.toVector
+          (ns, Map.empty[String, Int])
         } else {
           val modes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
-          val rbsp = encodePSliceRbsp(st, prev, srcY, srcCb, srcCr,
-            qp, frameNum, searchRange, modes, deblock = deblock)
-          (Array[Byte](0x41.toByte) ++ escapeRbsp(rbsp), modes.toMap)
+          val wp = if (weighted) lumaWeights(prev.y, srcY) else null
+          if (wp != null && (wp.wY(0) != 64 || wp.oY(0) != 0)) {
+            modes("WP") += 1
+            modes("WP_w") = wp.wY(0); modes("WP_o") = wp.oY(0)
+          }
+          val ns = bounds.map { case (a, n0) =>
+            Array[Byte](0x41.toByte) ++ escapeRbsp(encodePSliceRbsp(
+              st, prev, srcY, srcCb, srcCr, qp, frameNum, searchRange,
+              modes, dbIdc = dbIdc, wp = wp, firstMb = a, nMbs = n0))
+          }.toVector
+          (ns, modes.toMap)
         }
+      if (deblock) deblockPicture(st, 0) // recon = what the decoder shows
       prev = st
       frameNum = (frameNum + 1) & 15
-      EncodedFrame(nal, idr, cropFrame(st, sps), histo)
+      EncodedFrame(nals, idr, cropFrame(st, sps), histo)
     }.toVector
     EncodedSeq(spsNal, ppsNal, frames)
   }
@@ -2722,6 +3008,7 @@ object H264Codec {
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       mbX: Int, mbY: Int, typeOffset: Int = 0): Unit = {
     st.markIntra(mbX, mbY)
+    st.markMb(mbX, mbY)
     st.qpMb(mbY * st.mbW + mbX) = 0 // I_PCM deblocks at QP 0
     w.ue(25 + typeOffset)
     w.align() // pcm_alignment_zero_bit
@@ -2771,7 +3058,8 @@ object H264Codec {
       Array[Array[Int]], Array[Array[Int]]) = {
     val qpc = chromaQp(qp, 0)
     val cpx0 = mbX * 8; val cpy0 = mbY * 8
-    val aL = mbX > 0; val aT = mbY > 0
+    val aL = mbX > 0 && st.mbUsable(mbX - 1, mbY)
+    val aT = mbY > 0 && st.mbUsable(mbX, mbY - 1)
     // mode selection: best summed SAD over both planes among valid modes
     val candidates = Seq(0) ++ (if (aL) Seq(1) else Nil) ++
       (if (aT) Seq(2) else Nil) ++ (if (aL && aT) Seq(3) else Nil)
@@ -2883,7 +3171,8 @@ object H264Codec {
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       mbX: Int, mbY: Int, qp: Int, typeOffset: Int = 0): Unit = {
     val px0 = mbX * 16; val py0 = mbY * 16
-    val aLmb = mbX > 0; val aTmb = mbY > 0
+    val aLmb = mbX > 0 && st.mbUsable(mbX - 1, mbY)
+    val aTmb = mbY > 0 && st.mbUsable(mbX, mbY - 1)
     // I_16x16 candidate: best full-block prediction SAD
     val mode16Candidates = Seq(2) ++ (if (aTmb) Seq(0) else Nil) ++
       (if (aLmb) Seq(1) else Nil) ++ (if (aLmb && aTmb) Seq(3) else Nil)
@@ -2931,6 +3220,7 @@ object H264Codec {
       mbX: Int, mbY: Int, qp: Int, mode16: Int, pred256: Array[Int],
       typeOffset: Int = 0): Unit = {
     st.markIntra(mbX, mbY)
+    st.markMb(mbX, mbY)
     st.qpMb(mbY * st.mbW + mbX) = qp
     val px0 = mbX * 16; val py0 = mbY * 16
     val bx0 = mbX * 4; val by0 = mbY * 4
@@ -3001,6 +3291,7 @@ object H264Codec {
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       mbX: Int, mbY: Int, qp: Int, typeOffset: Int = 0): Unit = {
     st.markIntra(mbX, mbY)
+    st.markMb(mbX, mbY)
     st.qpMb(mbY * st.mbW + mbX) = qp
     val px0 = mbX * 16; val py0 = mbY * 16
     val bx0 = mbX * 4; val by0 = mbY * 4
@@ -3079,8 +3370,10 @@ object H264Codec {
     while (k < 16) {
       val (zx, zy) = ZPos(k)
       val bx = bx0 + zx; val by = by0 + zy
-      val availA = bx > 0 && st.modeY(by * st.bW + bx - 1) >= 0
-      val availB = by > 0 && st.modeY((by - 1) * st.bW + bx) >= 0
+      val availA = bx > 0 && st.cellUsable(bx - 1, by) &&
+        st.modeY(by * st.bW + bx - 1) >= 0
+      val availB = by > 0 && st.cellUsable(bx, by - 1) &&
+        st.modeY((by - 1) * st.bW + bx) >= 0
       val predMode =
         if (!availA || !availB) 2
         else math.min(st.modeY(by * st.bW + bx - 1), st.modeY((by - 1) * st.bW + bx))

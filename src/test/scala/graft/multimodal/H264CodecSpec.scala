@@ -651,18 +651,23 @@ class H264CodecSpec extends AnyFunSuite {
   }
 
   test("P-stream fuzz: mutations and truncations of inter NALs never throw") {
-    val seq = H264Codec.encodeSequence(panSeq(32, 32, 4, 3, 1), qp = 26, gop = 100)
-    val good = seq.annexB
     val rnd = new scala.util.Random(20260815L)
-    for (_ <- 1 to 400) {
-      val m = good.clone()
-      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
-      H264Codec.decodeYuvFrames(m) match {
-        case Some(fs) => fs.foreach(f => assert(f.y.length == f.width * f.height))
-        case None => ()
+    val streams = Seq(
+      H264Codec.encodeSequence(panSeq(32, 32, 4, 3, 1), qp = 26, gop = 100).annexB,
+      // multi-slice + deblock + weighting: the full header/filter surface
+      H264Codec.encodeSequence(panSeq(32, 32, 4, 3, 1), qp = 26, gop = 100,
+        deblock = true, weighted = true, slices = 2).annexB)
+    for (good <- streams) {
+      for (_ <- 1 to 400) {
+        val m = good.clone()
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        H264Codec.decodeYuvFrames(m) match {
+          case Some(fs) => fs.foreach(f => assert(f.y.length == f.width * f.height))
+          case None => ()
+        }
       }
+      for (cut <- 1 until good.length by 7) H264Codec.decodeYuvFrames(good.take(cut))
     }
-    for (cut <- 1 until good.length by 7) H264Codec.decodeYuvFrames(good.take(cut))
   }
 
   // ---------------------------------------------------------------
@@ -792,6 +797,172 @@ class H264CodecSpec extends AnyFunSuite {
       sc ++ (Array[Byte](0x65) ++ slice.stop()))
     assert(dec.isDefined, "absent deblocking control must decode (filter on)")
     assert(dec.get.y.forall(_ == 128.toByte))
+  }
+
+  // ---------------------------------------------------------------
+  // Weighted prediction (8.4.2.3, P slices)
+  // ---------------------------------------------------------------
+
+  test("weighted prediction: fades decode bit-exactly and the detector fires") {
+    // multiplicative luma fade over a textured field — the x264-weightp
+    // shape: each frame is the same scene at a lower gain
+    val w = 48; val h = 32
+    def field(x: Int, y: Int): Int = 60 + ((x * 3 + y * 7 + (x / 6) * (y / 5) * 5) & 0x7f)
+    val gains = Seq(1.0, 0.82, 0.67, 0.55)
+    val frames = gains.map { g =>
+      val y = Array.tabulate(w * h)(i => math.round(field(i % w, i / w) * g).toByte)
+      Yuv420(w, h, y, Array.fill(w * h / 4)(110.toByte), Array.fill(w * h / 4)(130.toByte))
+    }.toVector
+    for (qp <- Seq(24, 34)) {
+      val on = H264Codec.encodeSequence(frames, qp = qp, gop = 100, weighted = true)
+      val dec = H264Codec.decodeYuvFrames(on.annexB)
+      assert(dec.isDefined, s"weighted fade qp$qp must decode")
+      for (k <- frames.indices)
+        assertSame(dec.get(k), on.frames(k).recon, s"wp qp$qp frame$k")
+      // the fade detector must fire with a sub-unit gain (w < 64)
+      val fired = on.frames.tail.filter(_.mbModes.contains("WP"))
+      assert(fired.nonEmpty, "fade frames must carry real luma weights")
+      fired.foreach(f => assert(f.mbModes("WP_w") < 64,
+        s"fade gain should be < 1: ${f.mbModes}"))
+      // and weighting must pay: fewer bits than the unweighted encode
+      val off = H264Codec.encodeSequence(frames, qp = qp, gop = 100)
+      assert(on.annexB.length < off.annexB.length,
+        s"qp$qp weighted ${on.annexB.length}B !< unweighted ${off.annexB.length}B")
+    }
+    // steady content through the weighted path: detector stays identity,
+    // stream still round-trips (the table is written with flags 0)
+    val steady = panSeq(32, 32, 3, 2, 1)
+    val id = H264Codec.encodeSequence(steady, qp = 28, gop = 100, weighted = true)
+    assert(id.frames.tail.forall(!_.mbModes.contains("WP")), "no fade, no weights")
+    val dec2 = H264Codec.decodeYuvFrames(id.annexB)
+    assert(dec2.isDefined)
+    for (k <- steady.indices) assertSame(dec2.get(k), id.frames(k).recon, s"id $k")
+  }
+
+  test("weighted prediction golden: hand-built all-skip P slice applies w=40 o=10") {
+    // IDR from the encoder, then a hand-built P slice under a WP PPS:
+    // pred_weight_table lwd=5 / w=40 / o=10, chroma identity, every MB
+    // skipped -> the second frame must be exactly
+    // clip(((y*40+16)>>5)+10) of the first, chroma untouched
+    val src = frame(32, 32, seed = 21)
+    val enc = encodeYuv(src, qp = 30)
+    val pps = new Bits
+    pps.ue(0).ue(0) // pps_id, sps_id
+    pps.put(0) // CAVLC
+    pps.put(0) // no bottom-field POC
+    pps.ue(0) // slice groups
+    pps.ue(0).ue(0) // num_ref_idx_active_minus1
+    pps.put(1) // weighted_pred = 1
+    pps.bits(0, 2) // weighted_bipred_idc
+    pps.se(30 - 26) // pic_init_qp = 30 (matches the IDR slice)
+    pps.se(0).se(0) // qs, chroma offset
+    pps.put(1).put(0).put(0) // deblocking control present, CI, redundant
+    val p = new Bits
+    p.ue(0) // first_mb_in_slice
+    p.ue(5) // slice_type P (all)
+    p.ue(0) // pps_id
+    p.bits(1, 4) // frame_num = 1
+    p.put(0) // num_ref_idx_active_override
+    p.put(0) // ref_pic_list_modification_flag_l0
+    p.ue(5).ue(5) // luma/chroma log2 weight denom
+    p.put(1).se(40).se(10) // luma_weight_l0_flag, w=40, o=10
+    p.put(0) // chroma_weight_l0_flag (identity at 1<<5)
+    p.put(0) // adaptive_ref_pic_marking_mode_flag
+    p.se(0) // slice_qp_delta
+    p.ue(1) // disable_deblocking_filter_idc
+    p.ue(4) // mb_skip_run = 4 (32x32 -> 4 MBs, all skipped)
+    val sc = Array[Byte](0, 0, 0, 1)
+    val stream = sc ++ enc.spsNal ++ sc ++ (Array[Byte](0x68) ++ pps.stop()) ++
+      sc ++ enc.idrNal ++ sc ++ (Array[Byte](0x41) ++ p.stop())
+    val dec = H264Codec.decodeYuvFrames(stream)
+    assert(dec.isDefined && dec.get.length == 2, "IDR + weighted-skip P")
+    assertSame(dec.get.head, enc.recon, "frame 0")
+    val got = dec.get(1)
+    val want = enc.recon.y.map { b =>
+      math.max(0, math.min(255, (((b & 0xff) * 40 + 16) >> 5) + 10)).toByte
+    }
+    assert(java.util.Arrays.equals(got.y, want), "weighted luma copy")
+    assert(java.util.Arrays.equals(got.cb, enc.recon.cb) &&
+      java.util.Arrays.equals(got.cr, enc.recon.cr), "chroma identity")
+  }
+
+  // ---------------------------------------------------------------
+  // Multi-slice pictures
+  // ---------------------------------------------------------------
+
+  test("multi-slice pictures: I and P GOPs round-trip bit-exactly at every split") {
+    val frames = panSeq(48, 48, 5, 3, 1) // 9 MBs per picture
+    for {
+      slices <- Seq(2, 3, 5)
+      deblock <- Seq(false, true)
+    } {
+      val seq = H264Codec.encodeSequence(frames, qp = 30, gop = 3,
+        deblock = deblock, slices = slices)
+      seq.frames.foreach(f => assert(f.nals.length == slices,
+        s"expected $slices slice NALs, got ${f.nals.length}"))
+      val dec = H264Codec.decodeYuvFrames(seq.annexB)
+      assert(dec.isDefined, s"slices=$slices deblock=$deblock must decode")
+      for (k <- frames.indices)
+        assertSame(dec.get(k), seq.frames(k).recon,
+          s"slices=$slices deblock=$deblock frame$k")
+    }
+    // more slices than MBs: capped to one MB per slice, still exact
+    val tiny = panSeq(32, 32, 2, 2, 1) // 4 MBs
+    val seq = H264Codec.encodeSequence(tiny, qp = 28, gop = 100, slices = 99)
+    assert(seq.frames.head.nals.length == 4)
+    val dec = H264Codec.decodeYuvFrames(seq.annexB)
+    assert(dec.isDefined)
+    for (k <- tiny.indices) assertSame(dec.get(k), seq.frames(k).recon, s"tiny $k")
+  }
+
+  test("slice-boundary semantics: idc 2 leaves cross-slice edges unfiltered; slices change prediction") {
+    val frames = panSeq(48, 48, 3, 3, 2)
+    val across = H264Codec.encodeSequence(frames, qp = 40, gop = 100,
+      deblock = true, slices = 3)
+    val notAcross = H264Codec.encodeSequence(frames, qp = 40, gop = 100,
+      deblock = true, slices = 3, deblockAcrossSlices = false)
+    // idc 0 vs idc 2 must differ exactly at slice-boundary filtering
+    assert(!java.util.Arrays.equals(across.frames.head.recon.y,
+      notAcross.frames.head.recon.y),
+      "cross-slice filtering must be observable at a blocky QP")
+    for (seq <- Seq(across, notAcross); k <- frames.indices)
+      assertSame(H264Codec.decodeYuvFrames(seq.annexB).get(k),
+        seq.frames(k).recon, s"idc frame$k")
+    // slice isolation is real: the same picture coded with slice splits
+    // differs from the single-slice coding (prediction cannot cross)
+    val one = H264Codec.encodeSequence(frames, qp = 40, gop = 100, deblock = true)
+    assert(one.frames.head.nals.head.length < across.frames.head.nals.map(_.length).sum +
+      across.frames.head.nals.length * 4, "sanity: slices cost header bits")
+  }
+
+  test("a picture missing its later slices quarantines; so does a truncated sample") {
+    val frames = panSeq(32, 32, 2, 2, 1)
+    val seq = H264Codec.encodeSequence(frames, qp = 28, gop = 100, slices = 2)
+    // drop the LAST slice NAL of the last picture from the Annex-B stream
+    val sc = Array[Byte](0, 0, 0, 1)
+    val allButLast = {
+      val b = Array.newBuilder[Byte]
+      b ++= sc; b ++= seq.spsNal; b ++= sc; b ++= seq.ppsNal
+      val nals = seq.frames.flatMap(_.nals)
+      nals.dropRight(1).foreach { n => b ++= sc; b ++= n }
+      b.result()
+    }
+    assert(H264Codec.decodeYuvFrames(allButLast).isEmpty,
+      "incomplete picture must quarantine the stream")
+    // AvcDecoder: a multi-slice picture decodes from one sample; a
+    // sample missing a slice is refused
+    val d = new H264Codec.AvcDecoder(seq.spsNal, seq.ppsNal)
+    def sample(nals: Seq[Array[Byte]]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(nals.map(_.length + 4).sum)
+      nals.foreach(n => b.putInt(n.length).put(n))
+      b.array()
+    }
+    val f0 = d.decodeSample(sample(seq.frames.head.nals))
+    assert(f0.isDefined, "two-slice sample must decode")
+    assertSame(f0.get, seq.frames.head.recon, "two-slice sample recon")
+    val d2 = new H264Codec.AvcDecoder(seq.spsNal, seq.ppsNal)
+    assert(d2.decodeSample(sample(seq.frames.head.nals.take(1))).isEmpty,
+      "half a picture must be refused")
   }
 
   test("CbpInter table (9-4 inter column) is a permutation of 0..47") {
