@@ -62,13 +62,20 @@ import scala.util.control.NonFatal
   * standard does (intra prediction and its mode contexts, CAVLC nC,
   * MV prediction, the P_Skip rule) and per-slice deblocking
   * parameters (idc 2 leaves cross-slice edges unfiltered). The
-  * encoder emits them via `encodeSequence(slices = k)`.
+  * encoder emits them via `encodeSequence(slices = k)`. So is
+  * short-term reference management: multiple SPS/PPS ids in one
+  * stream, default list-0 ordering by PicNum with frame_num wrap,
+  * `ref_pic_list_modification` (idc 0/1 re-heading), and MMCO ops 1
+  * and 5 (short-term unmark / unmark-all with the frame_num-0 rule) —
+  * each pinned by hand-built streams whose all-skip P slices make the
+  * selected reference directly visible in the pixels.
   *
   * Deliberately out of scope (documented boundary, quarantined to
   * None, never mis-decoded): CABAC (entropy_coding_mode_flag = 1),
-  * B/SP/SI slices (and with them weighted bi-prediction),
-  * reference-list modification and MMCO (adaptive marking),
-  * fields/MBAFF, and high-profile 8x8 transforms and scaling lists.
+  * B/SP/SI slices (and with them weighted bi-prediction), LONG-TERM
+  * references (MMCO 2/3/4/6, long-term list modification),
+  * fields/MBAFF, redundant slices, and high-profile 8x8 transforms
+  * and scaling lists.
   */
 object H264Codec {
 
@@ -201,7 +208,8 @@ object H264Codec {
       log2MaxFrameNum: Int, pocType: Int, log2MaxPocLsb: Int,
       mbWidth: Int, mbHeight: Int,
       cropLeft: Int, cropRight: Int, cropTop: Int, cropBottom: Int,
-      deltaPocAlwaysZero: Boolean = false, maxNumRefFrames: Int = 1) {
+      deltaPocAlwaysZero: Boolean = false, maxNumRefFrames: Int = 1,
+      id: Int = 0) {
     def width: Int = mbWidth * 16 - 2 * (cropLeft + cropRight)
     def height: Int = mbHeight * 16 - 2 * (cropTop + cropBottom)
   }
@@ -210,14 +218,14 @@ object H264Codec {
       entropyCabac: Boolean, picInitQp: Int, chromaQpOffset: Int,
       deblockingControlPresent: Boolean, constrainedIntra: Boolean,
       bottomFieldPoc: Boolean, numRefIdxL0: Int = 1,
-      weightedPred: Boolean = false)
+      weightedPred: Boolean = false, id: Int = 0, spsId: Int = 0)
 
   private def parseSps(r: BitReader): Sps = {
     val profile = r.u(8)
     r.u(8) // constraint flags + reserved
     val level = r.u(8)
     val spsId = r.ue()
-    require(spsId == 0, "sps_id")
+    require(spsId <= 31, "sps_id")
     require(profile != 100 && profile != 110 && profile != 122 && profile != 244 &&
       profile != 44 && profile != 83 && profile != 86 && profile != 118 && profile != 128,
       s"high profile $profile (chroma_format/scaling lists) unsupported")
@@ -247,7 +255,7 @@ object H264Codec {
     // past the fields above)
     val sps = Sps(profile, level, log2MaxFrameNum, pocType, log2MaxPocLsb,
       mbW, mbH, cl, cr2, ct, cb, deltaPocAlwaysZero,
-      math.max(1, math.min(16, maxNumRefFrames)))
+      math.max(1, math.min(16, maxNumRefFrames)), spsId)
     require(sps.width > 0 && sps.height > 0, "cropping exceeds frame")
     require(mbW * mbH <= (1 << 18), "frame too large") // hostile-count guard
     sps
@@ -276,8 +284,9 @@ object H264Codec {
   }
 
   private def parsePps(r: BitReader): Pps = {
-    require(r.ue() == 0, "pps_id")
-    require(r.ue() == 0, "pps sps_id")
+    val ppsId = r.ue()
+    val spsId = r.ue()
+    require(ppsId <= 255 && spsId <= 31, "parameter-set id")
     val cabac = r.u1() == 1
     val bottomFieldPoc = r.u1() == 1 // adds POC syntax to slice headers
     require(r.ue() == 0, "slice groups (FMO) unsupported")
@@ -290,11 +299,13 @@ object H264Codec {
     val cqo = r.se()
     val dbc = r.u1() == 1
     val cip = r.u1() == 1
-    r.u1() // redundant_pic_cnt_present
+    // a set flag would put redundant_pic_cnt in every slice header
+    // (excluded from constrained baseline): quarantine, never desync
+    require(r.u1() == 0, "redundant slices unsupported")
     require(qp >= 0 && qp <= 51, "pic_init_qp")
     require(cqo >= -12 && cqo <= 12, "chroma_qp_index_offset")
     require(numRefL0 <= 16, "num_ref_idx_l0_active")
-    Pps(cabac, qp, cqo, dbc, cip, bottomFieldPoc, numRefL0, wp)
+    Pps(cabac, qp, cqo, dbc, cip, bottomFieldPoc, numRefL0, wp, ppsId, spsId)
   }
 
   private def writePps(w: BitWriter, qp: Int,
@@ -1121,6 +1132,10 @@ object H264Codec {
     var curSlice: Int = 0
     var mbNext: Int = 0
     val sliceDb = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    // reference bookkeeping: this picture's frame_num (PicNum base)
+    // and any memory-management control ops its slices carried
+    var frameNum: Int = 0
+    val mmco = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
 
     def markMb(mbX: Int, mbY: Int): Unit =
       sliceMb(mbY * mbW + mbX) = curSlice
@@ -1992,23 +2007,31 @@ object H264Codec {
     * `st.mbNext`, records the slice's deblocking parameters; the
     * caller runs [[deblockPicture]] once the picture completes.
     */
-  private def decodeSliceInto(st: FrameState, rbsp: Array[Byte],
-      refIdc: Int, nalType: Int, sps: Sps, pps: Pps,
-      refs: IndexedSeq[FrameState] = IndexedSeq.empty): Unit = {
-    require(!pps.entropyCabac, "CABAC unsupported (CAVLC only)")
-    require(!pps.constrainedIntra, "constrained_intra_pred unsupported")
+  private def decodeSliceInto(stIn: FrameState, rbsp: Array[Byte],
+      refIdc: Int, nalType: Int,
+      allSps: Map[Int, Sps], allPps: Map[Int, Pps],
+      refs: Vector[FrameState] = Vector.empty): (FrameState, Sps, Pps) = {
     val r = new BitReader(rbsp)
     val firstMb = r.ue()
-    require(firstMb == st.mbNext,
-      s"slice at MB $firstMb, expected ${st.mbNext} (FMO/ASO unsupported)")
-    st.curSlice = st.sliceDb.length
     val sliceType = r.ue()
     val isP = sliceType == 0 || sliceType == 5
     require(sliceType == 2 || sliceType == 7 || isP,
       s"slice_type $sliceType (B/SP/SI) unsupported")
     require(!isP || nalType != 5, "P slice inside an IDR access unit")
-    require(r.ue() == 0, "pps_id")
-    r.u(sps.log2MaxFrameNum) // frame_num
+    val ppsId = r.ue()
+    val pps = allPps.getOrElse(ppsId,
+      throw new IllegalStateException(s"pps $ppsId not seen"))
+    val sps = allSps.getOrElse(pps.spsId,
+      throw new IllegalStateException(s"sps ${pps.spsId} not seen"))
+    require(!pps.entropyCabac, "CABAC unsupported (CAVLC only)")
+    require(!pps.constrainedIntra, "constrained_intra_pred unsupported")
+    val st = if (stIn != null) stIn else new FrameState(sps.mbWidth, sps.mbHeight)
+    require(firstMb == st.mbNext,
+      s"slice at MB $firstMb, expected ${st.mbNext} (FMO/ASO unsupported)")
+    st.curSlice = st.sliceDb.length
+    val frameNum = r.u(sps.log2MaxFrameNum)
+    st.frameNum = frameNum
+    val maxFn = 1 << sps.log2MaxFrameNum
     if (nalType == 5) r.ue() // idr_pic_id
     if (sps.pocType == 0) {
       r.u(sps.log2MaxPocLsb) // pic_order_cnt_lsb
@@ -2018,13 +2041,41 @@ object H264Codec {
       if (pps.bottomFieldPoc) r.se() // delta_pic_order_cnt[1]
     }
     var numRefActive = pps.numRefIdxL0
+    // reference list 0: short-term pictures by descending PicNum
+    // (8.2.4.2.1), with frame_num wrap relative to this picture
+    def picNumF(rf: FrameState): Int =
+      if (rf.frameNum > frameNum) rf.frameNum - maxFn else rf.frameNum
+    var list0: Vector[FrameState] = Vector.empty
     if (isP) {
       if (r.u1() == 1) numRefActive = r.ue() + 1 // override
       require(numRefActive <= 16, "num_ref_idx_l0_active")
-      require(r.u1() == 0, "ref_pic_list_modification unsupported")
-      require(refs.nonEmpty, "P slice without a decoded reference")
-      // a conformant single-ref stream may still declare more actives
-      // than we hold; individual ref_idx values are range-checked
+      list0 = refs.sortBy(rf => -picNumF(rf))
+      if (r.u1() == 1) { // ref_pic_list_modification (8.2.4.3.1)
+        val lst = scala.collection.mutable.ArrayBuffer(list0: _*)
+        var picNumPred = frameNum
+        var insertIdx = 0
+        var idc = r.ue()
+        while (idc != 3) {
+          require(idc == 0 || idc == 1,
+            "long-term reference list modification unsupported")
+          require(insertIdx < 64, "modification loop")
+          val abs = r.ue() + 1
+          var noWrap = if (idc == 0) picNumPred - abs else picNumPred + abs
+          if (idc == 0 && noWrap < 0) noWrap += maxFn
+          if (idc == 1 && noWrap >= maxFn) noWrap -= maxFn
+          picNumPred = noWrap
+          val picNum = if (noWrap > frameNum) noWrap - maxFn else noWrap
+          val target = lst.indexWhere(rf => picNumF(rf) == picNum)
+          require(target >= 0, s"reference picNum $picNum absent")
+          require(target >= insertIdx, "duplicate reference entries unsupported")
+          val rf = lst.remove(target)
+          lst.insert(insertIdx, rf)
+          insertIdx += 1
+          idc = r.ue()
+        }
+        list0 = lst.toVector
+      }
+      require(list0.nonEmpty, "P slice without a decoded reference")
     }
     var wp: RefWeights = null
     if (isP && pps.weightedPred) { // pred_weight_table (7.3.3.2)
@@ -2054,7 +2105,19 @@ object H264Codec {
     }
     if (refIdc != 0) {
       if (nalType == 5) { r.u1(); r.u1() } // dec_ref_pic_marking (IDR)
-      else require(r.u1() == 0, "adaptive ref-pic marking (MMCO) unsupported")
+      else if (r.u1() == 1) { // adaptive marking: MMCO ops (8.2.5.4)
+        var op = r.ue()
+        while (op != 0) {
+          op match {
+            case 1 => st.mmco += ((1, r.ue() + 1)) // unmark short-term
+            case 5 => st.mmco += ((5, 0)) // unmark everything
+            case 2 | 3 | 4 | 6 =>
+              throw new IllegalStateException("long-term references unsupported")
+            case _ => throw new IllegalStateException(s"mmco $op")
+          }
+          op = r.ue()
+        }
+      }
     }
     var qp = pps.picInitQp + r.se()
     require(qp >= 0 && qp <= 51, "slice qp")
@@ -2072,7 +2135,7 @@ object H264Codec {
           "deblocking offsets")
       }
     }
-    refs.foreach(rf => require(rf.w == st.w && rf.h == st.h, "reference dims"))
+    list0.foreach(rf => require(rf.w == st.w && rf.h == st.h, "reference dims"))
     val total = sps.mbWidth * sps.mbHeight
     if (!isP) {
       while (st.mbNext < total && r.moreRbsp()) {
@@ -2085,7 +2148,7 @@ object H264Codec {
         var skipRun = r.ue()
         require(st.mbNext + skipRun <= total, "mb_skip_run overflow")
         while (skipRun > 0) {
-          decodeMbSkip(st, refs, st.mbNext % sps.mbWidth,
+          decodeMbSkip(st, list0, st.mbNext % sps.mbWidth,
             st.mbNext / sps.mbWidth, qp, wp)
           st.mbNext += 1; skipRun -= 1
         }
@@ -2096,7 +2159,7 @@ object H264Codec {
             if (mbType >= 5)
               decodeMb(r, st, pps, st.mbNext % sps.mbWidth,
                 st.mbNext / sps.mbWidth, qp, mbType - 5)
-            else decodeMbP(r, st, pps, refs, numRefActive,
+            else decodeMbP(r, st, pps, list0, numRefActive,
               st.mbNext % sps.mbWidth, st.mbNext / sps.mbWidth, mbType, qp, wp)
           st.mbNext += 1
         }
@@ -2106,6 +2169,35 @@ object H264Codec {
     if (st.mbNext == total)
       require(!r.moreRbsp(), "trailing data after last MB (desync?)")
     st.sliceDb += ((deblockIdc, offA, offB))
+    (st, sps, pps)
+  }
+
+  /** Reference marking after a picture decodes (8.2.5): MMCO ops if
+    * its slices carried them (short-term unmark + unmark-all; an
+    * MMCO-5 picture takes frame_num 0), else the sliding window.
+    */
+  private def updateRefs(refs: Vector[FrameState], st: FrameState,
+      sps: Sps): Vector[FrameState] = {
+    val maxFn = 1 << sps.log2MaxFrameNum
+    var out = refs
+    if (st.mmco.nonEmpty) {
+      st.mmco.foreach {
+        case (1, diff) =>
+          val x = st.frameNum - diff
+          val picNumX = if (x < -maxFn) x + maxFn else x // relative PicNum
+          val idx = out.indexWhere { rf =>
+            (if (rf.frameNum > st.frameNum) rf.frameNum - maxFn
+            else rf.frameNum) == picNumX
+          }
+          require(idx >= 0, s"MMCO-1 target $picNumX absent")
+          out = out.patch(idx, Nil, 1)
+        case (5, _) =>
+          out = Vector.empty
+          st.frameNum = 0 // 8.2.5.4.5: the current picture takes 0
+        case _ => throw new IllegalStateException("mmco")
+      }
+    }
+    (st +: out).take(sps.maxNumRefFrames)
   }
 
   /** Split an Annex-B byte stream into (nalType, refIdc, rbsp) units. */
@@ -2166,8 +2258,8 @@ object H264Codec {
   def decodeYuvFrames(annexB: Array[Byte],
       maxFrames: Int = 4096): Option[Vector[Yuv420]] =
     try {
-      var sps: Option[Sps] = None
-      var pps: Option[Pps] = None
+      var allSps: Map[Int, Sps] = Map.empty
+      var allPps: Map[Int, Pps] = Map.empty
       var refs: Vector[FrameState] = Vector.empty
       var started = false
       val out = Vector.newBuilder[Yuv420]
@@ -2177,26 +2269,26 @@ object H264Codec {
       while (idx < nals.length && n < maxFrames) {
         val (nalType, refIdc, rbsp) = nals(idx)
         nalType match {
-          case 7 => sps = Some(parseSps(new BitReader(rbsp)))
-          case 8 => pps = Some(parsePps(new BitReader(rbsp)))
+          case 7 =>
+            val sp = parseSps(new BitReader(rbsp)); allSps += sp.id -> sp
+          case 8 =>
+            val pp = parsePps(new BitReader(rbsp)); allPps += pp.id -> pp
           case 5 | 1 =>
-            val s = sps.getOrElse(throw new IllegalStateException("no SPS"))
-            val p = pps.getOrElse(throw new IllegalStateException("no PPS"))
             if (nalType == 5) { refs = Vector.empty; started = true }
             else require(started, "non-IDR slice before the first IDR")
             // a picture = consecutive slice NALs covering all MBs
-            val st = new FrameState(s.mbWidth, s.mbHeight)
-            decodeSliceInto(st, rbsp, refIdc, nalType, s, p, refs)
-            while (st.mbNext < s.mbWidth * s.mbHeight) {
+            val (st, sps, pps) =
+              decodeSliceInto(null, rbsp, refIdc, nalType, allSps, allPps, refs)
+            while (st.mbNext < sps.mbWidth * sps.mbHeight) {
               idx += 1
               require(idx < nals.length, "picture truncated: missing slices")
               val (nt2, ri2, rb2) = nals(idx)
               require(nt2 == nalType, "mixed NAL types inside a picture")
-              decodeSliceInto(st, rb2, ri2, nt2, s, p, refs)
+              decodeSliceInto(st, rb2, ri2, nt2, allSps, allPps, refs)
             }
-            deblockPicture(st, p.chromaQpOffset)
-            if (refIdc != 0) refs = (st +: refs).take(s.maxNumRefFrames)
-            out += cropFrame(st, s)
+            deblockPicture(st, pps.chromaQpOffset)
+            if (refIdc != 0) refs = updateRefs(refs, st, sps)
+            out += cropFrame(st, sps)
             n += 1
           case _ => () // SEI / AUD / filler: ignored
         }
@@ -2216,6 +2308,7 @@ object H264Codec {
     try {
       val sps = parseSps(new BitReader(unescapeRbsp(spsNal, 1, spsNal.length)))
       val pps = parsePps(new BitReader(unescapeRbsp(ppsNal, 1, ppsNal.length)))
+      val allSps = Map(sps.id -> sps); val allPps = Map(pps.id -> pps)
       var st: FrameState = null
       var i = 0
       while (i + lengthSize <= sample.length) {
@@ -2226,12 +2319,13 @@ object H264Codec {
         require(len > 0 && i + len <= sample.length, "NAL length")
         val hdr = sample(i) & 0xff
         if ((hdr & 0x1f) == 5) {
-          if (st == null) st = new FrameState(sps.mbWidth, sps.mbHeight)
-          decodeSliceInto(st, unescapeRbsp(sample, i + 1, i + len),
-            (hdr >> 5) & 3, 5, sps, pps)
-          if (st.mbNext == sps.mbWidth * sps.mbHeight) {
-            deblockPicture(st, pps.chromaQpOffset)
-            return Some(cropFrame(st, sps))
+          val (st2, sps2, pps2) = decodeSliceInto(st,
+            unescapeRbsp(sample, i + 1, i + len), (hdr >> 5) & 3, 5,
+            allSps, allPps)
+          st = st2
+          if (st.mbNext == sps2.mbWidth * sps2.mbHeight) {
+            deblockPicture(st, pps2.chromaQpOffset)
+            return Some(cropFrame(st, sps2))
           }
         }
         i += len
@@ -2250,6 +2344,8 @@ object H264Codec {
       lengthSize: Int = 4) {
     private val sps = parseSps(new BitReader(unescapeRbsp(spsNal, 1, spsNal.length)))
     private val pps = parsePps(new BitReader(unescapeRbsp(ppsNal, 1, ppsNal.length)))
+    private val allSps = Map(sps.id -> sps)
+    private val allPps = Map(pps.id -> pps)
     private var refs: Vector[FrameState] = Vector.empty
     private var broken = true // nothing decodable until the first IDR
 
@@ -2271,16 +2367,17 @@ object H264Codec {
             if (st == null) {
               if (nalType == 5) { refs = Vector.empty; broken = false }
               else require(!broken, "P sample on a broken reference chain")
-              st = new FrameState(sps.mbWidth, sps.mbHeight)
               picType = nalType
               picRefIdc = (hdr >> 5) & 3
             } else require(nalType == picType, "mixed NAL types inside a picture")
-            decodeSliceInto(st, unescapeRbsp(sample, i + 1, i + len),
-              (hdr >> 5) & 3, nalType, sps, pps, refs)
-            if (st.mbNext == sps.mbWidth * sps.mbHeight) {
-              deblockPicture(st, pps.chromaQpOffset)
-              if (picRefIdc != 0) refs = (st +: refs).take(sps.maxNumRefFrames)
-              return Some(cropFrame(st, sps))
+            val (st2, sps2, pps2) = decodeSliceInto(st,
+              unescapeRbsp(sample, i + 1, i + len), (hdr >> 5) & 3, nalType,
+              allSps, allPps, refs)
+            st = st2
+            if (st.mbNext == sps2.mbWidth * sps2.mbHeight) {
+              deblockPicture(st, pps2.chromaQpOffset)
+              if (picRefIdc != 0) refs = updateRefs(refs, st, sps2)
+              return Some(cropFrame(st, sps2))
             }
           }
           i += len

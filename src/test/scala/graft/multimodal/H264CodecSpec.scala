@@ -965,6 +965,157 @@ class H264CodecSpec extends AnyFunSuite {
       "half a picture must be refused")
   }
 
+  // ---------------------------------------------------------------
+  // Reference management: list modification, MMCO, parameter sets
+  // ---------------------------------------------------------------
+
+  /** Hand-built fixtures over a 16x16 (one-MB) picture: an SPS with
+    * max_num_ref_frames=2, a plain PPS 0 and a WEIGHTED PPS 1, a flat
+    * IDR (I_16x16 DC -> all-128), and all-skip P slices whose output
+    * is a (possibly weighted) copy of whatever reference heads list 0
+    * — so reference-selection semantics become directly visible in
+    * the pixels: 128 = the IDR, 64 = the half-gain weighted copy.
+    */
+  private object RefStream {
+    val sps: Array[Byte] = {
+      val b = new Bits
+      b.bits(66, 8).bits(0xc0, 8).bits(30, 8) // profile/constraints/level
+      b.ue(0) // sps_id
+      b.ue(0) // log2_max_frame_num_minus4 (=> 4 bits, max 16)
+      b.ue(2) // poc type 2
+      b.ue(2) // max_num_ref_frames = 2
+      b.put(0) // gaps
+      b.ue(0).ue(0) // 1x1 MBs
+      b.put(1).put(1) // frame_mbs_only, direct_8x8
+      b.put(0).put(0) // no crop, no vui
+      Array[Byte](0x67) ++ b.stop()
+    }
+    private def ppsBits(id: Int, weighted: Boolean): Array[Byte] = {
+      val b = new Bits
+      b.ue(id).ue(0) // pps_id, sps_id
+      b.put(0) // CAVLC
+      b.put(0) // no bottom-field POC
+      b.ue(0) // slice groups
+      b.ue(0).ue(0) // num_ref_idx_active_minus1
+      b.put(if (weighted) 1 else 0)
+      b.bits(0, 2) // weighted_bipred_idc
+      b.se(30 - 26) // pic_init_qp
+      b.se(0).se(0) // qs, chroma offset
+      b.put(1).put(0).put(0) // deblocking control, CI, redundant
+      Array[Byte](0x68) ++ b.stop()
+    }
+    val pps0: Array[Byte] = ppsBits(0, weighted = false)
+    val pps1: Array[Byte] = ppsBits(1, weighted = true)
+    val idr: Array[Byte] = {
+      val b = new Bits
+      b.ue(0).ue(7).ue(0) // first_mb, I, pps 0
+      b.bits(0, 4) // frame_num
+      b.ue(0) // idr_pic_id
+      b.put(0).put(0) // dec_ref_pic_marking
+      b.se(0) // slice_qp_delta
+      b.ue(1) // deblocking off
+      b.ue(3).ue(0).se(0).put(1) // I_16x16 DC, chroma DC, qp 0, empty DC
+      Array[Byte](0x65) ++ b.stop()
+    }
+    /** All-skip P slice: refIdc, frame_num, pps choice, optional luma
+      * weight (w at denom 64 on the weighted PPS), one idc-0 list
+      * modification (abs_diff_pic_num_minus1), and MMCO ops.
+      */
+    def pSkip(frameNum: Int, ppsId: Int, refIdc: Int,
+        weight: Option[Int] = None,
+        listMod: Option[Int] = None,
+        mmco: Seq[(Int, Int)] = Nil): Array[Byte] = {
+      val b = new Bits
+      b.ue(0).ue(5).ue(ppsId) // first_mb, P, pps
+      b.bits(frameNum & 15, 4)
+      b.put(0) // num_ref_idx_active_override
+      listMod match {
+        case Some(absM1) => b.put(1); b.ue(0); b.ue(absM1); b.ue(3)
+        case None => b.put(0)
+      }
+      if (ppsId == 1) { // weighted PPS: the table is mandatory
+        b.ue(6).ue(6) // luma/chroma log2 denom
+        weight match {
+          case Some(w) => b.put(1); b.se(w); b.se(0)
+          case None => b.put(0)
+        }
+        b.put(0) // chroma identity
+      }
+      if (refIdc != 0) {
+        if (mmco.isEmpty) b.put(0)
+        else {
+          b.put(1)
+          mmco.foreach { case (op, v) => b.ue(op); if (op == 1) b.ue(v) }
+          b.ue(0)
+        }
+      }
+      b.se(0) // slice_qp_delta
+      b.ue(1) // deblocking off
+      b.ue(1) // mb_skip_run covers the single MB
+      Array[Byte]((0x01 | (refIdc << 5)).toByte) ++ b.stop()
+    }
+    def stream(slices: Array[Byte]*): Array[Byte] = {
+      val sc = Array[Byte](0, 0, 0, 1)
+      val b = Array.newBuilder[Byte]
+      (Seq(sps, pps0, pps1) ++ slices).foreach { n => b ++= sc; b ++= n }
+      b.result()
+    }
+    def lumas(s: Array[Byte]): Option[Vector[Int]] =
+      H264Codec.decodeYuvFrames(s).map(_.map(_.y.head & 0xff))
+  }
+
+  test("ref_pic_list_modification selects an older reference (and two PPSes coexist)") {
+    import RefStream._
+    // A: IDR all-128. B: weighted skip at w=32 -> all-64 (PPS 1: the
+    // second parameter set in the same stream). C default: copies the
+    // highest-PicNum reference B (64); with an idc-0 modification of
+    // abs_diff=2 it must copy the IDR A (128) instead.
+    val base = Seq(idr, pSkip(1, 1, 2, weight = Some(32)))
+    assert(lumas(stream(base :+ pSkip(2, 0, 2): _*)).contains(Vector(128, 64, 64)),
+      "default list 0 heads at the newest reference")
+    assert(lumas(stream(base :+ pSkip(2, 0, 2, listMod = Some(1)): _*))
+      .contains(Vector(128, 64, 128)),
+      "modification must re-head list 0 at the IDR")
+    // modification to an absent picNum quarantines the stream
+    assert(lumas(stream(base :+ pSkip(2, 0, 2, listMod = Some(5)): _*)).isEmpty)
+  }
+
+  test("MMCO 1 unmarks a short-term reference; without it the window evicts differently") {
+    import RefStream._
+    // A(128), B(64). C copies B and carries MMCO-1 unmarking B
+    // (diff_minus1=0 -> picNum 1): the DPB keeps [C, A], so D can still
+    // select A (picNum 0) by modification -> 128. The twin WITHOUT the
+    // MMCO slides A out (max 2 refs: [C, B]) and the same D must
+    // quarantine on the absent picNum.
+    val ab = Seq(idr, pSkip(1, 1, 2, weight = Some(32)))
+    val withMmco = stream(ab ++ Seq(
+      pSkip(2, 0, 2, mmco = Seq((1, 0))),
+      pSkip(3, 0, 2, listMod = Some(2))): _*)
+    assert(lumas(withMmco).contains(Vector(128, 64, 64, 128)),
+      "MMCO-1 must keep the IDR reachable")
+    val without = stream(ab ++ Seq(
+      pSkip(2, 0, 2),
+      pSkip(3, 0, 2, listMod = Some(2))): _*)
+    assert(lumas(without).isEmpty,
+      "without MMCO the sliding window evicts the IDR; selecting it must quarantine")
+  }
+
+  test("MMCO 5 clears the DPB and the current picture takes frame_num 0") {
+    import RefStream._
+    // C carries MMCO-5: everything is unmarked, C is stored as
+    // frame_num 0. D (frame_num 1) selecting picNum 0 must therefore
+    // find C (64) — if the frame_num-0 rule were skipped, picNum 0
+    // would match nothing and the stream would quarantine.
+    val s = stream(idr, pSkip(1, 1, 2, weight = Some(32)),
+      pSkip(2, 0, 2, mmco = Seq((5, 0))),
+      pSkip(1, 0, 2, listMod = Some(0)))
+    assert(lumas(s).contains(Vector(128, 64, 64, 64)), "post-MMCO5 picNum 0 is the clearer")
+    // long-term MMCO ops stay out of subset: quarantine, never garbage
+    val lt = stream(idr, pSkip(1, 1, 2, weight = Some(32)),
+      pSkip(2, 0, 2, mmco = Seq((4, 0))))
+    assert(lumas(lt).isEmpty, "long-term MMCO must quarantine")
+  }
+
   test("CbpInter table (9-4 inter column) is a permutation of 0..47") {
     assert(H264Codec.CbpInter.sorted.toSeq == (0 until 48))
     // golden spot values from the standard's table
