@@ -62,18 +62,21 @@ import scala.util.control.NonFatal
   * standard does (intra prediction and its mode contexts, CAVLC nC,
   * MV prediction, the P_Skip rule) and per-slice deblocking
   * parameters (idc 2 leaves cross-slice edges unfiltered). The
-  * encoder emits them via `encodeSequence(slices = k)`. So is
-  * short-term reference management: multiple SPS/PPS ids in one
-  * stream, default list-0 ordering by PicNum with frame_num wrap,
-  * `ref_pic_list_modification` (idc 0/1 re-heading), and MMCO ops 1
-  * and 5 (short-term unmark / unmark-all with the frame_num-0 rule) —
-  * each pinned by hand-built streams whose all-skip P slices make the
-  * selected reference directly visible in the pixels.
+  * encoder emits them via `encodeSequence(slices = k)`. So is the
+  * FULL reference-management layer: multiple SPS/PPS ids in one
+  * stream, default list-0 ordering (short-term by PicNum with
+  * frame_num wrap, then long-term by index), all of
+  * `ref_pic_list_modification` (idc 0/1/2), every MMCO op (1..6:
+  * short/long unmark, short-to-long assignment, MaxLongTermFrameIdx
+  * truncation, unmark-all with the frame_num-0 rule,
+  * current-to-long) and the IDR long_term_reference_flag — each
+  * pinned by hand-built streams whose all-skip P slices make the
+  * selected reference directly visible in the pixels. The decoder
+  * therefore handles any conformant CONSTRAINED BASELINE stream.
   *
   * Deliberately out of scope (documented boundary, quarantined to
   * None, never mis-decoded): CABAC (entropy_coding_mode_flag = 1),
-  * B/SP/SI slices (and with them weighted bi-prediction), LONG-TERM
-  * references (MMCO 2/3/4/6, long-term list modification),
+  * B/SP/SI slices (and with them weighted bi-prediction),
   * fields/MBAFF, redundant slices, and high-profile 8x8 transforms
   * and scaling lists.
   */
@@ -1135,7 +1138,8 @@ object H264Codec {
     // reference bookkeeping: this picture's frame_num (PicNum base)
     // and any memory-management control ops its slices carried
     var frameNum: Int = 0
-    val mmco = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var idrLongTerm: Boolean = false
+    val mmco = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
 
     def markMb(mbX: Int, mbY: Int): Unit =
       sliceMb(mbY * mbW + mbX) = curSlice
@@ -1316,6 +1320,19 @@ object H264Codec {
 
   @inline private def clampI(v: Int, max: Int): Int =
     if (v < 0) 0 else if (v > max) max else v
+
+  /** Decoded-picture buffer: short-term references in decode-recency
+    * order, long-term references by LongTermFrameIdx, and the current
+    * MaxLongTermFrameIdx (-1 = no long-term allowed yet, 8.2.5.4.4).
+    */
+  private final case class Dpb(short: Vector[FrameState] = Vector.empty,
+      long: Map[Int, FrameState] = Map.empty, maxLongIdx: Int = -1)
+
+  /** One reference-list entry during list construction: long-term
+    * entries match modification idc 2 by LongTermPicNum (= the frame
+    * index for frame coding), short-term by PicNum.
+    */
+  private final case class RefEntry(st: FrameState, isLong: Boolean, num: Int)
 
   /** Explicit weighted-prediction factors for one reference list
     * (pred_weight_table, 7.3.3.2): per-refIdx luma and chroma
@@ -2010,7 +2027,7 @@ object H264Codec {
   private def decodeSliceInto(stIn: FrameState, rbsp: Array[Byte],
       refIdc: Int, nalType: Int,
       allSps: Map[Int, Sps], allPps: Map[Int, Pps],
-      refs: Vector[FrameState] = Vector.empty): (FrameState, Sps, Pps) = {
+      dpb: Dpb = Dpb()): (FrameState, Sps, Pps) = {
     val r = new BitReader(rbsp)
     val firstMb = r.ue()
     val sliceType = r.ue()
@@ -2041,40 +2058,49 @@ object H264Codec {
       if (pps.bottomFieldPoc) r.se() // delta_pic_order_cnt[1]
     }
     var numRefActive = pps.numRefIdxL0
-    // reference list 0: short-term pictures by descending PicNum
-    // (8.2.4.2.1), with frame_num wrap relative to this picture
+    // reference list 0 (8.2.4.2.1): short-term pictures by descending
+    // PicNum (frame_num wrap relative to this picture), then long-term
+    // pictures by ascending LongTermFrameIdx
     def picNumF(rf: FrameState): Int =
       if (rf.frameNum > frameNum) rf.frameNum - maxFn else rf.frameNum
     var list0: Vector[FrameState] = Vector.empty
     if (isP) {
       if (r.u1() == 1) numRefActive = r.ue() + 1 // override
       require(numRefActive <= 16, "num_ref_idx_l0_active")
-      list0 = refs.sortBy(rf => -picNumF(rf))
+      var lst = scala.collection.mutable.ArrayBuffer.empty[RefEntry]
+      dpb.short.sortBy(rf => -picNumF(rf))
+        .foreach(rf => lst += RefEntry(rf, isLong = false, picNumF(rf)))
+      dpb.long.toVector.sortBy(_._1)
+        .foreach { case (idx, rf) => lst += RefEntry(rf, isLong = true, idx) }
       if (r.u1() == 1) { // ref_pic_list_modification (8.2.4.3.1)
-        val lst = scala.collection.mutable.ArrayBuffer(list0: _*)
         var picNumPred = frameNum
         var insertIdx = 0
         var idc = r.ue()
         while (idc != 3) {
-          require(idc == 0 || idc == 1,
-            "long-term reference list modification unsupported")
+          require(idc <= 2, s"modification idc $idc")
           require(insertIdx < 64, "modification loop")
-          val abs = r.ue() + 1
-          var noWrap = if (idc == 0) picNumPred - abs else picNumPred + abs
-          if (idc == 0 && noWrap < 0) noWrap += maxFn
-          if (idc == 1 && noWrap >= maxFn) noWrap -= maxFn
-          picNumPred = noWrap
-          val picNum = if (noWrap > frameNum) noWrap - maxFn else noWrap
-          val target = lst.indexWhere(rf => picNumF(rf) == picNum)
-          require(target >= 0, s"reference picNum $picNum absent")
+          val target =
+            if (idc == 2) { // long-term: match LongTermPicNum
+              val n = r.ue()
+              lst.indexWhere(e => e.isLong && e.num == n)
+            } else {
+              val abs = r.ue() + 1
+              var noWrap = if (idc == 0) picNumPred - abs else picNumPred + abs
+              if (idc == 0 && noWrap < 0) noWrap += maxFn
+              if (idc == 1 && noWrap >= maxFn) noWrap -= maxFn
+              picNumPred = noWrap
+              val picNum = if (noWrap > frameNum) noWrap - maxFn else noWrap
+              lst.indexWhere(e => !e.isLong && e.num == picNum)
+            }
+          require(target >= 0, "modification reference absent")
           require(target >= insertIdx, "duplicate reference entries unsupported")
-          val rf = lst.remove(target)
-          lst.insert(insertIdx, rf)
+          val e = lst.remove(target)
+          lst.insert(insertIdx, e)
           insertIdx += 1
           idc = r.ue()
         }
-        list0 = lst.toVector
       }
+      list0 = lst.toVector.map(_.st)
       require(list0.nonEmpty, "P slice without a decoded reference")
     }
     var wp: RefWeights = null
@@ -2104,17 +2130,22 @@ object H264Codec {
       wp = weights
     }
     if (refIdc != 0) {
-      if (nalType == 5) { r.u1(); r.u1() } // dec_ref_pic_marking (IDR)
-      else if (r.u1() == 1) { // adaptive marking: MMCO ops (8.2.5.4)
+      if (nalType == 5) { // dec_ref_pic_marking (IDR)
+        r.u1() // no_output_of_prior_pics
+        st.idrLongTerm = r.u1() == 1 // IDR stored long-term at idx 0
+      } else if (r.u1() == 1) { // adaptive marking: MMCO ops (8.2.5.4)
         var op = r.ue()
         while (op != 0) {
           op match {
-            case 1 => st.mmco += ((1, r.ue() + 1)) // unmark short-term
-            case 5 => st.mmco += ((5, 0)) // unmark everything
-            case 2 | 3 | 4 | 6 =>
-              throw new IllegalStateException("long-term references unsupported")
+            case 1 => st.mmco += ((1, r.ue() + 1, 0)) // unmark short-term
+            case 2 => st.mmco += ((2, r.ue(), 0)) // unmark long-term
+            case 3 => st.mmco += ((3, r.ue() + 1, r.ue())) // short -> long
+            case 4 => st.mmco += ((4, r.ue(), 0)) // max long-term idx + 1
+            case 5 => st.mmco += ((5, 0, 0)) // unmark everything
+            case 6 => st.mmco += ((6, r.ue(), 0)) // current -> long
             case _ => throw new IllegalStateException(s"mmco $op")
           }
+          require(st.mmco.length <= 32, "mmco loop")
           op = r.ue()
         }
       }
@@ -2173,31 +2204,59 @@ object H264Codec {
   }
 
   /** Reference marking after a picture decodes (8.2.5): MMCO ops if
-    * its slices carried them (short-term unmark + unmark-all; an
-    * MMCO-5 picture takes frame_num 0), else the sliding window.
+    * its slices carried them (short/long unmark, short-to-long
+    * assignment, MaxLongTermFrameIdx truncation, unmark-all with the
+    * frame_num-0 rule, current-to-long), else the sliding window over
+    * the short-term refs. IDRs reset the buffer and may store
+    * themselves long-term (long_term_reference_flag).
     */
-  private def updateRefs(refs: Vector[FrameState], st: FrameState,
-      sps: Sps): Vector[FrameState] = {
-    val maxFn = 1 << sps.log2MaxFrameNum
-    var out = refs
-    if (st.mmco.nonEmpty) {
-      st.mmco.foreach {
-        case (1, diff) =>
-          val x = st.frameNum - diff
-          val picNumX = if (x < -maxFn) x + maxFn else x // relative PicNum
-          val idx = out.indexWhere { rf =>
-            (if (rf.frameNum > st.frameNum) rf.frameNum - maxFn
-            else rf.frameNum) == picNumX
-          }
-          require(idx >= 0, s"MMCO-1 target $picNumX absent")
-          out = out.patch(idx, Nil, 1)
-        case (5, _) =>
-          out = Vector.empty
-          st.frameNum = 0 // 8.2.5.4.5: the current picture takes 0
-        case _ => throw new IllegalStateException("mmco")
-      }
+  private def updateRefs(dpb: Dpb, st: FrameState, sps: Sps,
+      idr: Boolean): Dpb = {
+    if (idr) {
+      return if (st.idrLongTerm) Dpb(Vector.empty, Map(0 -> st), 0)
+      else Dpb(Vector(st), Map.empty, -1)
     }
-    (st +: out).take(sps.maxNumRefFrames)
+    val maxFn = 1 << sps.log2MaxFrameNum
+    def shortIdx(short: Vector[FrameState], picNumX: Int): Int =
+      short.indexWhere { rf =>
+        (if (rf.frameNum > st.frameNum) rf.frameNum - maxFn
+        else rf.frameNum) == picNumX
+      }
+    var short = dpb.short
+    var long = dpb.long
+    var maxLongIdx = dpb.maxLongIdx
+    var currLongIdx = -1 // MMCO-6: the current picture goes long-term
+    st.mmco.foreach {
+      case (1, diff, _) =>
+        val idx = shortIdx(short, st.frameNum - diff)
+        require(idx >= 0, "MMCO-1 target absent")
+        short = short.patch(idx, Nil, 1)
+      case (2, ltPicNum, _) =>
+        require(long.contains(ltPicNum), "MMCO-2 target absent")
+        long -= ltPicNum
+      case (3, diff, ltIdx) =>
+        require(ltIdx <= maxLongIdx, "MMCO-3 index beyond MaxLongTermFrameIdx")
+        val idx = shortIdx(short, st.frameNum - diff)
+        require(idx >= 0, "MMCO-3 target absent")
+        long += ltIdx -> short(idx)
+        short = short.patch(idx, Nil, 1)
+      case (4, maxPlus1, _) =>
+        maxLongIdx = maxPlus1 - 1
+        long = long.filter(_._1 <= maxLongIdx)
+      case (5, _, _) =>
+        short = Vector.empty; long = Map.empty; maxLongIdx = -1
+        st.frameNum = 0 // 8.2.5.4.5: the current picture takes 0
+      case (6, ltIdx, _) =>
+        require(ltIdx <= maxLongIdx, "MMCO-6 index beyond MaxLongTermFrameIdx")
+        currLongIdx = ltIdx
+      case _ => throw new IllegalStateException("mmco")
+    }
+    if (currLongIdx >= 0) long += currLongIdx -> st
+    else short = st +: short
+    // sliding window bounds the short-term refs; long-term pictures
+    // count against the same total capacity (8.2.5.3)
+    val cap = math.max(1, sps.maxNumRefFrames - long.size)
+    Dpb(short.take(cap), long, maxLongIdx)
   }
 
   /** Split an Annex-B byte stream into (nalType, refIdc, rbsp) units. */
@@ -2260,7 +2319,7 @@ object H264Codec {
     try {
       var allSps: Map[Int, Sps] = Map.empty
       var allPps: Map[Int, Pps] = Map.empty
-      var refs: Vector[FrameState] = Vector.empty
+      var dpb = Dpb()
       var started = false
       val out = Vector.newBuilder[Yuv420]
       var n = 0
@@ -2274,20 +2333,20 @@ object H264Codec {
           case 8 =>
             val pp = parsePps(new BitReader(rbsp)); allPps += pp.id -> pp
           case 5 | 1 =>
-            if (nalType == 5) { refs = Vector.empty; started = true }
+            if (nalType == 5) { dpb = Dpb(); started = true }
             else require(started, "non-IDR slice before the first IDR")
             // a picture = consecutive slice NALs covering all MBs
             val (st, sps, pps) =
-              decodeSliceInto(null, rbsp, refIdc, nalType, allSps, allPps, refs)
+              decodeSliceInto(null, rbsp, refIdc, nalType, allSps, allPps, dpb)
             while (st.mbNext < sps.mbWidth * sps.mbHeight) {
               idx += 1
               require(idx < nals.length, "picture truncated: missing slices")
               val (nt2, ri2, rb2) = nals(idx)
               require(nt2 == nalType, "mixed NAL types inside a picture")
-              decodeSliceInto(st, rb2, ri2, nt2, allSps, allPps, refs)
+              decodeSliceInto(st, rb2, ri2, nt2, allSps, allPps, dpb)
             }
             deblockPicture(st, pps.chromaQpOffset)
-            if (refIdc != 0) refs = updateRefs(refs, st, sps)
+            if (refIdc != 0) dpb = updateRefs(dpb, st, sps, idr = nalType == 5)
             out += cropFrame(st, sps)
             n += 1
           case _ => () // SEI / AUD / filler: ignored
@@ -2346,7 +2405,7 @@ object H264Codec {
     private val pps = parsePps(new BitReader(unescapeRbsp(ppsNal, 1, ppsNal.length)))
     private val allSps = Map(sps.id -> sps)
     private val allPps = Map(pps.id -> pps)
-    private var refs: Vector[FrameState] = Vector.empty
+    private var dpb = Dpb()
     private var broken = true // nothing decodable until the first IDR
 
     def decodeSample(sample: Array[Byte]): Option[Yuv420] =
@@ -2365,18 +2424,19 @@ object H264Codec {
           val nalType = hdr & 0x1f
           if (nalType == 5 || nalType == 1) {
             if (st == null) {
-              if (nalType == 5) { refs = Vector.empty; broken = false }
+              if (nalType == 5) { dpb = Dpb(); broken = false }
               else require(!broken, "P sample on a broken reference chain")
               picType = nalType
               picRefIdc = (hdr >> 5) & 3
             } else require(nalType == picType, "mixed NAL types inside a picture")
             val (st2, sps2, pps2) = decodeSliceInto(st,
               unescapeRbsp(sample, i + 1, i + len), (hdr >> 5) & 3, nalType,
-              allSps, allPps, refs)
+              allSps, allPps, dpb)
             st = st2
             if (st.mbNext == sps2.mbWidth * sps2.mbHeight) {
               deblockPicture(st, pps2.chromaQpOffset)
-              if (picRefIdc != 0) refs = updateRefs(refs, st, sps2)
+              if (picRefIdc != 0)
+                dpb = updateRefs(dpb, st, sps2, idr = picType == 5)
               return Some(cropFrame(st, sps2))
             }
           }

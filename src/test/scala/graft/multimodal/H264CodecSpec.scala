@@ -1006,17 +1006,18 @@ class H264CodecSpec extends AnyFunSuite {
     }
     val pps0: Array[Byte] = ppsBits(0, weighted = false)
     val pps1: Array[Byte] = ppsBits(1, weighted = true)
-    val idr: Array[Byte] = {
+    def idrSlice(longTerm: Boolean): Array[Byte] = {
       val b = new Bits
       b.ue(0).ue(7).ue(0) // first_mb, I, pps 0
       b.bits(0, 4) // frame_num
       b.ue(0) // idr_pic_id
-      b.put(0).put(0) // dec_ref_pic_marking
+      b.put(0).put(if (longTerm) 1 else 0) // marking: long_term_reference_flag
       b.se(0) // slice_qp_delta
       b.ue(1) // deblocking off
       b.ue(3).ue(0).se(0).put(1) // I_16x16 DC, chroma DC, qp 0, empty DC
       Array[Byte](0x65) ++ b.stop()
     }
+    val idr: Array[Byte] = idrSlice(longTerm = false)
     /** All-skip P slice: refIdc, frame_num, pps choice, optional luma
       * weight (w at denom 64 on the weighted PPS), one idc-0 list
       * modification (abs_diff_pic_num_minus1), and MMCO ops.
@@ -1024,15 +1025,18 @@ class H264CodecSpec extends AnyFunSuite {
     def pSkip(frameNum: Int, ppsId: Int, refIdc: Int,
         weight: Option[Int] = None,
         listMod: Option[Int] = None,
-        mmco: Seq[(Int, Int)] = Nil): Array[Byte] = {
+        listModLt: Option[Int] = None,
+        mmco: Seq[Seq[Int]] = Nil): Array[Byte] = {
       val b = new Bits
       b.ue(0).ue(5).ue(ppsId) // first_mb, P, pps
       b.bits(frameNum & 15, 4)
       b.put(0) // num_ref_idx_active_override
-      listMod match {
-        case Some(absM1) => b.put(1); b.ue(0); b.ue(absM1); b.ue(3)
-        case None => b.put(0)
-      }
+      if (listMod.isDefined || listModLt.isDefined) {
+        b.put(1)
+        listMod.foreach(absM1 => { b.ue(0); b.ue(absM1) })
+        listModLt.foreach(n => { b.ue(2); b.ue(n) })
+        b.ue(3)
+      } else b.put(0)
       if (ppsId == 1) { // weighted PPS: the table is mandatory
         b.ue(6).ue(6) // luma/chroma log2 denom
         weight match {
@@ -1045,7 +1049,7 @@ class H264CodecSpec extends AnyFunSuite {
         if (mmco.isEmpty) b.put(0)
         else {
           b.put(1)
-          mmco.foreach { case (op, v) => b.ue(op); if (op == 1) b.ue(v) }
+          mmco.foreach(cmd => cmd.foreach(b.ue))
           b.ue(0)
         }
       }
@@ -1089,7 +1093,7 @@ class H264CodecSpec extends AnyFunSuite {
     // quarantine on the absent picNum.
     val ab = Seq(idr, pSkip(1, 1, 2, weight = Some(32)))
     val withMmco = stream(ab ++ Seq(
-      pSkip(2, 0, 2, mmco = Seq((1, 0))),
+      pSkip(2, 0, 2, mmco = Seq(Seq(1, 0))),
       pSkip(3, 0, 2, listMod = Some(2))): _*)
     assert(lumas(withMmco).contains(Vector(128, 64, 64, 128)),
       "MMCO-1 must keep the IDR reachable")
@@ -1107,13 +1111,73 @@ class H264CodecSpec extends AnyFunSuite {
     // find C (64) — if the frame_num-0 rule were skipped, picNum 0
     // would match nothing and the stream would quarantine.
     val s = stream(idr, pSkip(1, 1, 2, weight = Some(32)),
-      pSkip(2, 0, 2, mmco = Seq((5, 0))),
+      pSkip(2, 0, 2, mmco = Seq(Seq(5))),
       pSkip(1, 0, 2, listMod = Some(0)))
     assert(lumas(s).contains(Vector(128, 64, 64, 64)), "post-MMCO5 picNum 0 is the clearer")
     // long-term MMCO ops stay out of subset: quarantine, never garbage
+    // MMCO-3 against an unset MaxLongTermFrameIdx quarantines (8.2.5.4.4)
     val lt = stream(idr, pSkip(1, 1, 2, weight = Some(32)),
-      pSkip(2, 0, 2, mmco = Seq((4, 0))))
-    assert(lumas(lt).isEmpty, "long-term MMCO must quarantine")
+      pSkip(2, 0, 2, mmco = Seq(Seq(3, 0, 0))))
+    assert(lumas(lt).isEmpty, "MMCO-3 without MMCO-4 must quarantine")
+  }
+
+  test("long-term references: MMCO-3/4 pin a picture past the sliding window") {
+    import RefStream._
+    // A(128) IDR, B(64) weighted. C copies A (short-term modification)
+    // and moves B long-term (MMCO-4 sets MaxLongTermFrameIdx=0, MMCO-3
+    // assigns B to index 0). With max 2 refs and one long-term slot
+    // used, the short window keeps only C — A is gone — yet D can still
+    // reach B through the long-term list modification (idc 2).
+    val abc = Seq(idr, pSkip(1, 1, 2, weight = Some(32)),
+      pSkip(2, 0, 2, listMod = Some(1), mmco = Seq(Seq(4, 1), Seq(3, 0, 0))))
+    assert(lumas(stream(abc :+ pSkip(3, 0, 2, listModLt = Some(0)): _*))
+      .contains(Vector(128, 64, 128, 64)),
+      "long-term B must stay reachable after the window evicts A")
+    // default list heads at the short-term C (128), long-term last
+    assert(lumas(stream(abc :+ pSkip(3, 0, 2): _*))
+      .contains(Vector(128, 64, 128, 128)))
+    // MMCO-2 unmarks the long-term picture: selecting it afterwards
+    // quarantines; without the unmark the same selection decodes
+    val d = pSkip(3, 0, 2, mmco = Seq(Seq(2, 0)))
+    val e = pSkip(4, 0, 2, listModLt = Some(0))
+    assert(lumas(stream(abc ++ Seq(d, e): _*)).isEmpty,
+      "MMCO-2 must make the long-term picture unreachable")
+    val dKeep = pSkip(3, 0, 2)
+    assert(lumas(stream(abc ++ Seq(dKeep, e): _*)).contains(Vector(128, 64, 128, 128, 64)))
+    // MMCO-4 truncation: shrinking MaxLongTermFrameIdx below an
+    // assigned index drops that picture too
+    val dTrunc = pSkip(3, 0, 2, mmco = Seq(Seq(4, 0)))
+    assert(lumas(stream(abc ++ Seq(dTrunc, e): _*)).isEmpty,
+      "MMCO-4 truncation must drop long-term pictures above the new max")
+  }
+
+  test("long-term references: MMCO-6 stores the current picture; IDR long_term_reference_flag") {
+    import RefStream._
+    // C copies A and stores ITSELF long-term (MMCO-6 after MMCO-4):
+    // the default list heads at short-term B (64) while idc-2 reaches
+    // the long-term C (128)
+    val abc6 = Seq(idr, pSkip(1, 1, 2, weight = Some(32)),
+      pSkip(2, 0, 2, listMod = Some(1), mmco = Seq(Seq(4, 1), Seq(6, 0))))
+    assert(lumas(stream(abc6 :+ pSkip(3, 0, 2): _*))
+      .contains(Vector(128, 64, 128, 64)),
+      "after MMCO-6 the newest SHORT-term picture is B")
+    assert(lumas(stream(abc6 :+ pSkip(3, 0, 2, listModLt = Some(0)): _*))
+      .contains(Vector(128, 64, 128, 128)),
+      "idc-2 must reach the MMCO-6 picture")
+    // an IDR stored long-term (long_term_reference_flag=1) survives
+    // the whole GOP's sliding window
+    val ltIdr = Seq(idrSlice(longTerm = true),
+      pSkip(1, 1, 2, weight = Some(32)), // B = 64 (predicts the long A)
+      pSkip(2, 0, 2)) // C = copy of B
+    assert(lumas(stream(ltIdr :+ pSkip(3, 0, 2, listModLt = Some(0)): _*))
+      .contains(Vector(128, 64, 64, 128)),
+      "the long-term IDR must stay reachable")
+    // the twin with a plain IDR: after B and C the window (2 refs) has
+    // evicted nothing long-term — idc 2 must quarantine
+    val plainIdr = Seq(idr,
+      pSkip(1, 1, 2, weight = Some(32)), pSkip(2, 0, 2))
+    assert(lumas(stream(plainIdr :+ pSkip(3, 0, 2, listModLt = Some(0)): _*)).isEmpty,
+      "no long-term picture: idc-2 selection must quarantine")
   }
 
   test("CbpInter table (9-4 inter column) is a permutation of 0..47") {
