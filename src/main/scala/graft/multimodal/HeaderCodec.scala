@@ -34,8 +34,17 @@ object HeaderCodec {
       else if (isWav(b)) decodeWav(b)
       else if (isMp4(b)) decodeMp4(b)
       else if (GifCodec.isGif(b)) decodeGif(b)
+      else if (BmpCodec.isBmp(b)) decodeBmp(b)
       else None
     } catch { case _: Exception => None }
+
+  /** BMP: geometry from the BITMAPINFOHEADER (channels reported as 3:
+    * the decode stage emits interleaved RGB for every subset bpp).
+    */
+  def decodeBmp(b: Array[Byte]): Option[Multimodal.MediaHeader] =
+    BmpCodec.dims(b).map { case (w, h, _) =>
+      Multimodal.MediaHeader("bmp", w, h, 0L, 3)
+    }
 
   /** GIF: screen geometry from the logical screen descriptor; duration
     * = summed graphic-control delays (0 for a static image), walked at

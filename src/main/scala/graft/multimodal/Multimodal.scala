@@ -28,12 +28,13 @@ import org.apache.spark.sql.functions._
   * ([[decodeKeyframes]]) and full IDR+P chains through the stateful
   * decoder ([[decodeFrames]], [[extractFeatures]] stats, full-GOP
   * transcode [[resize]]), with the in-loop deblocking filter active
-  * like real camera output. The remaining documented boundary is
-  * Main-profile video (B slices, CABAC, weighted prediction) — the
-  * marker-MP4 twin and non-AVC codecs flow through with
-  * `payload_ok = false` (in PySpark this swap-in stage would be
-  * `mapInPandas`; the Scala-native equivalent is `mapPartitions` over
-  * an Encoder'd case class, used here).
+  * like real camera output. GIF and BMP round out the everyday image
+  * containers ([[GifCodec]], [[BmpCodec]] — both with two-way ImageIO
+  * interop). The remaining documented boundary is Main-profile video
+  * (B slices, CABAC) — the marker-MP4 twin and non-AVC codecs flow
+  * through with `payload_ok = false` (in PySpark this swap-in stage
+  * would be `mapInPandas`; the Scala-native equivalent is
+  * `mapPartitions` over an Encoder'd case class, used here).
   */
 object Multimodal {
 
@@ -158,17 +159,21 @@ object Multimodal {
     val px = pixelsFor(id, w, h, 3)
     if (id % 2 == 0) {
       // even image ids: PNG (ours), with every id%12==6 written by
-      // ImageIO as Adam7-INTERLACED (the foreign seven-pass layout)
-      // and every id%24==12 as GIF (3:3:2-quantized LZW — the fourth
-      // everyday image container), the id%48==36 half of those
-      // ANIMATED (3 frames at 100 ms, frame k's pixel field keyed by
-      // id + 7k — the multi-frame shape the frame-sampling stage
-      // enumerates block-level)
+      // ImageIO as Adam7-INTERLACED (the foreign seven-pass layout),
+      // every id%24==12 as GIF (3:3:2-quantized LZW), the id%48==36
+      // half of those ANIMATED (3 frames at 100 ms, frame k's pixel
+      // field keyed by id + 7k), and every id%96==0/48 as BMP — ours
+      // and the JDK's own DIB layout respectively (the fourth
+      // everyday image container); plain filtered-zlib PNGs fill the
+      // remaining even slots
       if (id % 12 == 6) imageioBytes(px, w, h, "png")
       else if (id % 48 == 36)
         GifCodec.encodeFrames((0 until 3).map(k =>
           (PixelCodec.PixelImage(w, h, 3, pixelsFor(id + 7 * k, w, h, 3)), 100)))
       else if (id % 24 == 12) GifCodec.encode(PixelCodec.PixelImage(w, h, 3, px))
+      else if (id % 96 == 0) BmpCodec.encode(PixelCodec.PixelImage(w, h, 3, px))
+      else if (id % 96 == 48)
+        imageioBytes(px, w, h, "bmp") // the JDK's own 24-bit DIB layout
       else PixelCodec.encodePng(PixelCodec.PixelImage(w, h, 3, px))
     } else if (id % 4 == 1)
       JpegCodec.encode(PixelCodec.PixelImage(w, h, 3, px), chroma420 = true)
@@ -196,7 +201,8 @@ object Multimodal {
     }
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName(format).next()
     val param = writer.getDefaultWriteParam
-    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    if (param.canWriteProgressive)
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     val bos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     try {
@@ -360,6 +366,8 @@ object Multimodal {
             case Some("wav") => AudioCodec.decodeWav(r.content) // PCM16/G.711/ADPCM
               .flatMap(a => statsOf(a.samples.length, i => a.samples(i).toDouble))
             case Some("gif") => GifCodec.decode(r.content)
+              .flatMap(img => statsOf(img.pixels.length, i => (img.pixels(i) & 0xff).toDouble))
+            case Some("bmp") => BmpCodec.decode(r.content)
               .flatMap(img => statsOf(img.pixels.length, i => (img.pixels(i) & 0xff).toDouble))
             case Some("mp4") =>
               // real video payload stats: H.264 pixel decode of the
@@ -722,6 +730,9 @@ object Multimodal {
             else if (GifCodec.isGif(r.content))
               GifCodec.decode(r.content)
                 .map(img => GifCodec.encode(PixelCodec.boxResize(img, targetW, targetH)))
+            else if (BmpCodec.isBmp(r.content))
+              BmpCodec.decode(r.content)
+                .map(img => BmpCodec.encode(PixelCodec.boxResize(img, targetW, targetH)))
             else if (HeaderCodec.isMp4(r.content))
               resizeVideo(r.content, targetW, targetH)
             else None

@@ -138,9 +138,9 @@ object LargeMediaBench {
           rz.select(col("media_id"), col("kind"),
             col("content_resized").as("content"), col("source")))
         .agg(
-          sum(when(col("container").isin("png", "jpeg") &&
+          sum(when(col("container").isin("png", "jpeg", "bmp") &&
             col("width") === 16 && col("height") === 12, 1L).otherwise(0L)).as("img_ok"),
-          sum(when(col("container").isin("png", "jpeg"), 1L).otherwise(0L)).as("img"))
+          sum(when(col("container").isin("png", "jpeg", "bmp"), 1L).otherwise(0L)).as("img"))
         .collect()(0)
     }
     require(verify.getLong(0) == verify.getLong(1),

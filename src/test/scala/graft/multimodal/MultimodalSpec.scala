@@ -177,7 +177,7 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every synthesized container parses — no quarantined rows
     assert(feats.filter(col("decode_ok") === false).count() == 0)
     assert(feats.select("container").distinct().collect().map(_.getString(0)).toSet
-      .subsetOf(Set("png", "jpeg", "gif", "wav", "mp4")))
+      .subsetOf(Set("png", "jpeg", "gif", "bmp", "wav", "mp4")))
     // parsed geometry equals the deterministic generator geometry —
     // the features really came from the container headers
     feats.select("media_id", "kind", "container", "width", "height", "duration_ms", "channels")
@@ -191,7 +191,9 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
             val expectDur = if (id % 48 == 36) 300L else 0L
             assert(r.getInt(3) == w && r.getInt(4) == h && r.getLong(5) == expectDur)
             val expectContainer =
-              if (id % 24 == 12) "gif" else if (id % 2 == 0) "png" else "jpeg"
+              if (id % 24 == 12) "gif"
+              else if (id % 96 == 0 || id % 96 == 48) "bmp"
+              else if (id % 2 == 0) "png" else "jpeg"
             assert(r.getString(2) == expectContainer)
           case "audio" =>
             assert(r.getString(2) == "wav")
@@ -725,9 +727,10 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     feats.values.foreach { r =>
       r.getString(1) match {
         // jpeg joined the decoded set in r6 (JpegCodec); AVC video
-        // (odd ids) joined it this round (H264Codec) — marker MP4s
-        // model a codec outside the subset and stay quarantined
-        case "png" | "wav" | "jpeg" | "gif" =>
+        // (odd ids) joined it this round (H264Codec); BMP this round
+        // too — marker MP4s model a codec outside the subset and stay
+        // quarantined
+        case "png" | "wav" | "jpeg" | "gif" | "bmp" =>
           assert(r.getBoolean(2), s"payload not decoded: $r")
         case "mp4" if r.getLong(0) % 2 == 1 =>
           assert(r.getBoolean(2), s"AVC keyframes not decoded: $r")
@@ -768,6 +771,17 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getDouble(3) - px.sum / px.length) < 1e-9)
     assert(math.abs(r.getDouble(4) - math.sqrt(px.map(v => v * v).sum / px.length)) < 1e-9)
     assert(r.getDouble(5) == px.max)
+    // BMP is lossless too: one row each from OUR encoder (id%48==0)
+    // and the JDK's (id%48==24) must equal the generator pixels
+    for (bmpId <- Seq(feats.keys.filter(_ % 96 == 0).min,
+      feats.keys.filter(_ % 96 == 48).min)) {
+      val (bw, bh, _, _) = Multimodal.geom(bmpId)
+      val bp = Multimodal.pixelsFor(bmpId, bw, bh, 3).map(p => (p & 0xff).toDouble)
+      val br = feats(bmpId)
+      assert(br.getString(1) == "bmp" && br.getBoolean(2), s"bmp $bmpId not decoded")
+      assert(math.abs(br.getDouble(3) - bp.sum / bp.length) < 1e-9, s"bmp $bmpId mean")
+      assert(br.getDouble(5) == bp.max, s"bmp $bmpId peak")
+    }
     // Adam7 PNG population (r7): id%12==6 rows are ImageIO-written
     // interlaced — PNG is lossless, so the pipeline stats must equal
     // the GENERATOR pixels exactly even through the foreign 7-pass
@@ -854,6 +868,11 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
           assert(r.getBoolean(2))
           val img = GifCodec.decode(bytes).get
           assert(img.width == 16 && img.height == 12 && img.channels == 3)
+        case "image" if id % 96 == 0 || id % 96 == 48 =>
+          // bmp rows (ours and the JDK's) resize into bmp containers
+          assert(r.getBoolean(2))
+          val img = BmpCodec.decode(bytes).get
+          assert(img.width == 16 && img.height == 12 && img.channels == 3)
         case "image" if id % 2 == 0 =>
           assert(r.getBoolean(2))
           val img = PixelCodec.decodePng(bytes).get
@@ -883,9 +902,14 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
           frames.foreach(f => assert(f.width == 16 && f.height == 12))
       }
     }
-    // one pinned content check: resized pixels equal a driver-side
+    // pinned content checks: resized pixels equal a driver-side
     // boxResize of the generator pixels (whole chain is deterministic)
-    val pngRow = rows.filter(r => r.getString(1) == "image" && r.getLong(0) % 2 == 0)
+    // — one PNG row and one BMP row (both containers are lossless)
+    def isBmpId(id: Long) = id % 96 == 0 || id % 96 == 48
+    val pngRow = rows.filter(r => r.getString(1) == "image" &&
+        r.getLong(0) % 2 == 0 && r.getLong(0) % 12 != 6 &&
+        r.getLong(0) % 24 != 12 && r.getLong(0) % 48 != 36 &&
+        !isBmpId(r.getLong(0)))
       .minBy(_.getLong(0))
     val id = pngRow.getLong(0)
     val (w, h, _, _) = Multimodal.geom(id)
@@ -893,5 +917,13 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       PixelCodec.PixelImage(w, h, 3, Multimodal.pixelsFor(id, w, h, 3)), 16, 12)
     assert(PixelCodec.decodePng(pngRow.getAs[Array[Byte]](3)).get.pixels.toSeq
       == expect.pixels.toSeq)
+    val bmpRow = rows.filter(r => r.getString(1) == "image" && isBmpId(r.getLong(0)))
+      .minBy(_.getLong(0))
+    val bId = bmpRow.getLong(0)
+    val (bw, bh, _, _) = Multimodal.geom(bId)
+    val bExpect = PixelCodec.boxResize(
+      PixelCodec.PixelImage(bw, bh, 3, Multimodal.pixelsFor(bId, bw, bh, 3)), 16, 12)
+    assert(BmpCodec.decode(bmpRow.getAs[Array[Byte]](3)).get.pixels.toSeq
+      == bExpect.pixels.toSeq, "bmp resize chain is lossless end to end")
   }
 }
