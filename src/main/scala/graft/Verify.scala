@@ -21,6 +21,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the fitted-model ANN oracles (x_ann_ivf / x_ann_pq) are GENERATED
+    // for a specific corpus: pin the generation dir to this run's sfDir
+    // so the dumped SQL embeds the same quantized centroids the engine
+    // parquet was computed with (one memoized fit serves both)
+    graft.queries.Queries.oracleSfDir = sfDir
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
@@ -42,7 +47,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // filtered runs dump only the selected oracles too — generating the
+    // ANN oracles triggers KMeans fits, which a one-query iteration
+    // loop should not pay for
     val json = SparkEntry.oracleSql
+      .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

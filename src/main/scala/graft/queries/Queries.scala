@@ -534,7 +534,154 @@ object Queries {
       |  WHERE len(list_filter(a.shs, x -> list_contains(b.shs, x))) * 1.0 /
       |        len(list_distinct(list_concat(a.shs, b.shs))) >= 0.5)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  /** The full oracle map: the static entries plus the two
+    * fitted-model ANN oracles, whose SQL is GENERATED with the engine's
+    * own quantized centroids/codebooks embedded as literals (the
+    * x_ann_lsh discipline of r7, one level up — see [[annIvfOracleSql]]).
+    * A `def` because generation needs a live session and the corpus dir.
+    */
+  def oracle: Map[String, String] = staticOracle ++ annOracle
+
+  /** sfDir the data-dependent oracles are generated for. Verify pins it
+    * to its own sfDir argument so the dumped oracle_sql.json replicates
+    * the exact fit the engine parquet was written with (the model memo
+    * guarantees both come from one fit). Outside Verify — the
+    * key-consistency specs — the smallest test scale is the default.
+    */
+  @volatile var oracleSfDir: String = "/root/testdata/sf0.001"
+
+  private def annOracle: Map[String, String] = {
+    val s = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .getOrElse(SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", 4)
+        .config("spark.ui.enabled", "false").getOrCreate())
+    val dir = oracleSfDir
+    Map(
+      "x_ann_ivf" -> annIvfOracleSql(QueriesLLM.ivfModelFor(s, dir, 16), 16, 4),
+      "x_ann_pq" -> annPqOracleSql(QueriesLLM.pqModelFor(s, dir, 16, 8), 4, 8, 256))
+  }
+
+  private def longList(xs: Seq[Long]): String = xs.mkString("[", ", ", "]")
+
+  /** Shared micro-quantization clause — the SQL text mirror of
+    * [[QueriesLLM.quant6]]. */
+  private val quantClause =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+
+  /** Pseudo-distance to one quantized centroid: |c|² − 2·q·c — same
+    * argmin and ordering as |q−c|² (the q² term is constant per
+    * vector) at half the literal footprint; the SQL text mirror of
+    * [[QueriesLLM.nd2Col]]'s per-cell lambda.
+    */
+  private def nd2Sql(qCol: String, cent: Seq[Long], cn2: Long): String =
+    s"($cn2 - 2 * CAST(list_sum(list_transform(range(1, len($qCol) + 1), " +
+      s"i -> $qCol[i] * (${longList(cent)})[i])) AS BIGINT))"
+
+  /** DuckDB mirror of [[QueriesLLM.annIvf]] (r8 oracle promotion): the
+    * engine's fitted coarse centroids, quantized to integer micro-units
+    * by the kernel itself, are embedded as literals; cell assignment
+    * (argmin via list_position-of-min — first match = lowest cell,
+    * exactly array_position's contract), probe selection, and the
+    * exact integer-cosine scoring then replicate the Spark pipeline
+    * clause for clause. Every decision downstream of the fit is exact
+    * BIGINT arithmetic in both engines.
+    */
+  private def annIvfOracleSql(mdl: QueriesLLM.QuantCents, k: Int, nprobe: Int): String = {
+    val nd2s = mdl.cents.zip(mdl.cn2).map { case (c, n2) => nd2Sql("q", c, n2) }
+      .mkString(",\n    ")
+    s"""WITH vq AS (SELECT vec_id, $quantClause AS q FROM embeddings),
+       |b AS (SELECT vec_id, q,
+       |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn2, [
+       |    $nd2s] AS nd2 FROM vq),
+       |asn AS (SELECT vec_id AS cand_id, q AS cq, qn2 AS cn2,
+       |    CAST(list_position(nd2, list_min(nd2)) - 1 AS INTEGER) AS cell FROM b),
+       |pq AS (SELECT vec_id AS query_id, q AS qq, qn2 AS qn,
+       |    CAST(c - 1 AS INTEGER) AS cell,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY nd2[CAST(c AS INTEGER)], c) AS pr
+       |  FROM b, range(1, ${k + 1}) t(c) WHERE vec_id % 100 = 0),
+       |probes AS (SELECT query_id, qq, qn, cell FROM pq WHERE pr <= $nprobe),
+       |sims AS (SELECT query_id, cand_id,
+       |    CAST(list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * cq[i])) AS BIGINT)
+       |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS sim
+       |  FROM probes JOIN asn USING (cell) WHERE query_id <> cand_id),
+       |r AS (SELECT query_id, cand_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rnk
+       |  FROM sims)
+       |SELECT query_id, cand_id, rnk, floor(sim * 10000 + 0.5) / 10000.0 AS cos_sim
+       |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** DuckDB mirror of [[QueriesLLM.annIvfPq]]: coarse centroids AND the
+    * m per-subspace codebooks ride in as literals. Code assignment is
+    * the per-subspace integer argmin; the ADC score is the exact
+    * integer sum of codebook partials (indexed by the candidate's own
+    * codes) over sqrt of the PQ-reconstructed norm²; the top-`rerank`
+    * shortlist and the exact quantized-cosine refine replicate the
+    * engine's window ordering including tie-breaks — identical ints →
+    * identical IEEE doubles → identical rows.
+    */
+  private def annPqOracleSql(mdl: QueriesLLM.PqModel, nprobe: Int, m: Int,
+      rerank: Int): String = {
+    val k = mdl.coarse.cents.length
+    val subDim = 64 / m
+    val nd2s = mdl.coarse.cents.zip(mdl.coarse.cn2)
+      .map { case (c, n2) => nd2Sql("q", c, n2) }.mkString(",\n    ")
+    def subNd(j: Int): String =
+      mdl.books(j).zip(mdl.bn2(j)).map { case (c, n2) =>
+        s"($n2 - 2 * CAST(list_sum(list_transform(range(1, ${subDim + 1}), " +
+          s"i -> q[${j * subDim} + i] * (${longList(c)})[i])) AS BIGINT))"
+      }.mkString("[", ",\n      ", "]")
+    val ndCols = (0 until m).map(j => s"${subNd(j)} AS nd_$j").mkString(",\n    ")
+    val codeCols = (0 until m).map(j =>
+      s"CAST(list_position(nd_$j, list_min(nd_$j)) - 1 AS INTEGER) AS code_$j")
+      .mkString(",\n    ")
+    val an2 = (0 until m).map(j =>
+      s"(${longList(mdl.bn2(j))})[code_$j + 1]").mkString(" + ")
+    val codesList = (0 until m).map(j => s"code_$j").mkString("[", ", ", "]")
+    val scoreNum = (0 until m).map { j =>
+      val bookLit = mdl.books(j).map(longList).mkString("[", ",\n      ", "]")
+      s"CAST(list_sum(list_transform(range(1, ${subDim + 1}), " +
+        s"i -> qq[${j * subDim} + i] * ($bookLit)[codes[${j + 1}] + 1][i])) AS BIGINT)"
+    }.mkString("(", "\n    + ", ")")
+    s"""WITH vq AS (SELECT vec_id, $quantClause AS q FROM embeddings),
+       |b AS (SELECT vec_id, q,
+       |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn2, [
+       |    $nd2s] AS nd2 FROM vq),
+       |cd AS (SELECT vec_id, q, qn2, nd2,
+       |    $ndCols FROM b),
+       |cc AS (SELECT vec_id, q, qn2, nd2,
+       |    $codeCols FROM cd),
+       |asn AS (SELECT vec_id AS cand_id, q AS cq, qn2 AS cn2,
+       |    CAST(list_position(nd2, list_min(nd2)) - 1 AS INTEGER) AS cell,
+       |    $codesList AS codes,
+       |    CAST($an2 AS BIGINT) AS an2 FROM cc),
+       |pq AS (SELECT vec_id AS query_id, q AS qq, qn2 AS qn,
+       |    CAST(c - 1 AS INTEGER) AS cell,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY nd2[CAST(c AS INTEGER)], c) AS pr
+       |  FROM b, range(1, ${k + 1}) t(c) WHERE vec_id % 100 = 0),
+       |probes AS (SELECT query_id, qq, qn, cell FROM pq WHERE pr <= $nprobe),
+       |sc AS (SELECT query_id, qq, qn, cand_id, cq, cn2,
+       |    $scoreNum
+       |      / sqrt(CAST(an2 AS DOUBLE)) AS score
+       |  FROM probes JOIN asn USING (cell) WHERE query_id <> cand_id),
+       |shl AS (SELECT query_id, qq, qn, cand_id, cq, cn2,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS srnk
+       |  FROM sc),
+       |ref AS (SELECT query_id, cand_id,
+       |    CAST(list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * cq[i])) AS BIGINT)
+       |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS sim
+       |  FROM shl WHERE srnk <= $rerank),
+       |r AS (SELECT query_id, cand_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rnk
+       |  FROM ref)
+       |SELECT query_id, cand_id, rnk, floor(sim * 10000 + 0.5) / 10000.0 AS cos_sim
+       |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  private val staticOracle: Map[String, String] = Map(
     // ---- MinHash-LSH family (promoted from rows-only in r6): the
     // shared candidate CTE replicates sig → band → join → est exactly;
     // consumers reuse the same downstream SQL as their exact-graph

@@ -538,11 +538,17 @@ object QueriesLLM {
     * was 3× the entire search (LargeAnnBench r5: nprobe=8 94.9 s vs
     * LSH's 29.6 s at equal recall; the gap was KMeans passes, not
     * probing). Sample training caps the fit at corpus-size-independent
-    * cost; CELL ASSIGNMENT still runs over every vector (one broadcast
-    * map pass), which is the part that must scale. Below 100K vectors
-    * the stride is 1 — identical training set, identical model, so
-    * sf-scale results and IvfSpec recalls are unchanged.
-    * Rows-only check; IvfSpec measures recall vs [[cosineTopk]].
+    * cost; CELL ASSIGNMENT still runs over every vector (one fused
+    * codegen pass against the literal centroid table), which is the
+    * part that must scale. Below 100K vectors the stride is 1 —
+    * identical training set, identical model, so sf-scale results and
+    * IvfSpec recalls are unchanged.
+    * Fully DuckDB-oracled since r8: the fitted centroids are quantized
+    * to integer micro-units ([[quant6]]) and embedded as literals in
+    * generated oracle SQL, so assignment, probing, and scoring are the
+    * same exact BIGINT arithmetic in both engines (the x_ann_lsh
+    * discipline one level up). LshSpec additionally pins recall vs
+    * [[cosineTopk]].
     * Crossover vs [[annLsh]]: IVF is the cheapest mid-90s-recall path
     * (1M vectors: 11.3 s @ nprobe=4, recall 0.95); at recall ~1.0 LSH
     * wins (28.2 s @ 8 tables vs 42.9 s @ nprobe=8) because doubling
@@ -554,15 +560,47 @@ object QueriesLLM {
   private[queries] def ivfTrainStride(total: Long): Long =
     math.max(1L, total / IvfTrainTarget)
 
-  def annIvf(s: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    import s.implicits._
+  /** Micro-quantization shared by the fully-oracled ANN paths (the
+    * x_ann_lsh discipline of r7 §8, one level up): every vector element
+    * becomes floor(x·1e6 + 0.5) as a 64-bit integer. Everything
+    * downstream of the KMeans FIT — cell assignment, probe selection,
+    * ADC scoring, the exact refine — is then exact integer arithmetic,
+    * bit-reproducible in any engine, so the generated DuckDB oracle
+    * replicates it clause for clause with the quantized centroids
+    * embedded as literals.
+    */
+  private[queries] def quant6(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)))
+
+  /** The fitted coarse quantizer, quantized to micro-units: k centroids
+    * plus their squared norms (all ≤ 64·(1e6)² — far inside BIGINT).
+    * The fit stays engine-side (seeded, sample-trained KMeans — a model,
+    * not a query); memoized per (session, dir, k) so the engine result
+    * and the generated oracle SQL within one Verify run are guaranteed
+    * to carry the SAME literals.
+    */
+  private[queries] final case class QuantCents(
+      cents: IndexedSeq[IndexedSeq[Long]], cn2: IndexedSeq[Long])
+
+  private val ivfModelCache =
+    new scala.collection.mutable.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, Memo[QuantCents]]]
+
+  private[queries] def ivfModelFor(s: SparkSession, dir: String, k: Int): QuantCents = {
+    val memo = ivfModelCache.synchronized {
+      ivfModelCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$dir|k=$k", new Memo(() => ivfModelBuild(s, dir, k)))
+    }
+    memo.get
+  }
+
+  private def quantizeCenter(c: Array[Double]): IndexedSeq[Long] =
+    c.iterator.map(x => math.floor(x * 1e6 + 0.5).toLong).toIndexedSeq
+
+  private def ivfModelBuild(s: SparkSession, dir: String, k: Int): QuantCents = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vector => MlVector}
     val e = t(s, dir, "embeddings")
-    // array_to_vector is the built-in vectorized converter (no row UDF);
-    // localCheckpoint materializes once for KMeans' 5 iterations AND the
-    // later transform, and is auto-released when the plan is GC'd
+    // array_to_vector is the built-in vectorized converter (no row UDF)
     val feat = e.withColumn("features",
       org.apache.spark.ml.functions.array_to_vector(col("embedding")))
       .localCheckpoint()
@@ -572,32 +610,52 @@ object QueriesLLM {
       else feat.filter(pmod(col("vec_id"), lit(stride)) === 0)
     val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").fit(trainSet)
-    val assigned = model.transform(feat)
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
-        col("prediction").as("cell"))
-    val cents = model.clusterCenters.zipWithIndex
-      .map { case (v: MlVector, i) => (i, v.toArray) }
-      .toSeq.toDF("cell", "centroid")
-    // probe list: nprobe nearest cells per query vector
-    val qs = assigned.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("nrm").as("qn"))
+    val qc = model.clusterCenters.map(v => quantizeCenter(v.toArray)).toIndexedSeq
+    QuantCents(qc, qc.map(c => c.map(x => x * x).sum))
+  }
+
+  /** Pseudo-distance to each quantized centroid: nd2(c) = |c|² − 2·q·c.
+    * Same argmin and same ordering as the true |q−c|² (the q² term is
+    * constant per vector), at half the literal footprint in the mirrored
+    * SQL. One fused codegen pass per row over the LITERAL centroid
+    * table — no shuffle, no broadcast join, no per-row allocation beyond
+    * the result array.
+    */
+  private def nd2Col(q: Column, mdl: QuantCents): Column =
+    zip_with(typedLit(mdl.cents.map(_.toSeq)), typedLit(mdl.cn2.toSeq),
+      (c, n2) => n2 - lit(2L) * aggregate(zip_with(q, c, (x, y) => x * y),
+        lit(0L), (a, v) => a + v))
+
+  def annIvf(s: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val mdl = ivfModelFor(s, dir, k)
+    val e = t(s, dir, "embeddings")
+    val base = e.select(col("vec_id"), quant6(col("embedding")).as("q"))
+      .withColumn("qn2", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
+      .withColumn("nd2", nd2Col(col("q"), mdl))
+    // candidate cell = argmin over the literal centroids; first-match on
+    // ties = lowest cell, exactly list_position's contract in the oracle
+    val assigned = base.select(col("vec_id").as("cand_id"), col("q").as("cq"),
+      col("qn2").as("cn2"),
+      (array_position(col("nd2"), array_min(col("nd2"))) - 1).cast("int").as("cell"))
+    // probe list: nprobe nearest cells per query vector, (nd2, cell) asc
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))
-    val probes = qs.crossJoin(broadcast(cents))
-      .select(col("query_id"), col("qv"), col("qn"), col("cell"),
-        aggregate(zip_with(col("qv"), col("centroid"),
-          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-          lit(0.0), (acc, v) => acc + v).as("d2"))
+    val probes = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("qn2").as("qn"),
+        posexplode(col("nd2")).as(Seq("cell", "d2")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+      .select(col("query_id"), col("qq"), col("qn"), col("cell"))
+    // exact integer cosine inside probed cells (the x_ann_quantized
+    // idiom at micro-resolution): same ints → same IEEE doubles → same
+    // top-3 in both engines
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id"))
-    probes.join(assigned.select(col("vec_id").as("cand_id"),
-        col("embedding").as("cv"), col("nrm").as("cn"), col("cell")), "cell")
+    probes.join(assigned, "cell")
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+        (dotI64(col("qq"), col("cq")) /
+          (sqrt(col("qn").cast("double")) * sqrt(col("cn2").cast("double")))).as("sim"))
       .withColumn("rnk", row_number().over(wRank))
       .filter(col("rnk") <= 3)
       .select(col("query_id"), col("cand_id"), col("rnk"), Queries.fround(col("sim"), 4).as("cos_sim"))
@@ -625,25 +683,86 @@ object QueriesLLM {
     * that tie width — size it to at least the expected per-cell
     * same-code population (the proof uses ~corpus/1000 = the planted
     * cluster size); the refine still touches float vectors for only
-    * `rerank` rows per query, preserving the memory story. Codebooks are seeded KMeans (sample-trained, like
-    * [[annIvf]]) — deterministic; rows-only (KMeans is not
-    * SQL-expressible); LshSpec pins a recall floor vs [[cosineTopk]]
-    * and the 8-byte code width.
+    * `rerank` rows per query, preserving the memory story. Codebooks
+    * are seeded KMeans (sample-trained, like [[annIvf]]) —
+    * deterministic. Fully DuckDB-oracled since r8: the FIT stays
+    * engine-side, but the quantized coarse centroids AND codebooks are
+    * embedded as literals in generated oracle SQL, so code assignment,
+    * ADC scoring, the rerank cutoff, and the exact refine are the same
+    * exact integer arithmetic in both engines. LshSpec additionally
+    * pins a recall floor vs [[cosineTopk]] and the 8-byte code width.
     */
+  /** The quantized PQ model: the coarse quantizer plus m per-subspace
+    * codebooks, all in integer micro-units, plus each code's squared
+    * norm. Driver-small (k·64 + m·16·(64/m) + m·16 longs); this is what
+    * the generated oracle SQL embeds as literals. Memoized separately
+    * from the corpus-sized code table so oracle generation never pays
+    * for (or pins) the full index.
+    */
+  private[queries] final case class PqModel(
+      coarse: QuantCents,
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]],
+      bn2: IndexedSeq[IndexedSeq[Long]])
+
+  private val pqModelCache =
+    new scala.collection.mutable.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, Memo[PqModel]]]
+
+  private[queries] def pqModelFor(s: SparkSession, dir: String, k: Int,
+      m: Int): PqModel = {
+    val memo = pqModelCache.synchronized {
+      pqModelCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$dir|k=$k|m=$m", new Memo(() => pqModelBuild(s, dir, k, m)))
+    }
+    memo.get
+  }
+
+  /** Fits only — coarse KMeans (shared with [[annIvf]] via
+    * [[ivfModelFor]]) + m per-subspace codebooks, each sample-trained
+    * and seeded, then quantized to micro-units. Training a sub-model
+    * per 8-dim slice of ONE checkpointed sample frame replaces r7's
+    * sequential transform-and-refit chain — same training rows, same
+    * seeds, same models.
+    */
+  private def pqModelBuild(s: SparkSession, dir: String, k: Int, m: Int): PqModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    val subDim = 64 / m
+    val coarse = ivfModelFor(s, dir, k)
+    val e = t(s, dir, "embeddings")
+    val stride = ivfTrainStride(e.count())
+    val sampled =
+      if (stride == 1L) e else e.filter(pmod(col("vec_id"), lit(stride)) === 0)
+    val slices = sampled.select((0 until m).map(j =>
+      org.apache.spark.ml.functions.array_to_vector(
+        slice(col("embedding"), j * subDim + 1, subDim)).as(s"subf_$j")): _*)
+      .localCheckpoint()
+    val books = (0 until m).map { j =>
+      val model = new KMeans().setK(16).setSeed(42L + j).setMaxIter(5)
+        .setFeaturesCol(s"subf_$j").fit(slices)
+      model.clusterCenters.map(c => quantizeCenter(c.toArray)).toIndexedSeq
+    }
+    // the ADC LUT addresses entry j·nCodes+code with a uniform stride,
+    // so a sub-quantizer that trained to FEWER centers (degenerate
+    // corpus: distinct sub-vectors < k) must fail loudly here, not
+    // silently misalign every downstream score
+    val perSub = books.map(_.length)
+    require(perSub.forall(_ == perSub.head),
+      s"PQ codebooks must be uniform across subspaces, got ${perSub.mkString(",")}")
+    PqModel(coarse, books, books.map(_.map(c => c.map(x => x * x).sum)))
+  }
+
   /** The built PQ index, as session-leak-safe plain data (the Memo
     * discipline of [[minhashLshPairs]]): the per-candidate code table
     * as a materialized (schema, RDD) — `cand_id, cell, codes[m],
-    * approx_norm2` — plus the driver-small codebook and coarse
-    * centroids. Production builds an ANN index ONCE and queries it
-    * many times; before r7 every `x_ann_pq` call re-ran 9 KMeans fits
-    * + 8 full-corpus assignment passes (68.6 s of the 68.6 s total at
-    * 1M vectors was build).
+    * approx_norm2` — plus the quantized model. Production builds an
+    * ANN index ONCE and queries it many times; before r7 every
+    * `x_ann_pq` call re-ran 9 KMeans fits + 8 full-corpus assignment
+    * passes (68.6 s of the 68.6 s total at 1M vectors was build).
     */
   private[queries] final case class PqIndex(
       schema: org.apache.spark.sql.types.StructType,
       codesRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
-      book: Seq[(Int, Int, Seq[Double], Double)],
-      cents: Seq[(Int, Seq[Double])])
+      model: PqModel)
 
   private val pqIndexCache =
     new scala.collection.mutable.WeakHashMap[SparkSession,
@@ -661,10 +780,13 @@ object QueriesLLM {
     memo.get
   }
 
-  /** The un-memoized index build: coarse IVF quantizer + m per-subspace
-    * codebooks (all sample-trained — fit cost must not scale with the
-    * corpus; assignment still covers every vector), then one
-    * full-corpus code table with the PQ-reconstructed norm² folded in.
+  /** The un-memoized index build: one full-corpus pass assigning every
+    * vector its coarse cell and its m sub-codes by integer argmin over
+    * the quantized model (fits via [[pqModelFor]] — sample-trained; the
+    * assignment pass is the part that must scale, and it is one fused
+    * codegen projection against literal codebooks — no ML transform
+    * chain, no shuffle), with the PQ-reconstructed norm² folded in so
+    * repeat queries never re-run a corpus-sized aggregation.
     */
   /** Build count — test hook pinning the build-once contract. */
   private[queries] val pqBuilds = new java.util.concurrent.atomic.AtomicLong
@@ -673,67 +795,36 @@ object QueriesLLM {
       m: Int): PqIndex = {
     pqBuilds.incrementAndGet()
     graft.functions.GraftFunctions.register(s)
-    import s.implicits._
-    import org.apache.spark.ml.clustering.KMeans
     val subDim = 64 / m
+    val mdl = pqModelFor(s, dir, k, m)
     val e = t(s, dir, "embeddings")
-    val feat = e.withColumn("features",
-      org.apache.spark.ml.functions.array_to_vector(col("embedding")))
-      .localCheckpoint()
-    val stride = ivfTrainStride(feat.count())
-    def sampled(df: DataFrame): DataFrame =
-      if (stride == 1L) df else df.filter(pmod(col("vec_id"), lit(stride)) === 0)
-    val coarse = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("features").fit(sampled(feat))
-    var assigned = coarse.transform(feat)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-    // per-subspace codebooks + candidate codes: m seeded KMeans fits on
-    // the 8-dim slices (sample-trained); each transform appends one
-    // code column over the FULL corpus
-    val subModels = (0 until m).map { j =>
-      val sub = sampled(assigned).withColumn("subf",
-        org.apache.spark.ml.functions.array_to_vector(
-          slice(col("embedding"), j * subDim + 1, subDim)))
-      val model = new KMeans().setK(16).setSeed(42L + j).setMaxIter(5)
-        .setFeaturesCol("subf").setPredictionCol(s"code_$j").fit(sub)
-      assigned = model.transform(
-        assigned.withColumn("subf",
-          org.apache.spark.ml.functions.array_to_vector(
-            slice(col("embedding"), j * subDim + 1, subDim))))
-        .drop("subf")
-      model
+    var df = e.select(col("vec_id"), quant6(col("embedding")).as("q"))
+      .withColumn("nd2", nd2Col(col("q"), mdl.coarse))
+      .withColumn("cell",
+        (array_position(col("nd2"), array_min(col("nd2"))) - 1).cast("int"))
+      .drop("nd2")
+    // sub-code per subspace: argmin over the quantized codebook (ties →
+    // lowest code, list_position's contract in the oracle)
+    (0 until m).foreach { j =>
+      val sub = slice(col("q"), j * subDim + 1, subDim)
+      val nd = zip_with(typedLit(mdl.books(j).map(_.toSeq)), typedLit(mdl.bn2(j).toSeq),
+        (c, n2) => n2 - lit(2L) * aggregate(zip_with(sub, c, (x, y) => x * y),
+          lit(0L), (a, v) => a + v))
+      df = df.withColumn(s"nd_$j", nd)
+        .withColumn(s"code_$j",
+          (array_position(col(s"nd_$j"), array_min(col(s"nd_$j"))) - 1).cast("int"))
+        .drop(s"nd_$j")
     }
-    val codes = assigned.select(col("vec_id").as("cand_id"), col("cell"),
-      array((0 until m).map(j => col(s"code_$j")): _*).as("codes"))
-      .localCheckpoint()
-    // codebook as a broadcastable (subspace, code, centroid, norm2) table
-    // the ADC LUT addresses entry j·nCodes+code with a uniform stride,
-    // so a sub-quantizer that trained to FEWER centers (degenerate
-    // corpus: distinct sub-vectors < k) must fail loudly here, not
-    // silently misalign every downstream score
-    val perSub = subModels.map(_.clusterCenters.length)
-    require(perSub.forall(_ == perSub.head),
-      s"PQ codebooks must be uniform across subspaces, got ${perSub.mkString(",")}")
-    val bookRows = subModels.zipWithIndex.flatMap { case (model, j) =>
-      model.clusterCenters.zipWithIndex.map { case (c, code) =>
-        val arr = c.toArray
-        (j, code, arr.toSeq, arr.map(x => x * x).sum)
-      }
-    }
-    val book = bookRows.toSeq.toDF("j", "code", "centroid", "cnorm2")
-    // PQ-reconstructed candidate norm² (sum of its code centroids'),
-    // folded INTO the cached code table so repeat queries never re-run
-    // the corpus-sized explode+aggregate
-    val candNorm = codes.select(col("cand_id"),
-        posexplode(col("codes")).as(Seq("j", "code")))
-      .join(broadcast(book.select(col("j"), col("code"), col("cnorm2"))), Seq("j", "code"))
-      .groupBy(col("cand_id")).agg(sum(col("cnorm2")).as("approx_norm2"))
-    val index = codes.join(candNorm, "cand_id")
-      .select(col("cand_id"), col("cell"), col("codes"), col("approx_norm2"))
+    // PQ-reconstructed candidate norm² = Σ_j ‖book_j[code_j]‖² — a pure
+    // literal-table lookup, exact BIGINT
+    val an2 = (0 until m).map(j =>
+      element_at(typedLit(mdl.bn2(j).toSeq), col(s"code_$j") + 1)).reduce(_ + _)
+    val index = df.select(col("vec_id").as("cand_id"), col("cell"),
+      array((0 until m).map(j => col(s"code_$j")): _*).as("codes"),
+      an2.as("approx_norm2"))
     val rdd = index.rdd.localCheckpoint()
     rdd.count() // materialize eagerly, once per key
-    PqIndex(index.schema, rdd, bookRows,
-      coarse.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray.toSeq) }.toSeq)
+    PqIndex(index.schema, rdd, mdl)
   }
 
   def annIvfPq(s: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4,
@@ -742,36 +833,36 @@ object QueriesLLM {
     import s.implicits._
     val subDim = 64 / m
     val idx = pqIndexFor(s, dir, k, m)
+    val mdl = idx.model
     val codes = s.createDataFrame(idx.codesRdd, idx.schema)
-    val book = idx.book.toDF("j", "code", "centroid", "cnorm2")
-    // LUT stride = codes per subspace, derived from the codebook itself
-    // (pqIndexFor guarantees uniformity across subspaces)
-    val nCodes = idx.book.map(_._2).max + 1
-    val cents = idx.cents.toDF("cell", "centroid")
+    // LUT stride = codes per subspace (pqModelFor guarantees uniformity)
+    val nCodes = mdl.books.head.length
+    val book = (for { j <- 0 until m; c <- 0 until nCodes }
+      yield (j, c, mdl.books(j)(c))).toDF("j", "code", "bcent")
     val e = t(s, dir, "embeddings")
-    // query side: float vectors, nprobe nearest coarse cells
+    // query side: quantized vectors, nprobe nearest coarse cells by the
+    // same integer pseudo-distance the oracle computes
     val qs = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("query_id"), quant6(col("embedding")).as("qq"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))
-    val probes = qs.crossJoin(broadcast(cents))
-      .select(col("query_id"), col("qv"), col("cell"),
-        aggregate(zip_with(col("qv"), col("centroid"),
-          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-          lit(0.0), (acc, v) => acc + v).as("d2"))
+    val probes = qs
+      .select(col("query_id"), col("qq"),
+        posexplode(nd2Col(col("qq"), mdl.coarse)).as(Seq("cell", "d2")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell"))
-    // ADC lookup table: <q_subvector, centroid> per (query, subspace,
-    // code) — queries × m × 16 rows — then folded to ONE ordered array
-    // per query (j-major, code-minor: entry j·16+code), so scoring a
-    // candidate is m codegen array lookups instead of an m-way row
-    // explosion (array_sort on the unique idx makes collect_list's
-    // order irrelevant)
+      .select(col("query_id"), col("qq"), col("cell"))
+    // ADC lookup table: <q_subvector, codebook centroid> per (query,
+    // subspace, code) — queries × m × 16 rows — then folded to ONE
+    // ordered array per query (j-major, code-minor: entry j·16+code),
+    // so scoring a candidate is m codegen array lookups instead of an
+    // m-way row explosion (array_sort on the unique idx makes
+    // collect_list's order irrelevant). Partials are exact integer dot
+    // products ≤ 6.4e13 — representable exactly in the kernel's double
+    // LUT, so engine and oracle sum the same integers.
     val lut = qs.crossJoin(broadcast(book))
       .select(col("query_id"), col("j"), col("code"),
-        graft.functions.GraftFunctions.dot(
-          slice(col("qv"), col("j") * subDim + 1, lit(subDim)),
-          col("centroid").cast("array<float>")).as("partial"))
+        dotI64(slice(col("qq"), col("j") * subDim + 1, lit(subDim)),
+          col("bcent")).cast("double").as("partial"))
     val lutArr = lut
       .groupBy(col("query_id"))
       .agg(array_sort(collect_list(struct((col("j") * nCodes + col("code")).as("idx"),
@@ -794,21 +885,24 @@ object QueriesLLM {
       .join(broadcast(lutArr), Seq("query_id"))
       .withColumn("score",
         graft.functions.GraftFunctions.adcScore(col("codes"), col("lut")) /
-          sqrt(col("approx_norm2")))
+          sqrt(col("approx_norm2").cast("double")))
       .withColumn("srnk", row_number().over(wShort))
       .filter(col("srnk") <= rerank)
       .select(col("query_id"), col("cand_id"))
-    val full = e.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"))
+    // exact refine in the same quantized-integer cosine as x_ann_ivf —
+    // float embeddings are touched for only `rerank` rows per query
+    val full = e.select(col("vec_id"), quant6(col("embedding")).as("fq"))
+      .withColumn("fn2", aggregate(col("fq"), lit(0L), (a, x) => a + x * x))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id"))
     shortlist
       .join(full.select(col("vec_id").as("query_id"),
-        col("embedding").as("qv2"), col("nrm").as("qn")), Seq("query_id"))
+        col("fq").as("qv2"), col("fn2").as("qn")), Seq("query_id"))
       .join(full.select(col("vec_id").as("cand_id"),
-        col("embedding").as("cv"), col("nrm").as("cn")), Seq("cand_id"))
+        col("fq").as("cv"), col("fn2").as("cn")), Seq("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        (dot(col("qv2"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+        (dotI64(col("qv2"), col("cv")) /
+          (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double")))).as("sim"))
       .withColumn("rnk", row_number().over(wRank))
       .filter(col("rnk") <= 3)
       .select(col("query_id"), col("cand_id"), col("rnk"),

@@ -35,10 +35,12 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
     // left this set in r6: the kernel's switch to the portable
     // md5-derived shingle hash made the banding join DuckDB-expressible
     val expected = Set("q_agg_approx_distinct", "q_agg_approx_percentile",
-      // x_ann_lsh left this set in r7: integer-quantized plane weights
-      // (embedded in the oracle as literals) made every sign decision
-      // exact BIGINT arithmetic, so the banding join is DuckDB-exact
-      "x_ann_ivf", "x_multimodal_features",
+      // x_ann_lsh left this set in r7 (integer-quantized plane weights
+      // embedded in the oracle as literals); x_ann_ivf and x_ann_pq
+      // left it in r8 the same way — the fitted centroids/codebooks are
+      // quantized to micro-units and embedded in GENERATED oracle SQL,
+      // so assignment/probing/ADC/refine are exact BIGINT arithmetic
+      "x_multimodal_features",
       // pixel/sample payload transforms (inflate+unfilter+box filter)
       // are not SQL; MultimodalSpec pins decodes on hand-built vectors
       "x_multimodal_resize",
@@ -65,10 +67,7 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
       "x_heavy_hitters",
       // file counts are physical layout, not SQL; QueriesRelSpec pins
       // compaction (fewer files, rows conserved, ranges disjoint)
-      "x_compact_files",
-      // PQ codebooks come from seeded KMeans (not SQL); LshSpec pins a
-      // recall floor vs the oracled brute-force cosine
-      "x_ann_pq")
+      "x_compact_files")
     assert(rowsOnly == expected, s"rows-only drift: $rowsOnly")
   }
 
