@@ -90,6 +90,28 @@ object UtxoConvert {
     */
   final case class ConvertStats(rows: Long, maxHeight: Long)
 
+  /** A derived session that carries the stamping commit protocol:
+    * shares the caller's SparkContext, inherits the caller's RUNTIME
+    * SQL conf (newSession starts from spark-defaults, not the caller's
+    * live changes — shuffle partitions etc. must carry over), and sets
+    * `spark.sql.sources.commitProtocolClass` ONLY here. Concurrent
+    * writes on the caller's session provably use the stock protocol —
+    * its conf is never mutated (StampingConvertSpec pins both sides).
+    */
+  private[graft] def stampingSession(spark: SparkSession): SparkSession = {
+    val s2 = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      // static confs (spark.sql.extensions, warehouse dir, ...) are
+      // fixed at context creation and reject runtime set — skip them;
+      // they are shared through the context anyway
+      try s2.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    s2.conf.set(StampingCommitProtocol.ConfKey,
+      classOf[StampingCommitProtocol].getName)
+    s2
+  }
+
   def convert(spark: SparkSession, input: String, output: String,
       partitions: Int = 0, rangePartition: Boolean = false,
       blockSizeBytes: Long = 16L * 1024 * 1024,
@@ -114,7 +136,17 @@ object UtxoConvert {
     // the snapshot while every core stays busy
     val totalCoins = headers.map(_.numUtxos).sum
     val coinsPerSplit = math.max(64L * 1024, totalCoins / (8L * n))
-    val df = spark.read.format("utxo")
+    val outUri = new org.apache.hadoop.fs.Path(output).toUri
+    val localOut = outUri.getScheme == null || outUri.getScheme == "file"
+    // Session-scoped stamping-protocol selection (r7 design nit): the
+    // commit-protocol class is a SESSION conf, so setting it on the
+    // caller's session — even set/restore around the write — would leak
+    // into any CONCURRENT write on that session. Non-local converts
+    // therefore run the whole pipeline on a derived session (shared
+    // SparkContext, cloned runtime conf) that alone carries the
+    // protocol; the caller's session conf is never touched.
+    val session = if (localOut) spark else stampingSession(spark)
+    val df = session.read.format("utxo")
       .option("coinsPerSplit", coinsPerSplit.toString)
       .load(input)
     // indexed scans (source default) already plan ~64Ki-coin partitions:
@@ -148,7 +180,7 @@ object UtxoConvert {
         // binary search against the sampled bounds inside whole-stage
         // codegen — see graft.functions.ScriptRouteExpr
         df.repartition(n,
-          graft.functions.GraftFunctions.scriptRoute(spark, bounds, tokens, col("script")))
+          graft.functions.GraftFunctions.scriptRoute(session, bounds, tokens, col("script")))
         }
         }
       } else df
@@ -179,8 +211,6 @@ object UtxoConvert {
       .option("parquet.block.size", blockSizeBytes.toString)
       .option("parquet.block.row.count.limit", rowGroupRows.toString)
       .option("parquet.page.size", (64 * 1024).toString)
-    val outUri = new org.apache.hadoop.fs.Path(output).toUri
-    val localOut = outUri.getScheme == null || outUri.getScheme == "file"
     // opt-in split-block bloom filter on `script`: the plain (per-task
     // sorted) layout leaves one stats-candidate row group PER FILE for
     // a point lookup — at 100 TB that is thousands of row-group reads
@@ -215,17 +245,12 @@ object UtxoConvert {
       graft.tools.FooterSort.stamp(outUri.getPath, Seq("script"),
         unsigned = Seq("vout", "height", "amount"))
     } else {
-      val prev = spark.conf.getOption(StampingCommitProtocol.ConfKey)
-      spark.conf.set(StampingCommitProtocol.ConfKey,
-        classOf[StampingCommitProtocol].getName)
-      try writer2
+      // the stamping protocol rides the DERIVED session the pipeline was
+      // built on — nothing to set or restore on the caller's session
+      writer2
         .option(StampingCommitProtocol.SortedKey, "script")
         .option(StampingCommitProtocol.UnsignedKey, "vout,height,amount")
         .parquet(output)
-      finally prev match {
-        case Some(v) => spark.conf.set(StampingCommitProtocol.ConfKey, v)
-        case None => spark.conf.unset(StampingCommitProtocol.ConfKey)
-      }
     }
     val m = obs.get
     def longOf(k: String): Long =

@@ -115,6 +115,41 @@ class StampingConvertSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(UtxoConvert.readConverted(spark, s"graftobj:$dir").count() == 20000)
   }
 
+  test("stamping protocol is session-scoped: caller conf untouched, concurrent writes unstamped") {
+    // r8 (r7 design nit): the protocol class must never appear in the
+    // CALLER's session conf — a concurrent write on that session during
+    // a convert would silently inherit it. The convert runs its
+    // pipeline on a derived session instead.
+    // the key has a stock default (SQLHadoopMapReduceCommitProtocol), so
+    // "untouched" means "still the stock value", not "unset"
+    val stock = spark.conf.get(StampingCommitProtocol.ConfKey)
+    assert(stock != classOf[StampingCommitProtocol].getName,
+      "caller session carries the stamping protocol before any convert")
+    val dir = new java.io.File(tmp, "scoped-out").getAbsolutePath
+    // replicate the convert's mechanism directly: while the derived
+    // session (carrying the protocol) is alive, a plain parquet write
+    // through the CALLER's session must come out unstamped
+    val derived = UtxoConvert.stampingSession(spark)
+    assert(derived.conf.get(StampingCommitProtocol.ConfKey) ==
+      classOf[StampingCommitProtocol].getName)
+    assert(derived.conf.get("spark.sql.shuffle.partitions") == "4",
+      "derived session must inherit the caller's runtime conf")
+    assert(spark.conf.get(StampingCommitProtocol.ConfKey) == stock,
+      "deriving the stamping session mutated the caller's conf")
+    val plain = new java.io.File(tmp, "plain-out").getAbsolutePath
+    spark.range(100).selectExpr("id", "id * 2 AS v")
+      .write.mode("overwrite").parquet(s"graftdfs:$plain")
+    parquetFiles(plain).foreach { f =>
+      assert(FooterSort.sortingColumnsOf(f).forall(_.isEmpty),
+        s"concurrent caller-session write got stamped: ${f.getName}")
+    }
+    // and the real convert end-to-end: stamped output, caller conf clean
+    UtxoConvert.convert(spark, fixturePath, s"graftdfs:$dir", partitions = 2)
+    assertStamped(dir)
+    assert(spark.conf.get(StampingCommitProtocol.ConfKey) == stock,
+      "convert leaked the stamping protocol into the caller's session")
+  }
+
   test("no staging leftovers or temp dirs survive the DFS convert") {
     Seq("dfs-out", "obj-out").foreach { d =>
       val dir = new java.io.File(tmp, d)
