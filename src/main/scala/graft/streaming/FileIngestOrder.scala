@@ -51,4 +51,58 @@ object FileIngestOrder {
     }
     files.length
   }
+
+  /** Object-store-safe ordered stager (r8 — the mechanism behind what
+    * was previously advice): object stores reject `setTimes` (S3A
+    * throws), so mtimes cannot be re-stamped in place — but an object's
+    * "mtime" IS its PUT-completion time, so creation ORDER is the one
+    * ordering channel the store itself guarantees. This copies files
+    * from `srcDir` into the WATCHED `watchDir` one at a time in
+    * lexicographic path (= event-time) order:
+    *
+    *  - sequential copies mean any listing a running stream takes sees
+    *    a PREFIX of the staged sequence — no straggler can land behind
+    *    a later-event file;
+    *  - each file lands ATOMICALLY under its final name (written to a
+    *    dot-prefixed staging name the source's hidden-file filter
+    *    ignores, then renamed);
+    *  - a clock-tick wait before each copy keeps landed mtimes
+    *    STRICTLY increasing even at 1 ms granularity, so a
+    *    `maxFilesPerTrigger` split never breaks a tie against path
+    *    order.
+    *
+    * Returns the number of files staged. Unlike
+    * [[pinMtimesToPathOrder]] this never calls `setTimes`, so it works
+    * on capability-less stores; `FileIngestOrderSpec` proves exact
+    * results on a FS double whose `setTimes` throws.
+    */
+  def stageInPathOrder(conf: Configuration, srcDir: String, watchDir: String,
+      suffix: String = ".parquet"): Int = {
+    val src = new Path(srcDir)
+    val sfs = src.getFileSystem(conf)
+    val dst = new Path(watchDir)
+    val dfs = dst.getFileSystem(conf)
+    dfs.mkdirs(dst)
+    val files = sfs.listStatus(src)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(suffix))
+      .sortBy(_.getPath.getName)
+    // never land at-or-before anything already visible in the watch dir
+    var prev = dfs.listStatus(dst).iterator
+      .filter(_.isFile).map(_.getModificationTime)
+      .foldLeft(Long.MinValue)(math.max)
+    files.foreach { st =>
+      while (System.currentTimeMillis() <= prev) Thread.sleep(1)
+      val name = st.getPath.getName
+      val staging = new Path(dst, s".$name.staging")
+      org.apache.hadoop.fs.FileUtil.copy(sfs, st.getPath, dfs, staging,
+        false, true, conf)
+      val fin = new Path(dst, name)
+      if (!dfs.rename(staging, fin)) {
+        dfs.delete(staging, false)
+        throw new java.io.IOException(s"stage rename failed: $staging -> $fin")
+      }
+      prev = dfs.getFileStatus(fin).getModificationTime
+    }
+    files.length
+  }
 }

@@ -122,6 +122,11 @@ class CountingObjectStore extends CountingDfs {
   override def append(f: Path, bufferSize: Int,
       progress: Progressable): FSDataOutputStream =
     throw new UnsupportedOperationException("object stores do not append")
+
+  // S3A semantics: object metadata is immutable once PUT — an object's
+  // mtime is its creation time and cannot be re-stamped
+  override def setTimes(f: Path, mtime: Long, atime: Long): Unit =
+    throw new UnsupportedOperationException("object stores do not setTimes")
 }
 
 object CountingObjectStore {
