@@ -10,10 +10,11 @@ import scala.util.control.NonFatal
   * pipeline needs first: enumerate keyframe byte ranges + timestamps,
   * hand the encoded bytes to a downstream decoder.
   *
-  * Tables consumed: `stts` (decode deltas), `stss` (sync samples;
-  * absent = every sample is sync), `stsz` (sizes, uniform or
-  * per-sample), `stsc` (sample→chunk runs), `stco`/`co64` (chunk
-  * offsets). The first `trak` with a complete set wins. Everything is
+  * Tables consumed: `stts` (decode deltas), `ctts` (composition
+  * offsets → true pts, since r8), `stss` (sync samples; absent =
+  * every sample is sync), `stsz` (sizes, uniform or per-sample),
+  * `stsc` (sample→chunk runs), `stco`/`co64` (chunk offsets). The
+  * first `trak` with a complete set wins. Everything is
   * validated against its own box extent and the file length — a
   * truncated or inconsistent table set quarantines to `None`, never a
   * partial/garbage frame list (same discipline as the JPEG/PNG
@@ -23,9 +24,11 @@ import scala.util.control.NonFatal
 object Mp4SampleTables {
 
   /** One media sample: `offset/size` locate the encoded frame bytes in
-    * the file; `ptsMs` is the decode timestamp on the media timescale
-    * converted to ms (ctts composition offsets are out of scope — for
-    * keyframe sampling, sync samples have zero offset in practice);
+    * the file; `ptsMs` is the true PRESENTATION timestamp in ms —
+    * decode time from `stts` plus the `ctts` composition offset when
+    * the box is present (since r8; v0 unsigned / v1 signed per
+    * 14496-12 §8.6.1.3), so foreign B-frame MP4s carry correct pts
+    * metadata even while their payloads stay out-of-subset for decode;
     * `sync` marks keyframes (stss membership).
     */
   final case class Mp4Sample(index: Int, ptsMs: Long, offset: Long,
@@ -187,12 +190,13 @@ object Mp4SampleTables {
         i => be32(b, zp + 8 + 4 * i)
       }
 
-    // stts: (count, delta) runs — must cover exactly n samples
+    // stts: (count, delta) runs — must cover exactly n samples; ticks
+    // accumulate as DECODE timestamps, composition offsets apply below
     val (tp2, te2) = fullBox("stts").getOrElse(return None)
     if (tp2 + 4 > te2) return None
     val nRuns = be32(b, tp2)
     if (nRuns < 0 || tp2 + 4 + 8L * nRuns > te2) return None
-    val ptsMs = new Array[Long](n)
+    val ticks = new Array[Long](n)
     var s = 0
     var t = 0L
     var run = 0
@@ -202,13 +206,41 @@ object Mp4SampleTables {
       if (count < 0 || s + count > n) return None
       var i = 0
       while (i < count) {
-        ptsMs(s) = t * 1000 / timescale
+        ticks(s) = t
         t += delta
         s += 1; i += 1
       }
       run += 1
     }
     if (s != n) return None // stts does not cover the sample count
+
+    // ctts: composition offsets, pts = dts + offset (14496-12
+    // §8.6.1.3) — v0 offsets unsigned, v1 signed (B-frame reorder can
+    // push pts before dts). Absent → pts = dts. Runs must cover
+    // EXACTLY n samples; an inconsistent count quarantines the clip —
+    // half-applied offsets would silently mis-stamp every later frame.
+    child(b, sp, se, "ctts") match {
+      case Some((p, e)) =>
+        if (p + 8 > e) return None
+        val version = b(p) & 0xff
+        if (version > 1) return None
+        val nc = be32(b, p + 4)
+        if (nc < 0 || p + 8 + 8L * nc > e) return None
+        var s2 = 0
+        var r = 0
+        while (r < nc) {
+          val count = be32(b, p + 8 + 8 * r)
+          val raw = be32(b, p + 12 + 8 * r)
+          val off = if (version == 1) raw.toLong else raw.toLong & 0xffffffffL
+          if (count < 0 || s2 + count > n) return None
+          var i = 0
+          while (i < count) { ticks(s2) += off; s2 += 1; i += 1 }
+          r += 1
+        }
+        if (s2 != n) return None // ctts does not cover the sample count
+      case None => ()
+    }
+    val ptsMs = ticks.map(tk => tk * 1000 / timescale)
 
     // stss: 1-based sync sample numbers; absent → all sync
     val sync = fullBox("stss") match {

@@ -246,6 +246,62 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Mp4SampleTables.parse(allSync).get.forall(_.sync))
   }
 
+  test("MP4 sample tables: ctts composition offsets give true pts (v0/v1), inconsistent counts quarantine") {
+    // hand-built boxes (the generators never emit ctts — our encoder
+    // has no B-frames — so the golden is built from 14496-12 §8.6.1.3
+    // directly): 3 samples of 8 bytes, timescale 1000, stts delta 100
+    // → dts 0/100/200; ctts then shifts presentation times.
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(id: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ id.getBytes("US-ASCII") ++ payload
+    def full(id: String, version: Int, body: Array[Byte]): Array[Byte] =
+      box(id, be32(version << 24) ++ body)
+    def clip(ctts: Option[Array[Byte]]): Array[Byte] = {
+      val stts = full("stts", 0, be32(1) ++ be32(3) ++ be32(100))
+      val stsz = full("stsz", 0, be32(8) ++ be32(3)) // uniform 8-byte samples
+      val stsc = full("stsc", 0, be32(1) ++ be32(1) ++ be32(3) ++ be32(1))
+      val mdhd = full("mdhd", 0, be32(0) ++ be32(0) ++ be32(1000) ++ be32(300))
+      // chunk offset = right after the moov tree; compute by building twice
+      def tree(stcoOff: Int): Array[Byte] = {
+        val stco = full("stco", 0, be32(1) ++ be32(stcoOff))
+        val stbl = box("stbl", stts ++ ctts.getOrElse(Array.emptyByteArray) ++
+          stsz ++ stsc ++ stco)
+        val minf = box("minf", stbl)
+        val mdia = box("mdia", mdhd ++ minf)
+        box("moov", box("trak", mdia))
+      }
+      val moov = tree(0)
+      val mdat = box("mdat", new Array[Byte](24))
+      tree(moov.length + 8) ++ mdat
+    }
+    // no ctts: pts = dts
+    assert(Mp4SampleTables.parse(clip(None)).get.map(_.ptsMs) ==
+      Seq(0L, 100L, 200L))
+    // v0 (unsigned): runs (1, 50), (2, 0) → pts 50/100/200
+    val v0 = full("ctts", 0, be32(2) ++ be32(1) ++ be32(50) ++ be32(2) ++ be32(0))
+    assert(Mp4SampleTables.parse(clip(Some(v0))).get.map(_.ptsMs) ==
+      Seq(50L, 100L, 200L))
+    // v1 (signed): B-frame reorder pushes pts before dts — (1, -50),
+    // (1, 100), (1, -100) → pts -50/200/100
+    val v1 = full("ctts", 1, be32(3) ++ be32(1) ++ be32(-50) ++
+      be32(1) ++ be32(100) ++ be32(1) ++ be32(-100))
+    assert(Mp4SampleTables.parse(clip(Some(v1))).get.map(_.ptsMs) ==
+      Seq(-50L, 200L, 100L))
+    // inconsistent counts quarantine: covering 2 of 3 samples, or 4 > 3
+    val short = full("ctts", 0, be32(1) ++ be32(2) ++ be32(0))
+    assert(Mp4SampleTables.parse(clip(Some(short))).isEmpty,
+      "ctts covering fewer samples than stsz must quarantine")
+    val over = full("ctts", 0, be32(1) ++ be32(4) ++ be32(0))
+    assert(Mp4SampleTables.parse(clip(Some(over))).isEmpty,
+      "ctts covering more samples than stsz must quarantine")
+    // truncated run table quarantines (declared 2 runs, one present)
+    val trunc = full("ctts", 0, be32(2) ++ be32(3) ++ be32(0))
+    assert(Mp4SampleTables.parse(clip(Some(trunc))).isEmpty,
+      "ctts run table past its box extent must quarantine")
+  }
+
   test("MP4 sample tables: truncated/inconsistent tables quarantine, never garbage") {
     val good = HeaderCodec.synthMp4Frames(320, 240, Seq(16, 20, 24, 28, 32), 500, 3)
     assert(Mp4SampleTables.parse(good).isDefined)
