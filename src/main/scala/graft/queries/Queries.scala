@@ -313,6 +313,8 @@ object Queries {
     "x_ann_quantized" -> (QueriesLLM.annQuantized _),
     "x_ann_ivf" -> ((s: SparkSession, dir: String) => QueriesLLM.annIvf(s, dir)),
     "x_ann_pq" -> ((s: SparkSession, dir: String) => QueriesLLM.annIvfPq(s, dir)),
+    "x_ann_pq_persisted" -> ((s: SparkSession, dir: String) =>
+      QueriesLLM.annIvfPqPersisted(s, dir)),
     "x_embed_centroid" -> (QueriesLLM.embedCentroid _),
     "x_bpe_train" -> ((s: SparkSession, dir: String) => QueriesLLM.bpeTrain(s, dir)),
     "x_bpe_apply" -> (QueriesLLM.bpeApply _),
@@ -557,9 +559,13 @@ object Queries {
         .config("spark.sql.shuffle.partitions", 4)
         .config("spark.ui.enabled", "false").getOrCreate())
     val dir = oracleSfDir
+    val pqSql = annPqOracleSql(QueriesLLM.pqModelFor(s, dir, 16, 8), 4, 8, 256)
     Map(
       "x_ann_ivf" -> annIvfOracleSql(QueriesLLM.ivfModelFor(s, dir, 16), 16, 4),
-      "x_ann_pq" -> annPqOracleSql(QueriesLLM.pqModelFor(s, dir, 16, 8), 4, 8, 256))
+      "x_ann_pq" -> pqSql,
+      // the persisted round-trip (build → write → load → search) must
+      // be invisible in the answer: same oracle, checked independently
+      "x_ann_pq_persisted" -> pqSql)
   }
 
   private def longList(xs: Seq[Long]): String = xs.mkString("[", ", ", "]")

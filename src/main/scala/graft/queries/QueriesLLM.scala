@@ -829,12 +829,22 @@ object QueriesLLM {
 
   def annIvfPq(s: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4,
       m: Int = 8, rerank: Int = 256): DataFrame = {
+    val idx = pqIndexFor(s, dir, k, m)
+    pqSearch(s, dir, s.createDataFrame(idx.codesRdd, idx.schema), idx.model,
+      nprobe, m, rerank)
+  }
+
+  /** The PQ search itself, over ANY code table — the session-memoized
+    * one ([[annIvfPq]]) or one loaded back from a persisted index
+    * ([[annIvfPqPersisted]]). Probe selection, ADC shortlist, and the
+    * exact refine are identical either way, which is what makes the
+    * persisted path oracle-checkable against the same generated SQL.
+    */
+  private def pqSearch(s: SparkSession, dir: String, codes: DataFrame,
+      mdl: PqModel, nprobe: Int, m: Int, rerank: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val subDim = 64 / m
-    val idx = pqIndexFor(s, dir, k, m)
-    val mdl = idx.model
-    val codes = s.createDataFrame(idx.codesRdd, idx.schema)
     // LUT stride = codes per subspace (pqModelFor guarantees uniformity)
     val nCodes = mdl.books.head.length
     val book = (for { j <- 0 until m; c <- 0 until nCodes }
@@ -908,6 +918,96 @@ object QueriesLLM {
       .select(col("query_id"), col("cand_id"), col("rnk"),
         Queries.fround(col("sim"), 4).as("cos_sim"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // ---- persisted PQ index (r8): the index is a TABLE ---------------
+
+  /** Write the PQ index to `out` as plain parquet — the production
+    * artifact: at 100 TB an ANN index is built ONCE and shipped, not
+    * rebuilt per session (the session memo dies with the JVM). Layout:
+    *
+    *  - `out/codes/` — the corpus code table, PARTITIONED BY `cell`, so
+    *    a single-query search reads `nprobe` cell directories (dynamic
+    *    partition pruning through the probe join) and a 100 TB corpus'
+    *    index serves point queries from a handful of files;
+    *  - `out/model/` — the driver-small quantized model (coarse
+    *    centroids + codebooks) as (kind, j, idx, vals) rows; squared
+    *    norms are derived on load.
+    *
+    * Everything stored is the integer-quantized form, so a loaded
+    * index answers BIT-IDENTICALLY to the in-memory one — and to the
+    * generated DuckDB oracle.
+    */
+  def pqIndexWrite(s: SparkSession, dir: String, out: String,
+      k: Int = 16, m: Int = 8): Unit = {
+    import s.implicits._
+    val idx = pqIndexFor(s, dir, k, m)
+    s.createDataFrame(idx.codesRdd, idx.schema)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+    val mdl = idx.model
+    val coarseRows = mdl.coarse.cents.zipWithIndex.map { case (c, i) =>
+      ("coarse", 0, i, c.toSeq)
+    }
+    val bookRows = for {
+      j <- mdl.books.indices
+      (c, code) <- mdl.books(j).zipWithIndex
+    } yield ("book", j, code, c.toSeq)
+    (coarseRows ++ bookRows).toDF("kind", "j", "idx", "vals")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/model")
+  }
+
+  /** Load a persisted index: the code table as a DataFrame (cell is a
+    * partition column) plus the reconstructed quantized model.
+    */
+  def pqIndexLoad(s: SparkSession, out: String): (DataFrame, PqModel) = {
+    val rows = s.read.parquet(s"$out/model").collect()
+    def vals(r: org.apache.spark.sql.Row): IndexedSeq[Long] =
+      r.getSeq[Long](3).toIndexedSeq
+    val cents = rows.filter(_.getString(0) == "coarse").sortBy(_.getInt(2))
+      .map(vals).toIndexedSeq
+    require(cents.nonEmpty, s"no coarse centroids in $out/model")
+    val byJ = rows.filter(_.getString(0) == "book").groupBy(_.getInt(1))
+    val books = (0 until byJ.size).map(j =>
+      byJ(j).sortBy(_.getInt(2)).map(vals).toIndexedSeq)
+    val mdl = PqModel(QuantCents(cents, cents.map(c => c.map(x => x * x).sum)),
+      books, books.map(_.map(c => c.map(x => x * x).sum)))
+    (s.read.parquet(s"$out/codes"), mdl)
+  }
+
+  /** Search against a PERSISTED index at `out` — no fit, no session
+    * memo: the model and codes come off disk, the query path is
+    * byte-identical to [[annIvfPq]] (same oracle SQL checks both).
+    */
+  def annIvfPqFrom(s: SparkSession, dir: String, out: String,
+      nprobe: Int = 4, m: Int = 8, rerank: Int = 256): DataFrame = {
+    val (codes, mdl) = pqIndexLoad(s, out)
+    pqSearch(s, dir, codes, mdl, nprobe, m, rerank)
+  }
+
+  // one write per (session, corpus): the registry entry's index lives
+  // under the application id, so a stale index from an earlier round's
+  // testdata can never leak into this run's answers
+  private val pqPersistCache =
+    new scala.collection.mutable.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, Memo[String]]]
+
+  /** Registry entry: build → WRITE → LOAD → search, end to end. The
+    * oracle is the same generated SQL as `x_ann_pq` — the persisted
+    * round-trip must be invisible in the answer.
+    */
+  def annIvfPqPersisted(s: SparkSession, dir: String, k: Int = 16,
+      nprobe: Int = 4, m: Int = 8, rerank: Int = 256): DataFrame = {
+    val out = pqPersistCache.synchronized {
+      pqPersistCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$dir|k=$k|m=$m", new Memo(() => {
+          val p = new java.io.File(sys.props("java.io.tmpdir"),
+            s"graft_pq_index_${s.sparkContext.applicationId}_" +
+              java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+          pqIndexWrite(s, dir, p, k, m)
+          p
+        }))
+    }.get
+    annIvfPqFrom(s, dir, out, nprobe, m, rerank)
   }
 
   /** X31: BPE merge training — the tokenizer-training core, in the

@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Whole-registry latency pass at an arbitrary scale (r8, verdict
+  * item 6): `Bench` times the ~48 headline entries at sf0.1, but the
+  * r7 sf1 MIRROR (correctness, not latency) was what exposed the one
+  * superlinear hot loop the sf0.1 bench never saw (`sorted_common`).
+  * This tool closes that blind spot for LATENCY: it executes EVERY
+  * `SparkEntry.queries` entry against the given corpus with a noop
+  * sink (AQE's final plan, no driver materialization beyond each
+  * query's own contract) and prints one JSON line of per-entry walls.
+  *
+  * Usage: {{{
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.RegistryBench <sfDir> [runs]"
+  * }}}
+  * Per entry: one untimed warmup at sf0.001 (codegen + shuffle setup)
+  * would double the wall for 165 entries — instead the JVM warms on
+  * the first entries and `runs` (default 1) controls repeat timing;
+  * compare entries ACROSS scales, not against their own cold start.
+  */
+object RegistryBench {
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val sfDir = args.headOption.getOrElse(sys.error("usage: RegistryBench <sfDir> [runs]"))
+    val runs = args.drop(1).headOption.map(_.toInt).getOrElse(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-registry-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val walls = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val t = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        walls += name -> t
+        System.err.println(f"[registry-bench] $name%-28s $t%8.3f s")
+      } catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"[registry-bench] $name FAILED: ${e.getMessage}")
+      }
+    }
+    val qs = walls.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    val fl = failed.map(n => s""""$n"""").mkString("[", ",", "]")
+    println(s"""{"metric":"registry_total","value":${f"${walls.values.sum}%.3f"},"unit":"sec","entries":${walls.size},"failed":$fl,"sf":"$sfDir","queries":$qs}""")
+    spark.stop()
+  }
+}

@@ -109,7 +109,7 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
       "x_triangles", "x_triangles_lsh", "x_compact_files", "q_sketch_union",
       // broadcast k-row model/parameter tables (16 minhash permutation
       // coefficients; IVF coarse centroids for the probe list)
-      "x_minhash_sig", "x_ann_ivf", "x_ann_pq",
+      "x_minhash_sig", "x_ann_ivf", "x_ann_pq", "x_ann_pq_persisted",
       // theta join is BNLJ by definition (non-equi predicate)
       "q_join_theta", "q_join_range")
     val singlePartAllowed = Set(

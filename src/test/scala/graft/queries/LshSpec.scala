@@ -258,6 +258,38 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
       "nprobe must be a query-time parameter, not an index key")
   }
 
+  test("persisted PQ index: build-write-load round-trip, no refit, pruned serving") {
+    // the production split (r8): build the index ONCE, WRITE it as a
+    // table, and serve queries from the loaded artifact — across
+    // sessions, with no KMeans refit, answering bit-identically
+    val out = java.nio.file.Files.createTempDirectory("pq-index").toFile
+      .getAbsolutePath + "/idx"
+    val direct = QueriesLLM.annIvfPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    QueriesLLM.pqIndexWrite(spark, dir, out)
+    val builds = QueriesLLM.pqBuilds.get()
+    // a FRESH session (new runtime state, no memo entries) serves from
+    // the artifact alone — zero fits, identical rows
+    val s2 = spark.newSession()
+    val loaded = QueriesLLM.annIvfPqFrom(s2, dir, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(QueriesLLM.pqBuilds.get() == builds,
+      "serving from the persisted index re-ran a KMeans fit")
+    assert(loaded == direct,
+      "persisted-index answers differ from the in-memory index")
+    // the code table is partitioned by cell: a single-query search
+    // prunes its scan to the probed cells (dynamic partition pruning
+    // through the probe join) — the serving story at 100 TB
+    val cells = new java.io.File(s"$out/codes").listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(cells > 1, s"code table not partitioned by cell ($cells dirs)")
+    val one = QueriesLLM.annIvfPqFrom(s2, dir, out)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [dynamic"),
+      s"probe join over the partitioned code table lost dynamic partition pruning:\n" +
+        plan.linesIterator.filter(_.contains("codes")).take(5).mkString("\n"))
+  }
+
   test("simhash near-dup property: identical docs get identical signatures") {
     val sigs = QueriesLLM.simhash(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
