@@ -113,6 +113,14 @@ object Multimodal {
           (col("doc_id") % 3 + 1).cast("int")).as("kind"),
         col("text").cast("binary").as("content"),
         col("source"))
+      // the input is a FEW-MB parquet that plans as ONE scan partition,
+      // but every row downstream pays a container encode (GOPs for
+      // video ids) — the classic cheap-input/expensive-map shape that
+      // must be re-spread or the whole corpus serializes on one core
+      // (found by the r8 sf1 registry bench: 2,037 s single-threaded at
+      // 50K docs). Hash-repartition on the id: content is a pure
+      // per-row function, so placement cannot change any value.
+      .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
       .as[MediaRow]
       .mapPartitions(_.map { r =>
         val (w, h, durMs, ch) = geom(r.media_id)

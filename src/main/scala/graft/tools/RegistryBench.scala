@@ -23,8 +23,15 @@ object RegistryBench {
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
-    val sfDir = args.headOption.getOrElse(sys.error("usage: RegistryBench <sfDir> [runs]"))
+    val sfDir = args.headOption.getOrElse(sys.error("usage: RegistryBench <sfDir> [runs] [filter]"))
     val runs = args.drop(1).headOption.map(_.toInt).getOrElse(1)
+    // optional 3rd arg: comma-separated names, or ">name" = resume from
+    // `name` (alphabetical) — long passes can restart where they left off
+    val filter: String => Boolean = args.drop(2).headOption match {
+      case Some(f) if f.startsWith(">") => n => n >= f.drop(1)
+      case Some(f) => val set = f.split(",").toSet; set.contains
+      case None => _ => true
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,7 +44,8 @@ object RegistryBench {
     spark.sparkContext.setLogLevel("WARN")
     val walls = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter(n) }.foreach { case (name, fn) =>
       try {
         val t = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
