@@ -437,6 +437,83 @@ case class AdcScoreExpr(left: Expression, right: Expression)
   override def prettyName: String = "adc_score"
 }
 
+/** Integer argmin-cell kernel (X3/X29 assignment hot path): the cell
+  * whose quantized centroid minimizes |q−c|² over a sub-range of the
+  * quantized vector, via the pseudo-distance nd2(c) = |c|² − 2·q·c
+  * (the q² term is constant per row). First strict minimum wins —
+  * exactly `array_position(nd2s, array_min(nd2s)) - 1` and the
+  * oracle's `list_position(nd2, list_min(nd2)) - 1`. Replaces the
+  * zip_with/aggregate HOF form for CANDIDATE assignment: higher-order
+  * functions are interpreted per element, and at the 1M-vector proof's
+  * index parameters (k=500 coarse cells × 64 dims = 32K boxed ops per
+  * row) the HOF assignment ran 36× slower than r7's ML transform
+  * (LargeAnnBench r8: ann_ivf_p4 455 s); this kernel is the same
+  * integer arithmetic as one tight loop inside whole-stage codegen.
+  * `cents` is the k×len codebook FLATTENED row-major; `cn2` its
+  * squared norms. Returns null on inconsistent shapes.
+  */
+object QuantArgmin {
+  def eval(q: org.apache.spark.sql.catalyst.util.ArrayData,
+      off: Int, len: Int,
+      cents: org.apache.spark.sql.catalyst.util.ArrayData,
+      cn2: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Integer = {
+    val k = cn2.numElements()
+    if (k == 0 || len <= 0 || cents.numElements() != k.toLong * len ||
+        off < 0 || off.toLong + len > q.numElements()) return null
+    var best = Long.MaxValue
+    var bestC = -1
+    var c = 0
+    while (c < k) {
+      val base = c * len
+      var dot = 0L
+      var i = 0
+      while (i < len) {
+        dot += q.getLong(off + i) * cents.getLong(base + i)
+        i += 1
+      }
+      val nd2 = cn2.getLong(c) - 2L * dot
+      if (nd2 < best) { best = nd2; bestC = c }
+      c += 1
+    }
+    java.lang.Integer.valueOf(bestC)
+  }
+}
+
+/** quant_argmin (X3/X29): (ARRAY<BIGINT> q, off, len, ARRAY<BIGINT>
+  * centsFlat, ARRAY<BIGINT> cn2) → INT. `off`/`len` are literal
+  * constructor parameters (the sub-range is fixed per plan); the
+  * codebooks ride as literal array children — constant-folded once,
+  * never rebuilt per row.
+  */
+case class QuantArgminExpr(q: Expression, offset: Int, len: Int,
+    cents: Expression, cn2: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = q
+  override def second: Expression = cents
+  override def third: Expression = cn2
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val r = QuantArgmin.eval(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], offset, len,
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    if (r == null) null else r.intValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => s"""
+      java.lang.Integer ${ev.value}_r =
+        graft.functions.QuantArgmin.eval($a, $offset, $len, $b, $c);
+      ${ev.isNull} = ${ev.value}_r == null;
+      ${ev.value} = ${ev.isNull} ? -1 : ${ev.value}_r.intValue();
+    """)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): QuantArgminExpr =
+    copy(q = newFirst, cents = newSecond, cn2 = newThird)
+  override def prettyName: String = "quant_argmin"
+}
+
 /** Sorted-set intersection count kernel (X2/X6/X19 exact-verify hot
   * path): two ASCENDING-sorted string arrays → |a∩b| by a single
   * allocation-free merge walk. Replaces `size(array_intersect(a, b))`

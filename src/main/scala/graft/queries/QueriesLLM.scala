@@ -626,23 +626,34 @@ object QueriesLLM {
       (c, n2) => n2 - lit(2L) * aggregate(zip_with(q, c, (x, y) => x * y),
         lit(0L), (a, v) => a + v))
 
+  /** Argmin over a quantized codebook sub-range — the `quant_argmin`
+    * codegen kernel (same integer arithmetic and first-min tie-break
+    * as `array_position(nd2, array_min(nd2)) - 1`, which the r8 1M
+    * proof measured 36× slower as interpreted HOFs at k=500). Used for
+    * every CANDIDATE assignment; the query-side probe RANKING keeps
+    * the [[nd2Col]] array (1% of rows need the full list, not the min).
+    */
+  private def qArgmin(q: Column, off: Int, len: Int,
+      cents: IndexedSeq[IndexedSeq[Long]], cn2: IndexedSeq[Long]): Column =
+    graft.functions.GraftFunctions.quantArgmin(q, off, len,
+      typedLit(cents.flatten), typedLit(cn2.toSeq))
+
   def annIvf(s: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val mdl = ivfModelFor(s, dir, k)
     val e = t(s, dir, "embeddings")
     val base = e.select(col("vec_id"), quant6(col("embedding")).as("q"))
       .withColumn("qn2", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
-      .withColumn("nd2", nd2Col(col("q"), mdl))
     // candidate cell = argmin over the literal centroids; first-match on
     // ties = lowest cell, exactly list_position's contract in the oracle
     val assigned = base.select(col("vec_id").as("cand_id"), col("q").as("cq"),
       col("qn2").as("cn2"),
-      (array_position(col("nd2"), array_min(col("nd2"))) - 1).cast("int").as("cell"))
+      qArgmin(col("q"), 0, 64, mdl.cents, mdl.cn2).as("cell"))
     // probe list: nprobe nearest cells per query vector, (nd2, cell) asc
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))
     val probes = base.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("qn2").as("qn"),
-        posexplode(col("nd2")).as(Seq("cell", "d2")))
+        posexplode(nd2Col(col("q"), mdl)).as(Seq("cell", "d2")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qq"), col("qn"), col("cell"))
@@ -799,21 +810,13 @@ object QueriesLLM {
     val mdl = pqModelFor(s, dir, k, m)
     val e = t(s, dir, "embeddings")
     var df = e.select(col("vec_id"), quant6(col("embedding")).as("q"))
-      .withColumn("nd2", nd2Col(col("q"), mdl.coarse))
-      .withColumn("cell",
-        (array_position(col("nd2"), array_min(col("nd2"))) - 1).cast("int"))
-      .drop("nd2")
+      .withColumn("cell", qArgmin(col("q"), 0, 64, mdl.coarse.cents, mdl.coarse.cn2))
     // sub-code per subspace: argmin over the quantized codebook (ties →
-    // lowest code, list_position's contract in the oracle)
+    // lowest code, list_position's contract in the oracle) — the same
+    // kernel over the j-th sub-range of q
     (0 until m).foreach { j =>
-      val sub = slice(col("q"), j * subDim + 1, subDim)
-      val nd = zip_with(typedLit(mdl.books(j).map(_.toSeq)), typedLit(mdl.bn2(j).toSeq),
-        (c, n2) => n2 - lit(2L) * aggregate(zip_with(sub, c, (x, y) => x * y),
-          lit(0L), (a, v) => a + v))
-      df = df.withColumn(s"nd_$j", nd)
-        .withColumn(s"code_$j",
-          (array_position(col(s"nd_$j"), array_min(col(s"nd_$j"))) - 1).cast("int"))
-        .drop(s"nd_$j")
+      df = df.withColumn(s"code_$j",
+        qArgmin(col("q"), j * subDim, subDim, mdl.books(j), mdl.bn2(j)))
     }
     // PQ-reconstructed candidate norm² = Σ_j ‖book_j[code_j]‖² — a pure
     // literal-table lookup, exact BIGINT

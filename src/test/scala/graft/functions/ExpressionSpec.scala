@@ -274,6 +274,41 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.isNullAt(0) && bad.isNullAt(1))
   }
 
+  test("quant_argmin kernel: identical to array_position-of-min over the HOF nd2, null contracts") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.typedLit
+    // deterministic quantized codebook (k=7 cells × len=5) incl. an
+    // exact-tie pair (cells 2 and 5 identical → first must win)
+    val cents: IndexedSeq[IndexedSeq[Long]] = IndexedSeq.tabulate(7, 5) {
+      (c, i) => if (c == 5) (2L * 31 + i * 17 - 40) else (c.toLong * 31 + i * 17 - 40)
+    }
+    val cn2 = cents.map(c => c.map(x => x * x).sum)
+    val df = spark.range(0, 500).selectExpr(
+      "transform(sequence(0, 7), i -> (id * 13 + i * i * 7) % 97 - 48) AS q")
+    // HOF reference at offset 2, len 5 (a genuine sub-range)
+    val nd2 = org.apache.spark.sql.functions.zip_with(
+      typedLit(cents.map(_.toSeq)), typedLit(cn2.toSeq),
+      (c, n2) => n2 - org.apache.spark.sql.functions.lit(2L) *
+        org.apache.spark.sql.functions.aggregate(
+          org.apache.spark.sql.functions.zip_with(
+            org.apache.spark.sql.functions.slice(col("q"), 3, 5), c,
+            (x, y) => x * y),
+          org.apache.spark.sql.functions.lit(0L), (a, v) => a + v))
+    val mism = df.select(
+        (org.apache.spark.sql.functions.array_position(nd2,
+          org.apache.spark.sql.functions.array_min(nd2)) - 1).cast("int").as("h"),
+        GraftFunctions.quantArgmin(col("q"), 2, 5,
+          typedLit(cents.flatten), typedLit(cn2.toSeq)).as("k"))
+      .filter(col("h") =!= col("k")).count()
+    assert(mism == 0, s"$mism rows differ between HOF argmin and quant_argmin")
+    // shape contracts: wrong flat length, empty codebook, range past q
+    val bad = spark.sql(
+      "SELECT quant_argmin(array(1L, 2L), 0, 2, array(1L, 2L, 3L), array(5L, 13L)) AS a, " +
+      "quant_argmin(array(1L, 2L), 0, 2, array(), array()) AS b, " +
+      "quant_argmin(array(1L, 2L), 1, 2, array(1L, 2L), array(5L)) AS c").head()
+    assert(bad.isNullAt(0) && bad.isNullAt(1) && bad.isNullAt(2))
+  }
+
   test("sorted_common kernel: equals size(array_intersect) on sorted distinct sets") {
     GraftFunctions.register(spark)
     // real shingle sets from the corpus (sorted + distinct, the callers'
