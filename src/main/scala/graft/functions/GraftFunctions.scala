@@ -137,6 +137,13 @@ object GraftFunctions {
       exprs => AdcScoreExpr(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("sorted_common",
       exprs => SortedCommonExpr(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("quant6",
+      exprs => QuantizeMicroExpr(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("quant_nd2",
+      exprs => QuantNd2Expr(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3), exprs(4)), "built-in")
     registry.createOrReplaceTempFunction("quant_argmin",
       exprs => QuantArgminExpr(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),
@@ -178,10 +185,16 @@ object GraftFunctions {
   def simhash48(c: Column): Column = call_function("simhash48", c)
   def lshSignBits(v: Column, nBits: Int): Column =
     call_function("lsh_sign_bits", v, lit(nBits))
+  /** Micro-quantize ARRAY<DOUBLE> → ARRAY<BIGINT> (see [[QuantizeMicro]]). */
+  def quant6(v: Column): Column = call_function("quant6", v.cast("array<double>"))
   /** Argmin cell over a flattened quantized codebook (see [[QuantArgmin]]). */
   def quantArgmin(q: Column, offset: Int, len: Int,
       centsFlat: Column, cn2: Column): Column =
     call_function("quant_argmin", q, lit(offset), lit(len), centsFlat, cn2)
+  /** Per-cell pseudo-distance list (see [[QuantNd2]]). */
+  def quantNd2(q: Column, offset: Int, len: Int,
+      centsFlat: Column, cn2: Column): Column =
+    call_function("quant_nd2", q, lit(offset), lit(len), centsFlat, cn2)
 }
 
 /** Bounded-memory top-k-per-key aggregate (E14b): keeps the k largest

@@ -437,6 +437,44 @@ case class AdcScoreExpr(left: Expression, right: Expression)
   override def prettyName: String = "adc_score"
 }
 
+/** Micro-quantization kernel (X3/X29 hot path): floor(x·1e6 + 0.5)
+  * per element as BIGINT — element-for-element identical to the HOF
+  * `transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+  * AS BIGINT))` and the oracle's list_transform clause, but one
+  * compiled loop instead of an interpreted lambda per element (at 1M
+  * corpus vectors × 64 dims the HOF quantization alone was a
+  * double-digit-seconds stage).
+  */
+object QuantizeMicro {
+  def quantize(v: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(v.getDouble(i) * 1000000.0 + 0.5).toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** quant6 (X3/X29): ARRAY<DOUBLE> → ARRAY<BIGINT>. */
+case class QuantizeMicroExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(v: Any): Any =
+    QuantizeMicro.quantize(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.QuantizeMicro.quantize($v);")
+  override protected def withNewChildInternal(newChild: Expression): QuantizeMicroExpr =
+    copy(child = newChild)
+  override def prettyName: String = "quant6"
+}
+
 /** Integer argmin-cell kernel (X3/X29 assignment hot path): the cell
   * whose quantized centroid minimizes |q−c|² over a sub-range of the
   * quantized vector, via the pseudo-distance nd2(c) = |c|² − 2·q·c
@@ -477,6 +515,63 @@ object QuantArgmin {
     }
     java.lang.Integer.valueOf(bestC)
   }
+}
+
+/** Pseudo-distance LIST companion to [[QuantArgmin]] (the probe side
+  * needs the full per-cell nd2 vector for top-nprobe ranking, not just
+  * the min): nd2(c) = |c|² − 2·q·c for every cell, one compiled loop.
+  */
+object QuantNd2 {
+  def eval(q: org.apache.spark.sql.catalyst.util.ArrayData,
+      off: Int, len: Int,
+      cents: org.apache.spark.sql.catalyst.util.ArrayData,
+      cn2: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val k = cn2.numElements()
+    if (k == 0 || len <= 0 || cents.numElements() != k.toLong * len ||
+        off < 0 || off.toLong + len > q.numElements()) return null
+    val out = new Array[Long](k)
+    var c = 0
+    while (c < k) {
+      val base = c * len
+      var dot = 0L
+      var i = 0
+      while (i < len) {
+        dot += q.getLong(off + i) * cents.getLong(base + i)
+        i += 1
+      }
+      out(c) = cn2.getLong(c) - 2L * dot
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** quant_nd2 (X3/X29): same signature as quant_argmin → ARRAY<BIGINT>. */
+case class QuantNd2Expr(q: Expression, offset: Int, len: Int,
+    cents: Expression, cn2: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = q
+  override def second: Expression = cents
+  override def third: Expression = cn2
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    QuantNd2.eval(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], offset, len,
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => s"""
+      ${ev.value} = graft.functions.QuantNd2.eval($a, $offset, $len, $b, $c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): QuantNd2Expr =
+    copy(q = newFirst, cents = newSecond, cn2 = newThird)
+  override def prettyName: String = "quant_nd2"
 }
 
 /** quant_argmin (X3/X29): (ARRAY<BIGINT> q, off, len, ARRAY<BIGINT>

@@ -570,7 +570,7 @@ object QueriesLLM {
     * embedded as literals.
     */
   private[queries] def quant6(v: Column): Column =
-    transform(v, x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)))
+    graft.functions.GraftFunctions.quant6(v) // codegen kernel since r8
 
   /** The fitted coarse quantizer, quantized to micro-units: k centroids
     * plus their squared norms (all ≤ 64·(1e6)² — far inside BIGINT).
@@ -622,9 +622,8 @@ object QueriesLLM {
     * the result array.
     */
   private def nd2Col(q: Column, mdl: QuantCents): Column =
-    zip_with(typedLit(mdl.cents.map(_.toSeq)), typedLit(mdl.cn2.toSeq),
-      (c, n2) => n2 - lit(2L) * aggregate(zip_with(q, c, (x, y) => x * y),
-        lit(0L), (a, v) => a + v))
+    graft.functions.GraftFunctions.quantNd2(q, 0, 64,
+      typedLit(mdl.cents.flatten), typedLit(mdl.cn2.toSeq))
 
   /** Argmin over a quantized codebook sub-range — the `quant_argmin`
     * codegen kernel (same integer arithmetic and first-min tie-break
@@ -643,7 +642,7 @@ object QueriesLLM {
     val mdl = ivfModelFor(s, dir, k)
     val e = t(s, dir, "embeddings")
     val base = e.select(col("vec_id"), quant6(col("embedding")).as("q"))
-      .withColumn("qn2", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
+      .withColumn("qn2", dotI64(col("q"), col("q")))
     // candidate cell = argmin over the literal centroids; first-match on
     // ties = lowest cell, exactly list_position's contract in the oracle
     val assigned = base.select(col("vec_id").as("cand_id"), col("q").as("cq"),
@@ -905,7 +904,7 @@ object QueriesLLM {
     // exact refine in the same quantized-integer cosine as x_ann_ivf —
     // float embeddings are touched for only `rerank` rows per query
     val full = e.select(col("vec_id"), quant6(col("embedding")).as("fq"))
-      .withColumn("fn2", aggregate(col("fq"), lit(0L), (a, x) => a + x * x))
+      .withColumn("fn2", dotI64(col("fq"), col("fq")))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id"))
     shortlist

@@ -301,6 +301,13 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
           typedLit(cents.flatten), typedLit(cn2.toSeq)).as("k"))
       .filter(col("h") =!= col("k")).count()
     assert(mism == 0, s"$mism rows differ between HOF argmin and quant_argmin")
+    // the probe-side LIST companion: element-for-element equal to the
+    // HOF nd2 vector
+    val mismNd = df.select(nd2.as("h"),
+        GraftFunctions.quantNd2(col("q"), 2, 5,
+          typedLit(cents.flatten), typedLit(cn2.toSeq)).as("k"))
+      .filter(col("h") =!= col("k")).count()
+    assert(mismNd == 0, s"$mismNd rows differ between HOF nd2 and quant_nd2")
     // shape contracts: wrong flat length, empty codebook, range past q
     val bad = spark.sql(
       "SELECT quant_argmin(array(1L, 2L), 0, 2, array(1L, 2L, 3L), array(5L, 13L)) AS a, " +
