@@ -47,11 +47,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // filtered runs dump only the selected oracles too — generating the
-    // ANN oracles triggers KMeans fits, which a one-query iteration
-    // loop should not pay for
-    val json = SparkEntry.oracleSql
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // filtered runs dump only the selected oracles too — and the filter
+    // is applied BEFORE generation (Queries.oracleFor), so a one-query
+    // iteration loop never pays the ANN KMeans fits, and a corpus with
+    // no embeddings table works as long as no x_ann_* key is selected
+    val json = graft.queries.Queries.oracleFor(only)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

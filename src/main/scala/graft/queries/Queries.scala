@@ -312,6 +312,8 @@ object Queries {
     "x_ann_lsh" -> ((s: SparkSession, dir: String) => QueriesLLM.annLsh(s, dir)),
     "x_ann_quantized" -> (QueriesLLM.annQuantized _),
     "x_ann_ivf" -> ((s: SparkSession, dir: String) => QueriesLLM.annIvf(s, dir)),
+    "x_ann_ivf_persisted" -> ((s: SparkSession, dir: String) =>
+      QueriesLLM.annIvfPersisted(s, dir)),
     "x_ann_pq" -> ((s: SparkSession, dir: String) => QueriesLLM.annIvfPq(s, dir)),
     "x_ann_pq_persisted" -> ((s: SparkSession, dir: String) =>
       QueriesLLM.annIvfPqPersisted(s, dir)),
@@ -542,7 +544,34 @@ object Queries {
     * x_ann_lsh discipline of r7, one level up — see [[annIvfOracleSql]]).
     * A `def` because generation needs a live session and the corpus dir.
     */
-  def oracle: Map[String, String] = staticOracle ++ annOracle
+  def oracle: Map[String, String] = oracleFor(None)
+
+  /** Keys whose oracle SQL is GENERATED from a fitted model (a KMeans
+    * fit + an embeddings-table read at generation time). Key-only
+    * consumers (the contract specs) and filtered Verify runs that do
+    * not select any of these must never trigger the generation — see
+    * [[oracleFor]] / [[oracleKeys]].
+    */
+  val annOracleKeys: Set[String] =
+    Set("x_ann_ivf", "x_ann_ivf_persisted", "x_ann_pq", "x_ann_pq_persisted")
+
+  /** The full oracle KEY set with zero generation cost — what the
+    * key-alignment specs inspect (r8 advice: `oracle` is a def with
+    * heavy side effects; key consumers must not pay, or fail, for fits).
+    */
+  def oracleKeys: Set[String] = staticOracle.keySet ++ annOracleKeys
+
+  /** The oracle map restricted to `only` (None = everything), with the
+    * fitted-model ANN oracles generated ONLY when selected — a filtered
+    * Verify iteration on one non-ANN query pays no KMeans fit and works
+    * on corpora without an embeddings table (r8 advice item 1).
+    */
+  def oracleFor(only: Option[Set[String]]): Map[String, String] = {
+    val static = staticOracle.filter { case (n, _) => only.forall(_.contains(n)) }
+    val wantAnn = only.forall(sel => annOracleKeys.exists(sel.contains))
+    if (!wantAnn) static
+    else static ++ annOracle.filter { case (n, _) => only.forall(_.contains(n)) }
+  }
 
   /** sfDir the data-dependent oracles are generated for. Verify pins it
     * to its own sfDir argument so the dumped oracle_sql.json replicates
@@ -553,18 +582,27 @@ object Queries {
   @volatile var oracleSfDir: String = "/root/testdata/sf0.001"
 
   private def annOracle: Map[String, String] = {
+    // fail fast, loudly: oracle generation reads the corpus and fits a
+    // model — a missing dir or session must not degrade into a silent
+    // local[4] session against a nonexistent path (r8 advice item 4)
     val s = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession)
-      .getOrElse(SparkSession.builder().master("local[4]")
-        .config("spark.sql.shuffle.partitions", 4)
-        .config("spark.ui.enabled", "false").getOrCreate())
+      .getOrElse(sys.error(
+        "Queries.annOracle needs an active SparkSession: the ANN oracle " +
+          "SQL embeds a fitted model; start a session (Verify does) or " +
+          "restrict to non-ANN keys via Queries.oracleFor"))
     val dir = oracleSfDir
+    require(new java.io.File(new java.io.File(dir), "embeddings.parquet").exists(),
+      s"Queries.oracleSfDir=$dir has no embeddings.parquet — set " +
+        "Queries.oracleSfDir to the corpus the engine results were computed on")
+    val ivfSql = annIvfOracleSql(QueriesLLM.ivfModelFor(s, dir, 16), 4)
     val pqSql = annPqOracleSql(QueriesLLM.pqModelFor(s, dir, 16, 8), 4, 8, 256)
     Map(
-      "x_ann_ivf" -> annIvfOracleSql(QueriesLLM.ivfModelFor(s, dir, 16), 16, 4),
-      "x_ann_pq" -> pqSql,
-      // the persisted round-trip (build → write → load → search) must
+      "x_ann_ivf" -> ivfSql,
+      // the persisted round-trips (build → write → load → search) must
       // be invisible in the answer: same oracle, checked independently
+      "x_ann_ivf_persisted" -> ivfSql,
+      "x_ann_pq" -> pqSql,
       "x_ann_pq_persisted" -> pqSql)
   }
 
@@ -593,7 +631,12 @@ object Queries {
     * clause for clause. Every decision downstream of the fit is exact
     * BIGINT arithmetic in both engines.
     */
-  private def annIvfOracleSql(mdl: QueriesLLM.QuantCents, k: Int, nprobe: Int): String = {
+  private def annIvfOracleSql(mdl: QueriesLLM.QuantCents, nprobe: Int): String = {
+    // probe enumeration runs over the FITTED center count, not the
+    // requested k: KMeans may return fewer centers on a degenerate
+    // corpus, and nd2[c] past the list is NULL in DuckDB — a silent
+    // divergence where the engine explodes the actual list (r8 advice)
+    val k = mdl.cents.length
     val nd2s = mdl.cents.zip(mdl.cn2).map { case (c, n2) => nd2Sql("q", c, n2) }
       .mkString(",\n    ")
     s"""WITH vq AS (SELECT vec_id, $quantClause AS q FROM embeddings),
@@ -645,12 +688,18 @@ object Queries {
       .mkString(",\n    ")
     val an2 = (0 until m).map(j =>
       s"(${longList(mdl.bn2(j))})[code_$j + 1]").mkString(" + ")
-    val codesList = (0 until m).map(j => s"code_$j").mkString("[", ", ", "]")
-    val scoreNum = (0 until m).map { j =>
+    // PQ reconstruction PER CANDIDATE: rq = book_0[code_0] ‖ … ‖
+    // book_{m-1}[code_{m-1}] — the ADC score is then one plain dot
+    // product qq·rq at the pair stage. Mathematically identical to the
+    // r8 per-pair form (Σ_j of exact-integer sub-dots = the one exact-
+    // integer full dot), but the 1,024-element codebook literal is now
+    // evaluated once per CANDIDATE (corpus-linear) instead of once per
+    // (query, candidate) PAIR — the re-evaluation that kept the r8 sf1
+    // mirror from finishing (~16G literal constructions at 1M pairs).
+    val rq = (0 until m).map { j =>
       val bookLit = mdl.books(j).map(longList).mkString("[", ",\n      ", "]")
-      s"CAST(list_sum(list_transform(range(1, ${subDim + 1}), " +
-        s"i -> qq[${j * subDim} + i] * ($bookLit)[codes[${j + 1}] + 1][i])) AS BIGINT)"
-    }.mkString("(", "\n    + ", ")")
+      s"($bookLit)[code_$j + 1]"
+    }.mkString(" || ")
     s"""WITH vq AS (SELECT vec_id, $quantClause AS q FROM embeddings),
        |b AS (SELECT vec_id, q,
        |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn2, [
@@ -661,7 +710,7 @@ object Queries {
        |    $codeCols FROM cd),
        |asn AS (SELECT vec_id AS cand_id, q AS cq, qn2 AS cn2,
        |    CAST(list_position(nd2, list_min(nd2)) - 1 AS INTEGER) AS cell,
-       |    $codesList AS codes,
+       |    $rq AS rq,
        |    CAST($an2 AS BIGINT) AS an2 FROM cc),
        |pq AS (SELECT vec_id AS query_id, q AS qq, qn2 AS qn,
        |    CAST(c - 1 AS INTEGER) AS cell,
@@ -670,7 +719,7 @@ object Queries {
        |  FROM b, range(1, ${k + 1}) t(c) WHERE vec_id % 100 = 0),
        |probes AS (SELECT query_id, qq, qn, cell FROM pq WHERE pr <= $nprobe),
        |sc AS (SELECT query_id, qq, qn, cand_id, cq, cn2,
-       |    $scoreNum
+       |    CAST(list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * rq[i])) AS BIGINT)
        |      / sqrt(CAST(an2 AS DOUBLE)) AS score
        |  FROM probes JOIN asn USING (cell) WHERE query_id <> cand_id),
        |shl AS (SELECT query_id, qq, qn, cand_id, cq, cn2,

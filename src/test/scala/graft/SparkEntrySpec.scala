@@ -24,13 +24,16 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // key-set checks go through Queries.oracleKeys, NOT SparkEntry.oracleSql:
+  // the ANN oracle SQL is GENERATED (KMeans fit + corpus read) and key
+  // consumers must not pay for — or fail on — generation (r8 advice)
   test("every oracle key has a queries entry") {
-    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    val missing = graft.queries.Queries.oracleKeys -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle entries without a query: $missing")
   }
 
   test("declared rows-only queries are the documented set") {
-    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val rowsOnly = SparkEntry.queries.keySet -- graft.queries.Queries.oracleKeys
     // the MinHash-LSH family (x_minhash_lsh + the four graph consumers)
     // left this set in r6: the kernel's switch to the portable
     // md5-derived shingle hash made the banding join DuckDB-expressible
@@ -109,7 +112,8 @@ class SparkEntrySpec extends AnyFunSuite with BeforeAndAfterAll {
       "x_triangles", "x_triangles_lsh", "x_compact_files", "q_sketch_union",
       // broadcast k-row model/parameter tables (16 minhash permutation
       // coefficients; IVF coarse centroids for the probe list)
-      "x_minhash_sig", "x_ann_ivf", "x_ann_pq", "x_ann_pq_persisted",
+      "x_minhash_sig", "x_ann_ivf", "x_ann_ivf_persisted", "x_ann_pq",
+      "x_ann_pq_persisted",
       // theta join is BNLJ by definition (non-equi predicate)
       "q_join_theta", "q_join_range")
     val singlePartAllowed = Set(
