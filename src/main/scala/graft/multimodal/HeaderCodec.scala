@@ -443,7 +443,8 @@ object HeaderCodec {
     * omits stss entirely (ISO-BMFF: absent stss = all sync).
     */
   def synthMp4Frames(w: Int, h: Int, frameSizes: Seq[Int],
-      frameDurMs: Int, syncEvery: Int): Array[Byte] = {
+      frameDurMs: Int, syncEvery: Int,
+      compOffsetsMs: Seq[Int] = Nil): Array[Byte] = {
     require(frameSizes.nonEmpty && frameSizes.forall(_ >= 5), "frames need >= 5 bytes")
     val frames = frameSizes.zipWithIndex.map { case (sz, i) =>
       val f = new Array[Byte](sz)
@@ -453,7 +454,8 @@ object HeaderCodec {
     }.toIndexedSeq
     mp4WithTables(w, h, frames,
       sync = i => i % math.max(syncEvery, 1) == 0, omitStss = syncEvery <= 1,
-      frameDurMs = frameDurMs, stsd = Array.emptyByteArray)
+      frameDurMs = frameDurMs, stsd = Array.emptyByteArray,
+      compOffsetsMs = compOffsetsMs)
   }
 
   /** MP4 with REAL AVC framing on top of the same sample tables:
@@ -466,7 +468,8 @@ object HeaderCodec {
     * sync (keyframe) flag.
     */
   def synthMp4Avc(w: Int, h: Int, spsNal: Array[Byte], ppsNal: Array[Byte],
-      nals: Seq[(Array[Byte], Boolean)], frameDurMs: Int): Array[Byte] = {
+      nals: Seq[(Array[Byte], Boolean)], frameDurMs: Int,
+      compOffsetsMs: Seq[Int] = Nil): Array[Byte] = {
     require(nals.nonEmpty, "need at least one sample")
     require(spsNal.length >= 4 && ppsNal.length >= 1, "parameter sets")
     val avcC = {
@@ -509,7 +512,7 @@ object HeaderCodec {
     }.toIndexedSeq
     val syncs = nals.map(_._2)
     mp4WithTables(w, h, frames, sync = syncs, omitStss = syncs.forall(identity),
-      frameDurMs = frameDurMs, stsd = stsd)
+      frameDurMs = frameDurMs, stsd = stsd, compOffsetsMs = compOffsetsMs)
   }
 
   private def box(id: String, payload: Array[Byte]): Array[Byte] = {
@@ -524,9 +527,11 @@ object HeaderCodec {
     */
   private def mp4WithTables(w: Int, h: Int, frames: IndexedSeq[Array[Byte]],
       sync: Int => Boolean, omitStss: Boolean, frameDurMs: Int,
-      stsd: Array[Byte]): Array[Byte] = {
+      stsd: Array[Byte], compOffsetsMs: Seq[Int] = Nil): Array[Byte] = {
     val frameSizes = frames.map(_.length)
     val n = frameSizes.length
+    require(compOffsetsMs.isEmpty || compOffsetsMs.length == n,
+      "ctts offsets must cover every sample or be absent")
     def fullBox(id: String, body: ByteBuffer => Unit, size: Int): Array[Byte] = {
       val b = ByteBuffer.allocate(4 + size)
       b.putInt(0) // version 0 + flags
@@ -566,6 +571,24 @@ object HeaderCodec {
     val stts = fullBox("stts", { b =>
       b.putInt(1).putInt(n).putInt(frameDurMs)
     }, 12)
+    // ctts v0 (14496-12 §8.6.1.3): per-sample composition offsets in
+    // media-timescale ticks (= ms here) — written run-length-merged so
+    // equal consecutive offsets share an entry, exercising the parser's
+    // run expansion, not just the 1-entry-per-sample degenerate shape
+    val cttsOpt =
+      if (compOffsetsMs.isEmpty) Array.emptyByteArray
+      else {
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        compOffsetsMs.foreach { off =>
+          if (runs.nonEmpty && runs.last._2 == off)
+            runs(runs.length - 1) = (runs.last._1 + 1, off)
+          else runs += ((1, off))
+        }
+        fullBox("ctts", { b =>
+          b.putInt(runs.length)
+          runs.foreach { case (count, off) => b.putInt(count).putInt(off) }
+        }, 4 + 8 * runs.length)
+      }
     val stssOpt =
       if (omitStss) Array.emptyByteArray
       else {
@@ -594,7 +617,8 @@ object HeaderCodec {
     // table sizes are known, so lay it out with a placeholder first
     def moovOf(stco: Array[Byte]): Array[Byte] =
       box("moov", mvhd ++ box("trak", tkhd ++ box("mdia",
-        mdhd ++ box("minf", box("stbl", stsd ++ stts ++ stssOpt ++ stsc ++ stsz ++ stco)))))
+        mdhd ++ box("minf", box("stbl",
+          stsd ++ stts ++ cttsOpt ++ stssOpt ++ stsc ++ stsz ++ stco)))))
     val stcoSize = 4 + 4 + 4 * nChunks
     val placeholder = fullBox("stco", { b =>
       b.putInt(nChunks); (0 until nChunks).foreach(_ => b.putInt(0))

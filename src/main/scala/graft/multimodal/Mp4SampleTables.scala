@@ -29,10 +29,12 @@ object Mp4SampleTables {
     * the box is present (since r8; v0 unsigned / v1 signed per
     * 14496-12 §8.6.1.3), so foreign B-frame MP4s carry correct pts
     * metadata even while their payloads stay out-of-subset for decode;
-    * `sync` marks keyframes (stss membership).
+    * `sync` marks keyframes (stss membership); `dtsMs` is the raw
+    * DECODE timestamp (stts alone), kept alongside pts so a consumer
+    * can flag reordered clips (pts ≠ dts) without re-walking the boxes.
     */
-  final case class Mp4Sample(index: Int, ptsMs: Long, offset: Long,
-      size: Int, sync: Boolean)
+  final case class Mp4Sample(index: Int, ptsMs: Long, dtsMs: Long,
+      offset: Long, size: Int, sync: Boolean)
 
   /** Hostile-input guard: more samples than any plausible clip at this
     * pipeline's scale means a crafted count field, not media.
@@ -214,6 +216,8 @@ object Mp4SampleTables {
     }
     if (s != n) return None // stts does not cover the sample count
 
+    val dtsTicks = ticks.clone() // decode times, before composition offsets
+
     // ctts: composition offsets, pts = dts + offset (14496-12
     // §8.6.1.3) — v0 offsets unsigned, v1 signed (B-frame reorder can
     // push pts before dts). Absent → pts = dts. Runs must cover
@@ -241,6 +245,7 @@ object Mp4SampleTables {
       case None => ()
     }
     val ptsMs = ticks.map(tk => tk * 1000 / timescale)
+    val dtsMs = dtsTicks.map(tk => tk * 1000 / timescale)
 
     // stss: 1-based sync sample numbers; absent → all sync
     val sync = fullBox("stss") match {
@@ -293,7 +298,7 @@ object Mp4SampleTables {
       while (i < scCount(scRun) && sample < n) {
         val sz = sizes(sample)
         if (sz < 0 || off < 0 || off + sz > b.length) return None // truncated media
-        out += Mp4Sample(sample, ptsMs(sample), off, sz, sync(sample))
+        out += Mp4Sample(sample, ptsMs(sample), dtsMs(sample), off, sz, sync(sample))
         off += sz
         sample += 1; i += 1
       }

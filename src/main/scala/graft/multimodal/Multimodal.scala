@@ -132,28 +132,53 @@ object Multimodal {
             // JPEG (id%4==3) — see imageBytes
             imageBytes(r.media_id, w, h)
           case "audio" => audioBytes(r.media_id, durMs, ch) // PCM16 / mu-law / ADPCM
-          case _ if r.media_id % 2 == 0 =>
-            // real sample tables since r7: deterministic per-id frame
-            // structure (the frame-sampling stage enumerates these
-            // from stts/stss/stsz/stsc/stco, not from a heuristic);
-            // marker payloads model a codec outside the decode subset
-            HeaderCodec.synthMp4Frames(w, h,
-              frameSizes = videoFrameSizes(r.media_id),
-              frameDurMs = 500, syncEvery = 3)
-          case _ =>
-            // real H.264 since this round: avcC parameter sets +
-            // length-prefixed IDR NALs the decode stages fully decode
-            avcVideoBytes(r.media_id, w, h)
+          case _ => videoContentFor(r.media_id)
         }
         r.copy(content = bytes)
       })
       .toDF()
   }
 
+  /** The ONE video-container rule, shared by [[mediaFromDocuments]],
+    * [[syntheticMedia]], and the pts-widened `x_multimodal_meta`
+    * engine path: even ids are marker MP4s with real sample tables
+    * (stts/ctts/stss/stsz/stsc/stco — deterministic per-id frame
+    * structure; payloads model a codec outside the decode subset),
+    * odd ids are real H.264 GOPs (avcC parameter sets, length-prefixed
+    * NALs, motion-compensated P frames) — both with the [[cttsOffsetsMs]]
+    * composition-offset policy.
+    */
+  private[graft] def videoContentFor(id: Long): Array[Byte] = {
+    val (w, h, _, _) = geom(id)
+    if (id % 2 == 0)
+      HeaderCodec.synthMp4Frames(w, h,
+        frameSizes = videoFrameSizes(id),
+        frameDurMs = 500, syncEvery = 3,
+        compOffsetsMs = cttsOffsetsMs(id))
+    else avcVideoBytes(id, w, h)
+  }
+
   /** Deterministic per-id MP4 frame-size vector (specs recompute it). */
   private[multimodal] def videoFrameSizes(id: Long): Seq[Int] = {
     val n = 4 + (id % 5).toInt
     (0 until n).map(i => 16 + ((id + i * 7) % 48).toInt)
+  }
+
+  /** Deterministic per-id composition-offset vector (r9): video ids
+    * with `(id / 4) % 2 == 1` carry a `ctts` box (offset of frame `i`
+    * = ((id + i) % 3) · 100 ms, v0 non-negative, run-length-written);
+    * the rest omit it (pts = dts). The `id/4` parity is chosen so the
+    * shape ALTERNATES inside every residue class the pipeline samples
+    * by — in particular `x_multimodal_meta`'s doc_id % 20 = 0 slice
+    * (video ids ≡ 20 mod 60, where id % 4 is constant but (id/4) % 2
+    * alternates) — so the r8 ctts walk AND its absence are both
+    * oracle-checked, and the closed form here is what specs and the
+    * generated oracle recompute (true pts of frame i = i·500 + off_i).
+    */
+  private[graft] def cttsOffsetsMs(id: Long): Seq[Int] = {
+    val n = videoFrameSizes(id).length
+    if ((id / 4) % 2 == 0) Seq.empty
+    else (0 until n).map(i => ((id + i) % 3).toInt * 100)
   }
 
   /** Image container for `id`: PNG for even ids; odd ids are JPEG,
@@ -282,7 +307,8 @@ object Multimodal {
       Vector.tabulate(n)(k => videoYuv(id, k, w, h)), qp = 32, gop = 3,
       deblock = true) // in-loop filter active, like real camera output
     HeaderCodec.synthMp4Avc(w, h, seq.spsNal, seq.ppsNal,
-      seq.frames.map(f => (f.nal, f.idr)), frameDurMs = 500)
+      seq.frames.map(f => (f.nal, f.idr)), frameDurMs = 500,
+      compOffsetsMs = cttsOffsetsMs(id))
   }
 
   /** Scale-proof twin of [[mediaFromDocuments]]: `n` deterministic
@@ -306,10 +332,7 @@ object Multimodal {
         val bytes = r.kind match {
           case "image" => imageBytes(r.media_id, w, h)
           case "audio" => audioBytes(r.media_id, durMs, ch)
-          case _ if r.media_id % 2 == 0 => HeaderCodec.synthMp4Frames(w, h,
-            frameSizes = videoFrameSizes(r.media_id),
-            frameDurMs = 500, syncEvery = 3)
-          case _ => avcVideoBytes(r.media_id, w, h)
+          case _ => videoContentFor(r.media_id)
         }
         r.copy(content = bytes)
       })

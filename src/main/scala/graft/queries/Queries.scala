@@ -2092,12 +2092,30 @@ object Queries {
         |SELECT source, doc_id, n_tok, start_off,
         |  CAST(start_off // 256 AS BIGINT) AS bin_id
         |FROM off ORDER BY source, doc_id""".stripMargin,
+    // The pts columns (r9) mirror the engine's REAL container walk
+    // closed-form from the generator rules: video docs (doc_id%3=2)
+    // have 4 + doc_id%5 frames at a 500 ms stts cadence, and ids with
+    // (doc_id//4)%2=1 carry a ctts box shifting frame i's presentation
+    // time by ((doc_id+i)%3)*100 ms — the engine derives the same
+    // numbers by parsing stts+ctts out of the synthesized MP4, so a
+    // composition-offset mis-parse is a hash mismatch here.
     "x_multimodal_meta" ->
-      """SELECT doc_id,
+      """WITH v AS (SELECT doc_id,
+        |    list_transform(range(0, 4 + doc_id % 5), i -> i * 500 +
+        |      CASE WHEN (doc_id // 4) % 2 = 1 THEN ((doc_id + i) % 3) * 100 ELSE 0 END) AS p
+        |  FROM documents WHERE doc_id % 20 = 0 AND doc_id % 3 = 2),
+        |pts AS (SELECT doc_id, list_min(p) AS first_pts_ms,
+        |    list_max(p) AS last_pts_ms,
+        |    len(list_filter(range(0, 4 + doc_id % 5),
+        |      i -> (doc_id // 4) % 2 = 1 AND (doc_id + i) % 3 <> 0)) > 0 AS pts_ne_dts
+        |  FROM v)
+        |SELECT d.doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
         |  substr(hex(CAST(text AS BLOB)), 1, 16) AS magic_hex,
-        |  substr(md5(text), 1, 16) AS content_hash
-        |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin,
+        |  substr(md5(text), 1, 16) AS content_hash,
+        |  pts.first_pts_ms, pts.last_pts_ms, pts.pts_ne_dts
+        |FROM documents d LEFT JOIN pts ON d.doc_id = pts.doc_id
+        |WHERE d.doc_id % 20 = 0 ORDER BY d.doc_id""".stripMargin,
     // The e2e UTXO queries run over the engine-converted parquet, which
     // DuckDB reads directly from its /tmp path (Verify materializes it
     // before the driver's oracle pass — ensureConverted is idempotent).

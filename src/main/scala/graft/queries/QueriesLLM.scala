@@ -2220,15 +2220,42 @@ object QueriesLLM {
     * lives in [[graft.multimodal.Multimodal]] over
     * [[graft.multimodal.HeaderCodec]]/[[graft.multimodal.PixelCodec]].
     */
-  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "documents")
       .filter(col("doc_id") % 20 === 0)
       .select(col("doc_id"), col("text").cast("binary").as("content"))
       .select(col("doc_id"),
         length(col("content")).as("n_bytes"),
         substring(hex(col("content")), 1, 16).as("magic_hex"),
         substring(md5(col("content")), 1, 16).as("content_hash"))
-      .orderBy(col("doc_id"))
+    // pts surface (r9, verdict item 6): the sampled VIDEO docs' real
+    // containers are built by the one corpus rule and their sample
+    // tables walked — stts decode times PLUS the r8 ctts composition
+    // offsets — then reduced to first/last presentation time and a
+    // pts≠dts reorder flag. The oracle recomputes the same three
+    // values closed-form from the generator rules (frame count
+    // 4 + id%5, 500 ms cadence, the id%4/id%3 ctts policy), so a ctts
+    // mis-parse lands as a hash mismatch, not just a golden-box
+    // failure. Parse failure → NULLs (dead-letter, and the oracle
+    // would flag it); hash-repartition before the per-row container
+    // encode (the r8 single-core lesson).
+    val pts = t(s, dir, "documents")
+      .filter(col("doc_id") % 20 === 0 && col("doc_id") % 3 === 2)
+      .select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val samples = graft.multimodal.Mp4SampleTables
+          .parse(graft.multimodal.Multimodal.videoContentFor(id))
+        (id,
+          samples.map(_.iterator.map(_.ptsMs).min),
+          samples.map(_.iterator.map(_.ptsMs).max),
+          samples.map(_.exists(x => x.ptsMs != x.dtsMs)))
+      })
+      .toDF("doc_id", "first_pts_ms", "last_pts_ms", "pts_ne_dts")
+    base.join(pts, Seq("doc_id"), "left").orderBy(col("doc_id"))
+  }
 
   /** X33 frame sampling (r7): keyframe rows enumerated from the MP4
     * sample tables ([[graft.multimodal.Mp4SampleTables]]) and, for

@@ -20,6 +20,15 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val payload = "the quick brown fox".getBytes("UTF-8")
 
+  /** Expected corpus pts of video `id` frame `k`: the 500 ms stts
+    * cadence plus the r9 ctts composition offset (0 when the id's clip
+    * omits the box) — the same closed form the meta oracle embeds.
+    */
+  private def corpusPts(id: Long, k: Int): Long = {
+    val off = Multimodal.cttsOffsetsMs(id)
+    k * 500L + (if (off.isEmpty) 0L else off(k).toLong)
+  }
+
   test("PNG IHDR decode: synthesized and hand-built headers give exact geometry") {
     assert(HeaderCodec.decode(HeaderCodec.synthPng(640, 480, payload))
       .contains(Multimodal.MediaHeader("png", 640, 480, 0L, 3)))
@@ -366,7 +375,8 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
           assert(len == bytes.length - 4, s"media $id frame $i NAL length prefix")
           assert((bytes(4) & 0x1f) == 5, s"media $id frame $i is not an IDR NAL")
         }
-        assert(r.getAs[Long]("pts_ms") == i * 500L)
+        assert(r.getAs[Long]("pts_ms") == corpusPts(id, i),
+          s"media $id frame $i pts (ctts-aware)")
       }
     }
     // GIF rows: each emitted frame is a STANDALONE single-frame GIF
@@ -466,7 +476,8 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       rs.foreach { r =>
         assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
         val k = r.getAs[Int]("frame_index")
-        assert(r.getAs[Long]("pts_ms") == k * 500L)
+        assert(r.getAs[Long]("pts_ms") == corpusPts(id, k),
+          s"media $id frame $k pts (ctts-aware)")
         // luma stats equal the codec's own deterministic reconstruction
         val recon = seq.frames(k).recon
         var sum = 0L; var sumSq = 0L
@@ -523,7 +534,8 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       rs.foreach { r =>
         val k = r.getAs[Int]("frame_index")
         assert(r.getAs[Boolean]("sync") == (k % 3 == 0), s"video $id frame $k sync")
-        assert(r.getAs[Long]("pts_ms") == k * 500L)
+        assert(r.getAs[Long]("pts_ms") == corpusPts(id, k),
+          s"media $id frame $k pts (ctts-aware)")
         assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
         val y = seq.frames(k).recon.y
         var sum = 0L; var sumSq = 0L
