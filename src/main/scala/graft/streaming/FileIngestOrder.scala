@@ -71,10 +71,25 @@ object FileIngestOrder {
     *    `maxFilesPerTrigger` split never breaks a tie against path
     *    order.
     *
-    * Returns the number of files staged. Unlike
-    * [[pinMtimesToPathOrder]] this never calls `setTimes`, so it works
-    * on capability-less stores; `FileIngestOrderSpec` proves exact
-    * results on a FS double whose `setTimes` throws.
+    * Returns the number of files NEWLY landed (0 on a no-op re-run).
+    * Unlike [[pinMtimesToPathOrder]] this never calls `setTimes`, so it
+    * works on capability-less stores; `FileIngestOrderSpec` proves
+    * exact results on a FS double whose `setTimes` throws.
+    *
+    * CRASH SAFETY under S3-class rename (r9): on an object store,
+    * `rename` is COPY-then-DELETE — the destination appears atomically
+    * under its final name, but a crash between the two leaves the
+    * staging object lingering beside it (and a crash mid-copy leaves
+    * only the staging object). Either way the stream cannot
+    * double-read: the staging name is dot-prefixed, which the file
+    * source's hidden-file filter never admits. A RE-RUN of the stager
+    * is idempotent: a file already visible under its final name is
+    * NEVER re-landed (a second PUT would assign it a fresh creation
+    * mtime BEHIND files staged after it, breaking the order contract
+    * for a restarted stream's initial listing) — its lingering staging
+    * object is deleted and the walk continues with the files that
+    * never landed. `FileIngestOrderSpec` injects the mid-rename crash
+    * on a copy+delete FS double and proves recovery.
     */
   def stageInPathOrder(conf: Configuration, srcDir: String, watchDir: String,
       suffix: String = ".parquet"): Int = {
@@ -90,19 +105,30 @@ object FileIngestOrder {
     var prev = dfs.listStatus(dst).iterator
       .filter(_.isFile).map(_.getModificationTime)
       .foldLeft(Long.MinValue)(math.max)
+    var landed = 0
     files.foreach { st =>
-      while (System.currentTimeMillis() <= prev) Thread.sleep(1)
       val name = st.getPath.getName
       val staging = new Path(dst, s".$name.staging")
-      org.apache.hadoop.fs.FileUtil.copy(sfs, st.getPath, dfs, staging,
-        false, true, conf)
       val fin = new Path(dst, name)
-      if (!dfs.rename(staging, fin)) {
+      if (dfs.exists(fin)) {
+        // already landed (this run's predecessor, or a crashed run
+        // whose rename COPY completed with the source delete lost):
+        // keep it untouched, clear the leftover staging object
         dfs.delete(staging, false)
-        throw new java.io.IOException(s"stage rename failed: $staging -> $fin")
+      } else {
+        while (System.currentTimeMillis() <= prev) Thread.sleep(1)
+        // overwrite=true: a crash mid-copy leaves a partial staging
+        // object on posix-like stores; restaging replaces it whole
+        org.apache.hadoop.fs.FileUtil.copy(sfs, st.getPath, dfs, staging,
+          false, true, conf)
+        if (!dfs.rename(staging, fin)) {
+          dfs.delete(staging, false)
+          throw new java.io.IOException(s"stage rename failed: $staging -> $fin")
+        }
+        landed += 1
+        prev = dfs.getFileStatus(fin).getModificationTime
       }
-      prev = dfs.getFileStatus(fin).getModificationTime
     }
-    files.length
+    landed
   }
 }

@@ -127,8 +127,43 @@ class CountingObjectStore extends CountingDfs {
   // mtime is its creation time and cannot be re-stamped
   override def setTimes(f: Path, mtime: Long, atime: Long): Unit =
     throw new UnsupportedOperationException("object stores do not setTimes")
+
+  /** S3-class rename (opt-in via [[CountingObjectStore.copyRename]]):
+    * object stores have no rename primitive — it is COPY to the
+    * destination (a fresh PUT: the object appears atomically under the
+    * new key with a NEW creation mtime) followed by DELETE of the
+    * source. A crash between the two leaves BOTH objects visible;
+    * [[CountingObjectStore.crashNextRenameAfterCopy]] injects exactly
+    * that shape so `FileIngestOrderSpec` can prove the ordered stager
+    * recovers (destination kept, staging object cleared, re-run
+    * idempotent, stream reads every row exactly once).
+    */
+  override def rename(src: Path, dst: Path): Boolean = {
+    if (!CountingObjectStore.copyRename.get()) return super.rename(src, dst)
+    if (!exists(src)) return false
+    if (exists(dst)) return false
+    org.apache.hadoop.fs.FileUtil.copy(this, src, this, dst,
+      false /* keep source: the delete below is the observable step */,
+      true, getConf)
+    if (CountingObjectStore.crashNextRenameAfterCopy.compareAndSet(true, false))
+      throw new java.io.IOException(
+        "injected crash: rename COPY landed, source delete lost")
+    delete(src, true)
+    true
+  }
 }
 
 object CountingObjectStore {
   val Uri: URI = URI.create("graftobj:///")
+
+  /** Model rename as S3-class copy+delete (default off: the convert
+    * amplification specs pin byte counters against the metadata-rename
+    * floor; the stager spec turns this on around its own cases).
+    */
+  val copyRename = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** One-shot: the next copy-mode rename crashes AFTER its copy lands
+    * and BEFORE the source delete — both objects left visible.
+    */
+  val crashNextRenameAfterCopy = new java.util.concurrent.atomic.AtomicBoolean(false)
 }

@@ -171,4 +171,64 @@ class FileIngestOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact == Seq(0 -> 100L),
       s"staged object-store run must emit the boundary window ONCE, complete: $exact")
   }
+
+  test("copy+delete rename: mid-rename crash leaves both objects; re-run is idempotent, no double-read") {
+    // r9 (verdict item 4): S3-class stores have no rename primitive —
+    // it is COPY (destination visible, fresh PUT mtime) then DELETE
+    // (source removed). The double models exactly that and injects a
+    // crash between the two; the stager must recover on restart
+    // without re-landing (a re-PUT would give the file a NEW creation
+    // mtime BEHIND later files) and the stream must still read every
+    // row exactly once.
+    import org.apache.hadoop.fs.Path
+    val srcDir = new java.io.File(tmp, "crash-src")
+    writeFiles(srcDir)
+    val watch = new java.io.File(tmp, "crash-watch").getAbsolutePath
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(s"graftobj:$watch").getFileSystem(conf)
+    graft.tools.CountingObjectStore.copyRename.set(true)
+    try {
+      // arm: the FIRST file's rename completes its copy, then "crashes"
+      graft.tools.CountingObjectStore.crashNextRenameAfterCopy.set(true)
+      val crashed = intercept[java.io.IOException] {
+        FileIngestOrder.stageInPathOrder(conf, srcDir.getAbsolutePath,
+          s"graftobj:$watch")
+      }
+      assert(crashed.getMessage.contains("injected crash"), crashed.getMessage)
+      // the crash shape: destination AND staging object both visible
+      def names(): Set[String] = fs.listStatus(new Path(s"graftobj:$watch"))
+        .filter(_.isFile).map(_.getPath.getName).toSet
+      assert(names() == Set("part-00000.parquet", ".part-00000.parquet.staging"),
+        s"expected dst + lingering staging after the injected crash: ${names()}")
+      val m0 = fs.getFileStatus(new Path(s"graftobj:$watch/part-00000.parquet"))
+        .getModificationTime
+      // restart: the landed file is NOT re-PUT (same creation mtime),
+      // the staging leftover is cleared, only the 3 missing files land
+      val n2 = FileIngestOrder.stageInPathOrder(conf, srcDir.getAbsolutePath,
+        s"graftobj:$watch")
+      assert(n2 == 3, s"re-run landed $n2 files, expected the 3 not yet staged")
+      assert(fs.getFileStatus(new Path(s"graftobj:$watch/part-00000.parquet"))
+        .getModificationTime == m0,
+        "recovery re-PUT an already-landed file (its mtime moved)")
+      assert(!names().exists(_.endsWith(".staging")),
+        s"staging leftovers after recovery: ${names()}")
+      // creation order still encodes path order across the crash
+      val mtimes = fs.listStatus(new Path(s"graftobj:$watch"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName).map(_.getModificationTime)
+      assert(mtimes.length == 4 && mtimes.sliding(2).forall(p => p(0) < p(1)),
+        s"recovered mtimes not strictly path-ordered: ${mtimes.toSeq}")
+      // a THIRD run is a no-op
+      assert(FileIngestOrder.stageInPathOrder(conf, srcDir.getAbsolutePath,
+        s"graftobj:$watch") == 0, "idempotent re-run must land nothing")
+      // and the stream sees every row exactly once — the dot-prefixed
+      // staging object was never admissible, so nothing double-read
+      val exact = runQuery(s"graftobj:$watch", "ingest_crash_recovery")
+      assert(exact == Seq(0 -> 100L),
+        s"crash-recovered watch dir must emit the boundary window ONCE, complete: $exact")
+    } finally {
+      graft.tools.CountingObjectStore.copyRename.set(false)
+      graft.tools.CountingObjectStore.crashNextRenameAfterCopy.set(false)
+    }
+  }
 }
