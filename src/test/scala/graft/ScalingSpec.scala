@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mechanical sf1/sf0.1 scaling ratchet (r9, verdict item 5): the r8
+  * sf1 registry pass caught a real one-core defect, but its scaling
+  * audit lived only in prose. This spec reads the CHECKED-IN registry
+  * bench artifacts (`BENCH_sf1_r0N.json` + `BENCH_sf01_registry_r0N
+  * .json`, emitted by [[graft.tools.RegistryBench]] at sf1 and sf0.1
+  * on the same host) and asserts the superlinear set is EXACTLY a
+  * subset of the declared brute-force/exact oracle-contract twins —
+  * so a future round that regresses a scale path to superlinear fails
+  * a test, not a prose review.
+  *
+  * Thresholds: 10× rows; an entry is flagged superlinear only when its
+  * ratio exceeds [[ScalingSpec.SuperlinearRatio]] AND its sf1 wall
+  * exceeds [[ScalingSpec.MinSf1WallSec]] (sub-second entries wobble
+  * ±40% on a shared host — a 0.1 s → 1.5 s "ratio" is noise, not a
+  * scaling law). The spec cancels (does not pass vacuously) when the
+  * artifacts are absent, e.g. on a fresh checkout.
+  */
+class ScalingSpec extends AnyFunSuite {
+
+  /** Declared quadratic-by-design entries: the trivially-auditable
+    * exact/brute-force oracle contracts whose candidate sets grow as
+    * n² at fixed parameters. Each has a shipped sub-linear scale twin
+    * (LSH / IVF / PQ / banded) measured in the same artifact — that
+    * pairing, not this list, is the 100 TB argument.
+    */
+  val superlinearAllowed: Set[String] = Set(
+    // exact pair graph + its consumers (postings join, but candidate
+    // pairs at tau=0.2 grow quadratically in corpus density)
+    "x_ngram_jaccard", "x_jaccard_pairs_prefix",
+    "x_dedup_clusters", "x_near_dedup_keep",
+    "x_pagerank", "x_triangles",
+    // brute-force similarity contracts (scale paths: LSH/IVF/PQ)
+    "x_cosine_topk", "x_knn_classify", "x_ann_quantized",
+    "x_embed_dedup", "x_edit_distance",
+    // fixed 12-bit simhash bands: bucket occupancy grows with n —
+    // the documented tuning knob the fixed-parameter oracle pins
+    "x_simhash_near_dup")
+
+  private def latestPair(): Option[(java.io.File, java.io.File)] = {
+    val root = new java.io.File(".")
+    val sf1 = root.listFiles((_, n) => n.matches("BENCH_sf1_r\\d+\\.json"))
+      .sortBy(_.getName)
+    sf1.reverse.flatMap { f =>
+      val twin = new java.io.File(root,
+        f.getName.replace("BENCH_sf1_", "BENCH_sf01_registry_"))
+      if (twin.exists()) Some((f, twin)) else None
+    }.headOption
+  }
+
+  private def walls(f: java.io.File): Map[String, Double] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    val qs = node.get("queries")
+    val out = Map.newBuilder[String, Double]
+    qs.fieldNames().forEachRemaining(n => out += n -> qs.get(n).asDouble())
+    out.result()
+  }
+
+  test("sf1/sf0.1 superlinear entries are exactly the declared brute-force twins") {
+    val pair = latestPair()
+    assume(pair.isDefined,
+      "no BENCH_sf1_r0N.json + BENCH_sf01_registry_r0N.json pair checked in")
+    val (sf1File, sf01File) = pair.get
+    val w1 = walls(sf1File)
+    val w01 = walls(sf01File)
+    val common = w1.keySet & w01.keySet
+    assert(common.size > 100, s"artifact pair shares only ${common.size} entries")
+    val offenders = common.filter { n =>
+      val r = w1(n) / math.max(w01(n), 1e-9)
+      w1(n) >= ScalingSpec.MinSf1WallSec && r > ScalingSpec.SuperlinearRatio
+    }
+    val undeclared = offenders -- superlinearAllowed
+    assert(undeclared.isEmpty,
+      s"UNDECLARED superlinear entries (sf1 wall / sf0.1 wall > " +
+        s"${ScalingSpec.SuperlinearRatio} at 10x rows): " +
+        undeclared.toSeq.sorted.map(n =>
+          f"$n (${w01(n)}%.2f -> ${w1(n)}%.2f s, ${w1(n) / w01(n)}%.1fx)")
+          .mkString(", "))
+  }
+}
+
+object ScalingSpec {
+  /** 10× rows: ratios beyond this are superlinear (r8 audit: every
+    * scale path landed ≤ 9.6×; the declared twins started at 15×).
+    */
+  val SuperlinearRatio = 12.0
+
+  /** Ignore entries whose sf1 wall is below this — sub-second walls
+    * wobble ±40% on a shared host and their ratios are noise.
+    */
+  val MinSf1WallSec = 5.0
+}
