@@ -248,15 +248,48 @@ object QueriesScalar {
     */
   def jdbcScan(s: SparkSession, dir: String): DataFrame = {
     val db = s"/tmp/graft_derby_${Queries.stageTag(dir)}"
-    val url = s"jdbc:derby:$db;create=true"
+    // territory is pinned EXPLICITLY: database creation derives it from
+    // the JVM default locale, and every bench main sets Locale.ROOT
+    // (empty language — required so f"%.3f" emits dot decimals in the
+    // JSON contract), which Derby rejects with "Supplied locale
+    // description '' is invalid" (found by the r9 registry pass on a
+    // clean staging dir; earlier rounds masked it behind pre-staged dbs)
+    val url = s"jdbc:derby:$db;create=true;territory=en_US"
     val marker = new java.io.File(db + "_STAGED")
     if (!marker.exists()) synchronized {
       if (!marker.exists()) {
-        t(s, dir, "supplier")
-          .select(col("s_suppkey").as("SUPPKEY"), col("s_name").as("NAME"),
-            col("s_nationkey").as("NATIONKEY"), col("s_acctbal").as("ACCTBAL"))
-          .write.mode("overwrite")
-          .format("jdbc").option("url", url).option("dbtable", "SUPPLIER").save()
+        // a transient boot failure (observed once in a long bench pass:
+        // "Failed to create database" with the cause buried in Derby's
+        // chained SQLException) must not poison the staging forever —
+        // clear the half-created db dir and retry once; on the second
+        // failure surface the CHAIN, not just the outer message
+        def stage(): Unit =
+          t(s, dir, "supplier")
+            .select(col("s_suppkey").as("SUPPKEY"), col("s_name").as("NAME"),
+              col("s_nationkey").as("NATIONKEY"), col("s_acctbal").as("ACCTBAL"))
+            .write.mode("overwrite")
+            .format("jdbc").option("url", url).option("dbtable", "SUPPLIER").save()
+        try stage()
+        catch {
+          case scala.util.control.NonFatal(first) =>
+            org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(db))
+            try stage()
+            catch {
+              case scala.util.control.NonFatal(second) =>
+                def chain(t: Throwable): String = {
+                  val msgs = Iterator.iterate(t)(x =>
+                    x match {
+                      case sql: java.sql.SQLException
+                        if sql.getNextException != null => sql.getNextException
+                      case other => other.getCause
+                    }).takeWhile(_ != null).map(_.getMessage).take(5)
+                  msgs.mkString(" <- ")
+                }
+                throw new RuntimeException(
+                  s"jdbc staging failed twice: [${chain(first)}] then [${chain(second)}]",
+                  second)
+            }
+        }
         java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
       }
     }
