@@ -108,6 +108,18 @@ object LargeAnnBench {
       graft.queries.QueriesLLM.annIvf(spark, dir, ivfK, 4))
     val ivf8T = time("ann_ivf_p8")(
       graft.queries.QueriesLLM.annIvf(spark, dir, ivfK, 8))
+    // persisted IVF-flat (r9): build + WRITE the cell-partitioned
+    // assigned table once, then serve repeat queries from the artifact
+    // — removes the per-call k-cell corpus re-assignment that was the
+    // documented r8 ivf_p4 residual (the oracle's first-min tie-break
+    // forbids triangle-bound pruning in the per-call assignment, but a
+    // SERVED index doesn't assign at all)
+    val ivfIdxDir = s"$dir/ivf_index_k$ivfK"
+    val ivfBuildT0 = System.nanoTime()
+    graft.queries.QueriesLLM.ivfIndexWrite(spark, dir, ivfIdxDir, ivfK)
+    val ivfBuild = (System.nanoTime() - ivfBuildT0) / 1e9
+    val ivfServedT = time("ann_ivf_p4_served")(
+      graft.queries.QueriesLLM.annIvfFrom(spark, dir, ivfIdxDir, 4))
     // IVF-PQ: same coarse cells, candidates scored against 8-byte codes
     // (32× memory cut) — the billion-vector memory-budget path. The
     // ADC shortlist must out-depth the code-tie blocks (cluster-mates
@@ -162,10 +174,12 @@ object LargeAnnBench {
     val recallLsh8 = recallOf(graft.queries.QueriesLLM.annLsh(spark, dir, 8, bitsPerTable))
     val recallIvf4 = recallOf(graft.queries.QueriesLLM.annIvf(spark, dir, ivfK, 4))
     val recallIvf8 = recallOf(graft.queries.QueriesLLM.annIvf(spark, dir, ivfK, 8))
+    val recallIvfServed = recallOf(
+      graft.queries.QueriesLLM.annIvfFrom(spark, dir, ivfIdxDir, 4))
     val recallPq4 = recallOf(
       graft.queries.QueriesLLM.annIvfPq(spark, dir, ivfK, 4, rerank = pqRerank))
 
-    val times = Seq(lshT, lsh8T, ivfT, ivf8T, pqT) ++ quantT
+    val times = Seq(lshT, lsh8T, ivfT, ivf8T, ivfServedT, pqT) ++ quantT
     val qsJson = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     println(
       s"""{"metric":"large_ann","vecs":$nVecs,"runs":$runs,"queries":$qsJson,""" +
@@ -173,7 +187,8 @@ object LargeAnnBench {
       s""""truth_pairs":$nTruth,""" +
       f""""recall_lsh_4t":$recallLsh4%.4f,"recall_lsh_8t":$recallLsh8%.4f,""" +
       f""""recall_ivf_p4":$recallIvf4%.4f,"recall_ivf_p8":$recallIvf8%.4f,""" +
-      f""""recall_pq_p4":$recallPq4%.4f,""" +
+      f""""recall_pq_p4":$recallPq4%.4f,"recall_ivf_p4_served":$recallIvfServed%.4f,""" +
+      f""""ivf_index_build_sec":$ivfBuild%.3f,""" +
       f""""pq_first_call_sec":$pqFirst%.3f,"pq_build_sec":${pqFirst - pqT._2}%.3f}""")
     spark.stop()
   }
