@@ -118,6 +118,8 @@ object GraftFunctions {
     spark.udf.register("geo_mean", udaf(GeoMean))
     spark.udf.register("top_k3",
       udaf(new TopKAgg(3), Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)))
+    spark.udf.register("top_k3_sim",
+      udaf(new TopKSimAgg(3), Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)))
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("script_type",
       exprs => ScriptTypeExpr(exprs.head), "built-in")
@@ -233,6 +235,38 @@ class TopKAgg(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
   override def outputEncoder: Encoder[Seq[(Long, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+}
+
+/** [[TopKAgg]] over (DOUBLE score, id) — the ANN ranking shape (r9):
+  * `row_number() OVER (ORDER BY sim DESC, cand_id)` + `rnk <= 3` sorts
+  * the FULL candidate-pair set through one exchange (80M rows at the
+  * 1M-vector proof); this aggregate's partial state is ≤ k pairs per
+  * query per partition, so the shuffle carries k rows per key. The
+  * comparator is exactly the window's ordering — `Double.compare`
+  * descending (the sims are identical IEEE doubles either way; NaN
+  * cannot occur, norms are positive), id ascending on ties — so the
+  * emitted top-k is row-identical to the window form and the generated
+  * DuckDB oracles keep checking it.
+  */
+class TopKSimAgg(k: Int)
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+  override def zero: Seq[(Double, Long)] = Seq.empty
+  override def reduce(b: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
+    if (b.length == k && ord.gteq(x, b.last)) b
+    else ((b :+ x).sorted(ord)).take(k)
+  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    (a ++ b).sorted(ord).take(k)
+  override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b.sorted(ord)
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
 }
 
 /** Geometric mean UDAF (E14): exp(mean(ln x)) with a (sumLog, n) buffer.

@@ -682,17 +682,25 @@ object QueriesLLM {
       .select(col("query_id"), col("qq"), col("qn"), col("cell"))
     // exact integer cosine inside probed cells (the x_ann_quantized
     // idiom at micro-resolution): same ints → same IEEE doubles → same
-    // top-3 in both engines
-    val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("cand_id"))
+    // top-3 in both engines. Ranking is the BOUNDED top-k aggregate
+    // (r9, the E14b idiom), not a window row_number: the window shape
+    // sorts the full candidate-pair set through one exchange — 80M
+    // rows at the 1M proof, the served path's dominant cost — while
+    // the aggregate's partial state is ≤ 3 pairs per query per
+    // partition, so the shuffle carries 3 rows per query. Identical
+    // rows: the aggregate's comparator IS the window's ordering
+    // (sim DESC — the same IEEE doubles — then cand_id ASC).
     probes.join(assigned, "cell")
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         (dotI64(col("qq"), col("cq")) /
           (sqrt(col("qn").cast("double")) * sqrt(col("cn2").cast("double")))).as("sim"))
-      .withColumn("rnk", row_number().over(wRank))
-      .filter(col("rnk") <= 3)
-      .select(col("query_id"), col("cand_id"), col("rnk"), Queries.fround(col("sim"), 4).as("cos_sim"))
+      .groupBy(col("query_id"))
+      .agg(expr("top_k3_sim(sim, cand_id)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("cand_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        Queries.fround(col("col._1"), 4).as("cos_sim"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
