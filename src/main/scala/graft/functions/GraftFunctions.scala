@@ -108,8 +108,10 @@ object GraftFunctions {
 
   /** Register SQL-facing functions. The codec scalars are native
     * codegen Expressions (E26 "promote hot ones"), not Scala UDFs —
-    * they stay inside whole-stage codegen; the UDAF is the system's
-    * one Aggregator.
+    * they stay inside whole-stage codegen; the three Aggregators
+    * (geo_mean, and the two bounded top-k variants) are the system's
+    * only UDAFs — each exists precisely because no built-in gives a
+    * bounded-state per-key top-k / streaming log-mean.
     */
   def register(spark: SparkSession): Unit = {
     // idempotent fast path: Queries.t calls this on every table read
