@@ -50,6 +50,26 @@ object Queries {
       .take(8).map(b => f"$b%02x").mkString
   }
 
+  /** Exact row count from parquet FOOTER metadata — a driver-side
+    * footer read (one block-metadata sum per file), zero Spark jobs,
+    * zero data pages touched. The cheap way to size safety valves and
+    * spines when no catalog statistic exists for a raw parquet path.
+    */
+  def parquetRowCount(s: SparkSession, path: String): Long = {
+    val conf = s.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      else Array(fs.getFileStatus(p))
+    files.map { st =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** Read one corpus table. Filters/pruning push into this scan.
     *
     * `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (which
@@ -235,7 +255,10 @@ object Queries {
       // restored session keeps the safety valve for everything else).
       val key = "spark.sql.cteRecursionRowLimit"
       val prev = s.conf.getOption(key)
-      val rows = t(s, dir, "orders").count()
+      // size the valve from parquet FOOTER metadata, not a count() job:
+      // the count was a second full table scan per invocation — at
+      // 100 TB it doubled the query's scan cost (r9 verdict item 7)
+      val rows = parquetRowCount(s, s"$dir/orders.parquet")
       s.conf.set(key, math.max(1000000L, 2L * rows).toString)
       try withViews(s, dir)(QueriesRel.recursiveChainSql).localCheckpoint()
       finally prev match {
@@ -546,31 +569,57 @@ object Queries {
     */
   def oracle: Map[String, String] = oracleFor(None)
 
-  /** Keys whose oracle SQL is GENERATED from a fitted model (a KMeans
-    * fit + an embeddings-table read at generation time). Key-only
-    * consumers (the contract specs) and filtered Verify runs that do
-    * not select any of these must never trigger the generation — see
-    * [[oracleFor]] / [[oracleKeys]].
+  /** Generated-oracle FAMILIES: each entry is (keys sharing one fitted
+    * model, the SQL generator for that model). The key set every
+    * consumer sees ([[annOracleKeys]]) is DERIVED from this table, so a
+    * new generated key can never silently escape the key-alignment
+    * specs by being forgotten in a hand-synced set (r9 advice item 2) —
+    * and [[oracleFor]] fits ONLY the families a filtered Verify selects
+    * (r9 advice item 4: an x_ann_ivf iteration must not pay the PQ
+    * codebook fit, and vice versa; the coarse quantizer both share is
+    * memoized, so the overlap costs one fit either way).
     */
-  val annOracleKeys: Set[String] =
-    Set("x_ann_ivf", "x_ann_ivf_persisted", "x_ann_pq", "x_ann_pq_persisted")
+  private val annFamilies: Seq[(Set[String], (SparkSession, String) => String)] = Seq(
+    (Set("x_ann_ivf", "x_ann_ivf_persisted"),
+      (s, dir) => annIvfOracleSql(QueriesLLM.ivfModelFor(s, dir, 16), 4)),
+    (Set("x_ann_pq", "x_ann_pq_persisted"),
+      (s, dir) => annPqOracleSql(QueriesLLM.pqModelFor(s, dir, 16, 8), 4, 8, 256)))
+
+  /** Keys whose oracle SQL is GENERATED from a fitted model (a KMeans
+    * fit + an embeddings-table read at generation time) — derived from
+    * [[annFamilies]], never hand-synced. Key-only consumers (the
+    * contract specs) and filtered Verify runs that do not select any of
+    * these must never trigger the generation — see [[oracleFor]] /
+    * [[oracleKeys]].
+    */
+  val annOracleKeys: Set[String] = annFamilies.flatMap(_._1).toSet
 
   /** The full oracle KEY set with zero generation cost — what the
     * key-alignment specs inspect (r8 advice: `oracle` is a def with
     * heavy side effects; key consumers must not pay, or fail, for fits).
     */
-  def oracleKeys: Set[String] = staticOracle.keySet ++ annOracleKeys
+  def oracleKeys: Set[String] =
+    staticOracle.keySet ++ fixtureOracleKeys ++ annOracleKeys
 
   /** The oracle map restricted to `only` (None = everything), with the
     * fitted-model ANN oracles generated ONLY when selected — a filtered
     * Verify iteration on one non-ANN query pays no KMeans fit and works
-    * on corpora without an embeddings table (r8 advice item 1).
+    * on corpora without an embeddings table (r8 advice item 1) — and
+    * generated PER FAMILY (r9 advice item 4).
     */
   def oracleFor(only: Option[Set[String]]): Map[String, String] = {
-    val static = staticOracle.filter { case (n, _) => only.forall(_.contains(n)) }
-    val wantAnn = only.forall(sel => annOracleKeys.exists(sel.contains))
-    if (!wantAnn) static
-    else static ++ annOracle.filter { case (n, _) => only.forall(_.contains(n)) }
+    def sel(n: String): Boolean = only.forall(_.contains(n))
+    val static = (staticOracle ++ fixtureOracle).filter { case (n, _) => sel(n) }
+    val fams = annFamilies.filter { case (keys, _) => keys.exists(sel) }
+    if (fams.isEmpty) static
+    else {
+      val s = annSession()
+      val dir = annDir()
+      static ++ fams.flatMap { case (keys, gen) =>
+        val sql = gen(s, dir)
+        keys.toSeq.filter(sel).map(_ -> sql)
+      }
+    }
   }
 
   /** sfDir the data-dependent oracles are generated for. Verify pins it
@@ -581,30 +630,55 @@ object Queries {
     */
   @volatile var oracleSfDir: String = "/root/testdata/sf0.001"
 
-  private def annOracle: Map[String, String] = {
-    // fail fast, loudly: oracle generation reads the corpus and fits a
-    // model — a missing dir or session must not degrade into a silent
-    // local[4] session against a nonexistent path (r8 advice item 4)
-    val s = SparkSession.getActiveSession
+  // fail fast, loudly: oracle generation reads the corpus and fits a
+  // model — a missing dir or session must not degrade into a silent
+  // local[4] session against a nonexistent path (r8 advice item 4)
+  private def annSession(): SparkSession =
+    SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession)
       .getOrElse(sys.error(
-        "Queries.annOracle needs an active SparkSession: the ANN oracle " +
-          "SQL embeds a fitted model; start a session (Verify does) or " +
-          "restrict to non-ANN keys via Queries.oracleFor"))
+        "Queries ANN oracle generation needs an active SparkSession: the " +
+          "oracle SQL embeds a fitted model; start a session (Verify does) " +
+          "or restrict to non-ANN keys via Queries.oracleFor"))
+
+  private def annDir(): String = {
     val dir = oracleSfDir
     require(new java.io.File(new java.io.File(dir), "embeddings.parquet").exists(),
       s"Queries.oracleSfDir=$dir has no embeddings.parquet — set " +
         "Queries.oracleSfDir to the corpus the engine results were computed on")
-    val ivfSql = annIvfOracleSql(QueriesLLM.ivfModelFor(s, dir, 16), 4)
-    val pqSql = annPqOracleSql(QueriesLLM.pqModelFor(s, dir, 16, 8), 4, 8, 256)
-    Map(
-      "x_ann_ivf" -> ivfSql,
-      // the persisted round-trips (build → write → load → search) must
-      // be invisible in the answer: same oracle, checked independently
-      "x_ann_ivf_persisted" -> ivfSql,
-      "x_ann_pq" -> pqSql,
-      "x_ann_pq_persisted" -> pqSql)
+    dir
   }
+
+  /** Oracles over CORPUS-TAG-KEYED staged fixtures (r9 verdict item 6):
+    * the SQL embeds the staged path, which since r10 carries
+    * `stageTag(oracleSfDir)` — so two concurrent Verify/plan-lint runs
+    * at different scales stage DISJOINT directories instead of
+    * re-staging each other's fixed path mid-compare (the hazard that
+    * cost the r9 sf1 mirror two spurious mismatches). Cheap to build
+    * (one dir listing, no session), but dir-dependent, hence not in
+    * [[staticOracle]].
+    */
+  private val fixtureOracleKeys = Set("q_corrupt_csv", "q_schema_evolution")
+
+  private def fixtureOracle: Map[String, String] = Map(
+    "q_corrupt_csv" ->
+      s"""SELECT CAST(n_regionkey AS INTEGER) AS n_regionkey, count(*) AS n,
+         |  min(n_name) AS first_name
+         |FROM read_csv('${QueriesScalar.corruptCsvPath(oracleSfDir)}/nation.csv',
+         |  columns={'n_nationkey':'INTEGER','n_name':'VARCHAR','n_regionkey':'INTEGER'},
+         |  ignore_errors=true, header=false)
+         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    // staged by the Spark side before the driver's oracle pass (same
+    // contract as the utxo e2e queries); union_by_name mirrors
+    // mergeSchema's NULL-fill for the column the old epoch lacks
+    "q_schema_evolution" ->
+      s"""SELECT o_year, count(*) AS n,
+         |  count(o_orderpriority) AS n_with_priority,
+         |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+         |FROM read_parquet(['${QueriesScalar.schemaEvoPath(oracleSfDir)}/old/*.parquet',
+         |                   '${QueriesScalar.schemaEvoPath(oracleSfDir)}/new/*.parquet'],
+         |                  union_by_name=true)
+         |GROUP BY o_year ORDER BY o_year""".stripMargin)
 
   private def longList(xs: Seq[Long]): String = xs.mkString("[", ", ", "]")
 
@@ -1311,24 +1385,8 @@ object Queries {
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY n DESC, token LIMIT 40""".stripMargin,
-    "q_corrupt_csv" ->
-      s"""SELECT CAST(n_regionkey AS INTEGER) AS n_regionkey, count(*) AS n,
-         |  min(n_name) AS first_name
-         |FROM read_csv('${QueriesScalar.CorruptCsvPath}/nation.csv',
-         |  columns={'n_nationkey':'INTEGER','n_name':'VARCHAR','n_regionkey':'INTEGER'},
-         |  ignore_errors=true, header=false)
-         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
-    // staged by the Spark side before the driver's oracle pass (same
-    // contract as the utxo e2e queries); union_by_name mirrors
-    // mergeSchema's NULL-fill for the column the old epoch lacks
-    "q_schema_evolution" ->
-      s"""SELECT o_year, count(*) AS n,
-         |  count(o_orderpriority) AS n_with_priority,
-         |  CAST(sum(price_cents) AS BIGINT) AS total_cents
-         |FROM read_parquet(['${QueriesScalar.SchemaEvoPath}/old/*.parquet',
-         |                   '${QueriesScalar.SchemaEvoPath}/new/*.parquet'],
-         |                  union_by_name=true)
-         |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // q_corrupt_csv / q_schema_evolution live in [[fixtureOracle]]:
+    // their SQL embeds a corpus-tag-keyed staged path (r10)
     "q_zorder" ->
       """WITH k AS (SELECT l_orderkey, l_linenumber,
         |    l_partkey % 1024 AS px, l_suppkey % 1024 AS sy

@@ -442,28 +442,35 @@ object QueriesScalar {
   }
 
   /** Nation as CSV plus two deliberately malformed lines (wrong type /
-    * wrong arity), staged at a FIXED path for the static oracle SQL.
+    * wrong arity), staged at a CORPUS-TAG-KEYED path (r10): the r9
+    * fixed path let a concurrent plan-lint run at another scale
+    * re-stage the file between a Verify engine dump and its oracle
+    * pass — two spurious sf1 mismatches. The oracle SQL is generated
+    * per corpus ([[Queries.oracleFor]]'s fixtureOracle), so the tag
+    * rides into the SQL and scales never share a staging dir.
     */
-  val CorruptCsvPath = "/tmp/graft_corrupt_csv"
+  def corruptCsvPath(dir: String): String =
+    s"/tmp/graft_corrupt_csv_${Queries.stageTag(dir)}"
   val CorruptLines: Seq[String] = Seq("notanint,CORRUPT_TYPE,xx", "too,many,fields,here,5")
   private def stageCorruptCsv(s: SparkSession, dir: String): String = {
-    val marker = java.nio.file.Paths.get(CorruptCsvPath, "_source_dir")
+    val base = corruptCsvPath(dir)
+    val marker = java.nio.file.Paths.get(base, "_source_dir")
     def staged = try new String(java.nio.file.Files.readAllBytes(marker)) catch { case _: Throwable => "" }
     // double-checked: re-read the marker INSIDE the lock so two
     // concurrent callers can't both stage (same idiom as
     // QueriesRel.zorderedLineitem)
     if (staged != dir) synchronized { if (staged != dir) {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(CorruptCsvPath))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
       val rows = t(s, dir, "nation")
         .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
         .collect().sortBy(_.getLong(0))
         .map(r => s"${r.getLong(0)},${r.getString(1)},${r.getLong(2)}")
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(CorruptCsvPath, "nation.csv"),
+        java.nio.file.Paths.get(base, "nation.csv"),
         ((rows.toSeq ++ CorruptLines).mkString("\n") + "\n").getBytes)
       java.nio.file.Files.write(marker, dir.getBytes)
     } }
-    s"$CorruptCsvPath/nation.csv"
+    s"$base/nation.csv"
   }
 
   /** E38: schema-evolution read — a fact table whose early files lack a
@@ -484,13 +491,14 @@ object QueriesScalar {
   }
 
   /** Two-epoch orders layout: `old/` lacks `o_orderpriority`, `new/`
-    * carries it. The path is FIXED (the static oracle SQL references
-    * it); a marker records which source dir staged it, so switching SF
-    * re-stages instead of silently reusing the other scale's files.
+    * carries it. The path is CORPUS-TAG-KEYED (r10, same hazard and fix
+    * as [[corruptCsvPath]]); the marker still records the source dir so
+    * a regenerated corpus under the same tag re-stages.
     */
-  val SchemaEvoPath = "/tmp/graft_schevo"
+  def schemaEvoPath(dir: String): String =
+    s"/tmp/graft_schevo_${Queries.stageTag(dir)}"
   def schemaEvolutionDirs(s: SparkSession, dir: String): String = {
-    val loc = SchemaEvoPath
+    val loc = schemaEvoPath(dir)
     val marker = java.nio.file.Paths.get(loc, "_source_dir")
     def staged = try new String(java.nio.file.Files.readAllBytes(marker)) catch { case _: Throwable => "" }
     // double-checked (see stageCorruptCsv)

@@ -42,8 +42,12 @@ class ScalingSpec extends AnyFunSuite {
 
   private def latestPair(): Option[(java.io.File, java.io.File)] = {
     val root = new java.io.File(".")
+    val round = "r(\\d+)".r
+    // sort by the ROUND NUMBER, not the filename: lexicographically
+    // "r9" > "r10", so a string sort would silently pin the ratchet to
+    // a stale pair the first time an unpadded round lands (r9 advice)
     val sf1 = root.listFiles((_, n) => n.matches("BENCH_sf1_r\\d+\\.json"))
-      .sortBy(_.getName)
+      .sortBy(f => round.findFirstMatchIn(f.getName).get.group(1).toInt)
     sf1.reverse.flatMap { f =>
       val twin = new java.io.File(root,
         f.getName.replace("BENCH_sf1_", "BENCH_sf01_registry_"))
