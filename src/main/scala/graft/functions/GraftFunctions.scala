@@ -132,7 +132,9 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("minhash_sigs",
       exprs => MinHashSigsExpr(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("simhash48",
-      exprs => SimHash48Expr(exprs.head), "built-in")
+      exprs => SimHash48Expr(exprs.head, 48), "built-in")
+    registry.createOrReplaceTempFunction("simhash60",
+      exprs => SimHash48Expr(exprs.head, 60), "built-in")
     registry.createOrReplaceTempFunction("vec_dot",
       exprs => VecDotExpr(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("vec_dot_i64",
@@ -187,6 +189,10 @@ object GraftFunctions {
   def zorder2(x: Column, y: Column): Column = call_function("zorder2", x, y)
   def minhashSigs(c: Column): Column = call_function("minhash_sigs", c)
   def simhash48(c: Column): Column = call_function("simhash48", c)
+  /** Full-width (60-bit) fingerprint — the banded near-dup input since
+    * r10; the md5-derived token hash carries exactly 60 bits.
+    */
+  def simhash60(c: Column): Column = call_function("simhash60", c)
   def lshSignBits(v: Column, nBits: Int): Column =
     call_function("lsh_sign_bits", v, lit(nBits))
   /** Micro-quantize ARRAY<DOUBLE> → ARRAY<BIGINT> (see [[QuantizeMicro]]). */

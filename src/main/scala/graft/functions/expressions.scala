@@ -215,16 +215,21 @@ case class MinHashSigsExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "minhash_sigs"
 }
 
-/** SimHash fingerprint kernel (X2b hot path): the 48-bit weighted
+/** SimHash fingerprint kernel (X2b hot path): the nBits-wide weighted
   * token-majority fingerprint in ONE per-row pass, packed into a LONG
   * (bit b of the result = majority of bit b over the per-token
   * md5-derived [[SimHash48.md5h60]] hashes, term frequency = weight —
-  * identical semantics to the 48-accumulator aggregate form, minus the
-  * token explode + shuffle).
+  * identical semantics to the per-bit-accumulator aggregate form, minus
+  * the token explode + shuffle). Width is a parameter since r10:
+  * `x_simhash` keeps the 48-bit rendered signature it has always
+  * oracled, while the banded near-dup uses the hash's FULL 60 bits —
+  * 4×15-bit bands = 32,768 buckets per band instead of the 4,096 whose
+  * n/4096 occupancy made within-bucket candidate pairs grow ~n²
+  * (measured 45× wall at 10× rows, the r9 verdict's one `weak`).
   * Long fingerprints also buy the downstream wins: band b is
-  * `(fp >> 12b) & 0xFFF` (two codegen'd ALU ops vs substring) and
+  * `(fp >> wb) & mask` (two codegen'd ALU ops vs substring) and
   * hamming is `bit_count(a ^ b)` (one POPCNT vs an interpreted
-  * zip_with fold over 48-char arrays).
+  * zip_with fold over per-char arrays).
   */
 object SimHash48 {
   private val SPACE = UTF8String.fromString(" ")
@@ -254,14 +259,14 @@ object SimHash48 {
     v >>> 4
   }
 
-  def fingerprint(text: UTF8String): Long = {
+  def fingerprint(text: UTF8String, nBits: Int): Long = {
     val toks = text.split(SPACE, -1)
-    val counts = new Array[Int](48)
+    val counts = new Array[Int](nBits)
     var i = 0
     while (i < toks.length) {
       val h = md5h60(toks(i))
       var b = 0
-      while (b < 48) {
+      while (b < nBits) {
         counts(b) += ((h >>> b) & 1L).toInt
         b += 1
       }
@@ -269,7 +274,7 @@ object SimHash48 {
     }
     var fp = 0L
     var b = 0
-    while (b < 48) {
+    while (b < nBits) {
       if (2 * counts(b) > toks.length) fp |= (1L << b)
       b += 1
     }
@@ -277,18 +282,20 @@ object SimHash48 {
   }
 }
 
-/** simhash48 (X2b): STRING → BIGINT 48-bit fingerprint. See
+/** simhash48/simhash60 (X2b): STRING → BIGINT fingerprint of `nBits`
+  * (≤ 60 — the md5h60 token hash has no more). See
   * [[SimHash48.fingerprint]].
   */
-case class SimHash48Expr(child: Expression) extends UnaryExpression {
+case class SimHash48Expr(child: Expression, nBits: Int = 48) extends UnaryExpression {
+  require(nBits >= 1 && nBits <= 60, s"simhash width $nBits outside 1..60")
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
-    SimHash48.fingerprint(v.asInstanceOf[UTF8String])
+    SimHash48.fingerprint(v.asInstanceOf[UTF8String], nBits)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash48.fingerprint($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash48.fingerprint($c, $nBits)")
   override protected def withNewChildInternal(newChild: Expression): SimHash48Expr =
     copy(child = newChild)
-  override def prettyName: String = "simhash48"
+  override def prettyName: String = s"simhash$nBits"
 }
 
 /** Float-vector dot product kernel (X3/X17 hot path): sequential

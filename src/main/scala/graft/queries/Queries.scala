@@ -1674,21 +1674,22 @@ object Queries {
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the FULL banded near-dup pipeline replicated relationally: same
     // portable md5-derived per-token hash as x_simhash (and as the
-    // simhash48 kernel), 4x12-bit band keys via shift/mask, candidate
-    // pairs sharing any band, exact hamming via bit_count(xor) <= 6 —
-    // band membership, not just fingerprints, is cross-checked.
+    // simhash60 kernel — all 60 bits the hash carries since r10),
+    // 4x15-bit band keys via shift/mask, candidate pairs sharing any
+    // band, exact hamming via bit_count(xor) <= 6 — band membership,
+    // not just fingerprints, is cross-checked.
     "x_simhash_near_dup" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |             FROM documents),
         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h64 FROM tok),
         |bits AS (SELECT doc_id, CAST(b AS INTEGER) AS bp,
         |    sum(((h64 >> CAST(b AS INTEGER)) % 2) * 2 - 1) AS bal
-        |  FROM h, range(48) t(b) GROUP BY doc_id, b),
+        |  FROM h, range(60) t(b) GROUP BY doc_id, b),
         |f AS (SELECT doc_id,
         |        CAST(sum(CASE WHEN bal > 0 THEN 1::BIGINT << bp ELSE 0 END) AS BIGINT) AS fp
         |      FROM bits GROUP BY doc_id),
         |bands AS (SELECT doc_id, fp, CAST(i AS INTEGER) AS band,
-        |        (fp >> (12 * CAST(i AS INTEGER))) & 4095 AS key
+        |        (fp >> (15 * CAST(i AS INTEGER))) & 32767 AS key
         |      FROM f, range(4) t(i)),
         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
         |                x.fp AS fa, y.fp AS fb

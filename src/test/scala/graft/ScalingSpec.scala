@@ -35,10 +35,10 @@ class ScalingSpec extends AnyFunSuite {
     "x_pagerank", "x_triangles",
     // brute-force similarity contracts (scale paths: LSH/IVF/PQ)
     "x_cosine_topk", "x_knn_classify", "x_ann_quantized",
-    "x_embed_dedup", "x_edit_distance",
-    // fixed 12-bit simhash bands: bucket occupancy grows with n —
-    // the documented tuning knob the fixed-parameter oracle pins
-    "x_simhash_near_dup")
+    "x_embed_dedup", "x_edit_distance")
+    // x_simhash_near_dup LEFT this set in r10: the 60-bit fingerprint's
+    // 4×15-bit bands (32,768 buckets/band vs 4,096) un-saturated the
+    // only shipped scale path that had ratcheted in (45× at 10× rows)
 
   private def latestPair(): Option[(java.io.File, java.io.File)] = {
     val root = new java.io.File(".")
