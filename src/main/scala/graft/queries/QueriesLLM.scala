@@ -254,12 +254,18 @@ object QueriesLLM {
       col("doc_id").as("doc_b"), col("fp").as("fp_b"))
     a.join(b, Seq("band_idx", "band_bits"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("fp_a"), col("fp_b"))
-      .distinct()
-      // hamming over packed longs: one POPCNT, not a 48-element fold
+      // hamming over packed longs (one POPCNT, not a 48-element fold),
+      // filtered INSIDE the join's codegen pipeline, BEFORE the pair
+      // dedup: candidate pairs from hot band buckets grow ~n² on
+      // vocabulary-correlated corpora (28.7M at sf1), and r9 shuffled
+      // ALL of them through distinct() just to drop most afterwards —
+      // the filter-then-distinct order is value-identical (hamming is a
+      // function of the distinct columns) but the exchange now carries
+      // only surviving near-dup pairs (~10³), not the candidate set
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= SimhashTau)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
