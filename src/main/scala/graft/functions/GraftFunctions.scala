@@ -74,6 +74,16 @@ object GraftFunctions {
   def sortedCommon(a: Column, b: Column): Column =
     call_function("sorted_common", a, b)
 
+  /** Parameterized bounded top-k over (DOUBLE sim, BIGINT id) — the
+    * [[TopKSimAgg]] aggregate as a directly-applicable column function,
+    * so call sites can pick k per query (k=3 final rankings, k=rerank
+    * ADC shortlists) without a registry entry per k. Same ordering
+    * contract as the `row_number() OVER (ORDER BY sim DESC, id)` window
+    * it replaces; partial state is ≤ k pairs per key per partition.
+    */
+  def topKSim(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new TopKSimAgg(k), Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))

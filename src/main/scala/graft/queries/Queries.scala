@@ -333,6 +333,8 @@ object Queries {
     "x_simhash_near_dup" -> (QueriesLLM.simhashNearDup _),
     "x_cosine_topk" -> (QueriesLLM.cosineTopk _),
     "x_ann_lsh" -> ((s: SparkSession, dir: String) => QueriesLLM.annLsh(s, dir)),
+    "x_ann_lsh_persisted" -> ((s: SparkSession, dir: String) =>
+      QueriesLLM.annLshPersisted(s, dir)),
     "x_ann_quantized" -> (QueriesLLM.annQuantized _),
     "x_ann_ivf" -> ((s: SparkSession, dir: String) => QueriesLLM.annIvf(s, dir)),
     "x_ann_ivf_persisted" -> ((s: SparkSession, dir: String) =>
@@ -1716,6 +1718,9 @@ object Queries {
         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     // the annLsh defaults (tables=4, bitsPerTable=6) — r7 promotion
     "x_ann_lsh" -> annLshOracleSql(4, 6),
+    // the persisted round-trip (build → write → load → search) must be
+    // invisible in the answer: same oracle, checked independently (r10)
+    "x_ann_lsh_persisted" -> annLshOracleSql(4, 6),
     "x_embed_dedup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings WHERE vec_id % 5 = 0),

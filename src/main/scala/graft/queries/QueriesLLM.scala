@@ -441,16 +441,24 @@ object QueriesLLM {
     val qs = q8.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("q").as("qa"), col("qn2").as("na"))
     val cs = q8.select(col("vec_id").as("cand_id"), col("q").as("qb"), col("qn2").as("nb"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id"))
+    // ranking via the bounded top-k aggregate (r10, the ivfSearch swap
+    // of r9 rolled out): the row_number window sorted the FULL
+    // query×candidate pair set through one exchange for a 3-row-per-
+    // query answer; the aggregate's partial state is ≤ 3 pairs per
+    // query per partition and its comparator IS the window's ordering
+    // (sim DESC over identical IEEE doubles, cand_id ASC), so the rows
+    // are identical and the same oracle SQL keeps checking it
     qs.crossJoin(cs)
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         (dotI64(col("qa"), col("qb"))
           / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))).as("sim"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
-      .select(col("query_id"), col("cand_id"), col("rnk"),
-        Queries.fround(col("sim"), 4).as("q_sim"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topKSim(3)(col("sim"), col("cand_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("cand_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        Queries.fround(col("col._1"), 4).as("q_sim"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -471,57 +479,79 @@ object QueriesLLM {
     * corpora; prefer [[annIvf]] when a mid-90s recall target suffices
     * (11.3 s @ nprobe=4/0.95 — the cheapest path at that tier).
     */
-  def annLsh(s: SparkSession, dir: String, tables: Int = 4, bitsPerTable: Int = 6): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val e = t(s, dir, "embeddings")
-    val nBits = tables * bitsPerTable
-    // deterministic pseudo-hyperplanes: element j of plane p =
-    // sin((1 + p*64 + j)²) — quadratic argument so planes span the
-    // full space, not a 2-D sinusoid subspace; all nBits projections
-    // in one codegen kernel pass (the HOF form evaluated 24
-    // interpreted folds per row)
-    def bitArr(v: Column): Column =
-      graft.functions.GraftFunctions.lshSignBits(v, nBits)
-    // both the candidate index and the probe side fork from this frame;
-    // with the kernel the 24 projections cost less than materializing
-    // checkpoint blocks would, so each fork just re-runs the codegen'd
-    // scan+projection (at corpus scale the index side would be a
-    // precomputed table)
-    val withBits = e.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"), bitArr(col("embedding")).as("bits"))
+  def annLsh(s: SparkSession, dir: String, tables: Int = 4, bitsPerTable: Int = 6): DataFrame =
+    lshSearch(s, dir, lshCandIndex(s, dir, tables, bitsPerTable), tables, bitsPerTable)
 
-    // numeric bucket per table: tb·2^bpt + Σ bit_j·2^j, built by ONE
-    // data-driven fold over the bits array — O(tables) expression nodes
-    // regardless of bitsPerTable, and LONG join keys (cheaper to
-    // shuffle than strings). The previous per-literal form materialized
-    // O(tables·bitsPerTable²) expression nodes for the Hamming-1 probe
-    // set: past ~10 bits/table the generated Generate method blew
-    // Janino's 64KB limit and the interpreted fallback ground a 200K-
-    // vector run to a halt — the index parameters MUST scale with the
-    // corpus (LargeAnnBench), so the expression tree must not scale
-    // with them.
-    val bpt = bitsPerTable
-    val bucketArr = transform(sequence(lit(0), lit(tables - 1)), tb =>
+  /** All `tables·bitsPerTable` sign-bit projections of a vector in one
+    * codegen kernel pass. Deterministic pseudo-hyperplanes: element j
+    * of plane p = sin((1 + p·64 + j)²) — quadratic argument so planes
+    * span the full space, not a 2-D sinusoid subspace (the HOF form
+    * this kernel replaced evaluated 24 interpreted folds per row).
+    */
+  private def lshBitArr(v: Column, nBits: Int): Column =
+    graft.functions.GraftFunctions.lshSignBits(v, nBits)
+
+  /** Numeric bucket per table: tb·2^bpt + Σ bit_j·2^j, built by ONE
+    * data-driven fold over the bits array — O(tables) expression nodes
+    * regardless of bitsPerTable, and LONG join keys (cheaper to
+    * shuffle than strings). The previous per-literal form materialized
+    * O(tables·bitsPerTable²) expression nodes for the Hamming-1 probe
+    * set: past ~10 bits/table the generated Generate method blew
+    * Janino's 64KB limit and the interpreted fallback ground a 200K-
+    * vector run to a halt — the index parameters MUST scale with the
+    * corpus (LargeAnnBench), so the expression tree must not scale
+    * with them.
+    */
+  private def lshBucketArr(bits: Column, tables: Int, bpt: Int): Column =
+    transform(sequence(lit(0), lit(tables - 1)), tb =>
       aggregate(
-        slice(col("bits"), tb * lit(bpt) + lit(1), lit(bpt)),
+        slice(bits, tb * lit(bpt) + lit(1), lit(bpt)),
         tb.cast("long") * lit(1L << bpt),
         (acc, b) => acc * lit(2L) + b.cast("long")))
 
-    // candidate index: one entry per (vector, table) — exact keys only
-    val cand = withBits.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-      col("nrm").as("cn"), explode(bucketArr).as("bucket"))
+  /** The sign-LSH candidate index — one (cand_id, embedding, norm,
+    * bucket) entry per (vector, table), exact keys only — computed
+    * fresh per call here, or loaded back from a persisted store
+    * ([[annLshFrom]], the [[ivfAssign]] discipline).
+    */
+  private[queries] def lshCandIndex(s: SparkSession, dir: String,
+      tables: Int, bitsPerTable: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"),
+        lshBitArr(col("embedding"), tables * bitsPerTable).as("bits"))
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+        col("nrm").as("cn"),
+        explode(lshBucketArr(col("bits"), tables, bitsPerTable)).as("bucket"))
+  }
 
+  /** Sign-LSH search over ANY candidate index — the per-call one
+    * ([[annLsh]]) or a loaded persisted store ([[annLshFrom]]): probe
+    * fan-out, the bucket join, scoring, and ranking are identical
+    * either way, which is what lets the one static oracle check both
+    * (the [[ivfSearch]] discipline).
+    */
+  private def lshSearch(s: SparkSession, dir: String, cand: DataFrame,
+      tables: Int, bitsPerTable: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val bpt = bitsPerTable
     // query probes: per table, the exact bucket plus each Hamming-1
-    // flip (numeric bit-flip = XOR with a power of two)
+    // flip (numeric bit-flip = XOR with a power of two) — queries
+    // always come off the raw corpus (they arrive as vectors, not
+    // index rows)
     val powers = array((0 until bpt).map(i => lit(1L << i)): _*)
-    val probeArr = flatten(transform(bucketArr, bk =>
-      concat(array(bk), transform(powers, pw => bk.bitwiseXOR(pw)))))
-    val q = withBits.filter(col("vec_id") % 100 === 0)
+    val q = t(s, dir, "embeddings")
+      .filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("nrm").as("qn"), explode(probeArr).as("bucket"))
+        norm(col("embedding")).as("qn"),
+        lshBitArr(col("embedding"), tables * bpt).as("bits"))
+      .withColumn("probes", flatten(transform(
+        lshBucketArr(col("bits"), tables, bpt), bk =>
+          concat(array(bk), transform(powers, pw => bk.bitwiseXOR(pw))))))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(col("probes")).as("bucket"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("cand_id"))
     q.join(cand, "bucket") // co-bucket candidates only: the pruned search
       .filter(col("query_id") =!= col("cand_id"))
       // score FIRST, then dedup pairs met in >1 table/probe with a
@@ -532,10 +562,101 @@ object QueriesLLM {
       .select(col("query_id"), col("cand_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
       .groupBy(col("query_id"), col("cand_id")).agg(max(col("sim")).as("sim"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
-      .select(col("query_id"), col("cand_id"), col("rnk"), Queries.fround(col("sim"), 4).as("cos_sim"))
+      // final ranking via the bounded top-k aggregate (r10): the rank
+      // window re-shuffled and sorted the whole deduped candidate set;
+      // the aggregate carries ≤ 3 pairs per query per partition, with
+      // the window's exact ordering (sim DESC, cand_id ASC) — identical
+      // rows, same oracle
+      .groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topKSim(3)(col("sim"), col("cand_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("cand_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        Queries.fround(col("col._1"), 4).as("cos_sim"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // ---- persisted sign-LSH index (r10): parity with IVF/PQ — the index
+  // side was recomputed per call, the only ANN path without the
+  // build-once/serve-many split production actually runs -------------
+
+  /** Build count — test hook pinning the build-once contract. */
+  private[queries] val lshIndexWrites = new java.util.concurrent.atomic.AtomicLong
+
+  /** Write the sign-LSH candidate index to `out`: one (cand_id,
+    * embedding, norm) entry per (vector, table), PARTITIONED BY the
+    * numeric `bucket` — a search reads only the probed buckets'
+    * directories (dynamic partition pruning through the probe join),
+    * `tables·(bitsPerTable+1)` of `tables·2^bitsPerTable` per query —
+    * plus a one-row parameter record, because a store built at one
+    * (tables, bitsPerTable) answers WRONGLY for any other (the probe
+    * keys would address different hyperplanes); [[annLshFrom]] fails
+    * fast on a mismatch instead.
+    */
+  def lshIndexWrite(s: SparkSession, dir: String, out: String,
+      tables: Int = 4, bitsPerTable: Int = 6): Unit = {
+    import s.implicits._
+    lshIndexWrites.incrementAndGet()
+    lshCandIndex(s, dir, tables, bitsPerTable)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$out/buckets")
+    Seq((tables, bitsPerTable)).toDF("tables", "bits_per_table")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/model")
+  }
+
+  /** Load a persisted sign-LSH index: the bucket-partitioned candidate
+    * table plus its (tables, bitsPerTable) parameters. The read schema
+    * pins `bucket` to BIGINT explicitly — partition-value inference
+    * would type it INT and the probe join would cast, which can block
+    * the dynamic pruning the layout exists for.
+    */
+  def lshIndexLoad(s: SparkSession, out: String): (DataFrame, Int, Int) = {
+    val p = s.read.parquet(s"$out/model").collect()
+    require(p.length == 1, s"no parameter record in $out/model")
+    (s.read
+      .schema("cand_id BIGINT, cv ARRAY<FLOAT>, cn DOUBLE, bucket BIGINT")
+      .parquet(s"$out/buckets"),
+      p(0).getInt(0), p(0).getInt(1))
+  }
+
+  /** Search against a PERSISTED sign-LSH index at `out` — no per-call
+    * corpus re-projection: the candidate side comes off disk; the query
+    * path is byte-identical to [[annLsh]] (the same static oracle SQL
+    * checks both).
+    */
+  def annLshFrom(s: SparkSession, dir: String, out: String,
+      tables: Int = 4, bitsPerTable: Int = 6): DataFrame = {
+    val (cand, t0, b0) = lshIndexLoad(s, out)
+    require(t0 == tables && b0 == bitsPerTable,
+      s"persisted LSH index at $out was built with tables=$t0/bits=$b0, " +
+        s"requested tables=$tables/bits=$bitsPerTable")
+    lshSearch(s, dir, cand, tables, bitsPerTable)
+  }
+
+  // one write per (session, corpus, tables, bpt) — parameters ride the
+  // directory name so two parameterizations never clobber each other
+  // (the PQ-index discipline)
+  private val lshPersistCache =
+    new scala.collection.mutable.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, Memo[String]]]
+
+  /** Registry entry: build → WRITE → LOAD → search, end to end. The
+    * oracle is the same static SQL as `x_ann_lsh` — the persisted
+    * round-trip must be invisible in the answer.
+    */
+  def annLshPersisted(s: SparkSession, dir: String, tables: Int = 4,
+      bitsPerTable: Int = 6): DataFrame = {
+    val out = lshPersistCache.synchronized {
+      lshPersistCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$dir|t=$tables|b=$bitsPerTable", new Memo(() => {
+          val p = new java.io.File(sys.props("java.io.tmpdir"),
+            s"graft_lsh_index_${s.sparkContext.applicationId}_" +
+              java.lang.Integer.toHexString(dir.hashCode) +
+              s"_t${tables}_b$bitsPerTable").getAbsolutePath
+          lshIndexWrite(s, dir, p, tables, bitsPerTable)
+          p
+        }))
+    }.get
+    annLshFrom(s, dir, out, tables, bitsPerTable)
   }
 
   /** X3 scale path #2: IVF (inverted-file) ANN — coarse-quantize the
@@ -687,13 +808,15 @@ object QueriesLLM {
       .filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), quant6(col("embedding")).as("qq"))
       .withColumn("qn", dotI64(col("qq"), col("qq")))
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))
+    // probe selection is ROW-LOCAL since r10 (see [[pqSearch]]): sort
+    // the k-element pseudo-distance array, slice the nprobe head —
+    // same (d2 asc, cell asc) order as the row_number window it
+    // replaces, zero shuffle
     val probes = qs
       .select(col("query_id"), col("qq"), col("qn"),
-        posexplode(nd2Col(col("qq"), mdl)).as(Seq("cell", "d2")))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("qq"), col("qn"), col("cell"))
+        explode(slice(array_sort(transform(nd2Col(col("qq"), mdl),
+          (d, i) => struct(d.as("d2"), i.as("cell")))), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("qq"), col("qn"), col("p.cell").as("cell"))
     // exact integer cosine inside probed cells (the x_ann_quantized
     // idiom at micro-resolution): same ints → same IEEE doubles → same
     // top-3 in both engines. Ranking is the BOUNDED top-k aggregate
@@ -979,13 +1102,16 @@ object QueriesLLM {
     // same integer pseudo-distance the oracle computes
     val qs = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), quant6(col("embedding")).as("qq"))
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))
+    // probe selection is ROW-LOCAL since r10: sort the k-element
+    // pseudo-distance array and slice the nprobe head — the same
+    // (d2 asc, cell asc) order the row_number window imposed, but with
+    // zero shuffle (the window exchanged every query×cell row just to
+    // rank k elements that already sit in one array)
     val probes = qs
       .select(col("query_id"), col("qq"),
-        posexplode(nd2Col(col("qq"), mdl.coarse)).as(Seq("cell", "d2")))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("qq"), col("cell"))
+        explode(slice(array_sort(transform(nd2Col(col("qq"), mdl.coarse),
+          (d, i) => struct(d.as("d2"), i.as("cell")))), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("qq"), col("p.cell").as("cell"))
     // ADC lookup table: <q_subvector, codebook centroid> per (query,
     // subspace, code) — queries × m × 16 rows — then folded to ONE
     // ordered array per query (j-major, code-minor: entry j·16+code),
@@ -1013,23 +1139,30 @@ object QueriesLLM {
     // refine: float embeddings are touched for only `rerank`
     // candidates per query, preserving the memory story, and the
     // final ranking is exact.
-    val wShort = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("cand_id"))
+    // the shortlist cutoff is the bounded top-k aggregate at k=rerank
+    // (r10): the rank window sorted the full probed-cell candidate set
+    // through one exchange — the exact shape r9 measured as IVF's
+    // dominant 1M cost — while the aggregate's partial state is ≤
+    // rerank pairs per query per partition and the shuffle carries
+    // rerank rows per query. Comparator == the window's (score DESC,
+    // cand_id ASC), so the shortlist set is identical and the generated
+    // oracle's srnk <= rerank clause keeps checking it.
     val shortlist = probes.join(codes, "cell")
       .filter(col("query_id") =!= col("cand_id"))
       .join(broadcast(lutArr), Seq("query_id"))
       .withColumn("score",
         graft.functions.GraftFunctions.adcScore(col("codes"), col("lut")) /
           sqrt(col("approx_norm2").cast("double")))
-      .withColumn("srnk", row_number().over(wShort))
-      .filter(col("srnk") <= rerank)
-      .select(col("query_id"), col("cand_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topKSim(rerank)(
+        col("score"), col("cand_id")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("p"))
+      .select(col("query_id"), col("p._2").as("cand_id"))
     // exact refine in the same quantized-integer cosine as x_ann_ivf —
-    // float embeddings are touched for only `rerank` rows per query
+    // float embeddings are touched for only `rerank` rows per query;
+    // final top-3 via the same bounded aggregate (ordering == window's)
     val full = e.select(col("vec_id"), quant6(col("embedding")).as("fq"))
       .withColumn("fn2", dotI64(col("fq"), col("fq")))
-    val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("cand_id"))
     shortlist
       .join(full.select(col("vec_id").as("query_id"),
         col("fq").as("qv2"), col("fn2").as("qn")), Seq("query_id"))
@@ -1038,10 +1171,12 @@ object QueriesLLM {
       .select(col("query_id"), col("cand_id"),
         (dotI64(col("qv2"), col("cv")) /
           (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double")))).as("sim"))
-      .withColumn("rnk", row_number().over(wRank))
-      .filter(col("rnk") <= 3)
-      .select(col("query_id"), col("cand_id"), col("rnk"),
-        Queries.fround(col("sim"), 4).as("cos_sim"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topKSim(3)(col("sim"), col("cand_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("cand_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        Queries.fround(col("col._1"), 4).as("cos_sim"))
       .orderBy(col("query_id"), col("rnk"))
   }
 

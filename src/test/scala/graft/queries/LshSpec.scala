@@ -327,6 +327,64 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
       "repeat annIvfPersisted call rewrote the index instead of hitting the memo")
   }
 
+  test("persisted sign-LSH index: round-trip, no re-projection, pruned serving") {
+    val out = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+    val direct = QueriesLLM.annLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    QueriesLLM.lshIndexWrite(spark, dir, out)
+    val writes = QueriesLLM.lshIndexWrites.get()
+    val s2 = spark.newSession()
+    val loaded = QueriesLLM.annLshFrom(s2, dir, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(QueriesLLM.lshIndexWrites.get() == writes,
+      "serving from the persisted LSH index re-projected the corpus")
+    assert(loaded == direct,
+      "persisted-LSH answers differ from the per-call path")
+    // the candidate table is partitioned by bucket and the probe join
+    // prunes to the probed buckets — the DPP serving story at 100 TB
+    val buckets = new java.io.File(s"$out/buckets").listFiles()
+      .count(_.getName.startsWith("bucket="))
+    assert(buckets > 1, s"candidate table not partitioned by bucket ($buckets dirs)")
+    val one = QueriesLLM.annLshFrom(s2, dir, out)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [dynamic"),
+      s"probe join over the partitioned candidate table lost dynamic partition pruning:\n" +
+        plan.linesIterator.filter(_.contains("buckets")).take(5).mkString("\n"))
+    // a mismatched parameterization must fail fast, not answer wrongly
+    intercept[IllegalArgumentException] {
+      QueriesLLM.annLshFrom(s2, dir, out, tables = 8, bitsPerTable = 6)
+    }
+    // the registry entry memoizes the artifact: repeat call, zero writes
+    QueriesLLM.annLshPersisted(spark, dir).count()
+    val w2 = QueriesLLM.lshIndexWrites.get()
+    QueriesLLM.annLshPersisted(spark, dir).count()
+    assert(QueriesLLM.lshIndexWrites.get() == w2,
+      "repeat annLshPersisted call rewrote the index instead of hitting the memo")
+  }
+
+  test("ANN paths carry no rank window (bounded top-k everywhere)") {
+    // r9 measured the `row_number() OVER (ORDER BY sim DESC, ...)`
+    // window as IVF's dominant 1M-scale cost (the full candidate-pair
+    // set sorted through one exchange for a 3-row answer) and replaced
+    // it with the bounded TopKSimAgg; r10 finished the rollout (LSH,
+    // SQ8, the PQ ADC shortlist + refine) and made probe selection
+    // row-local (array_sort over the per-query distance array). This
+    // pin keeps every ANN executed plan window-free so the known-worse
+    // idiom cannot creep back.
+    val anns: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "x_ann_lsh" -> QueriesLLM.annLsh(spark, dir),
+      "x_ann_quantized" -> QueriesLLM.annQuantized(spark, dir),
+      "x_ann_ivf" -> QueriesLLM.annIvf(spark, dir),
+      "x_ann_pq" -> QueriesLLM.annIvfPq(spark, dir))
+    anns.foreach { case (name, df) =>
+      df.write.format("noop").mode("overwrite").save() // finalize AQE
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name regressed to a rank window:\n" +
+          plan.linesIterator.filter(_.contains("Window")).take(3).mkString("\n"))
+    }
+  }
+
   test("simhash near-dup property: identical docs get identical signatures") {
     val sigs = QueriesLLM.simhash(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
