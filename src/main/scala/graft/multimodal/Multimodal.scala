@@ -701,9 +701,14 @@ object Multimodal {
       (cfg, samples) <- Mp4SampleTables.parseAvc(content)
       frames <- decodedAllFrames(content, cfg, samples)
     } yield {
+      // frame cadence = the DECODE-time delta (stts), which ctts cannot
+      // perturb: the r9 ctts offsets make pts(1)-pts(0) read 300 or
+      // 600 ms on offset-carrying clips — never the true 500 ms stts
+      // cadence — so deriving the re-encoded clip's timescale from pts
+      // distorted total duration by up to 40% (r9 advice item 1)
       val dur =
         if (samples.length >= 2)
-          math.max((samples(1).ptsMs - samples(0).ptsMs).toInt, 1)
+          math.max((samples(1).dtsMs - samples(0).dtsMs).toInt, 1)
         else 500
       val syncIdx = samples.indices.filter(samples(_).sync)
       val gop = if (syncIdx.length >= 2) syncIdx(1) - syncIdx(0) else frames.length

@@ -367,6 +367,7 @@ object Queries {
     "x_curation_pipeline" -> (QueriesLLM.curationPipeline _),
     "x_multimodal_meta" -> (QueriesLLM.multimodalMeta _),
     "x_multimodal_frames" -> (QueriesLLM.multimodalFrames _),
+    "x_multimodal_frame_index" -> (QueriesLLM.multimodalFrameIndex _),
     "x_multimodal_features" -> ((s: SparkSession, dir: String) =>
       graft.multimodal.Multimodal.extractFeatures(s,
         graft.multimodal.Multimodal.mediaFromDocuments(s, dir)).orderBy("media_id")),
@@ -2180,6 +2181,33 @@ object Queries {
         |  pts.first_pts_ms, pts.last_pts_ms, pts.pts_ne_dts
         |FROM documents d LEFT JOIN pts ON d.doc_id = pts.doc_id
         |WHERE d.doc_id % 20 = 0 ORDER BY d.doc_id""".stripMargin,
+    // Frame-index projection of the sample walk (r10): WHICH frames the
+    // engine samples (MP4 sync samples / GIF frame walks / dead-letter
+    // rows) and their stts+ctts presentation times, recomputed from the
+    // generator rules — video ids (doc_id%3=2, BOTH container shapes)
+    // have 4 + id%5 frames, sync every 3rd, 500 ms cadence, the meta
+    // query's ctts policy; animated GIFs (id%48=36) are 3 frames at
+    // 100 ms; static GIFs (id%24=12) one frame at 0; everything else is
+    // one (-1, -1, false) quarantine row.
+    "x_multimodal_frame_index" ->
+      """WITH d AS (SELECT doc_id AS media_id, doc_id % 3 AS k FROM documents),
+        |vfr AS (SELECT media_id, CAST(i AS INTEGER) AS frame_index,
+        |    CAST(i * 500 + CASE WHEN (media_id // 4) % 2 = 1
+        |      THEN ((media_id + i) % 3) * 100 ELSE 0 END AS BIGINT) AS pts_ms,
+        |    true AS frame_ok
+        |  FROM d, range(0, 9, 3) t(i) WHERE k = 2 AND i < 4 + media_id % 5),
+        |gfr AS (SELECT media_id, CAST(i AS INTEGER) AS frame_index,
+        |    CAST(i * 100 AS BIGINT) AS pts_ms, true AS frame_ok
+        |  FROM d, range(3) t(i) WHERE k = 0 AND media_id % 48 = 36),
+        |g1 AS (SELECT media_id, 0 AS frame_index, CAST(0 AS BIGINT) AS pts_ms,
+        |    true AS frame_ok
+        |  FROM d WHERE k = 0 AND media_id % 24 = 12 AND media_id % 48 <> 36),
+        |dead AS (SELECT media_id, -1 AS frame_index, CAST(-1 AS BIGINT) AS pts_ms,
+        |    false AS frame_ok
+        |  FROM d WHERE NOT (k = 2 OR (k = 0 AND media_id % 24 = 12)))
+        |SELECT * FROM vfr UNION ALL SELECT * FROM gfr
+        |UNION ALL SELECT * FROM g1 UNION ALL SELECT * FROM dead
+        |ORDER BY media_id, frame_index""".stripMargin,
     // The e2e UTXO queries run over the engine-converted parquet, which
     // DuckDB reads directly from its /tmp path (Verify materializes it
     // before the driver's oracle pass — ensureConverted is idempotent).

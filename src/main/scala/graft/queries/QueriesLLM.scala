@@ -2434,4 +2434,25 @@ object QueriesLLM {
         col("frame_ok"))
       .orderBy(col("media_id"), col("frame_index"))
   }
+
+  /** X33 frame sampling, the ORACLED half (r10, verdict item 5): the
+    * container-derivable columns of [[multimodalFrames]] — which frames
+    * are sampled (MP4 sync samples from stss / real GIF frame walks,
+    * dead-letter rows for everything else), their indexes, and their
+    * stts+ctts presentation times — are closed-form recomputable from
+    * the generator rules (frame count 4 + id%5, 500 ms cadence, sync
+    * every 3rd frame in BOTH video container shapes, the id%4 / id%3
+    * ctts policy, 3×100 ms animated-GIF delays), exactly like
+    * `x_multimodal_meta`'s pts columns. The ENGINE walks the real
+    * containers; the ORACLE recomputes the rules — a sync-flag or
+    * pts mis-parse is now a hash mismatch corpus-wide, not just a
+    * golden-box failure. Frame bytes/digests stay on the rows-only
+    * twin (encoded payloads are not SQL).
+    */
+  def multimodalFrameIndex(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.mediaFromDocuments(s, dir)
+    graft.multimodal.Multimodal.sampleFrames(s, media)
+      .select(col("media_id"), col("frame_index"), col("pts_ms"), col("frame_ok"))
+      .orderBy(col("media_id"), col("frame_index"))
+  }
 }

@@ -967,6 +967,13 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
           assert(frames.length == n, s"video $id full-GOP transcode count")
           assert(samples.count(_.sync) == (0 until n).count(_ % 3 == 0),
             s"video $id sync cadence preserved")
+          // the re-encoded timescale is the SOURCE's stts cadence
+          // (500 ms) for ctts-carrying and plain clips alike: deriving
+          // it from pts(1)-pts(0) read the composition offsets as
+          // cadence (300/600 ms) and distorted total duration by up to
+          // 40% (r9 advice item 1 — fixed via the dts delta)
+          assert(samples(1).dtsMs - samples(0).dtsMs == 500,
+            s"video $id resized cadence ${samples(1).dtsMs - samples(0).dtsMs} != 500")
           frames.foreach(f => assert(f.width == 16 && f.height == 12))
       }
     }
