@@ -30,6 +30,13 @@ import org.apache.spark.sql.functions._
   */
 object UtxoConvert {
 
+  /** Auto-sized clustered converts target this many rows per reduce
+    * bucket (see the sizing comment in [[convert]]): ~2M ≈ 200 MB of
+    * rows per in-memory sort — inside a fair executor-memory share at
+    * 32 concurrent tasks, and still ~30 row groups per output file.
+    */
+  val ClusterRowsPerBucket = 2000000L
+
   def load(spark: SparkSession, input: String): DataFrame =
     spark.read.format("utxo").load(input)
 
@@ -119,8 +126,6 @@ object UtxoConvert {
       zstdLevel: Int = 1,
       writerVersion: String = "v2",
       bloomFilterScript: Boolean = false): ConvertStats = {
-    val n = if (partitions > 0) partitions
-      else spark.sparkContext.defaultParallelism
     // log the parsed header once (reference logs the resolved Network +
     // block hash, `/root/reference/src/main.rs:182,194`); header-only
     // reads are ~100 bytes — no full index pass on the driver
@@ -130,12 +135,28 @@ object UtxoConvert {
     headers.headOption.foreach { h =>
       println(s"[utxo-convert] network=${h.networkName} block=${h.blockHashHex} utxos=${h.numUtxos}")
     }
+    val totalCoins = headers.map(_.numUtxos).sum
+    val n = if (partitions > 0) partitions
+      else if (rangePartition)
+        // reduce-side sizing by ROWS, not cores (r10, verdict item 8):
+        // each clustered bucket is one in-memory sort + parquet write,
+        // and core-count buckets put ~5.5M rows (~590 MB) in each
+        // sorter at 177.5M coins — the r9 profile measured 23.4 GB of
+        // memory spill + 17.0 GB of disk spill against an 18.8 GB
+        // shuffle. ~2M rows per bucket keeps the sort inside executor
+        // memory (spill ≈ 0), files stay row-group-sized multiples,
+        // and per-file script ranges remain disjoint at any n; the cap
+        // bounds the driver's sampled-bounds array on snapshots far
+        // beyond the bench scale (explicit `partitions` overrides).
+        math.min(4096L, math.max(spark.sparkContext.defaultParallelism.toLong,
+          (totalCoins + ClusterRowsPerBucket - 1) / ClusterRowsPerBucket)).toInt
+      else spark.sparkContext.defaultParallelism
     // split sizing: the source's 64Ki-coin default (~4 MB files) is right
     // for small snapshots but would emit millions of tiny files at 177M+
     // coins; cap total splits at 8× parallelism so file sizes grow with
     // the snapshot while every core stays busy
-    val totalCoins = headers.map(_.numUtxos).sum
-    val coinsPerSplit = math.max(64L * 1024, totalCoins / (8L * n))
+    val coinsPerSplit = math.max(64L * 1024,
+      totalCoins / (8L * math.max(n, spark.sparkContext.defaultParallelism)))
     val outUri = new org.apache.hadoop.fs.Path(output).toUri
     val localOut = outUri.getScheme == null || outUri.getScheme == "file"
     // Session-scoped stamping-protocol selection (r7 design nit): the

@@ -100,8 +100,13 @@ object ConvertStageProfile {
       new java.io.File(out).mkdirs()
       syncFs()
       val t0 = System.nanoTime()
+      // partitions = 0 → the convert's row-targeted auto sizing (r10):
+      // core-count buckets spilled 23.4 GB mem + 17.0 GB disk against
+      // an 18.8 GB shuffle in every r9 run; the profile now measures
+      // the production auto path (the stage json's `tasks` field shows
+      // the chosen reduce width)
       graft.sources.UtxoConvert.convert(spark, snap.getPath, out,
-        partitions = cpus.toInt, rangePartition = true)
+        partitions = 0, rangePartition = true)
       (System.nanoTime() - t0) / 1e9
     }
 
