@@ -322,6 +322,10 @@ object Queries {
     "s_sliding" -> (QueriesScalar.streamSliding _),
     "s_session" -> (QueriesScalar.streamSession _),
     "s_dedup_latest" -> (QueriesScalar.streamDedup _),
+    // batch contract of the streaming accreting-index near-dup dedup
+    // (StreamingQueries.simhashBandVerdicts); StreamingSpec pins the
+    // streaming form equal to this over the same rows in arrival order
+    "s_dedup_simhash" -> (QueriesLLM.arrivalDedupSimhash _),
     "s_join" -> (QueriesScalar.streamJoin _),
     "s_upsert" -> (QueriesScalar.streamUpsert _),
     "x_exact_dedup" -> (QueriesLLM.exactDedup _),
@@ -361,6 +365,7 @@ object Queries {
     "x_knn_classify" -> (QueriesLLM.knnClassify _),
     "x_pack_sequences" -> (QueriesLLM.packSequences _),
     "x_stratified_sample" -> (QueriesLLM.stratifiedSample _),
+    "x_hash_stratified" -> (QueriesLLM.hashStratifiedSample _),
     "x_decontaminate" -> (QueriesLLM.decontaminate _),
     "x_lm_score" -> (QueriesLLM.lmScore _),
     "x_lm_bigram" -> (QueriesLLM.lmBigram _),
@@ -399,6 +404,34 @@ object Queries {
   )
 
   // --------------------------------------------------------------- oracle
+
+  /** Shared CTE prefix of the SimHash band-join oracles: the full
+    * banded pipeline replicated relationally — same portable
+    * md5-derived per-token hash as `x_simhash` (and as the simhash60
+    * kernel — all 60 bits the hash carries since r10), 4×15-bit band
+    * keys via shift/mask, candidate pairs sharing any band. Band
+    * membership, not just fingerprints, is cross-checked; both the
+    * pair entry (`x_simhash_near_dup`) and the arrival-order dedup
+    * (`s_dedup_simhash`) project from the SAME `cand` set, so the two
+    * oracles cannot drift.
+    */
+  private val simhashBandCteSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |             FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h64 FROM tok),
+      |bits AS (SELECT doc_id, CAST(b AS INTEGER) AS bp,
+      |    sum(((h64 >> CAST(b AS INTEGER)) % 2) * 2 - 1) AS bal
+      |  FROM h, range(60) t(b) GROUP BY doc_id, b),
+      |f AS (SELECT doc_id,
+      |        CAST(sum(CASE WHEN bal > 0 THEN 1::BIGINT << bp ELSE 0 END) AS BIGINT) AS fp
+      |      FROM bits GROUP BY doc_id),
+      |bands AS (SELECT doc_id, fp, CAST(i AS INTEGER) AS band,
+      |        (fp >> (15 * CAST(i AS INTEGER))) & 32767 AS key
+      |      FROM f, range(4) t(i)),
+      |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |                x.fp AS fa, y.fp AS fb
+      |         FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+      |           AND x.doc_id < y.doc_id)""".stripMargin
 
   /** DuckDB mirror of [[QueriesLLM.annLsh]] (r7 oracle promotion): the
     * kernel's integer-quantized plane weights
@@ -1682,25 +1715,18 @@ object Queries {
     // band, exact hamming via bit_count(xor) <= 6 — band membership,
     // not just fingerprints, is cross-checked.
     "x_simhash_near_dup" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |             FROM documents),
-        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h64 FROM tok),
-        |bits AS (SELECT doc_id, CAST(b AS INTEGER) AS bp,
-        |    sum(((h64 >> CAST(b AS INTEGER)) % 2) * 2 - 1) AS bal
-        |  FROM h, range(60) t(b) GROUP BY doc_id, b),
-        |f AS (SELECT doc_id,
-        |        CAST(sum(CASE WHEN bal > 0 THEN 1::BIGINT << bp ELSE 0 END) AS BIGINT) AS fp
-        |      FROM bits GROUP BY doc_id),
-        |bands AS (SELECT doc_id, fp, CAST(i AS INTEGER) AS band,
-        |        (fp >> (15 * CAST(i AS INTEGER))) & 32767 AS key
-        |      FROM f, range(4) t(i)),
-        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-        |                x.fp AS fa, y.fp AS fb
-        |         FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
-        |           AND x.doc_id < y.doc_id)
+      s"""$simhashBandCteSql
         |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
         |FROM cand WHERE bit_count(xor(fa, fb)) <= 6
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // arrival-order dedup over the SAME band/hamming pair set: a doc is
+    // dropped iff any earlier-id doc matches — GROUP BY the later side
+    "s_dedup_simhash" ->
+      s"""$simhashBandCteSql
+        |SELECT doc_b AS doc_id, CAST(count(*) AS BIGINT) AS n_earlier,
+        |  min(doc_a) AS first_dup_of
+        |FROM cand WHERE bit_count(xor(fa, fb)) <= 6
+        |GROUP BY doc_b ORDER BY doc_id""".stripMargin,
     "x_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
@@ -2066,6 +2092,20 @@ object Queries {
         |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
         |  count(json_extract(props, '$.absent')) AS n_absent
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // deterministic hash-threshold stratified sample: membership is the
+    // same md5-derived 60-bit hash both engines compute bit-for-bit
+    "x_hash_stratified" ->
+      """WITH s AS (SELECT lang, doc_id,
+        |    ('0x' || substr(md5('hs42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000 AS r
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_sampled,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM s
+        |WHERE r < (CASE WHEN lang = 'en' THEN 400
+        |           WHEN lang IN ('es', 'de', 'fr', 'zh') THEN 800 ELSE 0 END)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "x_reservoir_sample" ->
       """WITH h AS (SELECT source, doc_id,
         |    md5('rs42:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),

@@ -238,14 +238,28 @@ object QueriesLLM {
     * replicates banding, candidates, and hamming bit-for-bit.
     */
   val SimhashTau = 6
-  def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
+  def simhashNearDup(s: SparkSession, dir: String): DataFrame =
+    simhashNearDupPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Shared near-dup pair core: banded candidates → hamming ≤ tau →
+    * distinct surviving pairs (doc_a < doc_b). [[simhashNearDup]] is
+    * the ordered pair list; [[arrivalDedupSimhash]] aggregates the same
+    * pairs into per-doc arrival-order verdicts.
+    */
+  /** The 4×15-bit band slices of a 60-bit fingerprint — band b =
+    * (fp >> 15b) & 0x7FFF, two ALU ops per band, built as a plain
+    * 4-element array() of codegen'd expressions (a transform() lambda
+    * here would drop the projection to interpreted CodegenFallback —
+    * the minhash-kernel lesson). Shared by the batch near-dup join and
+    * the streaming accreting-index dedup so the banding cannot drift.
+    */
+  def simhashBandArray(fp: Column): Column =
+    array((0 until 4).map(b =>
+      shiftright(fp, 15 * b).bitwiseAND(lit(0x7FFFL))): _*)
+
+  private def simhashNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = simhashAll(s, dir)
-    // band b = 15-bit slice (fp >> 15b) & 0x7FFF — two ALU ops per band,
-    // built as a plain 4-element array() of codegen'd expressions (a
-    // transform() lambda here would drop the projection to interpreted
-    // CodegenFallback — the minhash-kernel lesson)
-    val bandArr = array((0 until 4).map(b =>
-      shiftright(col("fp"), 15 * b).bitwiseAND(lit(0x7FFFL))): _*)
+    val bandArr = simhashBandArray(col("fp"))
     val bands = sig.select(col("doc_id"), col("fp"),
       posexplode(bandArr).as(Seq("band_idx", "band_bits")))
     val a = bands.select(col("band_idx"), col("band_bits"),
@@ -266,8 +280,28 @@ object QueriesLLM {
       .filter(col("hamming") <= SimhashTau)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** X2c: arrival-order near-dup dedup — the batch contract of the
+    * streaming accreting-index dedup ([[graft.streaming.StreamingQueries
+    * .simhashBandVerdicts]]): treating doc_id as arrival order, a
+    * document is DROPPED iff any EARLIER document shares a band and
+    * sits within hamming ≤ [[SimhashTau]]. This is exactly what a
+    * continuously-ingesting curation pipeline computes when every
+    * arriving doc is (a) checked against the accumulated index and
+    * (b) inserted regardless of verdict — so the batch form over a
+    * static corpus and the streaming form over the same rows in
+    * arrival order emit identical verdicts (StreamingSpec pins it).
+    * One extra aggregation over the SURVIVING pairs only (~10³ rows,
+    * not the candidate set) on top of the shared banded join — linear
+    * in candidates, same as [[simhashNearDup]].
+    */
+  def arrivalDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashNearDupPairs(s, dir)
+      .groupBy(col("doc_b"))
+      .agg(count(lit(1)).as("n_earlier"), min(col("doc_a")).as("first_dup_of"))
+      .select(col("doc_b").as("doc_id"), col("n_earlier"), col("first_dup_of"))
+      .orderBy(col("doc_id"))
 
   /** 60-bit SimHash fingerprints for the full corpus (the banded
     * near-dup input; [[simhash]] is the oracle-sampled 48-bit variant),
@@ -2066,6 +2100,38 @@ object QueriesLLM {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
       .orderBy(col("lang"))
+
+  /** X8b: deterministic hash-threshold stratified sampling — the
+    * oracle-able twin of the seeded [[stratifiedSample]]: keep a doc iff
+    * md5h60("hs42:" ++ doc_id) mod 1000 < ⌊frac(lang)·1000⌋. Membership
+    * is a pure function of (doc_id, lang), so ANY engine reproduces the
+    * exact sample — the property a multi-engine curation pipeline needs
+    * for auditability, where a seeded RNG draw is engine-private (the
+    * reason x_stratified_sample is rows-only). The salt is baked into
+    * the preimage, so re-sampling with a different salt draws an
+    * independent sample (same trick as [[reservoirSample]]'s "rs42:").
+    * Map-only membership — zero shuffle before the per-stratum audit
+    * aggregation; unlike the fixed-k reservoir shape there is no window,
+    * so the sample itself never exchanges at any corpus size.
+    */
+  def hashStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val perMille = SampleFractions.foldLeft(lit(0L)) { case (acc, (lang, f)) =>
+      when(col("lang") === lang, lit(math.floor(f * 1000).toLong)).otherwise(acc)
+    }
+    // the portable md5-derived 60-bit hash (non-negative: top nibble
+    // dropped), numerically identical to DuckDB's
+    // ('0x' || substr(md5(s),1,15))::BIGINT — so % is already pmod
+    val h = conv(substring(md5(concat(lit("hs42:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    t(s, dir, "documents")
+      .filter((h % 1000L) < perMille)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"))
+  }
 
   /** X4: rule-based language ID vs the labeled lang column. */
   def langIdQuery(s: SparkSession, dir: String): DataFrame =

@@ -395,6 +395,97 @@ object StreamingQueries {
       .toDF("user_id", "n_events", "total_cents")
   }
 
+  /** S16 (r10): per-bucket handler for the streaming accreting-index
+    * near-dup dedup — state is the list of (doc_id, fingerprint) pairs
+    * ever seen in this band bucket; each arriving doc is checked
+    * against the accumulated list (hamming ≤ SimhashTau) and then
+    * inserted REGARDLESS of verdict, which is what makes the streaming
+    * output equal the batch arrival-order contract
+    * ([[graft.queries.QueriesLLM.arrivalDedupSimhash]]): a doc is a
+    * duplicate iff ANY earlier doc matches, kept or not. Rows within a
+    * micro-batch are processed in doc_id (= arrival) order, and the
+    * `id < docId` guard keeps a late-arriving doc from matching
+    * later-id docs, so verdicts are arrival-order-stable even when the
+    * source delivers files out of order. State partitions by band
+    * bucket (4×32,768 buckets) — horizontal scale-out, and per-bucket
+    * lists stay at occupancy n/32768.
+    */
+  class BandDedupProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), (Long, Seq[Long])] {
+    @transient private var seen:
+        org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getListState[(Long, Long)]("seen",
+        org.apache.spark.sql.Encoders.product[(Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[(Long, Seq[Long])] = {
+      val prior = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      seen.get().foreach(prior += _)
+      val fresh = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val out = rows.toSeq.sortBy(_._2).map { case (_, docId, fp) =>
+        val matches = (prior.iterator ++ fresh.iterator)
+          .filter { case (id, fp2) =>
+            id < docId && java.lang.Long.bitCount(fp ^ fp2) <=
+              graft.queries.QueriesLLM.SimhashTau }
+          .map(_._1).toSeq.distinct.sorted
+        fresh += ((docId, fp))
+        (docId, matches)
+      }
+      seen.appendList(fresh.toArray)
+      out.iterator
+    }
+  }
+
+  /** S16: streaming near-dup dedup against an accreting SimHash band
+    * index — the continuous-ingestion form of the batch
+    * `s_dedup_simhash` registry entry. Fingerprints are the same
+    * codegen simhash60 kernel, bands the same shared
+    * [[graft.queries.QueriesLLM.simhashBandArray]] slices, so banding
+    * cannot drift between the forms. Emits one (doc_id, match_ids) row
+    * per band; roll per-doc verdicts up with [[arrivalVerdictRollup]]
+    * (all 4 band rows of a doc land in its own micro-batch, so a
+    * per-batch rollup inside foreachBatch is exact).
+    */
+  def simhashBandVerdicts(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    docs
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash60(col("text")).as("fp"))
+      .select(col("doc_id"), col("fp"),
+        posexplode(graft.queries.QueriesLLM.simhashBandArray(col("fp")))
+          .as(Seq("band_idx", "band_bits")))
+      // one LONG key per (band, bits) bucket: band_idx << 15 | bits
+      .select((col("band_idx").cast("long") * 32768L + col("band_bits"))
+          .as("bucket"),
+        col("doc_id"), col("fp"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new BandDedupProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF("doc_id", "match_ids")
+  }
+
+  /** Per-doc rollup of [[simhashBandVerdicts]] rows: distinct-union the
+    * per-band match lists (a pair matching in two bands must count
+    * once) and keep only dropped docs — schema-identical to the batch
+    * [[graft.queries.QueriesLLM.arrivalDedupSimhash]] contract.
+    */
+  def arrivalVerdictRollup(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy(col("doc_id"))
+      .agg(array_sort(array_distinct(flatten(collect_list(col("match_ids")))))
+        .as("m"))
+      .filter(size(col("m")) > 0)
+      .select(col("doc_id"), size(col("m")).cast("long").as("n_earlier"),
+        element_at(col("m"), 1).as("first_dup_of"))
+
   def runToBatch(spark: SparkSession, streamed: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q = streamed.writeStream

@@ -355,4 +355,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .groupBy("user_id").agg(count(lit(1)).as("n_events"))
     assert(sortedRows(finalPerUser) == sortedRows(batch))
   }
+
+  test("S16 accreting-index dedup: streaming verdicts == batch arrival-order contract") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val want = graft.queries.QueriesLLM.arrivalDedupSimhash(spark, dir)
+    val wantRows = want.collect()
+    assert(wantRows.nonEmpty, "corpus should contain simhash near-dups")
+    // split the corpus into three files so at least one dropped doc and
+    // its first duplicate land in DIFFERENT micro-batches — that doc's
+    // verdict can only come from ListState accreted in an earlier
+    // batch, never from batch-local comparison
+    val cross = wantRows.maxBy(r => r.getLong(0) - r.getLong(2))
+    val b1 = cross.getLong(2) + 1 // first_dup_of strictly below b1
+    val hi = cross.getLong(0) // the dropped doc, in the middle slice
+    val docsB = graft.queries.Queries.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val watch = java.nio.file.Files.createTempDirectory("docs-stream").toString
+    Seq(col("doc_id") < b1,
+      col("doc_id") >= b1 && col("doc_id") <= hi,
+      col("doc_id") > hi).zipWithIndex.foreach { case (p, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"docs-slice$i")
+      docsB.filter(p).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(watch, f"slice$i%04d.parquet"))
+    }
+    // arrival order == doc_id order across micro-batches
+    FileIngestOrder.pinMtimesToPathOrder(
+      spark.sparkContext.hadoopConfiguration, watch)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watch)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val verdicts = StreamingQueries.runToBatch(spark,
+        StreamingQueries.simhashBandVerdicts(spark, stream), "s16_out",
+        OutputMode.Append())
+      val got = StreamingQueries.arrivalVerdictRollup(verdicts)
+      assert(sortedRows(got) == sortedRows(want))
+      // the cross-batch witness really was dropped by accreted state
+      assert(got.filter(col("doc_id") === hi).count() == 1)
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
