@@ -238,14 +238,10 @@ object QueriesLLM {
     * replicates banding, candidates, and hamming bit-for-bit.
     */
   val SimhashTau = 6
+
   def simhashNearDup(s: SparkSession, dir: String): DataFrame =
     simhashNearDupPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
 
-  /** Shared near-dup pair core: banded candidates → hamming ≤ tau →
-    * distinct surviving pairs (doc_a < doc_b). [[simhashNearDup]] is
-    * the ordered pair list; [[arrivalDedupSimhash]] aggregates the same
-    * pairs into per-doc arrival-order verdicts.
-    */
   /** The 4×15-bit band slices of a 60-bit fingerprint — band b =
     * (fp >> 15b) & 0x7FFF, two ALU ops per band, built as a plain
     * 4-element array() of codegen'd expressions (a transform() lambda
@@ -257,16 +253,40 @@ object QueriesLLM {
     array((0 until 4).map(b =>
       shiftright(fp, 15 * b).bitwiseAND(lit(0x7FFFL))): _*)
 
+  /** Shared near-dup pair core: banded candidates → hamming ≤ tau →
+    * distinct surviving pairs (doc_a < doc_b). [[simhashNearDup]] is
+    * the ordered pair list; [[arrivalDedupSimhash]] aggregates the same
+    * pairs into per-doc arrival-order verdicts.
+    */
   private def simhashNearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = simhashAll(s, dir)
+    // localCheckpoint (not cache — blocks release with the plan, the
+    // minhash-kernel lesson at :127): BOTH sides of the band self-join
+    // project from this frame, and without the materialization each
+    // side re-runs the simhash60 kernel over the whole corpus — the
+    // md5-per-token fingerprint pass is the entry's dominant LINEAR
+    // cost, so paying it twice doubles the wall at every scale
+    val sig = simhashAll(s, dir).localCheckpoint()
     val bandArr = simhashBandArray(col("fp"))
     val bands = sig.select(col("doc_id"), col("fp"),
       posexplode(bandArr).as(Seq("band_idx", "band_bits")))
+    // SHUFFLE_HASH-hinted self-join: the candidate join emits ~n²/buckets
+    // matches per probe row (28.7M pairs at sf1), and Catalyst's default
+    // pick for the ~5 MB band table is a BROADCAST hash join — whose
+    // many-match probe iteration measured ~13× slower per emitted pair
+    // than a shuffled hash join's (SimhashProbe at sf1: broadcast 9.1 s,
+    // sort-merge 2.5 s, shuffle_hash 1.9 s for the identical 28.7M-pair
+    // output). The hint matters MORE at corpus scale, where the index
+    // side outgrows broadcast anyway and the planner would fall back to
+    // sort-merge's group-buffering emission. Salt-replication (the E10b
+    // skew pattern) was measured too and REJECTED here: SHJ emission is
+    // cheap enough (~70 ns/pair) that the 16× replicate overhead costs
+    // more than the fattest bucket's skew saves (2.7 s vs 1.9 s) —
+    // revisit only if single-bucket occupancy ever reaches ~10⁸ pairs.
     val a = bands.select(col("band_idx"), col("band_bits"),
       col("doc_id").as("doc_a"), col("fp").as("fp_a"))
     val b = bands.select(col("band_idx"), col("band_bits"),
       col("doc_id").as("doc_b"), col("fp").as("fp_b"))
-    a.join(b, Seq("band_idx", "band_bits"))
+    a.hint("shuffle_hash").join(b, Seq("band_idx", "band_bits"))
       .filter(col("doc_a") < col("doc_b"))
       // hamming over packed longs (one POPCNT, not a 48-element fold),
       // filtered INSIDE the join's codegen pipeline, BEFORE the pair
