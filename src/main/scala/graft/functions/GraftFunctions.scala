@@ -274,12 +274,29 @@ class TopKSimAgg(k: Int)
       if (c != 0) c else java.lang.Long.compare(a._2, b._2)
     }
   }
-  override def zero: Seq[(Double, Long)] = Seq.empty
+  // The buffer is an ALWAYS-SORTED Vector maintained by binary
+  // insertion: O(1) reject once saturated, O(log k) search + O(k) copy
+  // per accepted row. The first cut re-sorted the whole buffer on
+  // every accepted insert — invisible at k=3 (LSH/IVF ranking) but
+  // catastrophic at k=rerank (the PQ ADC shortlist runs k=1000 at the
+  // 1M proof: ~k·log k work × k pre-saturation inserts × every
+  // (query × partition) pair measured the shortlist 7× slower than
+  // the rank window it replaced; binary insertion restores the win).
+  override def zero: Seq[(Double, Long)] = Vector.empty
   override def reduce(b: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
     if (b.length == k && ord.gteq(x, b.last)) b
-    else ((b :+ x).sorted(ord)).take(k)
+    else {
+      var lo = 0
+      var hi = b.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ord.lt(x, b(mid))) hi = mid else lo = mid + 1
+      }
+      val grown = (b.take(lo) :+ x) ++ b.drop(lo)
+      if (grown.length > k) grown.dropRight(1) else grown
+    }
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    (a ++ b).sorted(ord).take(k)
+    (a ++ b).sorted(ord).take(k).toVector
   override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b.sorted(ord)
   override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()

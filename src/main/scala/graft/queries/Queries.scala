@@ -84,6 +84,18 @@ object Queries {
     // oracle parity requires UTC regardless of how the caller built the
     // session (NTZ→LTZ casts and epoch renders are TZ-sensitive)
     s.conf.set("spark.sql.session.timeZone", "UTC")
+    // session contract #3 (r10): typed-aggregate buffers stay HASHED up
+    // to 64Ki grouping keys per task. Spark's ObjectHashAggregate falls
+    // back to SORT-BASED aggregation after 128 distinct keys — which
+    // re-sorts every remaining input row by key, exactly the full-
+    // candidate-set sort the bounded top-k aggregate (TopKSimAgg)
+    // exists to avoid: at the 1M-vector ANN proof (10,000 query keys,
+    // ~80M candidate pairs) the fallback measured the LSH path ~4×
+    // slower than the rank window it replaced. Safe to raise here
+    // because every typed aggregate this engine registers carries a
+    // BOUNDED buffer (top-k: ≤ k pairs/key; GeoMean: 2 scalars) — 64Ki
+    // keys × the largest k is megabytes per task, not a spill risk.
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
     // every query builder funnels through here: make the native kernel
     // functions (vec_dot, word_shingles, ...) resolvable everywhere
     graft.functions.GraftFunctions.register(s)

@@ -1193,25 +1193,27 @@ object QueriesLLM {
     // refine: float embeddings are touched for only `rerank`
     // candidates per query, preserving the memory story, and the
     // final ranking is exact.
-    // the shortlist cutoff is the bounded top-k aggregate at k=rerank
-    // (r10): the rank window sorted the full probed-cell candidate set
-    // through one exchange — the exact shape r9 measured as IVF's
-    // dominant 1M cost — while the aggregate's partial state is ≤
-    // rerank pairs per query per partition and the shuffle carries
-    // rerank rows per query. Comparator == the window's (score DESC,
-    // cand_id ASC), so the shortlist set is identical and the generated
-    // oracle's srnk <= rerank clause keeps checking it.
+    // the shortlist cutoff is a rank WINDOW — deliberately, and re-
+    // instated after measurement (r10). The bounded top-k aggregate is
+    // the right engine at k=3 (final rankings: partial state is 3
+    // pairs/key, reject is O(1)), but at k=rerank (1000 at the 1M
+    // proof) its hash-agg state is 10K keys × 1000 boxed pairs per
+    // task — GC-hostile enough that the aggregate measured 29-36 s
+    // against the window's 11.3 s on the identical shortlist (the
+    // window's UnsafeExternalSorter ranks off-heap rows cache-
+    // friendly; LargeAnnBench r10a/b/c). Large-k per-key selection IS
+    // a sort — keep the sort engine that's built for it.
+    val sw = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id"))
     val shortlist = probes.join(codes, "cell")
       .filter(col("query_id") =!= col("cand_id"))
       .join(broadcast(lutArr), Seq("query_id"))
       .withColumn("score",
         graft.functions.GraftFunctions.adcScore(col("codes"), col("lut")) /
           sqrt(col("approx_norm2").cast("double")))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.GraftFunctions.topKSim(rerank)(
-        col("score"), col("cand_id")).as("top"))
-      .select(col("query_id"), explode(col("top")).as("p"))
-      .select(col("query_id"), col("p._2").as("cand_id"))
+      .withColumn("srnk", row_number().over(sw))
+      .filter(col("srnk") <= rerank)
+      .select(col("query_id"), col("cand_id"))
     // exact refine in the same quantized-integer cosine as x_ann_ivf —
     // float embeddings are touched for only `rerank` rows per query;
     // final top-3 via the same bounded aggregate (ordering == window's)

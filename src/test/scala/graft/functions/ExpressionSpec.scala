@@ -430,4 +430,30 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top == Seq((7L, 3L), (6L, 4L), (5L, 2L)),
       s"Long.MinValue must not enter the top-3: $top")
   }
+
+  test("TopKSimAgg binary-insert buffer == full-sort reference across k and merge shapes") {
+    // r10 replaced the re-sort-per-insert buffer with binary insertion
+    // into an always-sorted Vector (the re-sort was invisible at k=3
+    // but 7× at the PQ shortlist's k=1000); this pins the new reduce /
+    // merge / finish against the plain sorted-take reference over
+    // random streams with ties, duplicates, and uneven partition splits
+    val rnd = new scala.util.Random(7)
+    val ref = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    for (k <- Seq(1, 2, 3, 17, 100); trial <- 1 to 3) {
+      val n = 400 + trial * 37
+      // coarse sims force ties; small id range forces duplicate pairs
+      val rows = Seq.fill(n)((rnd.nextInt(40) / 8.0, (rnd.nextInt(200) + 1).toLong))
+      val agg = new TopKSimAgg(k)
+      val parts = rows.grouped(29 + trial).toSeq
+        .map(p => p.foldLeft(agg.zero)(agg.reduce))
+      val merged = parts.reduce(agg.merge)
+      assert(agg.finish(merged) == rows.sorted(ref).take(k),
+        s"k=$k trial=$trial")
+    }
+  }
 }

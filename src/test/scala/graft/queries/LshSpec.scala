@@ -362,27 +362,37 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
       "repeat annLshPersisted call rewrote the index instead of hitting the memo")
   }
 
-  test("ANN paths carry no rank window (bounded top-k everywhere)") {
+  test("ANN paths: bounded top-k for k=3 rankings, exactly one window for the PQ shortlist") {
     // r9 measured the `row_number() OVER (ORDER BY sim DESC, ...)`
-    // window as IVF's dominant 1M-scale cost (the full candidate-pair
-    // set sorted through one exchange for a 3-row answer) and replaced
-    // it with the bounded TopKSimAgg; r10 finished the rollout (LSH,
-    // SQ8, the PQ ADC shortlist + refine) and made probe selection
-    // row-local (array_sort over the per-query distance array). This
-    // pin keeps every ANN executed plan window-free so the known-worse
-    // idiom cannot creep back.
-    val anns: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+    // window as IVF's dominant 1M-scale cost at k=3 (the full
+    // candidate-pair set sorted through one exchange for a 3-row
+    // answer) and replaced it with the bounded TopKSimAgg; r10
+    // finished the rollout (LSH, SQ8, the PQ exact refine) and made
+    // probe selection row-local. The ONE deliberate exception, fixed
+    // by measurement in the same round: the PQ ADC shortlist at
+    // k=rerank (1000 at the 1M proof), where the aggregate's hash
+    // state is 10K keys × 1000 boxed pairs per task and measured
+    // 29-36 s against the window's 11.3 s — large-k per-key selection
+    // belongs to the window's off-heap sorter. This pin freezes both
+    // directions: no window creeps back into a k=3 path, and the PQ
+    // plan carries exactly the one shortlist window.
+    val k3 : Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
       "x_ann_lsh" -> QueriesLLM.annLsh(spark, dir),
       "x_ann_quantized" -> QueriesLLM.annQuantized(spark, dir),
-      "x_ann_ivf" -> QueriesLLM.annIvf(spark, dir),
-      "x_ann_pq" -> QueriesLLM.annIvfPq(spark, dir))
-    anns.foreach { case (name, df) =>
+      "x_ann_ivf" -> QueriesLLM.annIvf(spark, dir))
+    k3.foreach { case (name, df) =>
       df.write.format("noop").mode("overwrite").save() // finalize AQE
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Window"),
         s"$name regressed to a rank window:\n" +
           plan.linesIterator.filter(_.contains("Window")).take(3).mkString("\n"))
     }
+    val pq = QueriesLLM.annIvfPq(spark, dir)
+    pq.write.format("noop").mode("overwrite").save()
+    val pqPlan = pq.queryExecution.executedPlan.toString
+    val nWindows = pqPlan.linesIterator.count(_.trim.startsWith("Window"))
+    assert(nWindows == 1,
+      s"x_ann_pq must carry exactly the one ADC-shortlist window, found $nWindows")
   }
 
   test("simhash near-dup property: identical docs get identical signatures") {
