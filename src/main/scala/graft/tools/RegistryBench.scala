@@ -30,8 +30,13 @@ import org.apache.spark.sql.SparkSession
   */
 object RegistryBench {
 
-  /** First-run wall above which repeats are skipped (seconds). */
-  val RepeatCutoff = 60.0
+  /** First-run wall above which repeats are skipped (seconds). 150 s
+    * (was 60 in r10's first cut): the sf1 multimodal family sits at
+    * ~100-120 s single-run — exactly the 12-14× ratchet boundary where
+    * single-run weather decides pass/fail — so those six entries must
+    * get minima too; the declared quadratics (250-300 s) stay skipped.
+    */
+  val RepeatCutoff = 150.0
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
