@@ -390,7 +390,9 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pq = QueriesLLM.annIvfPq(spark, dir)
     pq.write.format("noop").mode("overwrite").save()
     val pqPlan = pq.queryExecution.executedPlan.toString
-    val nWindows = pqPlan.linesIterator.count(_.trim.startsWith("Window"))
+    // plan tree lines render as "+- Window [...]" / ":- Window [...]" —
+    // match the operator token, not a line prefix
+    val nWindows = pqPlan.linesIterator.count(_.contains("Window ["))
     assert(nWindows == 1,
       s"x_ann_pq must carry exactly the one ADC-shortlist window, found $nWindows")
   }
