@@ -95,6 +95,13 @@ object Queries {
     // because every typed aggregate this engine registers carries a
     // BOUNDED buffer (top-k: ≤ k pairs/key; GeoMean: 2 scalars) — 64Ki
     // keys × the largest k is megabytes per task, not a spill risk.
+    // CAVEAT: the conf is session-wide, so it also delays the fallback
+    // for Spark's BUILT-IN TypedImperativeAggregates with unbounded
+    // buffers — the collect_list sites in QueriesRel (ordered string
+    // agg) / QueriesScalar / QueriesLLM. Those groups are bounded by
+    // construction today (per-key lists of a handful of rows); any
+    // future entry that collect_lists fat groups must re-evaluate this
+    // ceiling or set the conf locally around the offending query.
     s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
     // every query builder funnels through here: make the native kernel
     // functions (vec_dot, word_shingles, ...) resolvable everywhere
@@ -362,6 +369,10 @@ object Queries {
     "x_bpe_train" -> ((s: SparkSession, dir: String) => QueriesLLM.bpeTrain(s, dir)),
     "x_bpe_apply" -> (QueriesLLM.bpeApply _),
     "x_embed_dedup" -> (QueriesLLM.embedDedup _),
+    // the LSH-candidate twin (r11): full corpus, X3 bucket candidates,
+    // exact cosine verify — the scale path SURVEY X5 promises
+    "x_embed_dedup_lsh" -> ((s: SparkSession, dir: String) =>
+      QueriesLLM.embedDedupLsh(s, dir)),
     "x_lang_id" -> (QueriesLLM.langIdQuery _),
     "x_quality" -> (QueriesLLM.qualityQuery _),
     "x_token_count" -> (QueriesLLM.tokenCount _),
@@ -387,6 +398,13 @@ object Queries {
     "x_multimodal_frame_index" -> (QueriesLLM.multimodalFrameIndex _),
     "x_multimodal_features" -> ((s: SparkSession, dir: String) =>
       graft.multimodal.Multimodal.extractFeatures(s,
+        graft.multimodal.Multimodal.mediaFromDocuments(s, dir)).orderBy("media_id")),
+    // header-only geometry (r11): the closed-form typed-metadata subset
+    // — fully DuckDB-oracled against the generator rules, proving the
+    // engine's real container walks recover exactly what was encoded;
+    // pixel statistics stay in the rows-only entries above/below
+    "x_multimodal_features_geom" -> ((s: SparkSession, dir: String) =>
+      graft.multimodal.Multimodal.headerFeatures(s,
         graft.multimodal.Multimodal.mediaFromDocuments(s, dir)).orderBy("media_id")),
     // keyframe PIXEL decode (H264Codec, r7): rows-only — container
     // synthesis, avcC walking, and H.264 entropy decode are not SQL;
@@ -455,7 +473,17 @@ object Queries {
     * replicate the Spark pipeline clause for clause (the scoring
     * idiom is `x_cosine_topk`'s, already hash-proven).
     */
-  private def annLshOracleSql(tables: Int, bpt: Int): String = {
+  /** The sign-LSH bucket map as DuckDB CTEs — `vq` (micro-quantized +
+    * double views of every embedding), `bits` (the t·b hyperplane sign
+    * bits, each plane a literal 64-element vector from the engine's own
+    * deterministic [[graft.functions.LshSignBits.weights]]), `bkt` (the
+    * per-table numeric buckets). Shared by every consumer of the X3
+    * bucket structure: the ANN search oracles ([[annLshOracleSql]]) and
+    * the LSH-candidate dedup twin (`x_embed_dedup_lsh`, r11) — one
+    * bucket map in SQL, exactly as one [[graft.queries.QueriesLLM
+    * .lshCandIndex]] serves both on the Spark side.
+    */
+  private def lshBucketCtes(tables: Int, bpt: Int): String = {
     val nBits = tables * bpt
     val w = graft.functions.LshSignBits.weights(nBits)
     def planeList(p: Int): String =
@@ -469,18 +497,22 @@ object Queries {
         (acc, j) => s"($acc * 2 + b[${tb * bpt + j}])"
       }
     val bucketExprs = (0 until tables).map(bucketExpr).mkString(",\n    ")
-    val probeExprs = (0 until tables).flatMap { tb =>
-      val base = s"bk[${tb + 1}]"
-      base +: (0 until bpt).map(i => s"xor($base, ${1L << i})")
-    }.mkString(",\n    ")
-    s"""WITH vq AS (SELECT vec_id,
+    s"""vq AS (SELECT vec_id,
        |    list_transform(embedding, x -> LEAST(GREATEST(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT), -100000000), 100000000)) AS q,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |bits AS (SELECT vec_id, v, [
        |    $bitExprs] AS b FROM vq),
        |bkt AS (SELECT vec_id, v, [
-       |    $bucketExprs] AS bk FROM bits),
+       |    $bucketExprs] AS bk FROM bits)""".stripMargin
+  }
+
+  private def annLshOracleSql(tables: Int, bpt: Int): String = {
+    val probeExprs = (0 until tables).flatMap { tb =>
+      val base = s"bk[${tb + 1}]"
+      base +: (0 until bpt).map(i => s"xor($base, ${1L << i})")
+    }.mkString(",\n    ")
+    s"""WITH ${lshBucketCtes(tables, bpt)},
        |cand AS (SELECT vec_id AS cand_id, v AS cv, unnest(bk) AS bucket FROM bkt),
        |qp AS (SELECT vec_id AS query_id, v AS qv, unnest([
        |    $probeExprs]) AS bucket FROM bkt WHERE vec_id % 100 = 0),
@@ -496,6 +528,27 @@ object Queries {
        |SELECT query_id, cand_id, rnk, floor(sim * 10000 + 0.5) / 10000.0 AS cos_sim
        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
   }
+
+  /** The `x_embed_dedup_lsh` oracle (r11): the same sign-LSH bucket map
+    * as the ANN oracles ([[lshBucketCtes]]), then the co-bucket
+    * self-join, the exact cosine verify at τ=0.3, the per-pair dedup
+    * (a pair met in several tables counts once), and `x_embed_dedup`'s
+    * keep-first aggregation — the SQL statement of the twin's declared
+    * contract: the exact entry's answer restricted to co-bucket pairs.
+    */
+  private def embedDedupLshOracleSql(tables: Int, bpt: Int): String =
+    s"""WITH ${lshBucketCtes(tables, bpt)},
+       |cand AS (SELECT vec_id, v, unnest(bk) AS bucket FROM bkt),
+       |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+       |    (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+       |     sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS c
+       |  FROM cand a JOIN cand b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |ded AS (SELECT vec_a, vec_b, max(c) AS c FROM p WHERE c >= 0.3 GROUP BY 1, 2)
+       |SELECT vec_b AS dup_id, min(vec_a) AS canonical_id,
+       |  max(floor(c * 10000 + 0.5) / 10000.0) AS max_sim,
+       |  count(*) AS n_near
+       |FROM ded GROUP BY vec_b ORDER BY dup_id""".stripMargin
 
   /** DuckDB CTE chain replicating BPE training exactly: the word-freq
     * table, then `nMerges` unrolled rounds of (pair count → argmax with
@@ -1760,6 +1813,9 @@ object Queries {
     // the persisted round-trip (build → write → load → search) must be
     // invisible in the answer: same oracle, checked independently (r10)
     "x_ann_lsh_persisted" -> annLshOracleSql(4, 6),
+    // the X5 scale twin (r11): same bucket map as the ANN oracles,
+    // co-bucket candidates, exact verify, x_embed_dedup's aggregation
+    "x_embed_dedup_lsh" -> embedDedupLshOracleSql(4, 6),
     "x_embed_dedup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings WHERE vec_id % 5 = 0),
@@ -2233,6 +2289,41 @@ object Queries {
         |  pts.first_pts_ms, pts.last_pts_ms, pts.pts_ne_dts
         |FROM documents d LEFT JOIN pts ON d.doc_id = pts.doc_id
         |WHERE d.doc_id % 20 = 0 ORDER BY d.doc_id""".stripMargin,
+    // Header-geometry oracle (r11): every column is a stated generator
+    // rule (Multimodal.geom / videoFrameSizes / the imageBytes container
+    // schedule), recomputed closed-form — the engine side parses the
+    // REAL containers (IHDR/SOFn/GIF blocks/DIB/fmt+fact+data/
+    // mvhd+tkhd+stss), so any header-walk defect is a hash mismatch.
+    // Container schedule: odd image ids JPEG; even: %12=6 png
+    // (interlaced), %24=12 gif (%48=36 animated: 3 frames x 100 ms),
+    // %96 in (0,48) bmp, else png. Audio (k=1) is wav with the geom
+    // duration/channels and no dims; video (k=2) is mp4 with geom dims,
+    // (4+id%5)*500 ms mvhd duration, stss sync count 1+(n-1)//3.
+    "x_multimodal_features_geom" ->
+      """WITH g AS (SELECT doc_id AS media_id, doc_id % 3 AS k,
+        |    32 + (doc_id % 8) * 16 AS w,
+        |    24 + ((doc_id // 8) % 8) * 12 AS h,
+        |    100 + (doc_id % 50) * 10 AS adur,
+        |    1 + doc_id % 2 AS ach,
+        |    4 + doc_id % 5 AS nv
+        |  FROM documents)
+        |SELECT media_id,
+        |  CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CASE WHEN k = 1 THEN 'wav' WHEN k = 2 THEN 'mp4'
+        |       WHEN media_id % 2 = 1 THEN 'jpeg'
+        |       WHEN media_id % 12 = 6 THEN 'png'
+        |       WHEN media_id % 24 = 12 THEN 'gif'
+        |       WHEN media_id % 96 IN (0, 48) THEN 'bmp'
+        |       ELSE 'png' END AS container,
+        |  true AS decode_ok,
+        |  CAST(CASE WHEN k = 1 THEN 0 ELSE w END AS INTEGER) AS width,
+        |  CAST(CASE WHEN k = 1 THEN 0 ELSE h END AS INTEGER) AS height,
+        |  CAST(CASE WHEN k = 1 THEN adur WHEN k = 2 THEN nv * 500
+        |       WHEN k = 0 AND media_id % 48 = 36 THEN 300 ELSE 0 END AS BIGINT) AS duration_ms,
+        |  CAST(CASE k WHEN 0 THEN 3 WHEN 1 THEN ach ELSE 0 END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN k = 2 THEN 1 + (nv - 1) // 3
+        |       WHEN k = 0 AND media_id % 48 = 36 THEN 3 ELSE 1 END AS INTEGER) AS n_frames_sampled
+        |FROM g ORDER BY media_id""".stripMargin,
     // Frame-index projection of the sample walk (r10): WHICH frames the
     // engine samples (MP4 sync samples / GIF frame walks / dead-letter
     // rows) and their stts+ctts presentation times, recomputed from the

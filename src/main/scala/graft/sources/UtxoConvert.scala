@@ -30,12 +30,60 @@ import org.apache.spark.sql.functions._
   */
 object UtxoConvert {
 
-  /** Auto-sized clustered converts target this many rows per reduce
-    * bucket (see the sizing comment in [[convert]]): ~2M ≈ 200 MB of
-    * rows per in-memory sort — inside a fair executor-memory share at
-    * 32 concurrent tasks, and still ~30 row groups per output file.
+  /** Ceiling on rows per reduce bucket for auto-sized clustered
+    * converts: ~2M rows ≈ 30 row groups per output file — past this,
+    * bigger buckets only grow files, they don't cut shuffle or task
+    * count meaningfully. The FLOOR each run actually uses comes from
+    * [[clusterRowsPerBucket]], which sizes against the heap that is
+    * really configured instead of assuming one.
     */
-  val ClusterRowsPerBucket = 2000000L
+  val MaxClusterRowsPerBucket = 2000000L
+
+  /** Estimated per-row footprint inside the reduce-side sort (bytes).
+    * Measured, not guessed: the 177.5M profile's shuffle carries
+    * ~107 B/row serialized, and the first heap-aware profile (r11,
+    * 606K-row buckets sized at a 128 B estimate = exactly the
+    * fair-share floor) still spilled ~8 MB/task — placing the REAL
+    * in-sorter footprint (UnsafeRow padding + the sorter's 16 B
+    * pointer+prefix entry per record) at ~135 B/row. 192 B budgets
+    * that plus ~40% headroom for page-allocation granularity, so the
+    * sized sort sits clearly inside its guaranteed share instead of
+    * exactly on the boundary.
+    */
+  val SorterBytesPerRow = 192L
+
+  /** Heap-aware rows-per-bucket for auto-sized clustered converts
+    * (r11 — the r10 verdict's `weak`): each clustered bucket is one
+    * in-memory sort + parquet write, so zero-spill requires
+    * rows·[[SorterBytesPerRow]] to fit the EXECUTION-MEMORY share one
+    * task is guaranteed. A fixed 2M-row bucket was right at a 64 GB
+    * heap and silently spilled 22 GB at the default 8 GB one — the
+    * sizing must read the memory model, not assume it:
+    *
+    *  - pool = (maxHeap − 300 MB reserved) × `spark.memory.fraction`
+    *    (Spark's unified-memory pool, execution may borrow all of it);
+    *  - guaranteed floor per task = pool / (2 × concurrent tasks) —
+    *    the TaskMemoryManager's fair-share lower bound when every slot
+    *    is occupied (1/N upper, 1/2N guaranteed);
+    *  - rows = floor / [[SorterBytesPerRow]], clamped to
+    *    [256Ki, [[MaxClusterRowsPerBucket]]].
+    *
+    * At 8 GB/32 cores this yields ~560K rows (~70 MB sorts, ~310
+    * buckets at 177.5M coins); at 64 GB it hits the 2M ceiling —
+    * identical to the r10 behavior that measured zero spill there. On
+    * a real cluster the same arithmetic holds per executor
+    * (executor-memory × fraction / (2 × executor-cores)).
+    */
+  def clusterRowsPerBucket(spark: SparkSession): Long = {
+    val fraction = spark.conf.getOption("spark.memory.fraction")
+      .map(_.toDouble).getOrElse(0.6)
+    val pool = ((Runtime.getRuntime.maxMemory - 300L * 1024 * 1024)
+      .max(0L) * fraction).toLong
+    val concurrent = math.max(1, spark.sparkContext.defaultParallelism)
+    val perSorterFloor = pool / (2L * concurrent)
+    math.max(256L * 1024,
+      math.min(MaxClusterRowsPerBucket, perSorterFloor / SorterBytesPerRow))
+  }
 
   def load(spark: SparkSession, input: String): DataFrame =
     spark.read.format("utxo").load(input)
@@ -137,20 +185,22 @@ object UtxoConvert {
     }
     val totalCoins = headers.map(_.numUtxos).sum
     val n = if (partitions > 0) partitions
-      else if (rangePartition)
-        // reduce-side sizing by ROWS, not cores (r10, verdict item 8):
-        // each clustered bucket is one in-memory sort + parquet write,
-        // and core-count buckets put ~5.5M rows (~590 MB) in each
-        // sorter at 177.5M coins — the r9 profile measured 23.4 GB of
-        // memory spill + 17.0 GB of disk spill against an 18.8 GB
-        // shuffle. ~2M rows per bucket keeps the sort inside executor
-        // memory (spill ≈ 0), files stay row-group-sized multiples,
-        // and per-file script ranges remain disjoint at any n; the cap
-        // bounds the driver's sampled-bounds array on snapshots far
-        // beyond the bench scale (explicit `partitions` overrides).
+      else if (rangePartition) {
+        // reduce-side sizing by ROWS against the REAL heap (r10 item 8,
+        // re-sized heap-aware in r11): each clustered bucket is one
+        // in-memory sort + parquet write, and core-count buckets put
+        // ~5.5M rows (~590 MB) in each sorter at 177.5M coins — the r9
+        // profile measured 23.4 GB of memory spill + 17.0 GB of disk
+        // spill against an 18.8 GB shuffle. Bucket rows come from
+        // clusterRowsPerBucket's execution-memory arithmetic so the
+        // zero-spill property holds at ANY configured heap, not just
+        // the one the constant was tuned on; the 4096 cap bounds the
+        // driver's sampled-bounds array on snapshots far beyond the
+        // bench scale (explicit `partitions` overrides).
+        val rowsPerBucket = clusterRowsPerBucket(spark)
         math.min(4096L, math.max(spark.sparkContext.defaultParallelism.toLong,
-          (totalCoins + ClusterRowsPerBucket - 1) / ClusterRowsPerBucket)).toInt
-      else spark.sparkContext.defaultParallelism
+          (totalCoins + rowsPerBucket - 1) / rowsPerBucket)).toInt
+      } else spark.sparkContext.defaultParallelism
     // split sizing: the source's 64Ki-coin default (~4 MB files) is right
     // for small snapshots but would emit millions of tiny files at 177M+
     // coins; cap total splits at 8× parallelism so file sizes grow with

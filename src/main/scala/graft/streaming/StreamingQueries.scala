@@ -403,12 +403,18 @@ object StreamingQueries {
     * output equal the batch arrival-order contract
     * ([[graft.queries.QueriesLLM.arrivalDedupSimhash]]): a doc is a
     * duplicate iff ANY earlier doc matches, kept or not. Rows within a
-    * micro-batch are processed in doc_id (= arrival) order, and the
-    * `id < docId` guard keeps a late-arriving doc from matching
-    * later-id docs, so verdicts are arrival-order-stable even when the
-    * source delivers files out of order. State partitions by band
-    * bucket (4×32,768 buckets) — horizontal scale-out, and per-bucket
-    * lists stay at occupancy n/32768.
+    * micro-batch are processed in doc_id (= arrival) order (the sortBy
+    * below), and the `id < docId` guard suppresses spurious matches
+    * against later-id rows that happen to sit in the same batch —
+    * but equality with the batch contract REQUIRES in-order delivery
+    * ACROSS micro-batches: if a lower-id doc arrives in a LATER batch
+    * than a higher-id doc, the higher-id doc's check ran before the
+    * lower one was inserted and that match is silently missed. The
+    * cross-batch ordering must come from the ingest side — the S15
+    * FileIngestOrder guard pins file mtimes to id order for exactly
+    * this reason (and the spec pins mtimes before asserting equality).
+    * State partitions by band bucket (4×32,768 buckets) — horizontal
+    * scale-out, and per-bucket lists stay at occupancy n/32768.
     */
   class BandDedupProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[

@@ -146,9 +146,18 @@ object ConvertStageProfile {
       wall
     }
     org.apache.commons.io.FileUtils.deleteQuietly(scratch)
+    // the r10 verdict's reproducibility lesson: a profile whose numbers
+    // depend on the heap MUST carry the heap — record the JVM's real
+    // maxMemory, the env override (or its absence), the core count, and
+    // the bucket sizing the convert derived from them
     println(f"""{"metric":"clustered_convert_profile_summary","coins":$nCoins,"runs":$runs,""" +
       s""""walls_sec":${walls.map(w => f"$w%.3f").mkString("[", ",", "]")},""" +
-      f""""best_sec":${walls.min}%.3f,"peak_rss_bytes":${LargeConvertBench.peakRssBytes()}}""")
+      f""""best_sec":${walls.min}%.3f,""" +
+      s""""heap_max_bytes":${Runtime.getRuntime.maxMemory},""" +
+      s""""driver_mem_env":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "(default 8g)")}",""" +
+      s""""cpus":$cpus,""" +
+      s""""rows_per_bucket":${graft.sources.UtxoConvert.clusterRowsPerBucket(spark)},""" +
+      s""""peak_rss_bytes":${LargeConvertBench.peakRssBytes()}}""")
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/dev/shm/graft_profile_spill"))
   }

@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Streaming scale proof — the one surface (S1-S14) that had no
   * LargeBench. Drives the four stateful shapes that dominate streaming
@@ -28,9 +29,14 @@ import org.apache.spark.sql.streaming.OutputMode
   * recovery must produce the identical result set, and the
   * restart-to-completion time is the published recovery cost.
   *
+  * Plus (r11) the S16 accreting-index simhash near-dup dedup at ~1M
+  * docs / 8 micro-batches: per-batch wall curve, state rows/bytes, and
+  * verdict equality against the batch `s_dedup_simhash` contract on
+  * the identical corpus.
+  *
   * Not part of the per-round bench (minutes-scale proof):
   *
-  * {{{ sbt "runMain graft.tools.LargeStreamBench [nEvents] [nFiles]" }}}
+  * {{{ sbt "runMain graft.tools.LargeStreamBench [nEvents] [nFiles] [nDocs]" }}}
   */
 object LargeStreamBench {
 
@@ -83,6 +89,35 @@ object LargeStreamBench {
     val f = new java.io.File(p)
     if (!f.exists()) -1L
     else org.apache.commons.io.FileUtils.sizeOfDirectory(f)
+  }
+
+  /** Deterministic synthetic document corpus for the S16 proof — same
+    * no-rng/no-clock discipline as [[generate]]: 32-token docs whose
+    * tokens derive from `doc_id` by fixed integer arithmetic. Duplicate
+    * structure: every doc with `id % 64 == 63` is an EXACT copy of its
+    * predecessor (identical text → simhash hamming 0 → guaranteed
+    * drop), every `id % 64 == 31` a NEAR copy (31/32 shared tokens —
+    * lands near the hamming ≤ 6 verdict boundary, so both verdict
+    * branches get real traffic). ~1.6% of the corpus duplicates, the
+    * shape of a lightly-contaminated crawl slice. Files are written in
+    * id order and mtime-pinned (S15) because the batch-equality
+    * contract REQUIRES in-order cross-batch delivery — see
+    * [[graft.streaming.StreamingQueries.BandDedupProcessor]].
+    */
+  def generateDocs(spark: SparkSession, dir: String, n: Long, nFiles: Int): Unit = {
+    val slot = pmod(col("id"), lit(64))
+    val base = when(slot === 63 || slot === 31, col("id") - 1).otherwise(col("id"))
+    val tailId = when(slot === 63, col("id") - 1).otherwise(col("id"))
+    spark.range(0, n, 1, nFiles)
+      .select(col("id").as("doc_id"),
+        array_join(concat(
+          transform(sequence(lit(0), lit(30)), i =>
+            concat(lit("w"), pmod(base * 2654435761L + i * 40503L, lit(10007L)))),
+          array(concat(lit("t"), pmod(tailId * 48271L, lit(9973L))))), " ")
+          .as("text"))
+      .write.mode("overwrite").parquet(dir)
+    graft.streaming.FileIngestOrder.pinMtimesToPathOrder(
+      new org.apache.hadoop.conf.Configuration(), dir)
   }
 
   def main(args: Array[String]): Unit = {
@@ -237,6 +272,75 @@ object LargeStreamBench {
     results += "stateful_totals" -> perf(n, s10Sec, s10Rows, stateRows(ckpt10), dirBytes(ckpt10))
     System.err.println(s"[lsb] stateful_totals: ${results("stateful_totals")}")
 
+    // ---- S16 accreting-index simhash near-dup dedup (r11 — the r10
+    // verdict's only new-operator-without-scale-proof item): ~1M docs
+    // over ≥8 micro-batches through the transformWithState band index.
+    // Reported: total wall + docs/s, per-batch wall curve (the curve is
+    // the claim — per-bucket ListState occupancy grows n/32,768 and
+    // every arrival scans its 4 buckets, so a saturating index would
+    // show accelerating batch walls exactly like batch SimHash's r9
+    // banding did), state rows + checkpoint bytes, and VERDICT
+    // EQUALITY against the batch arrival-order contract
+    // (`s_dedup_simhash` = QueriesLLM.arrivalDedupSimhash) on the
+    // identical corpus — the spec's 3-batch witness, at 1M scale.
+    val nDocs = args.drop(2).headOption.map(_.toLong).getOrElse(1000000L)
+    val docFiles = 16
+    val corpus = new java.io.File(scratch, "corpus").getAbsolutePath
+    generateDocs(spark, s"$corpus/documents.parquet", nDocs, docFiles)
+    System.err.println(s"[lsb] generated $nDocs docs in $docFiles files")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val ckpt16 = new java.io.File(scratch, "ck_simdedup").getAbsolutePath
+    val out16 = new java.io.File(scratch, "simdedup_out").getAbsolutePath
+    val batchWalls = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val (s16Sec, s16Rows) = time {
+      val docsStream = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", docFiles / 8)
+        .parquet(s"$corpus/documents.parquet")
+      val acc = spark.sparkContext.longAccumulator("dedup_out_rows")
+      val q = graft.streaming.StreamingQueries
+        .simhashBandVerdicts(spark, docsStream)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt16)
+        // per-batch rollup is exact: all 4 band rows of a doc are
+        // emitted in the doc's own micro-batch (the registry entry's
+        // StreamingSpec contract)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val v = graft.streaming.StreamingQueries.arrivalVerdictRollup(b)
+            .cache()
+          acc.add(v.count())
+          v.write.mode("append").parquet(out16)
+          v.unpersist()
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally {
+        q.recentProgress.filter(_.numInputRows > 0)
+          .foreach(p => batchWalls += p.batchDuration)
+        q.stop()
+      }
+      acc.value
+    }
+    // batch-equality at scale: the SAME corpus through the batch
+    // arrival-order entry must yield the identical verdict set
+    val (s16BatchSec, want) = time {
+      graft.queries.QueriesLLM.arrivalDedupSimhash(spark, corpus)
+        .localCheckpoint()
+    }
+    val got = spark.read.parquet(out16)
+    val wantN = want.count()
+    val equal = s16Rows == wantN &&
+      got.except(want).isEmpty && want.except(got).isEmpty
+    results += "simhash_dedup" ->
+      (perf(nDocs, s16Sec, s16Rows, stateRows(ckpt16), dirBytes(ckpt16)).dropRight(1) +
+        s""","batch_walls_ms":${batchWalls.mkString("[", ",", "]")},""" +
+        s""""batch_form_sec":${f"$s16BatchSec%.1f"},"batch_equal":$equal}""")
+    System.err.println(s"[lsb] simhash_dedup: ${results("simhash_dedup")}")
+    require(equal, s"streaming simhash dedup diverged from batch contract " +
+      s"($s16Rows streamed vs $wantN batch verdict rows)")
+
     // ---- S8 upsert (4 batches: each merge rewrites the keyed target)
     val target = new java.io.File(scratch, "upsert_target").getAbsolutePath
     val ckpt8 = new java.io.File(scratch, "ck_upsert").getAbsolutePath
@@ -248,7 +352,7 @@ object LargeStreamBench {
     System.err.println(s"[lsb] upsert: ${results("upsert")}")
 
     println(
-      s"""{"metric":"large_stream","events":$n,"files":$nFiles,"users":$nUsers,""" +
+      s"""{"metric":"large_stream","events":$n,"files":$nFiles,"users":$nUsers,"docs":$nDocs,""" +
       results.map { case (k, v) => s""""$k":$v""" }.mkString(",") +
       s""","peak_rss_bytes":${LargeConvertBench.peakRssBytes()}}""")
     spark.stop()

@@ -179,6 +179,20 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(media.count() > 0)
   }
 
+  test("headerFeatures equals the extractFeatures geometry projection (r11)") {
+    // the oracled geometry entry must never drift from the full
+    // feature extractor's header columns: same header walk, same
+    // frame-count policy — pinned by exact row equality here
+    val media = Multimodal.mediaFromDocuments(spark, dir)
+    val cols = Seq("media_id", "kind", "container", "decode_ok", "width",
+      "height", "duration_ms", "channels", "n_frames_sampled")
+    val full = Multimodal.extractFeatures(spark, media)
+      .select(cols.head, cols.tail: _*).orderBy("media_id").collect().toSeq
+    val geom = Multimodal.headerFeatures(spark, media)
+      .select(cols.head, cols.tail: _*).orderBy("media_id").collect().toSeq
+    assert(geom == full)
+  }
+
   test("feature extraction decodes every real header; geometry matches the generator") {
     val media = Multimodal.mediaFromDocuments(spark, dir).repartition(4)
     val feats = Multimodal.extractFeatures(spark, media)
