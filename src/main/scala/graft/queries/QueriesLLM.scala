@@ -781,14 +781,14 @@ object QueriesLLM {
     * and the generated oracle SQL within one Verify run are guaranteed
     * to carry the SAME literals.
     */
-  private[queries] final case class QuantCents(
+  private[graft] final case class QuantCents(
       cents: IndexedSeq[IndexedSeq[Long]], cn2: IndexedSeq[Long])
 
   private val ivfModelCache =
     new scala.collection.mutable.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, Memo[QuantCents]]]
 
-  private[queries] def ivfModelFor(s: SparkSession, dir: String, k: Int): QuantCents = {
+  private[graft] def ivfModelFor(s: SparkSession, dir: String, k: Int): QuantCents = {
     val memo = ivfModelCache.synchronized {
       ivfModelCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
         .getOrElseUpdate(s"$dir|k=$k", new Memo(() => ivfModelBuild(s, dir, k)))
@@ -850,7 +850,7 @@ object QueriesLLM {
     * Candidate cell = argmin over the literal centroids; first-match on
     * ties = lowest cell, exactly list_position's contract in the oracle.
     */
-  private def ivfAssign(s: SparkSession, dir: String, mdl: QuantCents): DataFrame = {
+  private[graft] def ivfAssign(s: SparkSession, dir: String, mdl: QuantCents): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     t(s, dir, "embeddings")
       .select(col("vec_id"), quant6(col("embedding")).as("q"))
@@ -1022,7 +1022,7 @@ object QueriesLLM {
     * from the corpus-sized code table so oracle generation never pays
     * for (or pins) the full index.
     */
-  private[queries] final case class PqModel(
+  private[graft] final case class PqModel(
       coarse: QuantCents,
       books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]],
       bn2: IndexedSeq[IndexedSeq[Long]])
@@ -1082,7 +1082,7 @@ object QueriesLLM {
     * `x_ann_pq` call re-ran 9 KMeans fits + 8 full-corpus assignment
     * passes (68.6 s of the 68.6 s total at 1M vectors was build).
     */
-  private[queries] final case class PqIndex(
+  private[graft] final case class PqIndex(
       schema: org.apache.spark.sql.types.StructType,
       codesRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
       model: PqModel)
@@ -1095,7 +1095,7 @@ object QueriesLLM {
     * query-time parameters and do not key the index. Same weak-key /
     * value-holds-no-session rules as [[lshPairsCache]].
     */
-  private def pqIndexFor(s: SparkSession, dir: String, k: Int, m: Int): PqIndex = {
+  private[graft] def pqIndexFor(s: SparkSession, dir: String, k: Int, m: Int): PqIndex = {
     val memo = pqIndexCache.synchronized {
       pqIndexCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
         .getOrElseUpdate(s"$dir|k=$k|m=$m", new Memo(() => pqIndexBuild(s, dir, k, m)))
@@ -1156,7 +1156,25 @@ object QueriesLLM {
     * persisted path oracle-checkable against the same generated SQL.
     */
   private def pqSearch(s: SparkSession, dir: String, codes: DataFrame,
-      mdl: PqModel, nprobe: Int, m: Int, rerank: Int): DataFrame = {
+      mdl: PqModel, nprobe: Int, m: Int, rerank: Int): DataFrame =
+    pqStagePlans(s, dir, codes, mdl, nprobe, m, rerank).result
+
+  /** The PQ search's stage frames, individually runnable — the
+    * SimhashProbe discipline applied to the ADC pipeline (r11, verdict
+    * item 4): AnnProbe times the LUT aggregate, the shortlist
+    * join+window, and the full search separately, and A/B-tests the
+    * shortlist join's engine via `shortlistHint` (the r10 simhash
+    * lesson says Catalyst's broadcast pick can be the wrong engine for
+    * many-match probe joins — each code row here matches every probe
+    * of its cell). Production callers take `.result`; the stage frames
+    * exist so plan attribution is measurement, not narration.
+    */
+  private[graft] final case class PqStagePlans(
+      lutArr: DataFrame, shortlist: DataFrame, result: DataFrame)
+
+  private[graft] def pqStagePlans(s: SparkSession, dir: String, codes: DataFrame,
+      mdl: PqModel, nprobe: Int, m: Int, rerank: Int,
+      shortlistHint: Option[String] = None): PqStagePlans = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val subDim = 64 / m
@@ -1218,7 +1236,8 @@ object QueriesLLM {
     // a sort — keep the sort engine that's built for it.
     val sw = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id"))
-    val shortlist = probes.join(codes, "cell")
+    val probesSide = shortlistHint.fold(probes)(probes.hint(_))
+    val shortlist = probesSide.join(codes, "cell")
       .filter(col("query_id") =!= col("cand_id"))
       .join(broadcast(lutArr), Seq("query_id"))
       .withColumn("score",
@@ -1232,7 +1251,7 @@ object QueriesLLM {
     // final top-3 via the same bounded aggregate (ordering == window's)
     val full = e.select(col("vec_id"), quant6(col("embedding")).as("fq"))
       .withColumn("fn2", dotI64(col("fq"), col("fq")))
-    shortlist
+    val result = shortlist
       .join(full.select(col("vec_id").as("query_id"),
         col("fq").as("qv2"), col("fn2").as("qn")), Seq("query_id"))
       .join(full.select(col("vec_id").as("cand_id"),
@@ -1247,6 +1266,7 @@ object QueriesLLM {
         (col("pos") + 1).cast("int").as("rnk"),
         Queries.fround(col("col._1"), 4).as("cos_sim"))
       .orderBy(col("query_id"), col("rnk"))
+    PqStagePlans(lutArr, shortlist, result)
   }
 
   // ---- persisted PQ index (r8): the index is a TABLE ---------------

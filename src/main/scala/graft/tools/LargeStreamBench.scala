@@ -108,12 +108,21 @@ object LargeStreamBench {
     val slot = pmod(col("id"), lit(64))
     val base = when(slot === 63 || slot === 31, col("id") - 1).otherwise(col("id"))
     val tailId = when(slot === 63, col("id") - 1).otherwise(col("id"))
+    // tokens carry (base, position) VERBATIM — globally unique across
+    // originals, so unrelated docs share zero tokens and their 60-bit
+    // fingerprints are independent (banding candidates are the ~2^-15
+    // per-band coincidences, verified-drop ≈ planted dups only). The
+    // first cut of this generator derived tokens as an arithmetic
+    // sequence in a 10,007-element ring: only 10K distinct token SETS
+    // existed, 99% of 1M docs verified as near-dups of an earlier one,
+    // and the corpus measured the pathological-density worst case
+    // instead of a crawl slice.
     spark.range(0, n, 1, nFiles)
       .select(col("id").as("doc_id"),
         array_join(concat(
           transform(sequence(lit(0), lit(30)), i =>
-            concat(lit("w"), pmod(base * 2654435761L + i * 40503L, lit(10007L)))),
-          array(concat(lit("t"), pmod(tailId * 48271L, lit(9973L))))), " ")
+            concat(lit("w"), base, lit("_"), i)),
+          array(concat(lit("t"), tailId))), " ")
           .as("text"))
       .write.mode("overwrite").parquet(dir)
     graft.streaming.FileIngestOrder.pinMtimesToPathOrder(
@@ -180,9 +189,14 @@ object LargeStreamBench {
       finally q.stop()
       acc.value
     }
-    def stateRows(ckpt: String): Long =
-      try spark.read.format("statestore").option("path", ckpt).load().count()
-      catch { case _: Throwable => -1L }
+    // transformWithState checkpoints hold NAMED state variables — the
+    // reader addresses one via stateVarName (omit for single-store ops
+    // like dropDuplicates / window aggs)
+    def stateRows(ckpt: String, stateVar: Option[String] = None): Long =
+      try {
+        val r = spark.read.format("statestore").option("path", ckpt)
+        stateVar.fold(r)(v => r.option("stateVarName", v)).load().count()
+      } catch { case _: Throwable => -1L }
 
     // ---- S1 tumbling (8 micro-batches)
     val ckpt1 = new java.io.File(scratch, "ck_tumbling").getAbsolutePath
@@ -269,7 +283,7 @@ object LargeStreamBench {
       runCounted(graft.streaming.StreamingQueries.statefulTotals(spark,
         stream("tws", nFiles / 8)), OutputMode.Update, ckpt10)
     }
-    results += "stateful_totals" -> perf(n, s10Sec, s10Rows, stateRows(ckpt10), dirBytes(ckpt10))
+    results += "stateful_totals" -> perf(n, s10Sec, s10Rows, stateRows(ckpt10, Some("totals")), dirBytes(ckpt10))
     System.err.println(s"[lsb] stateful_totals: ${results("stateful_totals")}")
 
     // ---- S16 accreting-index simhash near-dup dedup (r11 — the r10
@@ -334,7 +348,7 @@ object LargeStreamBench {
     val equal = s16Rows == wantN &&
       got.except(want).isEmpty && want.except(got).isEmpty
     results += "simhash_dedup" ->
-      (perf(nDocs, s16Sec, s16Rows, stateRows(ckpt16), dirBytes(ckpt16)).dropRight(1) +
+      (perf(nDocs, s16Sec, s16Rows, stateRows(ckpt16, Some("seen")), dirBytes(ckpt16)).dropRight(1) +
         s""","batch_walls_ms":${batchWalls.mkString("[", ",", "]")},""" +
         s""""batch_form_sec":${f"$s16BatchSec%.1f"},"batch_equal":$equal}""")
     System.err.println(s"[lsb] simhash_dedup: ${results("simhash_dedup")}")
