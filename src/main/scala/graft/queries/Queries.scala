@@ -2031,7 +2031,8 @@ object Queries {
         |    list_distinct(list_transform(range(len(string_split(text, ' ')) - 2),
         |      i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' '))) AS sh
         |  FROM documents),
-        |ev AS (SELECT sh AS sh_e FROM d WHERE source IN ('src0','src1','src2','src3')),
+        |ev AS (SELECT sh AS sh_e FROM d
+        |       WHERE source IN ('src0','src1','src2','src3') AND doc_id < 2000),
         |tr AS (SELECT doc_id, sh FROM d
         |       WHERE source NOT IN ('src0','src1','src2','src3')
         |         AND doc_id % 10 = 0 AND len(sh) > 0),

@@ -2175,13 +2175,27 @@ object QueriesLLM {
   /** Shared inputs for both decontamination shapes: the sampled
     * training side (with its distinct-shingle count — the containment
     * denominator) and the eval side keyed by doc.
+    *
+    * The eval side is a FIXED-SIZE benchmark (the doc_id < 2000 prefix
+    * of the eval sources) since r11: the previous form took ALL of
+    * src0-src3 — 40% of the corpus — so the eval index grew WITH the
+    * training corpus and the co-shingle join's output grew with the
+    * product of the two (the r11 sf1/sf0.1 ratchet measured it at
+    * 13.7× for 10× rows, the only undeclared superlinear entry). A
+    * real decontamination run is corpus × fixed benchmark — HELM/MMLU
+    * do not grow because the crawl did — and with the eval index
+    * scale-invariant the inverted-index join is linear in the corpus,
+    * which is the story the docstring above always claimed. (At
+    * sf0.01 every eval doc has id < 2000, so small-scale results are
+    * unchanged; the cap binds from sf0.1 up.)
     */
   private def decontaminateSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val evalSources = Seq("src0", "src1", "src2", "src3")
     val d = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         array_distinct(shingles(col("text"), 3)).as("sh"))
-    val evalSet = d.filter(col("source").isin(evalSources: _*))
+    val evalSet = d.filter(col("source").isin(evalSources: _*) &&
+        col("doc_id") < 2000)
       .select(col("doc_id").as("eval_id"), col("sh").as("sh_e"))
     val train = d.filter(!col("source").isin(evalSources: _*) &&
         col("doc_id") % 10 === 0 && size(col("sh")) > 0)
