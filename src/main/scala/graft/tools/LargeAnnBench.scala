@@ -88,6 +88,14 @@ object LargeAnnBench {
     runNoop(graft.queries.QueriesLLM.annLsh(spark, dir, 4, bitsPerTable))
 
     def time(name: String)(f: => DataFrame): (String, Double) = {
+      // one UNTIMED warm rep per entry (r11): AnnProbe measured the
+      // k=500 argmin/ADC codegen methods JIT-compiling DURING the
+      // first execution — assignment alone decays 13.1 → 2.9 s across
+      // reps in one JVM — so a cold first rep is measuring the
+      // compiler, not the plan, and min-of-2 still carries half of it
+      // (the r10 passes' 12–29 s per-call IVF swing was exactly this).
+      // Warm once, then time: mins are steady-state and pass-stable.
+      runNoop(f)
       val rs = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         runNoop(f)
