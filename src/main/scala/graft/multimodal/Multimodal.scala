@@ -139,12 +139,20 @@ object Multimodal {
         Memo[(org.apache.spark.sql.types.StructType,
           org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])]]]
 
+  /** Build count — test hook pinning the build-once contract (the
+    * lshIndexWrites idiom): seven registry entries share one media
+    * frame per (session, corpus), so a second consumer must not
+    * re-encode.
+    */
+  private[graft] val mediaBuilds = new java.util.concurrent.atomic.AtomicLong
+
   /** The un-memoized media build (the Memo discipline's raw-builder
     * rule: anything that MEASURES the encode — LargeMediaBench, probes
     * — must see the real build, never a cache hit).
     */
   private[graft] def mediaFromDocumentsUncached(
       spark: SparkSession, dir: String): DataFrame = {
+    mediaBuilds.incrementAndGet()
     import spark.implicits._
     graft.queries.Queries.t(spark, dir, "documents")
       .select(

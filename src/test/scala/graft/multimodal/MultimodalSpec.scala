@@ -179,6 +179,18 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(media.count() > 0)
   }
 
+  test("media frame is built once per (session, corpus) (r11 memo)") {
+    // seven registry entries share the frame; a second consumer must
+    // ride the cache, never re-pay the container encode (the
+    // lshIndexWrites build-once idiom)
+    Multimodal.mediaFromDocuments(spark, dir).count() // ensure built
+    val before = Multimodal.mediaBuilds.get()
+    val again = Multimodal.mediaFromDocuments(spark, dir)
+    assert(again.count() > 0)
+    assert(Multimodal.mediaBuilds.get() == before,
+      "second mediaFromDocuments call re-ran the encode")
+  }
+
   test("headerFeatures equals the extractFeatures geometry projection (r11)") {
     // the oracled geometry entry must never drift from the full
     // feature extractor's header columns: same header walk, same

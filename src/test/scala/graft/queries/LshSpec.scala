@@ -199,6 +199,42 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("embedDedupLsh: sound vs exact pairs, shuffle_hash co-bucket plan (r11)") {
+    import org.apache.spark.sql.functions._
+    val lsh = QueriesLLM.embedDedupLsh(spark, dir)
+    // plan: the co-bucket self-join must be the hinted SHUFFLED hash
+    // join (the simhash lesson: BHJ's many-match emission), and the
+    // all-pairs nested-loop shape must never appear
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val got = lsh.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.nonEmpty, "corpus must contain embedding near-dups")
+    // soundness vs the EXACT full-corpus pair graph: every LSH verdict
+    // must be a true cosine >= 0.3 near-dup with a valid earlier
+    // canonical, and its neighbor count can never exceed the exact
+    // count (LSH candidates are a subset of all pairs)
+    val e = graft.queries.Queries.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val exact = e.as("a").join(e.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        (graft.functions.GraftFunctions.dot(col("a.embedding"), col("b.embedding")) /
+          (graft.functions.GraftFunctions.norm(col("a.embedding")) *
+           graft.functions.GraftFunctions.norm(col("b.embedding")))).as("c"))
+      .filter(col("c") >= 0.3)
+      .groupBy(col("vb")).agg(min(col("va")).as("canon"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got.foreach { case (dup, canon, maxSim, nNear) =>
+      val (exCanon, exN) = exact.getOrElse(dup,
+        fail(s"LSH flagged $dup which has no exact near-dup"))
+      assert(canon >= exCanon, s"$dup: canonical $canon below exact min $exCanon")
+      assert(nNear <= exN, s"$dup: $nNear LSH neighbors > exact $exN")
+      assert(maxSim >= 0.3, s"$dup: max_sim $maxSim under threshold")
+    }
+  }
+
   test("sign-LSH ANN achieves top-3 recall >= 0.5 vs brute force") {
     val exact = QueriesLLM.cosineTopk(spark, dir)
       .select("query_id", "cand_id")
