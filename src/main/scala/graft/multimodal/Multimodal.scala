@@ -125,14 +125,10 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
-  // Compute-once holder + session-weak cache — the exactPairsCache /
-  // PQ-index Memo discipline (see QueriesLLM.Memo for the lifecycle
-  // rules this replicates: value must not strongly reach the session,
-  // builder nulled after first evaluation).
-  private final class Memo[T](b: () => T) {
-    private[this] var build: () => T = b
-    lazy val get: T = { val r = build(); build = null; r }
-  }
+  // Session-weak cache around QueriesLLM's compute-once Memo (one
+  // holder class, one set of lifecycle rules: value must not strongly
+  // reach the session, builder nulled after first evaluation)
+  private type Memo[T] = graft.queries.QueriesLLM.Memo[T]
   private val mediaCache =
     new scala.collection.mutable.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String,

@@ -82,7 +82,7 @@ object QueriesLLM {
   // closure captures the SparkSession — a value that strongly reaches
   // its own weak key pins the entry (and the stopped session) forever,
   // exactly the lifecycle leak the weak keying exists to prevent
-  private final class Memo[T](b: () => T) {
+  private[graft] final class Memo[T](b: () => T) {
     private[this] var build: () => T = b
     lazy val get: T = { val r = build(); build = null; r }
   }
@@ -1522,10 +1522,12 @@ object QueriesLLM {
     * output is [[embedDedup]]'s aggregation restricted to pairs
     * sharing ≥ 1 LSH bucket — a declared approximate contract, NOT
     * claimed equal to the exact form. Sign-LSH recall at threshold τ
-    * is 1−(1−p^b)^t with p = 1−θ/π: high where near-dups live
-    * (cos 0.9 → 0.98 here), thin at the 0.3 boundary — production
-    * picks (tables, bitsPerTable) per threshold; the entry pins the
-    * X3 defaults so index and dedup share one persisted structure.
+    * is 1−(1−p^b)^t with p = 1−θ/π: at the 4×6 defaults that is ~0.87
+    * where near-dups live (cos 0.9: p = 0.856, p⁶ = 0.394,
+    * 1−0.606⁴ = 0.87) and thin at the 0.3 boundary (~0.17) —
+    * production picks (tables, bitsPerTable) per threshold (9 tables
+    * at b=6 clears 0.98 at cos 0.9); the entry pins the X3 defaults
+    * so index and dedup share one persisted structure.
     *
     * Scale story: candidates are Σ_buckets occ² ≈ t·n²/2^bpt — the
     * 2^bpt-fold pruning of the all-pairs join — and the per-pair work

@@ -68,18 +68,35 @@ object UtxoConvert {
     *  - rows = floor / [[SorterBytesPerRow]], clamped to
     *    [256Ki, [[MaxClusterRowsPerBucket]]].
     *
-    * At 8 GB/32 cores this yields ~560K rows (~70 MB sorts, ~310
-    * buckets at 177.5M coins); at 64 GB it hits the 2M ceiling —
-    * identical to the r10 behavior that measured zero spill there. On
-    * a real cluster the same arithmetic holds per executor
-    * (executor-memory × fraction / (2 × executor-cores)).
+    * At 8 GB/32 cores this yields ~400K rows (~77 MB budgeted sorts,
+    * 440 buckets at 177.5M coins — zero spill on all six profiled
+    * runs, CONVERT_PROFILE_r11.json); at 64 GB it hits the 2M ceiling
+    * — identical to the r10 behavior that measured zero spill there.
+    *
+    * The memory model read is the one the REDUCE TASKS actually run
+    * in: in local mode that is this JVM (maxMemory) with
+    * defaultParallelism concurrent slots; on a cluster it is
+    * `spark.executor.memory` × fraction with `spark.executor.cores`
+    * slots per executor — reading the driver's heap there would size
+    * executor-side sorts from the wrong JVM entirely (a 2 GB driver
+    * in front of 64 GB executors must not shrink the buckets 8×, nor
+    * a fat driver re-inflate them into the r9 spill regression).
     */
   def clusterRowsPerBucket(spark: SparkSession): Long = {
+    val sc = spark.sparkContext
     val fraction = spark.conf.getOption("spark.memory.fraction")
       .map(_.toDouble).getOrElse(0.6)
-    val pool = ((Runtime.getRuntime.maxMemory - 300L * 1024 * 1024)
-      .max(0L) * fraction).toLong
-    val concurrent = math.max(1, spark.sparkContext.defaultParallelism)
+    val (heap, concurrent) =
+      if (sc.isLocal)
+        (Runtime.getRuntime.maxMemory, math.max(1, sc.defaultParallelism))
+      else
+        (org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          spark.conf.getOption("spark.executor.memory").getOrElse("1g")),
+          // executor task slots = executor cores / cpus-per-task
+          math.max(1, spark.conf.getOption("spark.executor.cores")
+            .map(_.toInt).getOrElse(1) /
+            spark.conf.getOption("spark.task.cpus").map(_.toInt).getOrElse(1)))
+    val pool = ((heap - 300L * 1024 * 1024).max(0L) * fraction).toLong
     val perSorterFloor = pool / (2L * concurrent)
     math.max(256L * 1024,
       math.min(MaxClusterRowsPerBucket, perSorterFloor / SorterBytesPerRow))

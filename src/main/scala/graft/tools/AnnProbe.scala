@@ -88,7 +88,11 @@ object AnnProbe {
     // ---- PQ stages ----
     val pqT0 = System.nanoTime()
     val idx = q.pqIndexFor(spark, dir, ivfK, 8)
-    rec("pq_build_first_call", Seq((System.nanoTime() - pqT0) / 1e9))
+    // labeled EXCL_COARSE: pqModelBuild reuses the coarse KMeans the
+    // ivf_fit stage above already memoized, so this is the PQ-specific
+    // increment (codebook fits + code assignment), NOT a cold PQ-only
+    // deployment's build — add ivf_fit_first_call for that number
+    rec("pq_build_excl_coarse", Seq((System.nanoTime() - pqT0) / 1e9))
     val codes = spark.createDataFrame(idx.codesRdd, idx.schema)
     def stages(hint: Option[String]) =
       q.pqStagePlans(spark, dir, codes, idx.model, 4, 8, rerank, hint)
@@ -103,12 +107,15 @@ object AnnProbe {
     val b = stages(Some("shuffle_hash")).result.localCheckpoint()
     val same = a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty
     out += "shj_answer_identical" -> same.toString
-    require(same, "shuffle_hash shortlist changed the PQ answer")
 
+    // emit the artifact BEFORE asserting: a divergent A/B answer is
+    // exactly when the timing evidence matters most — failing first
+    // would discard the whole run's measurements
     println(
       s"""{"metric":"ann_probe","vecs":$nVecs,"reps":$reps,"ivf_k":$ivfK,""" +
       s""""rerank":$rerank,"heap_max_bytes":${Runtime.getRuntime.maxMemory},""" +
       out.map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}")
+    require(same, "shuffle_hash shortlist changed the PQ answer")
     spark.stop()
   }
 }

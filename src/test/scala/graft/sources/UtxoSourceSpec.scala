@@ -552,7 +552,11 @@ class UtxoSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got >= 256L * 1024 && got <= UtxoConvert.MaxClusterRowsPerBucket)
     // and the zero-spill invariant the sizing exists for: the worst
     // case concurrent sorter footprint fits the unified pool even with
-    // every task slot at its guaranteed-floor share
-    assert(got * UtxoConvert.SorterBytesPerRow * 2L * par <= pool + par)
+    // every task slot at its guaranteed-floor share — UNLESS the 256Ki
+    // minimum clamp bound (sub-GB heaps deliberately accept spill
+    // rather than emit confetti files), in which case the invariant is
+    // out of scope by design
+    if (got > 256L * 1024)
+      assert(got * UtxoConvert.SorterBytesPerRow * 2L * par <= pool + par)
   }
 }
