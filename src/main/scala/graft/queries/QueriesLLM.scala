@@ -1538,7 +1538,7 @@ object QueriesLLM {
     * localCheckpoint so both join sides share the single bits pass.
     */
   def embedDedupLsh(s: SparkSession, dir: String,
-      tables: Int = 4, bitsPerTable: Int = 6): DataFrame = {
+      tables: Int = 4, bitsPerTable: Int = 6, tau: Double = 0.3): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val idx = lshCandIndex(s, dir, tables, bitsPerTable).localCheckpoint()
     val a = idx.select(col("bucket"), col("cand_id").as("vec_a"),
@@ -1552,8 +1552,13 @@ object QueriesLLM {
       // exact verify INSIDE the join's codegen, before the pair dedup:
       // c is a function of the pair alone (identical on every co-bucket
       // re-meet), so filter-then-distinct is value-identical while the
-      // exchange carries only verified near-dups, not the candidate set
-      .filter(col("c") >= 0.3)
+      // exchange carries only verified near-dups, not the candidate set.
+      // τ defaults to the oracled 0.3; it is a parameter because the
+      // right threshold is a property of the EMBEDDING SPACE — 0.3 is
+      // 2.4σ for isotropic 64-dim vectors (cos σ ≈ 1/√d), which a
+      // production corpus of such vectors would saturate (the
+      // LargeDedupBench 1M proof runs τ=0.7 for exactly that reason)
+      .filter(col("c") >= tau)
       .groupBy(col("vec_a"), col("vec_b")).agg(max(col("c")).as("c"))
       .groupBy(col("vec_b").as("dup_id"))
       .agg(min(col("vec_a")).as("canonical_id"),

@@ -78,6 +78,28 @@ object LargeDedupBench {
     (nBase until nBase + nNear).map(i => (i - nBase, i))
   }
 
+  /** Deterministic embedding for the X5 embed-dedup scale section:
+    * originals are unit-scale 64-dim gaussians (pairwise cos ~N(0,1/8)
+    * — random-pair verdicts possible but rare at τ=0.3, like real
+    * embedding spaces); every `id % 64 == 63` is a NEAR COPY of its
+    * predecessor (base + 0.05·gaussian ⇒ cos ≈ 0.999 — always above
+    * τ), so the injected dup-pair list is id arithmetic, same
+    * discipline as [[genDoc]].
+    */
+  def genDedupVec(id: Long): (Long, Array[Float], Int) = {
+    val base = if (id % 64 == 63) id - 1 else id
+    val r = new java.util.SplittableRandom(
+      new java.util.SplittableRandom(base).nextLong() ^ 0x7ec5L)
+    val v = Array.fill(64)(r.nextGaussian())
+    if (id % 64 == 63) {
+      val p = new java.util.SplittableRandom(
+        new java.util.SplittableRandom(id).nextLong() ^ 0x0ffe7L)
+      var j = 0
+      while (j < 64) { v(j) += 0.05 * p.nextGaussian(); j += 1 }
+    }
+    (id, v.map(_.toFloat), (id % 10).toInt)
+  }
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON decimals must be dots
     val nDocs = args.headOption.map(_.toLong).getOrElse(200000L)
@@ -148,6 +170,48 @@ object LargeDedupBench {
     val hit = injected.join(cand, Seq("doc_a", "doc_b"), "left_semi").count()
     val recall = hit.toDouble / nNear
 
+    // ---- X5 embed-dedup LSH twin at the same scale (r11): the SAME
+    // registry function, index params scaled to the corpus exactly
+    // like annLsh in LargeAnnBench (~64 vectors per bucket — the
+    // sf-scale 4×6 default would put n/64 vectors in each of 64
+    // buckets and the co-bucket join would approach all-pairs).
+    // Near-copy vectors land at cos ≈ 0.999, so recall of the
+    // injected pair list measures the bucket map, not threshold luck.
+    // τ = 0.7 here, NOT the oracled 0.3: for isotropic 64-dim
+    // gaussians cos σ ≈ 1/√64 = 0.125, so 0.3 is only 2.4σ and ~93%
+    // of RANDOM vectors have a lower-id "near-dup" at that cut (a
+    // 200K sanity run measured exactly that) — the threshold is a
+    // property of the embedding space, and this space needs 5.6σ for
+    // "duplicate" to mean anything.
+    val vecTable = new java.io.File(s"$dir/embeddings.parquet")
+    if (!vecTable.exists()) {
+      spark.range(nDocs).as[Long].map(genDedupVec)
+        .toDF("vec_id", "embedding", "label")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(vecTable.getAbsolutePath)
+      System.err.println(s"[dedup] generated $nDocs vectors")
+    }
+    val bitsPerTable = math.max(6,
+      math.ceil(math.log(nDocs / 64.0) / math.log(2)).toInt)
+    runNoop(graft.queries.QueriesLLM.embedDedupLsh(spark, dir, 4, bitsPerTable, tau = 0.7)) // warm (JIT, the AnnProbe lesson)
+    val embedT = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      runNoop(graft.queries.QueriesLLM.embedDedupLsh(spark, dir, 4, bitsPerTable, tau = 0.7))
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val verdicts = graft.queries.QueriesLLM
+      .embedDedupLsh(spark, dir, 4, bitsPerTable, tau = 0.7).localCheckpoint()
+    val nVerdicts = verdicts.count()
+    // an injected near-copy (id%64==63) is recalled iff it appears as
+    // dup_id with its base as a canonical candidate (canonical <= base
+    // — noise neighbors can only lower it)
+    val injectedVec = nDocs / 64 // ids 63, 127, ... < nDocs
+    val vecHit = verdicts
+      .filter(pmod(col("dup_id"), lit(64)) === 63 &&
+        col("canonical_id") <= col("dup_id") - 1)
+      .count()
+    val vecRecall = vecHit.toDouble / injectedVec
+
     val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val docsPerS = times.toMap.get("x_minhash_lsh").map(s => (nDocs / s).toLong).getOrElse(0L)
     println(
@@ -156,7 +220,10 @@ object LargeDedupBench {
       s""""exact_dups_injected":$nExact,"exact_dups_found":$nDupsFound,""" +
       s""""near_pairs_injected":$nNear,"near_pairs_recalled":$hit,""" +
       f""""lsh_recall":$recall%.4f,""" +
-      s""""candidate_pairs":$candPairs,"all_pairs_avoided":$allPairs}""")
+      s""""candidate_pairs":$candPairs,"all_pairs_avoided":$allPairs,""" +
+      f""""embed_dedup_lsh_sec":$embedT%.3f,"embed_bits_per_table":$bitsPerTable,""" +
+      s""""embed_verdicts":$nVerdicts,"embed_pairs_injected":$injectedVec,""" +
+      f""""embed_pairs_recalled":$vecHit,"embed_recall":$vecRecall%.4f}""")
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/dev/shm/graft_dedup_spill"))
   }
