@@ -345,6 +345,11 @@ object Queries {
     // (StreamingQueries.simhashBandVerdicts); StreamingSpec pins the
     // streaming form equal to this over the same rows in arrival order
     "s_dedup_simhash" -> (QueriesLLM.arrivalDedupSimhash _),
+    // retention-bounded twin (r11): dropped iff a match sits within the
+    // last 100 arrivals — the bounded-state form an infinite stream
+    // runs (StreamingQueries.BandDedupWindowProcessor prunes on touch)
+    "s_dedup_simhash_window" -> ((s: SparkSession, dir: String) =>
+      QueriesLLM.arrivalDedupSimhashWindow(s, dir)),
     "s_join" -> (QueriesScalar.streamJoin _),
     "s_upsert" -> (QueriesScalar.streamUpsert _),
     "x_exact_dedup" -> (QueriesLLM.exactDedup _),
@@ -1791,6 +1796,15 @@ object Queries {
         |SELECT doc_b AS doc_id, CAST(count(*) AS BIGINT) AS n_earlier,
         |  min(doc_a) AS first_dup_of
         |FROM cand WHERE bit_count(xor(fa, fb)) <= 6
+        |GROUP BY doc_b ORDER BY doc_id""".stripMargin,
+    // the retention-windowed twin: same pair set, one arrival-distance
+    // predicate — the two contracts share every CTE so they cannot
+    // drift (window = QueriesLLM.SimhashWindow = 100 arrivals)
+    "s_dedup_simhash_window" ->
+      s"""$simhashBandCteSql
+        |SELECT doc_b AS doc_id, CAST(count(*) AS BIGINT) AS n_earlier,
+        |  min(doc_a) AS first_dup_of
+        |FROM cand WHERE bit_count(xor(fa, fb)) <= 6 AND doc_a >= doc_b - 100
         |GROUP BY doc_b ORDER BY doc_id""".stripMargin,
     "x_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id,

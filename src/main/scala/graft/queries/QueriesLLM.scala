@@ -336,6 +336,40 @@ object QueriesLLM {
       .select(col("doc_b").as("doc_id"), col("n_earlier"), col("first_dup_of"))
       .orderBy(col("doc_id"))
 
+  /** Retention window of the windowed arrival dedup (in arrival-order
+    * ids, not wall time — deterministic and oracle-checkable): a doc
+    * is compared only against the previous [[SimhashWindow]] arrivals.
+    */
+  val SimhashWindow = 100L
+
+  /** X2c windowed: RETENTION-BOUNDED arrival dedup — a doc is dropped
+    * iff an earlier doc WITHIN THE LAST [[SimhashWindow]] ARRIVALS
+    * shares a band at hamming ≤ [[SimhashTau]]. This is the form an
+    * INFINITE stream actually runs: the unwindowed accreting index
+    * ([[arrivalDedupSimhash]] / S16) answers "ever seen before?" and
+    * its per-bucket state grows n/32,768 forever, which no unbounded
+    * stream can carry; the windowed twin bounds state at
+    * window-occupancy per bucket (the streaming side prunes expired
+    * entries on access — [[graft.streaming.StreamingQueries
+    * .BandDedupWindowProcessor]]) and answers the retention-policy
+    * question a crawl pipeline really asks ("duplicate of anything in
+    * the current ingest horizon?"). Same banded pair set, one extra
+    * arrival-distance predicate — fully DuckDB-oracled from the same
+    * CTE as the unwindowed form, so the two contracts cannot drift.
+    * The window binds on this corpus: at sf0.01, 52 of the 72
+    * unwindowed first-dups sit FURTHER than 100 arrivals away, so the
+    * windowed verdict set is a genuinely different (and spec-pinned
+    * smaller) answer, not a restatement.
+    */
+  def arrivalDedupSimhashWindow(s: SparkSession, dir: String,
+      window: Long = SimhashWindow): DataFrame =
+    simhashNearDupPairs(s, dir)
+      .filter(col("doc_a") >= col("doc_b") - window)
+      .groupBy(col("doc_b"))
+      .agg(count(lit(1)).as("n_earlier"), min(col("doc_a")).as("first_dup_of"))
+      .select(col("doc_b").as("doc_id"), col("n_earlier"), col("first_dup_of"))
+      .orderBy(col("doc_id"))
+
   /** 60-bit SimHash fingerprints for the full corpus (the banded
     * near-dup input; [[simhash]] is the oracle-sampled 48-bit variant),
     * packed into a LONG by the native simhash60 kernel — one map-only

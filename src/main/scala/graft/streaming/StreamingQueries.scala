@@ -448,6 +448,54 @@ object StreamingQueries {
     }
   }
 
+  /** S16 windowed (r11): the RETENTION-BOUNDED form of
+    * [[BandDedupProcessor]] — matches only count against entries within
+    * the last `window` arrivals, and the bucket list is REWRITTEN with
+    * expired entries dropped on every touch, so hot-bucket state holds
+    * ≤ window-occupancy entries instead of growing n/32,768 forever
+    * (cold buckets decay on their next arrival). This is the state
+    * story an INFINITE stream needs; the unwindowed processor is the
+    * "ever seen?" audit form. Batch contract:
+    * [[graft.queries.QueriesLLM.arrivalDedupSimhashWindow]] — same
+    * in-order-delivery prerequisite as the unwindowed processor.
+    */
+  class BandDedupWindowProcessor(window: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), (Long, Seq[Long])] {
+    @transient private var seen:
+        org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getListState[(Long, Long)]("seen",
+        org.apache.spark.sql.Encoders.product[(Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[(Long, Seq[Long])] = {
+      val prior = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      seen.get().foreach(prior += _)
+      val fresh = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var maxId = Long.MinValue
+      val out = rows.toSeq.sortBy(_._2).map { case (_, docId, fp) =>
+        if (docId > maxId) maxId = docId
+        val matches = (prior.iterator ++ fresh.iterator)
+          .filter { case (id, fp2) =>
+            id < docId && id >= docId - window &&
+              java.lang.Long.bitCount(fp ^ fp2) <=
+                graft.queries.QueriesLLM.SimhashTau }
+          .map(_._1).toSeq.distinct.sorted
+        fresh += ((docId, fp))
+        (docId, matches)
+      }
+      // rewrite pruned: nothing below the horizon can ever match again
+      seen.put((prior.iterator ++ fresh.iterator)
+        .filter(_._1 >= maxId - window).toArray)
+      out.iterator
+    }
+  }
+
   /** S16: streaming near-dup dedup against an accreting SimHash band
     * index — the continuous-ingestion form of the batch
     * `s_dedup_simhash` registry entry. Fingerprints are the same
@@ -458,7 +506,19 @@ object StreamingQueries {
     * (all 4 band rows of a doc land in its own micro-batch, so a
     * per-batch rollup inside foreachBatch is exact).
     */
-  def simhashBandVerdicts(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def simhashBandVerdicts(spark: SparkSession, docs: DataFrame): DataFrame =
+    bandVerdicts(spark, docs, new BandDedupProcessor)
+
+  /** The retention-windowed S16 twin: identical banding pipeline, the
+    * pruning processor — batch contract `arrivalDedupSimhashWindow`.
+    */
+  def simhashBandVerdictsWindow(spark: SparkSession, docs: DataFrame,
+      window: Long = graft.queries.QueriesLLM.SimhashWindow): DataFrame =
+    bandVerdicts(spark, docs, new BandDedupWindowProcessor(window))
+
+  private def bandVerdicts(spark: SparkSession, docs: DataFrame,
+      processor: org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), (Long, Seq[Long])]): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     docs
@@ -473,7 +533,7 @@ object StreamingQueries {
         col("doc_id"), col("fp"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
-      .transformWithState(new BandDedupProcessor,
+      .transformWithState(processor,
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append())
       .toDF("doc_id", "match_ids")

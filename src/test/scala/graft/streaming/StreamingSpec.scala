@@ -404,4 +404,58 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("S16 windowed dedup: streaming == batch retention contract; horizon kept-witness") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val wantAll = graft.queries.QueriesLLM.arrivalDedupSimhash(spark, dir)
+    val want = graft.queries.QueriesLLM.arrivalDedupSimhashWindow(spark, dir)
+    val wantRows = want.collect()
+    assert(wantRows.nonEmpty, "corpus should contain within-window near-dups")
+    // the window must BIND: at least one unwindowed drop whose every
+    // earlier match is beyond the horizon must be KEPT here — that doc
+    // is the witness that streaming state pruning changes verdicts the
+    // way the batch contract says, not just shrinks storage
+    val windowedIds = wantRows.map(_.getLong(0)).toSet
+    val kept = wantAll.collect().map(_.getLong(0)).filterNot(windowedIds)
+    assert(kept.nonEmpty, "window does not bind on this corpus")
+    // stream the corpus in three mtime-ordered slices around a dropped
+    // doc (same cross-batch discipline as the unwindowed spec)
+    val cross = wantRows.maxBy(r => r.getLong(0) - r.getLong(2))
+    val b1 = cross.getLong(2) + 1
+    val hi = cross.getLong(0)
+    val docsB = graft.queries.Queries.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val watch = java.nio.file.Files.createTempDirectory("docs-stream-w").toString
+    Seq(col("doc_id") < b1,
+      col("doc_id") >= b1 && col("doc_id") <= hi,
+      col("doc_id") > hi).zipWithIndex.foreach { case (p, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"docs-wslice$i")
+      docsB.filter(p).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(watch, f"wslice$i%04d.parquet"))
+    }
+    FileIngestOrder.pinMtimesToPathOrder(
+      spark.sparkContext.hadoopConfiguration, watch)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watch)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val verdicts = StreamingQueries.runToBatch(spark,
+        StreamingQueries.simhashBandVerdictsWindow(spark, stream), "s16w_out",
+        OutputMode.Append())
+      val got = StreamingQueries.arrivalVerdictRollup(verdicts)
+      assert(sortedRows(got) == sortedRows(want))
+      // the kept-witness: dropped by the unwindowed index, kept here
+      assert(got.filter(col("doc_id").isin(kept.toSeq: _*)).count() == 0)
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
