@@ -355,6 +355,52 @@ object LargeStreamBench {
     require(equal, s"streaming simhash dedup diverged from batch contract " +
       s"($s16Rows streamed vs $wantN batch verdict rows)")
 
+    // ---- S16 windowed twin (r11): the retention-bounded processor on
+    // the SAME corpus. The claim under measurement is the STATE BOUND:
+    // the unwindowed index above ends at exactly 4·nDocs state rows;
+    // the windowed one prunes each touched bucket to its last-`window`
+    // occupancy, so final state must be a small fraction of 4·nDocs
+    // (lazily-pruned cold buckets keep a bounded residue). Verdict
+    // equality vs the batch retention contract, same discipline.
+    val ckpt16w = new java.io.File(scratch, "ck_simdedup_w").getAbsolutePath
+    val out16w = new java.io.File(scratch, "simdedup_w_out").getAbsolutePath
+    val (s16wSec, s16wRows) = time {
+      val docsStream = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", docFiles / 8)
+        .parquet(s"$corpus/documents.parquet")
+      val acc = spark.sparkContext.longAccumulator("dedup_w_out_rows")
+      val q = graft.streaming.StreamingQueries
+        .simhashBandVerdictsWindow(spark, docsStream)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt16w)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val v = graft.streaming.StreamingQueries.arrivalVerdictRollup(b)
+            .cache()
+          acc.add(v.count())
+          v.write.mode("append").parquet(out16w)
+          v.unpersist()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      acc.value
+    }
+    val wantW = graft.queries.QueriesLLM
+      .arrivalDedupSimhashWindow(spark, corpus).localCheckpoint()
+    val gotW = spark.read.parquet(out16w)
+    val wantWN = wantW.count()
+    val equalW = s16wRows == wantWN &&
+      gotW.except(wantW).isEmpty && wantW.except(gotW).isEmpty
+    val stateW = stateRows(ckpt16w, Some("seen"))
+    results += "simhash_dedup_window" ->
+      (perf(nDocs, s16wSec, s16wRows, stateW, dirBytes(ckpt16w)).dropRight(1) +
+        s""","state_bound_ratio":${f"${stateW.toDouble / (4L * nDocs)}%.4f"},""" +
+        s""""batch_equal":$equalW}""")
+    System.err.println(s"[lsb] simhash_dedup_window: ${results("simhash_dedup_window")}")
+    require(equalW, s"windowed streaming dedup diverged from batch contract " +
+      s"($s16wRows streamed vs $wantWN batch verdict rows)")
+
     // ---- S8 upsert (4 batches: each merge rewrites the keyed target)
     val target = new java.io.File(scratch, "upsert_target").getAbsolutePath
     val ckpt8 = new java.io.File(scratch, "ck_upsert").getAbsolutePath
