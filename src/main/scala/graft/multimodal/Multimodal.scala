@@ -405,14 +405,32 @@ object Multimodal {
       width: Int, height: Int, duration_ms: Long, channels: Int,
       n_frames_sampled: Int)
 
+  /** THE MP4 sample-list policy — the single definition both
+    * [[headerFeatures]] and [[extractFeatures]] count frames from:
+    * prefer the AVC trak's sample list (`parseAvc`, the one the pixel
+    * decode walks), fall back to the plain sample-table walk. `avc`
+    * lets extractFeatures reuse its already-parsed result (it also
+    * feeds the decode) instead of re-walking the boxes; headerFeatures
+    * parses fresh. Factored (r12, advice) because the two callers
+    * previously inlined DIFFERENT chains — headerFeatures went straight
+    * to `parse` — and a container whose two walks pick different traks
+    * would have silently broken the spec-pinned projection equality;
+    * one shared helper makes the policy drift-proof by construction.
+    */
+  private[multimodal] def mp4SampleList(content: Array[Byte],
+      avc: Option[(Mp4SampleTables.AvcConfig, Vector[Mp4SampleTables.Mp4Sample])])
+      : Option[Vector[Mp4SampleTables.Mp4Sample]] =
+    avc.map(_._2).orElse(Mp4SampleTables.parse(content))
+
   /** Header-only feature extraction — what a production pipeline runs
     * FIRST, before committing to any payload decode: one pass of pure
     * byte arithmetic per row (header walk + sample-table/frame-block
     * counts), no pixel work. Column semantics are identical to the
     * matching [[extractFeatures]] columns (same header walk, same
-    * frame-count policy: MP4 sync-sample count, GIF real frame count,
-    * else the duration heuristic); [[MultimodalSpec]] pins the
-    * projection equality so the two can never drift.
+    * frame-count policy via the shared [[mp4SampleList]]: MP4
+    * sync-sample count, GIF real frame count, else the duration
+    * heuristic); [[MultimodalSpec]] pins the projection equality so
+    * the two can never drift.
     */
   def headerFeatures(spark: SparkSession, media: DataFrame,
       frameEveryMs: Long = 5000L): DataFrame = {
@@ -425,7 +443,8 @@ object Multimodal {
           case None => (0, 0, 0L, 0)
         }
         val frames = (if (hdr.exists(_.container == "mp4"))
-            Mp4SampleTables.parse(r.content).map(_.count(_.sync))
+            mp4SampleList(r.content, Mp4SampleTables.parseAvc(r.content))
+              .map(_.count(_.sync))
           else if (hdr.exists(_.container == "gif"))
             GifCodec.frameRanges(r.content).map(_.length)
           else None)
@@ -455,8 +474,7 @@ object Multimodal {
           // below (parseAvc pairs config + samples from the same trak)
           val isMp4 = hdr.exists(_.container == "mp4")
           val mp4Avc = if (isMp4) Mp4SampleTables.parseAvc(r.content) else None
-          val mp4Samples =
-            mp4Avc.map(_._2).orElse(if (isMp4) Mp4SampleTables.parse(r.content) else None)
+          val mp4Samples = if (isMp4) mp4SampleList(r.content, mp4Avc) else None
           val frames = mp4Samples.map(_.count(_.sync))
             .orElse(
               // GIF: the REAL frame count from the block-level walk —

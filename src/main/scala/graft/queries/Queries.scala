@@ -350,6 +350,15 @@ object Queries {
     // runs (StreamingQueries.BandDedupWindowProcessor prunes on touch)
     "s_dedup_simhash_window" -> ((s: SparkSession, dir: String) =>
       QueriesLLM.arrivalDedupSimhashWindow(s, dir)),
+    // event-time twin (r12): the one S16 entry that runs the REAL
+    // STREAM inside the gate — the corpus staged as shuffled-arrival
+    // slices through the buffer-until-watermark processor
+    // (StreamingQueries.BandDedupEventTimeProcessor); hash-equality
+    // with s_dedup_simhash's oracle CTE proves the verdicts survive
+    // out-of-order delivery, the prerequisite the in-order processor
+    // outsources to S15 mtime pinning
+    "s_dedup_simhash_eventtime" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingQueries.runEventTimeDedup(s, dir)),
     "s_join" -> (QueriesScalar.streamJoin _),
     "s_upsert" -> (QueriesScalar.streamUpsert _),
     "x_exact_dedup" -> (QueriesLLM.exactDedup _),
@@ -1798,13 +1807,23 @@ object Queries {
         |FROM cand WHERE bit_count(xor(fa, fb)) <= 6
         |GROUP BY doc_b ORDER BY doc_id""".stripMargin,
     // the retention-windowed twin: same pair set, one arrival-distance
-    // predicate — the two contracts share every CTE so they cannot
-    // drift (window = QueriesLLM.SimhashWindow = 100 arrivals)
+    // predicate — the two contracts share every CTE (and interpolate
+    // the engine's own window constant) so they cannot drift
     "s_dedup_simhash_window" ->
       s"""$simhashBandCteSql
         |SELECT doc_b AS doc_id, CAST(count(*) AS BIGINT) AS n_earlier,
         |  min(doc_a) AS first_dup_of
-        |FROM cand WHERE bit_count(xor(fa, fb)) <= 6 AND doc_a >= doc_b - 100
+        |FROM cand WHERE bit_count(xor(fa, fb)) <= 6
+        |  AND doc_a >= doc_b - ${QueriesLLM.SimhashWindow}
+        |GROUP BY doc_b ORDER BY doc_id""".stripMargin,
+    // the event-time streaming twin answers the SAME arrival contract
+    // (that is the claim under test: out-of-order delivery must not
+    // change verdicts), so it shares s_dedup_simhash's oracle verbatim
+    "s_dedup_simhash_eventtime" ->
+      s"""$simhashBandCteSql
+        |SELECT doc_b AS doc_id, CAST(count(*) AS BIGINT) AS n_earlier,
+        |  min(doc_a) AS first_dup_of
+        |FROM cand WHERE bit_count(xor(fa, fb)) <= 6
         |GROUP BY doc_b ORDER BY doc_id""".stripMargin,
     "x_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id,
@@ -1831,8 +1850,9 @@ object Queries {
     // co-bucket candidates, exact verify, x_embed_dedup's aggregation
     "x_embed_dedup_lsh" -> embedDedupLshOracleSql(4, 6),
     "x_embed_dedup" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |           FROM embeddings WHERE vec_id % 5 = 0),
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings
+        |           WHERE vec_id % 5 = 0 AND vec_id < ${QueriesLLM.EmbedSampleCap}),
         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |        list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
         |        (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
@@ -2041,12 +2061,13 @@ object Queries {
         |  floor((CAST(sum(lp) AS DOUBLE) / -1000000.0 / count(*)) * 1000000 + 0.5) / 1000000.0 AS nll_per_bigram
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x_decontaminate" ->
-      """WITH d AS (SELECT doc_id, source,
+      s"""WITH d AS (SELECT doc_id, source,
         |    list_distinct(list_transform(range(len(string_split(text, ' ')) - 2),
         |      i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' '))) AS sh
         |  FROM documents),
         |ev AS (SELECT sh AS sh_e FROM d
-        |       WHERE source IN ('src0','src1','src2','src3') AND doc_id < 2000),
+        |       WHERE source IN ('src0','src1','src2','src3')
+        |         AND doc_id < ${QueriesLLM.DecontEvalCap}),
         |tr AS (SELECT doc_id, sh FROM d
         |       WHERE source NOT IN ('src0','src1','src2','src3')
         |         AND doc_id % 10 = 0 AND len(sh) > 0),
@@ -2126,8 +2147,8 @@ object Queries {
         |SELECT query_id, true_label, cand_label AS predicted_label, votes
         |FROM votes WHERE vr = 1 ORDER BY query_id""".stripMargin,
     "x_edit_distance" ->
-      """WITH d AS (SELECT doc_id, source, substr(text, 1, 80) AS prefix
-        |  FROM documents WHERE doc_id % 5 = 0)
+      s"""WITH d AS (SELECT doc_id, source, substr(text, 1, 80) AS prefix
+        |  FROM documents WHERE doc_id % 5 = 0 AND doc_id < ${QueriesLLM.EditSampleCap})
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  levenshtein(a.prefix, b.prefix) AS edit_dist
         |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id

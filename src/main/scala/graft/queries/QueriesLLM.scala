@@ -1515,17 +1515,30 @@ object QueriesLLM {
       .select(col("label"), col("pos"), col("n"), col("centroid_micro"))
       .orderBy(col("label"), col("pos"))
 
+  /** Absolute id ceiling of [[embedDedup]]'s exact audit sample (r12,
+    * verdict item 5 — the [[EditSampleCap]] cure applied to the vector
+    * side): the `% 5` sample grew with the corpus and the all-pairs
+    * cosine audit sat at 11.85× for 10× rows, one growth step from the
+    * 12× ratchet. The cap makes the audit scale-invariant: unchanged
+    * at sf0.01/sf0.1 (max vec_id 4,999), binds from sf1 up. The
+    * production path is [[embedDedupLsh]], which runs the FULL corpus.
+    * Interpolated into the DuckDB oracle SQL.
+    */
+  val EmbedSampleCap = 10000L
+
   /** X2/X3: embedding-cosine near-dup dedup — the vector analogue of
     * [[exactDedup]]: every sampled vector with a lower-id neighbor at
     * cosine ≥ 0.3 is assigned that neighbor set's min id as canonical
-    * (keep-first semantics). Exact pairwise over the sample is the
-    * oracle contract (same shape as [[ngramJaccard]]); at corpus scale
-    * the candidate pairs come from [[annLsh]] buckets instead of the
-    * all-pairs join.
+    * (keep-first semantics). Exact pairwise over a FIXED-SIZE sample
+    * (every 5th vector below [[EmbedSampleCap]]) is the oracle
+    * contract (same shape as [[ngramJaccard]]); at corpus scale the
+    * candidate pairs come from [[annLsh]] buckets instead of the
+    * all-pairs join ([[embedDedupLsh]]).
     */
   def embedDedup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s) // native vec_dot kernel
-    val e = t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0)
+    val e = t(s, dir, "embeddings")
+      .filter(col("vec_id") % 5 === 0 && col("vec_id") < EmbedSampleCap)
     // norms once per vector, not per pair (see cosineTopk)
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
       norm(col("embedding")).as("na"))
@@ -1605,7 +1618,7 @@ object QueriesLLM {
     * exact 3-shingle Jaccard ≥ 0.2 pair graph, each document labeled
     * with the minimum doc_id reachable through near-dup edges (the
     * canonical representative a keep-first dedup retains). Edges are
-    * [[exactJaccardPairs]] — exact (inverted-index-pruned, provably
+    * [[exactJaccardPairs]] — exact (prefix-filtered, provably
     * equal to all-pairs) and the oracle contract, same declared role as
     * [[cosineTopk]]; the shipped approximate scale path is
     * [[dedupClustersLsh]], whose edges come from the LSH candidate
@@ -1619,18 +1632,17 @@ object QueriesLLM {
     * [[pagerank]], and [[triangleCount]] (fully SQL-expressible, so all
     * three consumers hash-check against DuckDB's all-pairs form).
     *
-    * Exact does NOT mean all-pairs: candidates come from a
-    * shared-shingle inverted-index self-join — a pair sharing ZERO
-    * shingles has Jaccard 0 and can never reach τ > 0, so pruning to
-    * pairs with ≥ 1 common shingle is output-identical while replacing
-    * the O(N²) single-partition nested-loop join (which serializes the
-    * whole corpus through one task) with a shuffled hash join that
-    * parallelizes and touches only Σ|posting|² candidate pairs. At
-    * web-scale shingle skew the refinement is AllPairs/PPJoin prefix
-    * filtering (join only on each doc's ⌊(1−τ)|sh|⌋+1 rarest
-    * shingles — still exact); this corpus's max posting list is small
-    * enough that the plain inverted index wins. The shipped
-    * approximate scale paths ride LSH-candidate edges instead
+    * Exact does NOT mean all-pairs: since r12 the edge set is built by
+    * [[exactJaccardPairsPrefix]] — the AllPairs/PPJoin prefix-filtered
+    * join, whose candidate bound Σ|prefix-posting|² survives shingle
+    * skew (see its docstring for the exactness argument). The plain
+    * inverted-index form ([[exactJaccardPairsUncached]]) is kept as the
+    * independently-derived equality witness: LshSpec pins naive ==
+    * inverted-index == prefix on the same corpus, and the r11 artifact
+    * pair measured the two builders at 181× vs 15.1× growth for 10×
+    * rows (249.6 s vs 103.4 s sf1) — same output, so the consumers ride
+    * the cheaper exact join and the DuckDB oracle is untouched. The
+    * shipped approximate scale paths ride LSH-candidate edges instead
     * ([[dedupClustersLsh]], [[pagerankLsh]], [[triangleCountLsh]]).
     *
     * MEMOIZED per (session, corpus, tau) exactly like
@@ -1652,7 +1664,7 @@ object QueriesLLM {
     val memo = exactPairsCache.synchronized {
       exactPairsCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
         .getOrElseUpdate((dir, tau), new Memo(() => {
-          val df = exactJaccardPairsUncached(s, dir, tau)
+          val df = exactJaccardPairsPrefix(s, dir, tau)
           val r = df.rdd.localCheckpoint()
           r.count() // materialize eagerly, once per key
           (df.schema, r)
@@ -1662,9 +1674,13 @@ object QueriesLLM {
     s.createDataFrame(rdd, schema)
   }
 
-  /** The un-memoized build (see [[minhashLshPairsUncached]] for why the
-    * raw builder stays separate: plan assertions and any directly
-    * MEASURED entry must see the real join, never a cache hit).
+  /** The plain inverted-index build — no longer what the consumers run
+    * (the memo builds [[exactJaccardPairsPrefix]] since r12), kept as
+    * the independently-derived equality witness: LshSpec pins this,
+    * the naive all-pairs join, and the prefix form pair-for-pair equal,
+    * which is what lets the consumers ride the cheaper join without an
+    * oracle change. Also the plan-assertion target (a real shuffled
+    * join, never a cache hit or an RDD-backed frame).
     */
   private[queries] def exactJaccardPairsUncached(
       s: SparkSession, dir: String, tau: Double = 0.2): DataFrame = {
@@ -1704,7 +1720,10 @@ object QueriesLLM {
     * out of most prefixes. Posting lists shrink from |posting| to the
     * docs that carry the shingle IN PREFIX position — the candidate
     * count bound becomes Σ|prefix-posting|², which skew can no longer
-    * blow up. Spec pins output equality with [[exactJaccardPairs]].
+    * blow up. Since r12 this IS the builder behind the memoized
+    * [[exactJaccardPairs]] (and so behind all four graph consumers);
+    * LshSpec pins it pair-for-pair equal to both the naive all-pairs
+    * join and the plain inverted-index form.
     */
   def exactJaccardPairsPrefix(s: SparkSession, dir: String, tau: Double = 0.2): DataFrame = {
     val d = t(s, dir, "documents")
@@ -1905,18 +1924,32 @@ object QueriesLLM {
         sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
       .orderBy(col("source"))
 
+  /** Absolute id ceiling of [[editDistance]]'s audit sample — the
+    * decontaminate cure (r12, verdict item 2): the previous `% 5`
+    * sample grew WITH the corpus, so the all-pairs Levenshtein audit
+    * grew quadratically (19.5× at 10× rows, 237 s = 27% of the r11 sf1
+    * mirror). An audit samples a FIXED number of pairs, not a fixed
+    * fraction of a 100 TB corpus — the cap makes the sampled doc set
+    * (and so the pair count) scale-invariant. 10,000 keeps sf0.01
+    * (max id 499) and sf0.1 (max id 4,999) bit-identical to the r11
+    * oracle; it binds from sf1 up (2,000 sampled docs instead of
+    * 10,000). Interpolated into the DuckDB oracle SQL so the two
+    * engines cannot drift (the SimhashWindow lesson).
+    */
+  val EditSampleCap = 10000L
+
   /** X22: character-level edit-distance near-dup — Levenshtein over
     * fixed 80-char prefixes of sampled same-source pairs: the
     * character-granularity check that token-set measures (Jaccard,
     * MinHash) miss (transpositions, small in-word edits). Quadratic by
-    * nature → declared oracle contract over the SAME bounded sample as
-    * [[ngramJaccard]]; at corpus scale candidates come from LSH and the
-    * fixed-length prefix bounds each comparison at O(80²). Exact
-    * integer distances.
+    * nature → declared oracle contract over a FIXED-SIZE sample
+    * (every 5th doc below [[EditSampleCap]]); at corpus scale
+    * candidates come from LSH and the fixed-length prefix bounds each
+    * comparison at O(80²). Exact integer distances.
     */
   def editDistance(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-      .filter(col("doc_id") % 5 === 0)
+      .filter(col("doc_id") % 5 === 0 && col("doc_id") < EditSampleCap)
       .select(col("doc_id"), col("source"), substring(col("text"), 1, 80).as("prefix"))
     val a = d.select(col("doc_id").as("doc_a"), col("source"), col("prefix").as("pa"))
     val b = d.select(col("doc_id").as("doc_b"), col("source"), col("prefix").as("pb"))
@@ -2217,8 +2250,8 @@ object QueriesLLM {
     * training side (with its distinct-shingle count — the containment
     * denominator) and the eval side keyed by doc.
     *
-    * The eval side is a FIXED-SIZE benchmark (the doc_id < 2000 prefix
-    * of the eval sources) since r11: the previous form took ALL of
+    * The eval side is a FIXED-SIZE benchmark (the doc_id <
+    * [[DecontEvalCap]] prefix of the eval sources) since r11: the previous form took ALL of
     * src0-src3 — 40% of the corpus — so the eval index grew WITH the
     * training corpus and the co-shingle join's output grew with the
     * product of the two (the r11 sf1/sf0.1 ratchet measured it at
@@ -2230,13 +2263,19 @@ object QueriesLLM {
     * sf0.01 every eval doc has id < 2000, so small-scale results are
     * unchanged; the cap binds from sf0.1 up.)
     */
+  /** Id ceiling of the fixed eval benchmark (see [[decontaminateSides]]
+    * — shared with the DuckDB oracle SQL by interpolation so the two
+    * engines cannot drift).
+    */
+  val DecontEvalCap = 2000L
+
   private def decontaminateSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val evalSources = Seq("src0", "src1", "src2", "src3")
     val d = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         array_distinct(shingles(col("text"), 3)).as("sh"))
     val evalSet = d.filter(col("source").isin(evalSources: _*) &&
-        col("doc_id") < 2000)
+        col("doc_id") < DecontEvalCap)
       .select(col("doc_id").as("eval_id"), col("sh").as("sh_e"))
     val train = d.filter(!col("source").isin(evalSources: _*) &&
         col("doc_id") % 10 === 0 && size(col("sh")) > 0)

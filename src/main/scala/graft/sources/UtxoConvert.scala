@@ -77,7 +77,10 @@ object UtxoConvert {
     * in: in local mode that is this JVM (maxMemory) with
     * defaultParallelism concurrent slots; on a cluster it is
     * `spark.executor.memory` × fraction with `spark.executor.cores`
-    * slots per executor — reading the driver's heap there would size
+    * slots per executor (when that conf is unset — standalone mode
+    * gives an executor every worker core — the slot count comes from
+    * the runtime instead: defaultParallelism / live executors, r12
+    * advice) — reading the driver's heap there would size
     * executor-side sorts from the wrong JVM entirely (a 2 GB driver
     * in front of 64 GB executors must not shrink the buckets 8×, nor
     * a fat driver re-inflate them into the r9 spill regression).
@@ -89,13 +92,28 @@ object UtxoConvert {
     val (heap, concurrent) =
       if (sc.isLocal)
         (Runtime.getRuntime.maxMemory, math.max(1, sc.defaultParallelism))
-      else
+      else {
+        // executor cores: the explicit conf when set; otherwise derive
+        // from the runtime — in standalone mode an executor with no
+        // spark.executor.cores takes ALL worker cores, so the old
+        // getOrElse(1) floor OVERSTATED the guaranteed per-task share
+        // by the real core count and re-inflated the buckets into the
+        // exact spill regression this sizing exists to prevent.
+        // defaultParallelism = total task slots across executors (it
+        // already folds in spark.task.cpus), so slots-per-executor =
+        // defaultParallelism / live executors.
+        val coresPerExec = spark.conf.getOption("spark.executor.cores")
+          .map(_.toInt / spark.conf.getOption("spark.task.cpus")
+            .map(_.toInt).getOrElse(1))
+          .getOrElse {
+            // getExecutorInfos lists executors plus the driver row
+            val execs = math.max(1, sc.statusTracker.getExecutorInfos.length - 1)
+            math.max(1, sc.defaultParallelism / execs)
+          }
         (org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
           spark.conf.getOption("spark.executor.memory").getOrElse("1g")),
-          // executor task slots = executor cores / cpus-per-task
-          math.max(1, spark.conf.getOption("spark.executor.cores")
-            .map(_.toInt).getOrElse(1) /
-            spark.conf.getOption("spark.task.cpus").map(_.toInt).getOrElse(1)))
+          math.max(1, coresPerExec))
+      }
     val pool = ((heap - 300L * 1024 * 1024).max(0L) * fraction).toLong
     val perSorterFloor = pool / (2L * concurrent)
     math.max(256L * 1024,

@@ -298,7 +298,8 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       dp(b.length)
     }
-    val sample = rawDocs().filter(_._1 % 5 == 0)
+    val sample = rawDocs()
+      .filter(d => d._1 % 5 == 0 && d._1 < QueriesLLM.EditSampleCap)
       .map { case (id, src, text) => (id, src, text.take(80)) }
     val expected = (for {
       a <- sample; b <- sample

@@ -458,4 +458,85 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("S16 event-time dedup: SHUFFLED arrival order still equals the batch contract") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val want = graft.queries.QueriesLLM.arrivalDedupSimhash(spark, dir)
+    val wantRows = want.collect()
+    assert(wantRows.nonEmpty, "corpus should contain simhash near-dups")
+    // the adversarial arrival: the slice holding a dropped doc's FIRST
+    // DUPLICATE arrives LAST — the in-order processor's check for the
+    // dropped doc runs before that duplicate is ever inserted, so
+    // equality under this order can only come from watermark buffering
+    val cross = wantRows.maxBy(r => r.getLong(0) - r.getLong(2))
+    val lo = cross.getLong(2) // the first duplicate, staged last
+    val b1 = lo + 1
+    val hi = cross.getLong(0) // the dropped doc, staged first
+    val docsB = graft.queries.Queries.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val maxId = docsB.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val delay = maxId + 2 // covers ANY permutation of this corpus
+    val sentinelId = maxId + delay + 2
+    val watch = java.nio.file.Files.createTempDirectory("docs-et-spec").toString
+    val slices = Seq(
+      docsB.filter(col("doc_id") >= b1 && col("doc_id") <= hi),
+      docsB.filter(col("doc_id") > hi),
+      docsB.filter(col("doc_id") < b1), // hi's first duplicate, LAST
+      // the sentinel advances the final watermark past every real doc
+      // (an infinite stream has no end — draining means event time
+      // moving on), and is filtered from the verdicts below
+      spark.range(1).select(lit(sentinelId).as("doc_id"),
+        lit("sentinel").as("text")))
+    slices.zipWithIndex.foreach { case (p, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"docs-etslice$i")
+      p.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(watch, f"arr$i%04d.parquet"))
+    }
+    FileIngestOrder.pinMtimesToPathOrder(
+      spark.sparkContext.hadoopConfiguration, watch)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def freshStream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watch)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val verdicts = StreamingQueries.runToBatch(spark,
+        StreamingQueries.simhashBandVerdictsEventTime(spark, freshStream(), delay),
+        "s16et_out", OutputMode.Append())
+      val got = StreamingQueries.arrivalVerdictRollup(verdicts)
+        .filter(col("doc_id") <= maxId)
+      assert(sortedRows(got) == sortedRows(want))
+      // the out-of-order witness was dropped despite its first dup
+      // arriving two batches after it
+      assert(got.filter(col("doc_id") === hi).count() == 1)
+      // negative control: the in-order processor on the SAME shuffled
+      // arrival diverges (it misses the (lo, hi) match) — the
+      // prerequisite the event-time form exists to remove
+      val ctrl = StreamingQueries.runToBatch(spark,
+        StreamingQueries.simhashBandVerdicts(spark, freshStream()),
+        "s16et_ctrl", OutputMode.Append())
+      val gotCtrl = StreamingQueries.arrivalVerdictRollup(ctrl)
+        .filter(col("doc_id") <= maxId)
+      assert(sortedRows(gotCtrl) != sortedRows(want),
+        "in-order processor unexpectedly survived shuffled arrival — witness is vacuous")
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("S16 event-time registry driver: 12-slice shuffle hash-equals the arrival contract") {
+    // the s_dedup_simhash_eventtime entry end-to-end: its own staging,
+    // its own disorder, its own watermark sizing — must reproduce the
+    // batch contract exactly (the Verify gate then hash-checks the
+    // same equality against DuckDB at sf0.01)
+    val want = graft.queries.QueriesLLM.arrivalDedupSimhash(spark, dir)
+    val got = StreamingQueries.runEventTimeDedup(spark, dir)
+    assert(sortedRows(got) == sortedRows(want))
+  }
 }
