@@ -1519,12 +1519,14 @@ object QueriesLLM {
     * verdict item 5 — the [[EditSampleCap]] cure applied to the vector
     * side): the `% 5` sample grew with the corpus and the all-pairs
     * cosine audit sat at 11.85× for 10× rows, one growth step from the
-    * 12× ratchet. The cap makes the audit scale-invariant: unchanged
-    * at sf0.01/sf0.1 (max vec_id 4,999), binds from sf1 up. The
+    * 12× ratchet. The cap makes the audit scale-invariant: exactly 400
+    * sampled vectors at every scale from sf0.1 up (the embeddings
+    * table carries max vec_id 1,999 at sf0.1, 19,999 at sf1), and
+    * sf0.01 (max 499) is bit-identical to the r11 oracle. The
     * production path is [[embedDedupLsh]], which runs the FULL corpus.
     * Interpolated into the DuckDB oracle SQL.
     */
-  val EmbedSampleCap = 10000L
+  val EmbedSampleCap = 2000L
 
   /** X2/X3: embedding-cosine near-dup dedup — the vector analogue of
     * [[exactDedup]]: every sampled vector with a lower-id neighbor at
@@ -1930,13 +1932,15 @@ object QueriesLLM {
     * grew quadratically (19.5× at 10× rows, 237 s = 27% of the r11 sf1
     * mirror). An audit samples a FIXED number of pairs, not a fixed
     * fraction of a 100 TB corpus — the cap makes the sampled doc set
-    * (and so the pair count) scale-invariant. 10,000 keeps sf0.01
+    * (and so the pair count) scale-invariant. 5,000 keeps sf0.01
     * (max id 499) and sf0.1 (max id 4,999) bit-identical to the r11
-    * oracle; it binds from sf1 up (2,000 sampled docs instead of
-    * 10,000). Interpolated into the DuckDB oracle SQL so the two
-    * engines cannot drift (the SimhashWindow lesson).
+    * oracle — the audit is exactly 1,000 sampled docs at every scale
+    * from sf0.1 up (the r12 sf0.1 pass measured that sample at
+    * ~12.7 s; an uncapped sf1 would have quadrupled it again).
+    * Interpolated into the DuckDB oracle SQL so the two engines
+    * cannot drift (the SimhashWindow lesson).
     */
-  val EditSampleCap = 10000L
+  val EditSampleCap = 5000L
 
   /** X22: character-level edit-distance near-dup — Levenshtein over
     * fixed 80-char prefixes of sampled same-source pairs: the

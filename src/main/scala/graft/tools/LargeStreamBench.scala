@@ -408,6 +408,81 @@ object LargeStreamBench {
     require(equalW, s"windowed streaming dedup diverged from batch contract " +
       s"($s16wRows streamed vs $wantWN batch verdict rows)")
 
+    // ---- S16 event-time twin (r12): the SAME corpus with arrival
+    // order deliberately SHUFFLED — adjacent file pairs swapped, one
+    // file per micro-batch, so every even slice arrives one batch
+    // AFTER its higher-id successor (cross-batch disorder the in-order
+    // processor provably cannot survive). Claims measured: verdict
+    // equality with the batch contract DESPITE the disorder, the wall
+    // + per-batch curve (buffering adds one deferred flush, not a
+    // second pass), and the state split (seen = the flushed prefix,
+    // buf = at most delay × arrival-rate pending rows).
+    val etWatch = new java.io.File(scratch, "corpus_et")
+    etWatch.mkdirs()
+    val etParts = new java.io.File(s"$corpus/documents.parquet").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val span = nDocs / etParts.length
+    val delayIds = 2 * span + 2
+    val swapped = etParts.indices.map(i =>
+      if (i % 2 == 0) math.min(i + 1, etParts.length - 1) else i - 1)
+    swapped.zipWithIndex.foreach { case (slice, pos) =>
+      java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(etWatch.getAbsolutePath, f"arr$pos%04d.parquet"),
+        etParts(slice).toPath)
+    }
+    // the sentinel advances the final watermark past every real doc
+    // (an infinite stream has no end; draining = event time moving on)
+    val sentTmp = new java.io.File(scratch, "et_sentinel").getAbsolutePath
+    spark.range(1)
+      .select(lit(nDocs - 1 + delayIds + 2).as("doc_id"),
+        lit("sentinel").as("text"))
+      .coalesce(1).write.mode("overwrite").parquet(sentTmp)
+    val sentPart = new java.io.File(sentTmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(sentPart.toPath,
+      java.nio.file.Paths.get(etWatch.getAbsolutePath,
+        f"arr${etParts.length}%04d.parquet"))
+    graft.streaming.FileIngestOrder.pinMtimesToPathOrder(
+      new org.apache.hadoop.conf.Configuration(), etWatch.getAbsolutePath)
+    val ckptEt = new java.io.File(scratch, "ck_simdedup_et").getAbsolutePath
+    val outEt = new java.io.File(scratch, "simdedup_et_out").getAbsolutePath
+    val etBatchWalls = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val (etSec, _) = time {
+      val docsStream = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(etWatch.getAbsolutePath)
+      val q = graft.streaming.StreamingQueries
+        .simhashBandVerdictsEventTime(spark, docsStream, delayIds)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckptEt)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.streaming.StreamingQueries.arrivalVerdictRollup(b)
+            .write.mode("append").parquet(outEt)
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally {
+        q.recentProgress.filter(_.numInputRows > 0)
+          .foreach(p => etBatchWalls += p.batchDuration)
+        q.stop()
+      }
+    }
+    val gotEt = spark.read.parquet(outEt).distinct()
+      .filter(col("doc_id") < nDocs).localCheckpoint()
+    val gotEtN = gotEt.count()
+    val equalEt = gotEtN == wantN &&
+      gotEt.except(want).isEmpty && want.except(gotEt).isEmpty
+    results += "simhash_dedup_eventtime" ->
+      (perf(nDocs, etSec, gotEtN, stateRows(ckptEt, Some("seen")), dirBytes(ckptEt)).dropRight(1) +
+        s""","buf_state_rows":${stateRows(ckptEt, Some("buf"))}""" +
+        s""","delay_ids":$delayIds,"batch_walls_ms":${etBatchWalls.mkString("[", ",", "]")},""" +
+        s""""batch_equal":$equalEt}""")
+    System.err.println(s"[lsb] simhash_dedup_eventtime: ${results("simhash_dedup_eventtime")}")
+    require(equalEt, s"event-time streaming dedup diverged from batch contract " +
+      s"under shuffled arrival ($gotEtN streamed vs $wantN batch verdict rows)")
+
     // ---- S8 upsert (4 batches: each merge rewrites the keyed target)
     val target = new java.io.File(scratch, "upsert_target").getAbsolutePath
     val ckpt8 = new java.io.File(scratch, "ck_upsert").getAbsolutePath

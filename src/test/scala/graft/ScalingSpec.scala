@@ -28,17 +28,26 @@ class ScalingSpec extends AnyFunSuite {
     * pairing, not this list, is the 100 TB argument.
     */
   val superlinearAllowed: Set[String] = Set(
-    // exact pair graph + its consumers (postings join, but candidate
-    // pairs at tau=0.2 grow quadratically in corpus density)
+    // exact pair graph + its consumers. Since r12 the four consumers
+    // ride the memoized PREFIX-FILTERED exact join (PPJoin bound
+    // Σ|prefix-posting|²), so their artifact minima are memo hits and
+    // sit far under the ratio — they stay DECLARED because the
+    // underlying edge build (measured raw by x_jaccard_pairs_prefix)
+    // is still candidate-quadratic at this corpus's tau=0.2 density,
+    // and a future round that drops the memo must not trip the ratchet
+    // for honoring the same declared contract
     "x_ngram_jaccard", "x_jaccard_pairs_prefix",
     "x_dedup_clusters", "x_near_dedup_keep",
     "x_pagerank", "x_triangles",
     // brute-force similarity contracts (scale paths: LSH/IVF/PQ)
-    "x_cosine_topk", "x_knn_classify", "x_ann_quantized",
-    "x_embed_dedup", "x_edit_distance")
+    "x_cosine_topk", "x_knn_classify", "x_ann_quantized")
     // x_simhash_near_dup LEFT this set in r10: the 60-bit fingerprint's
     // 4×15-bit bands (32,768 buckets/band vs 4,096) un-saturated the
-    // only shipped scale path that had ratcheted in (45× at 10× rows)
+    // only shipped scale path that had ratcheted in (45× at 10× rows).
+    // x_edit_distance and x_embed_dedup LEFT in r12: their samples got
+    // absolute id caps (EditSampleCap/EmbedSampleCap — an audit samples
+    // a fixed count, not a fixed fraction), making both scale-flat
+    // (237→2.6 s and 3.9→0.3 s sf1); the ratchet now guards the caps.
 
   private def latestPair(): Option[(java.io.File, java.io.File)] = {
     val root = new java.io.File(".")
