@@ -359,6 +359,13 @@ object Queries {
     // outsources to S15 mtime pinning
     "s_dedup_simhash_eventtime" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingQueries.runEventTimeDedup(s, dir)),
+    // the full production shape (r12): out-of-order tolerant AND
+    // bounded state — the event-time buffer composed with the
+    // retention window's prune-on-flush; real stream in the gate,
+    // oracled by s_dedup_simhash_window's CTE
+    "s_dedup_simhash_eventtime_window" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingQueries.runEventTimeDedup(s, dir,
+        QueriesLLM.SimhashWindow)),
     "s_join" -> (QueriesScalar.streamJoin _),
     "s_upsert" -> (QueriesScalar.streamUpsert _),
     "x_exact_dedup" -> (QueriesLLM.exactDedup _),
@@ -1824,6 +1831,15 @@ object Queries {
         |SELECT doc_b AS doc_id, CAST(count(*) AS BIGINT) AS n_earlier,
         |  min(doc_a) AS first_dup_of
         |FROM cand WHERE bit_count(xor(fa, fb)) <= 6
+        |GROUP BY doc_b ORDER BY doc_id""".stripMargin,
+    // the windowed event-time twin answers the RETENTION contract
+    // (s_dedup_simhash_window's CTE) despite out-of-order delivery
+    "s_dedup_simhash_eventtime_window" ->
+      s"""$simhashBandCteSql
+        |SELECT doc_b AS doc_id, CAST(count(*) AS BIGINT) AS n_earlier,
+        |  min(doc_a) AS first_dup_of
+        |FROM cand WHERE bit_count(xor(fa, fb)) <= 6
+        |  AND doc_a >= doc_b - ${QueriesLLM.SimhashWindow}
         |GROUP BY doc_b ORDER BY doc_id""".stripMargin,
     "x_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id,

@@ -524,8 +524,17 @@ object StreamingQueries {
     * still emit in one micro-batch and the per-batch rollup stays
     * exact). State is `seen` (the flushed prefix, same growth as the
     * unwindowed form) plus a buffer bounded by delay × arrival rate.
+    *
+    * `window` composes the retention bound in ([[BandDedupWindowProcessor]]
+    * semantics: matches only count within the last `window` arrivals,
+    * and `seen` is pruned below (max flushed id − window) on every
+    * flush — sound because flushes happen in GLOBAL id order per
+    * bucket, so no future doc can need a pruned entry). The windowed
+    * event-time form is the full production shape for an infinite
+    * multi-writer stream: out-of-order tolerant AND bounded state;
+    * `Long.MaxValue` (the default) is the unwindowed audit form.
     */
-  class BandDedupEventTimeProcessor
+  class BandDedupEventTimeProcessor(window: Long = Long.MaxValue)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, Long, java.sql.Timestamp), (Long, Seq[Long])] {
     @transient private var seen:
@@ -563,13 +572,21 @@ object StreamingQueries {
       val out = ripe.sortBy(_._2).map { case (_, docId, fp) =>
         val matches = (prior.iterator ++ fresh.iterator)
           .filter { case (id, fp2) =>
-            id < docId && java.lang.Long.bitCount(fp ^ fp2) <=
-              graft.queries.QueriesLLM.SimhashTau }
+            id < docId && id >= docId - window &&
+              java.lang.Long.bitCount(fp ^ fp2) <=
+                graft.queries.QueriesLLM.SimhashTau }
           .map(_._1).toSeq.distinct.sorted
         fresh += ((docId, fp))
         (docId, matches)
       }
-      seen.appendList(fresh.toArray)
+      if (window == Long.MaxValue) seen.appendList(fresh.toArray)
+      else {
+        // flushes run in global id order per bucket, so nothing below
+        // (max flushed − window) can ever match a future doc again
+        val horizon = fresh.map(_._1).max - window
+        seen.put((prior.iterator ++ fresh.iterator)
+          .filter(_._1 >= horizon).toArray)
+      }
       if (hold.isEmpty) buf.clear() else buf.put(hold.toArray)
       out.iterator
     }
@@ -625,7 +642,7 @@ object StreamingQueries {
     * but WITHOUT its in-order-delivery prerequisite.
     */
   def simhashBandVerdictsEventTime(spark: SparkSession, docs: DataFrame,
-      maxDisorderIds: Long): DataFrame = {
+      maxDisorderIds: Long, window: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     bandedBuckets(spark, docs)
       // event clock = (id + 1) seconds: the +1 keeps id 0 OFF epoch 0 —
@@ -638,7 +655,7 @@ object StreamingQueries {
       .withWatermark("ts", s"$maxDisorderIds seconds")
       .as[(Long, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .transformWithState(new BandDedupEventTimeProcessor,
+      .transformWithState(new BandDedupEventTimeProcessor(window),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())
       .toDF("doc_id", "match_ids")
@@ -692,8 +709,16 @@ object StreamingQueries {
     * so the final watermark seals (and flushes) the whole corpus — an
     * infinite stream has no end, so the "end" is a doc far enough in
     * the future, which is exactly how event-time pipelines drain.
+    *
+    * `window` = the retention bound: `Long.MaxValue` runs the
+    * unwindowed audit form (oracle: `s_dedup_simhash`'s CTE);
+    * [[graft.queries.QueriesLLM.SimhashWindow]] runs the
+    * bounded-state production form (`s_dedup_simhash_eventtime_window`
+    * — oracle: `s_dedup_simhash_window`'s CTE), proving the full
+    * out-of-order + bounded-state shape end-to-end in the gate.
     */
-  def runEventTimeDedup(spark: SparkSession, dir: String): DataFrame = {
+  def runEventTimeDedup(spark: SparkSession, dir: String,
+      window: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val docs = graft.queries.Queries.t(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
@@ -730,7 +755,7 @@ object StreamingQueries {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val verdicts = runToBatch(spark,
-        simhashBandVerdictsEventTime(spark, stream, delay),
+        simhashBandVerdictsEventTime(spark, stream, delay, window),
         s"s16et_${java.util.UUID.randomUUID().toString.take(8)}",
         OutputMode.Append())
       arrivalVerdictRollup(verdicts)

@@ -539,4 +539,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = StreamingQueries.runEventTimeDedup(spark, dir)
     assert(sortedRows(got) == sortedRows(want))
   }
+
+  test("S16 windowed event-time: shuffled arrival equals the retention contract; window binds") {
+    // the full production shape — out-of-order tolerant AND bounded
+    // state — must reproduce the RETENTION contract under the same
+    // shuffled staging the unwindowed driver uses
+    val wantAll = graft.queries.QueriesLLM.arrivalDedupSimhash(spark, dir)
+    val want = graft.queries.QueriesLLM.arrivalDedupSimhashWindow(spark, dir)
+    val got = StreamingQueries.runEventTimeDedup(spark, dir,
+      graft.queries.QueriesLLM.SimhashWindow)
+    assert(sortedRows(got) == sortedRows(want))
+    // the window binds through the event-time path too: docs whose
+    // only matches lie beyond the horizon are KEPT here
+    val windowedIds = want.collect().map(_.getLong(0)).toSet
+    val kept = wantAll.collect().map(_.getLong(0)).filterNot(windowedIds)
+    assert(kept.nonEmpty, "window does not bind on this corpus")
+    assert(got.filter(col("doc_id").isin(kept.toSeq: _*)).count() == 0)
+  }
 }
