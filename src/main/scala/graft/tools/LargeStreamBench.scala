@@ -483,6 +483,46 @@ object LargeStreamBench {
     require(equalEt, s"event-time streaming dedup diverged from batch contract " +
       s"under shuffled arrival ($gotEtN streamed vs $wantN batch verdict rows)")
 
+    // ---- S16 windowed event-time (r12): the composed production form
+    // — out-of-order tolerant AND bounded state — on the same shuffled
+    // watch dir. Claims measured: retention-contract equality despite
+    // the disorder, and the seen-state bound (pruned to window
+    // occupancy per touched bucket, like the in-order windowed form).
+    val ckptEtW = new java.io.File(scratch, "ck_simdedup_etw").getAbsolutePath
+    val outEtW = new java.io.File(scratch, "simdedup_etw_out").getAbsolutePath
+    val (etwSec, _) = time {
+      val docsStream = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(etWatch.getAbsolutePath)
+      val q = graft.streaming.StreamingQueries
+        .simhashBandVerdictsEventTime(spark, docsStream, delayIds,
+          graft.queries.QueriesLLM.SimhashWindow)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckptEtW)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.streaming.StreamingQueries.arrivalVerdictRollup(b)
+            .write.mode("append").parquet(outEtW)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val gotEtW = spark.read.parquet(outEtW).distinct()
+      .filter(col("doc_id") < nDocs).localCheckpoint()
+    val gotEtWN = gotEtW.count()
+    val equalEtW = gotEtWN == wantWN &&
+      gotEtW.except(wantW).isEmpty && wantW.except(gotEtW).isEmpty
+    val stateEtW = stateRows(ckptEtW, Some("seen"))
+    results += "simhash_dedup_eventtime_window" ->
+      (perf(nDocs, etwSec, gotEtWN, stateEtW, dirBytes(ckptEtW)).dropRight(1) +
+        s""","buf_state_rows":${stateRows(ckptEtW, Some("buf"))}""" +
+        s""","state_bound_ratio":${f"${stateEtW.toDouble / (4L * nDocs)}%.4f"}""" +
+        s""","batch_equal":$equalEtW}""")
+    System.err.println(s"[lsb] simhash_dedup_eventtime_window: ${results("simhash_dedup_eventtime_window")}")
+    require(equalEtW, s"windowed event-time dedup diverged from retention contract " +
+      s"under shuffled arrival ($gotEtWN streamed vs $wantWN batch verdict rows)")
+
     // ---- S8 upsert (4 batches: each merge rewrites the keyed target)
     val target = new java.io.File(scratch, "upsert_target").getAbsolutePath
     val ckpt8 = new java.io.File(scratch, "ck_upsert").getAbsolutePath
