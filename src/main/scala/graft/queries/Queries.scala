@@ -1771,10 +1771,10 @@ object Queries {
         |SELECT doc_id, perm_id, min((a * (h64 % 2147483647) + b) % 2147483647) AS sig
         |FROM h, p GROUP BY doc_id, perm_id ORDER BY doc_id, perm_id""".stripMargin,
     "x_ngram_jaccard" ->
-      """WITH d AS (SELECT doc_id, source,
+      s"""WITH d AS (SELECT doc_id, source,
         |  list_distinct(list_transform(range(len(string_split(text, ' ')) - 2),
         |    i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' '))) AS sh
-        |  FROM documents WHERE doc_id % 10 = 0),
+        |  FROM documents WHERE doc_id % 10 = 0 AND doc_id < ${QueriesLLM.NgramSampleCap}),
         |pairs AS (SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS n_common,
         |    len(list_distinct(list_concat(a.sh, b.sh))) AS n_union

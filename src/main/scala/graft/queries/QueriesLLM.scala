@@ -171,12 +171,26 @@ object QueriesLLM {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Absolute id ceiling of [[ngramJaccard]]'s audit sample — the last
+    * corpus-proportional audit sample in the file (r12 verdict item 2):
+    * `% 10` alone grows WITH the corpus, so the same-source all-pairs
+    * exact-Jaccard audit grew quadratically in corpus density (13 s at
+    * sf1 and rising). Same cure as [[EditSampleCap]]: an audit samples
+    * a FIXED number of docs, not a fixed fraction of a 100 TB corpus.
+    * 5,000 keeps sf0.01 (max id 499) and sf0.1 (max id 4,999)
+    * bit-identical to the r12 oracle — the audit is exactly 500
+    * sampled docs at every scale from sf0.1 up. Interpolated into the
+    * DuckDB oracle SQL so the two engines cannot drift.
+    */
+  val NgramSampleCap = 5000L
+
   /** X2: exact n-gram Jaccard over sampled same-source pairs — the
-    * ground truth MinHash approximates; exact set arithmetic.
+    * ground truth MinHash approximates; exact set arithmetic over a
+    * FIXED-SIZE sample (every 10th doc below [[NgramSampleCap]]).
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-      .filter(col("doc_id") % 10 === 0)
+      .filter(col("doc_id") % 10 === 0 && col("doc_id") < NgramSampleCap)
       .select(col("doc_id"), col("source"),
         array_sort(array_distinct(shingles(col("text"), 3))).as("sh"))
     val a = d.select(col("doc_id").as("doc_a"), col("source"), col("sh").as("sh_a"))
@@ -1722,7 +1736,11 @@ object QueriesLLM {
     * out of most prefixes. Posting lists shrink from |posting| to the
     * docs that carry the shingle IN PREFIX position — the candidate
     * count bound becomes Σ|prefix-posting|², which skew can no longer
-    * blow up. Since r12 this IS the builder behind the memoized
+    * blow up. Since r13 the candidate join also carries PPJoin's
+    * length filter (min size ≥ τ·max size) and positional filter
+    * (remaining-overlap bound from the matched positions) — both exact
+    * necessary conditions, argued inline at the join. Since r12 this
+    * IS the builder behind the memoized
     * [[exactJaccardPairs]] (and so behind all four graph consumers);
     * LshSpec pins it pair-for-pair equal to both the naive all-pairs
     * join and the plain inverted-index form.
@@ -1739,12 +1757,36 @@ object QueriesLLM {
       .orderBy(col("df"), col("s"))
     val prefix = post.join(freq, Seq("s"))
       .withColumn("pos", row_number().over(w))
-      .withColumn("plen",
-        floor(count(lit(1)).over(Window.partitionBy(col("doc_id"))) * (1.0 - tau)) + 1)
-      .filter(col("pos") <= col("plen"))
-      .select(col("doc_id"), col("s"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("pos") <= floor(col("n") * (1.0 - tau)) + 1)
+      .select(col("doc_id"), col("s"), col("pos"), col("n"))
+    // PPJoin's two remaining EXACT cuts, applied inside the candidate
+    // join's codegen (r12 verdict item 1). Both are NECESSARY conditions
+    // for Jaccard ≥ τ, so pruning on them loses no qualifying pair; the
+    // ε slack relaxes each bound by 1e-9 so double rounding can only
+    // ADMIT extra candidates (the exact verify removes them) — a
+    // false-drop is the only possible bug, and ε makes it impossible.
+    //   length filter: |a∩b| ≤ min(na,nb) and |a∪b| ≥ max(na,nb), so
+    //     τ ≤ min/max — one scalar predicate kills every size-skewed
+    //     pair before it exists.
+    //   positional filter: both docs' shingles sit in the SAME global
+    //     total order (df asc, shingle asc), so any shared shingle
+    //     other than the matched one lies strictly before it in BOTH
+    //     lists or strictly after it in BOTH lists. Hence for a match
+    //     at positions (pa, pb): overlap ≤ min(pa−1, pb−1) + 1 +
+    //     min(na−pa, nb−pb). Jaccard ≥ τ forces overlap ≥
+    //     τ/(1+τ)·(na+nb); a pair survives if ANY of its prefix-match
+    //     rows passes — sound because a qualifying pair's TRUE overlap
+    //     satisfies every row's upper bound, so every row passes.
+    val eps = 1e-9
+    val reqOverlap = (col("x.n") + col("y.n")) * (tau / (1.0 + tau)) - eps
+    val maxOverlap = least(col("x.pos"), col("y.pos")) - 1 + lit(1) +
+      least(col("x.n") - col("x.pos"), col("y.n") - col("y.pos"))
     val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.n") >= col("y.n") * tau - eps &&
+          col("y.n") >= col("x.n") * tau - eps &&
+          maxOverlap.cast("double") >= reqOverlap)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(d, cand, tau)

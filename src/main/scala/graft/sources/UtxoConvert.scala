@@ -79,8 +79,9 @@ object UtxoConvert {
     * `spark.executor.memory` × fraction with `spark.executor.cores`
     * slots per executor (when that conf is unset — standalone mode
     * gives an executor every worker core — the slot count comes from
-    * the runtime instead: defaultParallelism / live executors, r12
-    * advice) — reading the driver's heap there would size
+    * the runtime instead: total registered cores / spark.task.cpus /
+    * live executors, clamped, ignoring any user spark.default.parallelism
+    * override — r12+r13 advice) — reading the driver's heap there would size
     * executor-side sorts from the wrong JVM entirely (a 2 GB driver
     * in front of 64 GB executors must not shrink the buckets 8×, nor
     * a fat driver re-inflate them into the r9 spill regression).
@@ -99,16 +100,35 @@ object UtxoConvert {
         // getOrElse(1) floor OVERSTATED the guaranteed per-task share
         // by the real core count and re-inflated the buckets into the
         // exact spill regression this sizing exists to prevent.
-        // defaultParallelism = total task slots across executors (it
-        // already folds in spark.task.cpus), so slots-per-executor =
-        // defaultParallelism / live executors.
+        val taskCpus = math.max(1,
+          spark.conf.getOption("spark.task.cpus").map(_.toInt).getOrElse(1))
         val coresPerExec = spark.conf.getOption("spark.executor.cores")
-          .map(_.toInt / spark.conf.getOption("spark.task.cpus")
-            .map(_.toInt).getOrElse(1))
+          .map(_.toInt / taskCpus)
           .getOrElse {
             // getExecutorInfos lists executors plus the driver row
             val execs = math.max(1, sc.statusTracker.getExecutorInfos.length - 1)
-            math.max(1, sc.defaultParallelism / execs)
+            // defaultParallelism = total registered CORES in the
+            // coarse-grained backends — but ONLY while the user has
+            // not overridden spark.default.parallelism (the backends
+            // define it as max(totalCores, 2) *unless set*). The
+            // override is a shuffle-tuning knob, not a core count,
+            // and the public status API exposes no per-executor core
+            // field (SparkExecutorInfo: memory + running tasks only),
+            // so when the knob is set the derivation falls back to
+            // the running-task high-water mark floored at 8
+            // slots/executor — OVERSTATING concurrency only shrinks
+            // buckets (more, smaller, still-zero-spill sorts);
+            // understating re-inflates them into the spill
+            // regression (r12 advice). It counts CORES, not slots:
+            // divide by spark.task.cpus explicitly (defaultParallelism
+            // does NOT fold that in), then clamp to a sane
+            // [1, 256] slots/executor band.
+            val totalCores =
+              if (sc.getConf.contains("spark.default.parallelism"))
+                math.max(8 * execs * taskCpus,
+                  sc.statusTracker.getExecutorInfos.map(_.numRunningTasks).sum * taskCpus)
+              else sc.defaultParallelism
+            math.min(256, math.max(1, totalCores / taskCpus / execs))
           }
         (org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
           spark.conf.getOption("spark.executor.memory").getOrElse("1g")),

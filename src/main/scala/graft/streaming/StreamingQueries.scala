@@ -541,6 +541,8 @@ object StreamingQueries {
         org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
     @transient private var buf:
         org.apache.spark.sql.streaming.ListState[(Long, Long, Long)] = _
+    @transient private var flushedWm:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
 
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
@@ -550,6 +552,9 @@ object StreamingQueries {
       buf = getHandle.getListState[(Long, Long, Long)]("buf",
         org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
+      flushedWm = getHandle.getValueState[Long]("flushedWm",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
     }
 
     /** Flush every buffered entry the watermark has sealed (ts < wm:
@@ -557,14 +562,41 @@ object StreamingQueries {
       * in id order, against the accreted list; re-arm the timer for
       * what remains. Shared by the input and timer paths so the two
       * cannot diverge.
+      *
+      * State-write discipline (r12 verdict item 3 — the r12 form
+      * rewrote the FULL hold buffer and delete-all + re-registered the
+      * timer on every micro-batch touch, 602 MB of RocksDB writes at
+      * 1M docs vs the in-order form's 125 MB): flushed entries are now
+      * dropped LOGICALLY by advancing `flushedWm` (one 8-byte value
+      * write) — entries below it are dead, already emitted, and
+      * filtered on read. The buffer is physically compacted only when
+      * the dead+ripe half dominates (amortized O(1) rewrites per entry,
+      * the classic array-compaction bound, so `buf` never exceeds 2×
+      * the live hold set) or cleared outright when nothing is held.
+      * The timer is touched only when the desired expiry actually
+      * changed. No entry below `flushedWm` can ever be appended:
+      * handleInputRows drops rows below the current watermark, which
+      * is ≥ every flushedWm ever written (watermarks are monotonic).
       */
-    private def flush(wmMs: Long): Iterator[(Long, Seq[Long])] = {
+    private def flush(wmMs: Long,
+        expired: Option[Long] = None): Iterator[(Long, Seq[Long])] = {
       val pending = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
       buf.get().foreach(pending += _)
-      val (ripe, hold) = pending.partition(_._1 < wmMs)
-      // single timer per bucket: re-derive from the hold set each time
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
-      if (hold.nonEmpty) getHandle.registerTimer(hold.map(_._1).min + 1)
+      val floor = if (flushedWm.exists()) flushedWm.get() else Long.MinValue
+      val live = pending.filter(_._1 >= floor)
+      val (ripe, hold) = live.partition(_._1 < wmMs)
+      // single timer per bucket, rewritten ONLY on change; the timer
+      // that is firing right now is framework-managed (removed after
+      // the callback), so it is neither ours to delete nor a collision
+      // risk for the re-registration (desired = min hold ts + 1 >
+      // wm ≥ the firing expiry, strictly)
+      val desired = if (hold.nonEmpty) Some(hold.map(_._1).min + 1) else None
+      val existing = getHandle.listTimers().toSeq
+        .filterNot(t => expired.contains(t))
+      if (existing != desired.toList) {
+        existing.foreach(t => getHandle.deleteTimer(t))
+        desired.foreach(t => getHandle.registerTimer(t))
+      }
       if (ripe.isEmpty) return Iterator.empty
       val prior = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
       seen.get().foreach(prior += _)
@@ -587,7 +619,18 @@ object StreamingQueries {
         seen.put((prior.iterator ++ fresh.iterator)
           .filter(_._1 >= horizon).toArray)
       }
-      if (hold.isEmpty) buf.clear() else buf.put(hold.toArray)
+      if (hold.isEmpty) {
+        buf.clear()
+        flushedWm.clear()
+      } else if (pending.length - hold.length >= hold.length) {
+        // dead+ripe at least match the hold set: compact physically
+        // (amortized — each entry is rewritten O(1) times in its life)
+        buf.put(hold.toArray)
+        flushedWm.clear()
+      } else {
+        // cheap path: one 8-byte value write marks the ripe set dead
+        flushedWm.update(wmMs)
+      }
       out.iterator
     }
 
@@ -610,7 +653,8 @@ object StreamingQueries {
         timerValues: org.apache.spark.sql.streaming.TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
         Iterator[(Long, Seq[Long])] =
-      flush(timerValues.getCurrentWatermarkInMs())
+      flush(timerValues.getCurrentWatermarkInMs(),
+        Some(expiredTimerInfo.getExpiryTimeInMs()))
   }
 
   /** S16: streaming near-dup dedup against an accreting SimHash band
@@ -743,6 +787,10 @@ object StreamingQueries {
       val f = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
       java.nio.file.Files.move(f.toPath,
         java.nio.file.Paths.get(watch, f"arr$k%04d.parquet"))
+      // the staging dir (now just _SUCCESS + crc residue) dies here —
+      // this runs inside the correctness gate per invocation, so temp
+      // state must not accumulate across registry runs
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
     }
     FileIngestOrder.pinMtimesToPathOrder(
       spark.sparkContext.hadoopConfiguration, watch)
@@ -762,11 +810,17 @@ object StreamingQueries {
         .filter(col("doc_id") <= maxId) // the sentinel is not a verdict
         .orderBy(col("doc_id"))
         .localCheckpoint() // the memory-sink table dies with the query
-    } finally prev match {
-      case Some(p) =>
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None =>
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      // the staged corpus copy is only needed while the stream runs;
+      // the result above is localCheckpoint'd, so the files can go
+      // (r12 advice: gate entries must not leak a corpus copy per run)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(watch))
     }
   }
 

@@ -421,14 +421,33 @@ object LargeStreamBench {
     etWatch.mkdirs()
     val etParts = new java.io.File(s"$corpus/documents.parquet").listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    val span = nDocs / etParts.length
-    val delayIds = 2 * span + 2
+    // watermark delay from the ACTUAL per-file id ranges, not an
+    // equal-span assumption (r12 advice: a part exceeding the floored
+    // average by ≥2 ids would silently watermark-drop real rows with
+    // only a 1–3 id margin): the pairwise swap makes the worst
+    // lateness hi(i+1) − lo(i) over adjacent pairs; +64 ids of
+    // explicit slack covers the processor's local guard filtering one
+    // batch ahead of Spark's late-record filter — extra delay only
+    // buffers longer, it cannot change verdicts.
+    val partRanges = etParts.map { f =>
+      val ids = spark.read.parquet(f.getAbsolutePath)
+        .agg(org.apache.spark.sql.functions.min(col("doc_id")),
+          org.apache.spark.sql.functions.max(col("doc_id"))).collect()(0)
+      (ids.getLong(0), ids.getLong(1))
+    }
+    val delayIds = partRanges.indices.dropRight(1)
+      .map(i => partRanges(i + 1)._2 - partRanges(i)._1).max + 64
     val swapped = etParts.indices.map(i =>
       if (i % 2 == 0) math.min(i + 1, etParts.length - 1) else i - 1)
     swapped.zipWithIndex.foreach { case (slice, pos) =>
-      java.nio.file.Files.createLink(
+      // COPY, not hardlink: a hardlink shares the inode, so the mtime
+      // pin below would rewrite the ORIGINAL corpus parts' mtimes to
+      // the shuffled order and silently undo the in-order pin
+      // generateDocs applied (r12 advice; symlinks setTimes-follow to
+      // the target, so they have the same clobber)
+      java.nio.file.Files.copy(etParts(slice).toPath,
         java.nio.file.Paths.get(etWatch.getAbsolutePath, f"arr$pos%04d.parquet"),
-        etParts(slice).toPath)
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     // the sentinel advances the final watermark past every real doc
     // (an infinite stream has no end; draining = event time moving on)
