@@ -366,6 +366,13 @@ object Queries {
     "s_dedup_simhash_eventtime_window" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingQueries.runEventTimeDedup(s, dir,
         QueriesLLM.SimhashWindow)),
+    // S17 (r13): a REAL rate-limited stream through the custom
+    // Kafka-shaped DSv2 source (EventLogSource — MicroBatchStream +
+    // SupportsAdmissionControl, partitioned offsets over the events
+    // log); shares s_tumbling's oracle, so a hash match proves the
+    // source's offset ranges tile the log exactly across micro-batches
+    "s_eventlog_tumbling" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingQueries.runEventLogTumbling(s, dir)),
     "s_join" -> (QueriesScalar.streamJoin _),
     "s_upsert" -> (QueriesScalar.streamUpsert _),
     "x_exact_dedup" -> (QueriesLLM.exactDedup _),
@@ -1608,6 +1615,14 @@ object Queries {
         |FROM events WHERE user_id % 50 = 0
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "s_tumbling" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_start_ms, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start_ms, event_type""".stripMargin,
+    // S17 reads the SAME rows through the custom log source's
+    // offset-ranged micro-batches — identical aggregate, so it shares
+    // s_tumbling's oracle verbatim (a hash match proves no row is lost
+    // or duplicated across the source's batch boundaries)
+    "s_eventlog_tumbling" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_start_ms, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start_ms, event_type""".stripMargin,

@@ -737,6 +737,38 @@ object StreamingQueries {
       .toDF("doc_id", "match_ids")
   }
 
+  /** The `s_eventlog_tumbling` registry driver (S17, r13): a REAL
+    * rate-limited stream through the custom Kafka-shaped DSv2 source
+    * ([[graft.sources.EventLogSource]]) inside the correctness gate.
+    * The events fixture is read as a 4-partition offset-tracked log,
+    * admission-controlled to ~8 micro-batches (maxRowsPerTrigger =
+    * rows/8 — scale-invariant batch count, so the sf0.1 mirror pays
+    * the same fixed micro-batch overhead as sf0.01, not 10×), tumbling
+    * 1-hour windows aggregated across batches in Complete mode, and
+    * the result hash-checks against `s_tumbling`'s DuckDB oracle —
+    * proving the source's offsets partition the log exactly (no row
+    * lost or duplicated across batch boundaries mid-row-group).
+    * The row count for the trigger sizing is footer metadata (the
+    * fully-pruned count path), not a data scan.
+    */
+  def runEventLogTumbling(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val path = s"$dir/events.parquet"
+    val total = spark.read.format("eventlog").load(path).count()
+    val agg = spark.readStream.format("eventlog")
+      .option("partitions", "4")
+      .option("maxRowsPerTrigger", math.max(1L, total / 8).toString)
+      .load(path)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(unix_millis(col("w.start")).as("hour_start_ms"), col("event_type"),
+        col("n"), col("total_value"))
+    runToBatch(spark, agg,
+      s"s17log_${java.util.UUID.randomUUID().toString.take(8)}")
+      .orderBy(col("hour_start_ms"), col("event_type"))
+      .localCheckpoint() // the memory-sink table dies with the query
+  }
+
   /** The `s_dedup_simhash_eventtime` registry driver — the one S16
     * entry that runs the REAL STREAM inside the correctness gate
     * (the other two are batch contracts with streaming pinned in
