@@ -49,6 +49,10 @@ object Bench {
     // a comma-decimal host locale (de_DE etc.) would emit 0,123 and
     // break the driver's json parse — pin ROOT for the whole run
     java.util.Locale.setDefault(java.util.Locale.ROOT)
+    // host-weather anchor (r12 verdict item 5): fixed CPU + /dev/shm
+    // probes before and after the pass; weather_factor in the artifact
+    // makes cross-round wall drift mechanically adjudicable
+    val calBefore = graft.tools.Calibration.sample()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -325,7 +329,7 @@ object Bench {
         else (central(central.size / 2 - 1) + central(central.size / 2)) / 2.0
       "\"" + k + "\":" + f"$med%.3f"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","convert_rows_per_s":$rowsPerSec,"convert_runs":$runsJson,"convert_trimmed_median":$trimmedJson,"multi_sidecars":$multiSidecarsSeen,"bloom_rowgroups":{"total":${bloomRowGroups._1},"stats_candidates":${bloomRowGroups._2},"bloom_possible":${bloomRowGroups._3}}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","convert_rows_per_s":$rowsPerSec,"convert_runs":$runsJson,"convert_trimmed_median":$trimmedJson,"multi_sidecars":$multiSidecarsSeen,"bloom_rowgroups":{"total":${bloomRowGroups._1},"stats_candidates":${bloomRowGroups._2},"bloom_possible":${bloomRowGroups._3}},${graft.tools.Calibration.json(calBefore, graft.tools.Calibration.sample())}}""")
     spark.stop()
   }
 }

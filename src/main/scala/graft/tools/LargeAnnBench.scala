@@ -51,6 +51,7 @@ object LargeAnnBench {
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON decimals must be dots
+    val calBefore = Calibration.sample() // weather anchor (r12 item 5)
     val nVecs = args.headOption.map(_.toLong).getOrElse(200000L)
     val runs = args.drop(1).headOption.map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -197,7 +198,8 @@ object LargeAnnBench {
       f""""recall_ivf_p4":$recallIvf4%.4f,"recall_ivf_p8":$recallIvf8%.4f,""" +
       f""""recall_pq_p4":$recallPq4%.4f,"recall_ivf_p4_served":$recallIvfServed%.4f,""" +
       f""""ivf_index_build_sec":$ivfBuild%.3f,""" +
-      f""""pq_first_call_sec":$pqFirst%.3f,"pq_build_sec":${pqFirst - pqT._2}%.3f}""")
+      f""""pq_first_call_sec":$pqFirst%.3f,"pq_build_sec":${pqFirst - pqT._2}%.3f,""" +
+      s"${Calibration.json(calBefore, Calibration.sample())}}")
     spark.stop()
   }
 }

@@ -102,6 +102,7 @@ object LargeDedupBench {
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON decimals must be dots
+    val calBefore = Calibration.sample() // weather anchor (r12 item 5)
     val nDocs = args.headOption.map(_.toLong).getOrElse(200000L)
     val runs = args.drop(1).headOption.map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -226,7 +227,8 @@ object LargeDedupBench {
       s""""candidate_pairs":$candPairs,"all_pairs_avoided":$allPairs,""" +
       f""""embed_dedup_lsh_sec":$embedT%.3f,"embed_bits_per_table":$bitsPerTable,""" +
       s""""embed_verdicts":$nVerdicts,"embed_pairs_injected":$injectedVec,""" +
-      f""""embed_pairs_recalled":$vecHit,"embed_recall":$vecRecall%.4f}""")
+      f""""embed_pairs_recalled":$vecHit,"embed_recall":$vecRecall%.4f,""" +
+      s"${Calibration.json(calBefore, Calibration.sample())}}")
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/dev/shm/graft_dedup_spill"))
   }

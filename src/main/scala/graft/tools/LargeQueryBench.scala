@@ -36,6 +36,7 @@ object LargeQueryBench {
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val calBefore = Calibration.sample() // weather anchor (r12 item 5)
     val nCoins = args.headOption.map(_.toInt).getOrElse(177500000)
     val runs = args.drop(1).headOption.map(_.toInt).getOrElse(5)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -153,7 +154,7 @@ object LargeQueryBench {
     println(
       s"""{"metric":"large_query","coins":$nCoins,"runs":$runs,""" +
       s""""reference_headline_sec":0.632,$per,""" +
-      s""""peak_rss_bytes":${LargeConvertBench.peakRssBytes()}}""")
+      s""""peak_rss_bytes":${LargeConvertBench.peakRssBytes()},${Calibration.json(calBefore, Calibration.sample())}}""")
     spark.stop()
     // LQB_KEEP=1 leaves the converted layouts in place for
     // cross-engine checks (e.g. timing DuckDB against OUR stamped

@@ -131,6 +131,7 @@ object LargeStreamBench {
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val calBefore = Calibration.sample() // weather anchor (r12 item 5)
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)
     val nFiles = args.drop(1).headOption.map(_.toInt).getOrElse(64)
     val nUsers = 100000L
@@ -555,7 +556,7 @@ object LargeStreamBench {
     println(
       s"""{"metric":"large_stream","events":$n,"files":$nFiles,"users":$nUsers,"docs":$nDocs,""" +
       results.map { case (k, v) => s""""$k":$v""" }.mkString(",") +
-      s""","peak_rss_bytes":${LargeConvertBench.peakRssBytes()}}""")
+      s""","peak_rss_bytes":${LargeConvertBench.peakRssBytes()},${Calibration.json(calBefore, Calibration.sample())}}""")
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(scratch)
   }

@@ -40,6 +40,7 @@ object RegistryBench {
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val calBefore = Calibration.sample() // weather anchor (r12 item 5)
     val sfDir = args.headOption.getOrElse(sys.error("usage: RegistryBench <sfDir> [runs] [filter]"))
     val runs = args.drop(1).headOption.map(_.toInt).getOrElse(1)
     // optional 3rd arg: comma-separated names, or ">name" = resume from
@@ -87,7 +88,7 @@ object RegistryBench {
     val rs = walls.map { case (k, v) =>
       s""""$k":${v.map(t => f"$t%.3f").mkString("[", ",", "]")}""" }.mkString("{", ",", "}")
     val fl = failed.map(n => s""""$n"""").mkString("[", ",", "]")
-    println(s"""{"metric":"registry_total","value":${f"${walls.values.map(_.min).sum}%.3f"},"unit":"sec","entries":${walls.size},"failed":$fl,"sf":"$sfDir","queries":$qs,"runs":$rs}""")
+    println(s"""{"metric":"registry_total","value":${f"${walls.values.map(_.min).sum}%.3f"},"unit":"sec","entries":${walls.size},"failed":$fl,"sf":"$sfDir","queries":$qs,"runs":$rs,${Calibration.json(calBefore, Calibration.sample())}}""")
     spark.stop()
   }
 }
