@@ -279,7 +279,11 @@ object Queries {
       // 100 TB it doubled the query's scan cost (r9 verdict item 7)
       val rows = parquetRowCount(s, s"$dir/orders.parquet")
       s.conf.set(key, math.max(1000000L, 2L * rows).toString)
-      try withViews(s, dir)(QueriesRel.recursiveChainSql).localCheckpoint()
+      // shipped form: loop-invariant nxt pre-materialized + broadcast
+      // frontier (r13 — 42.7 → 11.9 s sf1, RecursiveProbe); the full
+      // recursive text stays the oracle and QueriesRelSpec pins
+      // fast == full row-for-row
+      try QueriesRel.recursiveChainFast(s, dir).localCheckpoint()
       finally prev match {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)

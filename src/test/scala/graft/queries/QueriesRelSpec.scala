@@ -888,6 +888,21 @@ class QueriesRelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_.getInt(0)).max == perCust.max)
   }
 
+  test("recursive chain fast form == full recursive SQL (the shipped optimization is output-identical)") {
+    // the shipped q_recursive pre-materializes the loop-invariant nxt
+    // and broadcasts the frontier (r13); this pin is what lets the
+    // registry ride it while the oracle keeps the full recursive text
+    val full = Queries.withViews(spark, dir)(QueriesRel.recursiveChainSql)
+      .collect().map(_.toString).sorted.toSeq
+    val fast = QueriesRel.recursiveChainFast(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fast == full)
+    // and the fast form still exercises the recursion operator
+    assert(QueriesRel.recursiveChainFast(spark, dir)
+      .queryExecution.optimizedPlan.toString.contains("UnionLoop"),
+      "fast form must still compile to UnionLoop")
+  }
+
   test("variant extraction matches a driver-side parse of the raw JSON") {
     val props = Queries.t(spark, dir, "events")
       .select("event_type", "props").collect()
