@@ -74,6 +74,14 @@ object GraftFunctions {
   def sortedCommon(a: Column, b: Column): Column =
     call_function("sorted_common", a, b)
 
+  /** Early-exit |a∩b|: exact whenever the true count can still reach
+    * `need`, a partial (< need) count the moment it cannot — callers
+    * must keep only `>= need`-monotone-filtered rows (see
+    * [[SortedCommon.countAtLeast]]'s contract).
+    */
+  def sortedCommonAtLeast(a: Column, b: Column, need: Column): Column =
+    call_function("sorted_common_at_least", a, b, need)
+
   /** Parameterized bounded top-k over (DOUBLE sim, BIGINT id) — the
     * [[TopKSimAgg]] aggregate as a directly-applicable column function,
     * so call sites can pick k per query (k=3 final rankings, k=rerank
@@ -153,6 +161,8 @@ object GraftFunctions {
       exprs => AdcScoreExpr(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("sorted_common",
       exprs => SortedCommonExpr(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("sorted_common_at_least",
+      exprs => SortedCommonAtLeastExpr(exprs.head, exprs(1), exprs(2)), "built-in")
     registry.createOrReplaceTempFunction("quant6",
       exprs => QuantizeMicroExpr(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("quant_nd2",

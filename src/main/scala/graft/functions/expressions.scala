@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, TernaryExpression, UnaryExpression}
 // Cast: used by ZOrder2Expr.widened to accept INT args from SQL callers
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
@@ -645,6 +645,38 @@ object SortedCommon {
     }
     c
   }
+
+  /** Threshold-aware merge (r13): EXACT |a∩b| whenever the true count
+    * can still reach `need`; the moment c + min(remaining) < need —
+    * i.e. reaching `need` has become IMPOSSIBLE — it returns the
+    * partial c (< need, so any `>= need`-monotone filter rejects the
+    * pair exactly as the true count would). Callers MUST (1) derive
+    * `need` as a LOWER bound of their keep threshold (round down, eps
+    * slack) and (2) not expose the count of rejected rows — both hold
+    * in the Jaccard verify, whose output keeps only the pair columns
+    * and whose ratio filter is strictly increasing in the count. On
+    * the sf1 verify (87M candidate pairs, ~28-element sets, τ = 0.2 ⇒
+    * need ≈ 10) most pairs exit a third of the way through the merge
+    * instead of walking both arrays to the end.
+    */
+  def countAtLeast(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData, need: Int): Int = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < n && j < m) {
+      // remaining possible matches: min of what is left on each side
+      val rem = if (n - i < m - j) n - i else m - j
+      if (c + rem < need) return c
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
 }
 
 /** sorted_common (X2): (ARRAY<STRING> sorted, ARRAY<STRING> sorted) → INT. */
@@ -661,6 +693,29 @@ case class SortedCommonExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): SortedCommonExpr =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "sorted_common"
+}
+
+/** sorted_common_at_least (X2, r13): (ARRAY<STRING> sorted, ARRAY<STRING>
+  * sorted, INT need) → INT via [[SortedCommon.countAtLeast]] — the
+  * early-exit merge for `>= need`-monotone verify filters (see the
+  * kernel's caller contract).
+  */
+case class SortedCommonAtLeastExpr(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any, need: Any): Any =
+    SortedCommon.countAtLeast(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      need.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, k) => s"graft.functions.SortedCommon.countAtLeast($a, $b, $k)")
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): SortedCommonAtLeastExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+  override def prettyName: String = "sorted_common_at_least"
 }
 
 /** Sign-LSH plane projections (X3 scale path #1): all `nBits`

@@ -1805,13 +1805,24 @@ object QueriesLLM {
     // oracle is untouched.
     val ds = d.select(col("doc_id"), array_sort(col("sh")).as("sh"),
       size(col("sh")).as("n"))
+    // `need` = a LOWER bound of the smallest keepable intersection
+    // (i/(na+nb−i) ≥ τ ⟺ i ≥ τ/(1+τ)·(na+nb); eps rounds DOWN so the
+    // early-exit kernel can only exit on pairs the ratio filter would
+    // reject anyway — kept pairs always get their exact count, and the
+    // unchanged ratio filter is strictly increasing in i, so a partial
+    // (< need) count rejects exactly like the true one (r13; the merge
+    // previously walked both ~28-element arrays to the end for all 87M
+    // sf1 candidates when most are decidable a third of the way in)
+    val need = greatest(lit(0),
+      ceil((col("na") + col("nb")) * (tau / (1.0 + tau)) - 1e-9)).cast("int")
     cand
       .join(ds.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
         col("n").as("na")), Seq("doc_a"))
       .join(ds.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
         col("n").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
-        graft.functions.GraftFunctions.sortedCommon(col("sh_a"), col("sh_b")).as("i"))
+        graft.functions.GraftFunctions.sortedCommonAtLeast(
+          col("sh_a"), col("sh_b"), need).as("i"))
       .filter(col("i").cast("double") / (col("na") + col("nb") - col("i")) >= tau)
       .select(col("doc_a"), col("doc_b"))
   }

@@ -339,6 +339,28 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(corner.getInt(0) == 0 && corner.getInt(1) == 0 && corner.getInt(2) == 3)
   }
 
+  test("sorted_common_at_least: exact at/above need, always < need when the true count is") {
+    GraftFunctions.register(spark)
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "array_sort(array_distinct(word_shingles(text, 3))) AS sh",
+        "doc_id % 7 AS k")
+    val pairs = d.as("a").join(d.as("b"), col("a.k") === col("b.k") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.sh").as("sa"), col("b.sh").as("sb"))
+    // sweep `need` through 0 (never exits early → must equal the plain
+    // kernel everywhere) and a mid/tight band exercising both branches
+    Seq(0, 3, 8).foreach { need =>
+      val bad = pairs.select(
+          GraftFunctions.sortedCommon(col("sa"), col("sb")).as("t"),
+          GraftFunctions.sortedCommonAtLeast(col("sa"), col("sb"), lit(need)).as("p"))
+        // contract: t >= need ⇒ p == t (exact); t < need ⇒ p <= t < need
+        .filter(!(when(col("t") >= need, col("p") === col("t"))
+          .otherwise(col("p") <= col("t") && col("p") < need)))
+        .count()
+      assert(bad == 0, s"$bad pairs violate the countAtLeast contract at need=$need")
+    }
+  }
+
   test("word_shingles kernel: identical strings to the transform+slice HOF form") {
     import spark.implicits._
     GraftFunctions.register(spark)
