@@ -41,7 +41,12 @@ object Bench {
     "q_funnel", "q_cohort_retention",
     // round-4: fully-oracled banded simhash near-dup (md5 kernel) and
     // degree-oriented triangle count over the inverted-index exact graph
-    "x_simhash_near_dup", "x_triangles")
+    "x_simhash_near_dup", "x_triangles",
+    // round-13: a REAL rate-limited multi-batch stream through the
+    // custom Kafka-shaped DSv2 log source (S17) — the per-round bench
+    // should watch the one entry that exercises MicroBatchStream +
+    // admission control end-to-end
+    "s_eventlog_tumbling")
 
   def main(args: Array[String]): Unit = {
     // the contract is ONE machine-parseable JSON line: every f"%.3f"
