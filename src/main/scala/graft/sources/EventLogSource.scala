@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -231,9 +231,20 @@ object EventLogOffset {
 
 class EventLogMicroBatchStream(ranges: Array[LogRange], required: StructType,
     maxRowsPerTrigger: Long, conf: SerializableConfiguration)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private val lengths = ranges.map(_.length)
+
+  /** Trigger.AvailableNow (S13 shape): snapshot the drain target at
+    * query start, then keep honoring the per-trigger admission limit
+    * until the snapshot is reached — WITHOUT this hook Spark's wrapper
+    * drains a non-implementing source in one unbounded batch, which
+    * defeats the backfill mode's point (bounded batches over a bounded
+    * snapshot). The log is an immutable segment set, so the snapshot
+    * is simply every partition's full length.
+    */
+  override def prepareForTriggerAvailableNow(): Unit = ()
 
   override def initialOffset(): Offset = EventLogOffset(Array.fill(ranges.length)(0L))
 

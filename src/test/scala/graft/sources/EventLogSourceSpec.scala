@@ -107,6 +107,31 @@ class EventLogSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sortedRows(got) == sortedRows(want))
   }
 
+  test("Trigger.AvailableNow drains the log in rate-limited batches, then stops (S13 shape)") {
+    val ckpt = java.nio.file.Files.createTempDirectory("eventlog-an-ck").toString
+    val q = spark.readStream.format("eventlog")
+      .option("partitions", "4")
+      .option("maxRowsPerTrigger", "300")
+      .load(events)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("eventlog_an")
+      .start()
+    // AvailableNow TERMINATES on its own once the snapshot is drained —
+    // the batch-over-stream backfill mode; no stop() needed
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 3,
+      s"AvailableNow must honor the admission limit across batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows <= 300))
+    val got = spark.table("eventlog_an")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(sortedRows(got) == sortedRows(
+      groundTruth.select("event_id", "ts", "user_id", "event_type", "value", "props")))
+  }
+
   test("offsets: json roundtrip, determinism, and loud partition-map drift") {
     val o = EventLogOffset(Array(3L, 0L, 250L))
     assert(o.json() == """{"ends":[3,0,250]}""")
