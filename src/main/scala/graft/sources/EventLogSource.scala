@@ -124,6 +124,10 @@ object EventLogTable {
             case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => DateType
             case _ => IntegerType
           }
+        // legacy Spark/Hive/Impala timestamp layout (Julian day +
+        // nanos-of-day): still the Spark writer's DEFAULT output type,
+        // so a log of Spark-written segments carries it
+        case PrimitiveType.PrimitiveTypeName.INT96 => TimestampType
         case PrimitiveType.PrimitiveTypeName.DOUBLE => DoubleType
         case PrimitiveType.PrimitiveTypeName.FLOAT => FloatType
         case PrimitiveType.PrimitiveTypeName.BOOLEAN => BooleanType
@@ -374,6 +378,18 @@ class EventLogPartitionReader(file: String, lo: Long, hi: Long,
           }
         case PrimitiveType.PrimitiveTypeName.INT32 =>
           (g: Group, i: Int) => g.getInteger(i, 0)
+        case PrimitiveType.PrimitiveTypeName.INT96 =>
+          // 12 bytes little-endian: nanos-of-day (8) + Julian day (4);
+          // epoch 1970-01-01 = Julian day 2,440,588. Modern values only
+          // (no pre-Gregorian rebase — same stance as Spark's CORRECTED
+          // datetime rebase mode).
+          (g: Group, i: Int) => {
+            val b = java.nio.ByteBuffer.wrap(g.getInt96(i, 0).getBytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val nanosOfDay = b.getLong
+            val julianDay = b.getInt
+            (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+          }
         case PrimitiveType.PrimitiveTypeName.DOUBLE =>
           (g: Group, i: Int) => g.getDouble(i, 0)
         case PrimitiveType.PrimitiveTypeName.FLOAT =>

@@ -553,6 +553,49 @@ object LargeStreamBench {
     results += "upsert" -> perf(n, s8Sec, s8Final, -1L, dirBytes(target))
     System.err.println(s"[lsb] upsert: ${results("upsert")}")
 
+    // ---- S17 (r13): the custom Kafka-shaped DSv2 log source at scale —
+    // the same 10M events read THROUGH format("eventlog") as an
+    // offset-tracked partitioned log (64 segments, one range partition
+    // each), admission-limited to 8 micro-batches, tumbling-window
+    // aggregated in Complete mode. Claims measured: the offset ranges
+    // tile the log exactly at 10M rows (input-row sum == n AND the
+    // final aggregate equals the batch read value-for-value), wall,
+    // and rows/s through the custom reader path.
+    {
+      val ckptLog = new java.io.File(scratch, "ck_eventlog").getAbsolutePath
+      val (s17Sec, ok) = time {
+        val q = spark.readStream.format("eventlog")
+          .option("partitions", nFiles.toString)
+          .option("maxRowsPerTrigger", math.max(1L, n / 8).toString)
+          .load(eventsDir)
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(unix_millis(col("w.start")).as("ms"), col("event_type"), col("cnt"))
+          .writeStream
+          .outputMode(OutputMode.Complete)
+          .option("checkpointLocation", ckptLog)
+          .format("memory").queryName("lsb_eventlog")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val inputRows = q.recentProgress.map(_.numInputRows).sum
+        val nBatches = q.recentProgress.count(_.numInputRows > 0)
+        val got = spark.table("lsb_eventlog").localCheckpoint()
+        val want = spark.read.parquet(eventsDir)
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(unix_millis(col("w.start")).as("ms"), col("event_type"), col("cnt"))
+        val equal = inputRows == n &&
+          got.except(want).isEmpty && want.except(got).isEmpty
+        (nBatches, got.count(), equal)
+      }
+      val (nBatches, outRows, equal) = ok
+      results += "eventlog_source" ->
+        (perf(n, s17Sec, outRows, -1L, dirBytes(ckptLog)).dropRight(1) +
+          s""","batches":$nBatches,"batch_equal":$equal}""")
+      System.err.println(s"[lsb] eventlog_source: ${results("eventlog_source")}")
+      require(equal, "eventlog source drain diverged from the batch read at scale")
+    }
+
     println(
       s"""{"metric":"large_stream","events":$n,"files":$nFiles,"users":$nUsers,"docs":$nDocs,""" +
       results.map { case (k, v) => s""""$k":$v""" }.mkString(",") +

@@ -132,6 +132,23 @@ class EventLogSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       groundTruth.select("event_id", "ts", "user_id", "event_type", "value", "props")))
   }
 
+  test("INT96 timestamp segments (the Spark writer's default layout) read identically") {
+    val dir = java.nio.file.Files.createTempDirectory("eventlog-int96").toString + "/t"
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try groundTruth.select("event_id", "ts", "event_type")
+      .write.mode("overwrite").parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    val got = spark.read.format("eventlog").load(dir)
+    assert(got.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(sortedRows(got.select("event_id", "ts", "event_type")) ==
+      sortedRows(spark.read.parquet(dir).select("event_id", "ts", "event_type")))
+  }
+
   test("offsets: json roundtrip, determinism, and loud partition-map drift") {
     val o = EventLogOffset(Array(3L, 0L, 250L))
     assert(o.json() == """{"ends":[3,0,250]}""")
