@@ -494,6 +494,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val f = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
       java.nio.file.Files.move(f.toPath,
         java.nio.file.Paths.get(watch, f"arr$i%04d.parquet"))
+      // same temp hygiene as runEventTimeDedup (r12 advice): staging
+      // residue dies immediately, the watch dir in the finally below
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
     }
     FileIngestOrder.pinMtimesToPathOrder(
       spark.sparkContext.hadoopConfiguration, watch)
@@ -524,9 +527,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .filter(col("doc_id") <= maxId)
       assert(sortedRows(gotCtrl) != sortedRows(want),
         "in-order processor unexpectedly survived shuffled arrival — witness is vacuous")
-    } finally prev match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(watch))
     }
   }
 
