@@ -43,5 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // parquet row-group stats can skip on (the script-sorted layout's
     // whole point) — see the rule's scaladoc
     ext.injectOptimizerRule(_ => graft.plans.ScriptClassPrefixRule)
+    // streaming filter pushdown for the eventlog source: Spark's
+    // micro-batch planner never pushes predicates into a DSv2 stream,
+    // so a resolution rule forwards them as the source's `skipWhere`
+    // row-group-skip hint — see the rule's scaladoc
+    ext.injectResolutionRule(_ => graft.plans.EventLogStreamPushDown)
   }
 }

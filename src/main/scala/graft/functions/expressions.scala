@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, TernaryExpression, UnaryExpression}
 // Cast: used by ZOrder2Expr.widened to accept INT args from SQL callers
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot codec-derived scalar
@@ -646,6 +646,28 @@ object SortedCommon {
     c
   }
 
+  /** ARRAY<INT> overload — the dictionary-encoded verify path (r14):
+    * after shingles are mapped to dense int ids the merge compares
+    * ints, not UTF8 byte strings, and the arrays it walks are ~5×
+    * smaller on the wire. Same sorted-input contract.
+    */
+  def countInt(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < n && j < m) {
+      val x = a.getInt(i)
+      val y = b.getInt(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Threshold-aware merge (r13): EXACT |a∩b| whenever the true count
     * can still reach `need`; the moment c + min(remaining) < need —
     * i.e. reaching `need` has become IMPOSSIBLE — it returns the
@@ -677,18 +699,52 @@ object SortedCommon {
     }
     c
   }
+
+  /** ARRAY<INT> overload of [[countAtLeast]] (r14, see [[countInt]]).
+    * Same early-exit contract.
+    */
+  def countAtLeastInt(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData, need: Int): Int = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < n && j < m) {
+      val rem = if (n - i < m - j) n - i else m - j
+      if (c + rem < need) return c
+      val x = a.getInt(i)
+      val y = b.getInt(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
 }
 
-/** sorted_common (X2): (ARRAY<STRING> sorted, ARRAY<STRING> sorted) → INT. */
+/** sorted_common (X2): (ARRAY<STRING>|ARRAY<INT> sorted, same sorted)
+  * → INT. Dispatches on the ELEMENT type at plan time (not per row):
+  * int arrays take the [[SortedCommon.countInt]] merge.
+  */
 case class SortedCommonExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
+  private def isInt: Boolean = left.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
   override def nullSafeEval(a: Any, b: Any): Any =
-    SortedCommon.count(
+    if (isInt) SortedCommon.countInt(
       a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SortedCommon.count($a, $b)")
+    else SortedCommon.count(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isInt) "countInt" else "count"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SortedCommon.$m($a, $b)")
+  }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedCommonExpr =
     copy(left = newLeft, right = newRight)
@@ -704,14 +760,24 @@ case class SortedCommonAtLeastExpr(first: Expression, second: Expression,
     third: Expression) extends TernaryExpression {
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
+  private def isInt: Boolean = first.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
   override def nullSafeEval(a: Any, b: Any, need: Any): Any =
-    SortedCommon.countAtLeast(
+    if (isInt) SortedCommon.countAtLeastInt(
       a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       need.asInstanceOf[Int])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    else SortedCommon.countAtLeast(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      need.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isInt) "countAtLeastInt" else "countAtLeast"
     defineCodeGen(ctx, ev,
-      (a, b, k) => s"graft.functions.SortedCommon.countAtLeast($a, $b, $k)")
+      (a, b, k) => s"graft.functions.SortedCommon.$m($a, $b, $k)")
+  }
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): SortedCommonAtLeastExpr =
     copy(first = newFirst, second = newSecond, third = newThird)

@@ -377,6 +377,12 @@ object Queries {
     // source's offset ranges tile the log exactly across micro-batches
     "s_eventlog_tumbling" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingQueries.runEventLogTumbling(s, dir)),
+    // S17 + streaming filter pushdown (r14): the same real stream with
+    // a selective predicate pushed into the source as its skipWhere
+    // row-group-skip hint AND applied as the query filter; the WHERE'd
+    // oracle hash proves skipping drops page IO, never rows
+    "s_eventlog_filtered" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingQueries.runEventLogFiltered(s, dir)),
     "s_join" -> (QueriesScalar.streamJoin _),
     "s_upsert" -> (QueriesScalar.streamUpsert _),
     "x_exact_dedup" -> (QueriesLLM.exactDedup _),
@@ -1630,6 +1636,13 @@ object Queries {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_start_ms, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start_ms, event_type""".stripMargin,
+    // the filtered S17 twin: same aggregate restricted by the WHERE the
+    // stream both applies and pushes down as its skip hint
+    "s_eventlog_filtered" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_start_ms, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY 1, 2 ORDER BY hour_start_ms, event_type""".stripMargin,
     "s_chained_windows" ->
       """WITH b AS (SELECT event_type, (epoch_ms(ts) // 600000) * 600000 AS w10_ms,
         |    count(*) AS n10 FROM events GROUP BY 1, 2)

@@ -1443,15 +1443,21 @@ object QueriesRel {
         row_number().over(Window.partitionBy(col("o_custkey"))
           .orderBy(col("o_orderdate"), col("o_orderkey"))).as("rn"))
       .localCheckpoint()
-    nxt.createOrReplaceTempView("nxt")
-    s.sql(
-      """WITH RECURSIVE chain AS (
-        |  SELECT cust, k, rn, 1 AS depth FROM nxt WHERE rn = 1
+    // session-unique view name, dropped once `sql()` has RESOLVED it
+    // (analysis embeds the view's plan; execution never re-looks it
+    // up) — a fixed name would leak the checkpointed frame for the
+    // session lifetime and shadow any other unqualified `nxt`
+    val view = s"graft_rec_nxt_${java.util.UUID.randomUUID().toString.take(8)}"
+    nxt.createOrReplaceTempView(view)
+    try s.sql(
+      s"""WITH RECURSIVE chain AS (
+        |  SELECT cust, k, rn, 1 AS depth FROM $view WHERE rn = 1
         |  UNION ALL
         |  SELECT /*+ BROADCAST(c) */ n.cust, n.k, n.rn, c.depth + 1
-        |  FROM chain c JOIN nxt n ON n.cust = c.cust AND n.rn = c.rn + 1)
+        |  FROM chain c JOIN $view n ON n.cust = c.cust AND n.rn = c.rn + 1)
         |SELECT depth, count(*) AS n_orders, CAST(sum(k) AS BIGINT) AS sum_keys
         |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
+    finally s.catalog.dropTempView(view)
   }
 
   /** E53: deterministic mode — the most frequent value per group via a

@@ -769,6 +769,39 @@ object StreamingQueries {
       .localCheckpoint() // the memory-sink table dies with the query
   }
 
+  /** The `s_eventlog_filtered` registry driver (S17 + streaming filter
+    * pushdown, r14): the same offset-tracked rate-limited stream, with
+    * a selective predicate both APPLIED (`.filter`, the rows the
+    * oracle's WHERE keeps) and PUSHED into the source as its
+    * `skipWhere` row-group-skip hint — the option path works in ANY
+    * session (Spark's micro-batch planner never pushes filters into a
+    * DSv2 stream; with GraftExtensions active the
+    * EventLogStreamPushDown rule injects the option automatically,
+    * spec-pinned in EventLogSourceSpec). The hash match against the
+    * WHERE'd oracle proves statistics skipping drops page IO only,
+    * never rows: offsets still advance over skipped row positions, so
+    * batch tiling stays exact.
+    */
+  def runEventLogFiltered(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val path = s"$dir/events.parquet"
+    val total = spark.read.format("eventlog").load(path).count()
+    val agg = spark.readStream.format("eventlog")
+      .option("partitions", "4")
+      .option("maxRowsPerTrigger", math.max(1L, total / 8).toString)
+      .option("skipWhere", "event_type IN ('click', 'purchase')")
+      .load(path)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(unix_millis(col("w.start")).as("hour_start_ms"), col("event_type"),
+        col("n"), col("total_value"))
+    runToBatch(spark, agg,
+      s"s17flt_${java.util.UUID.randomUUID().toString.take(8)}")
+      .orderBy(col("hour_start_ms"), col("event_type"))
+      .localCheckpoint() // the memory-sink table dies with the query
+  }
+
   /** The `s_dedup_simhash_eventtime` registry driver — the one S16
     * entry that runs the REAL STREAM inside the correctness gate
     * (the other two are batch contracts with streaming pinned in

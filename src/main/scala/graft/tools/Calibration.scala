@@ -61,8 +61,13 @@ object Calibration {
     val f = new java.io.File(ShmFile)
     try {
       if (!f.exists() || f.length() != ShmBytes) {
-        val ch = java.nio.channels.FileChannel.open(f.toPath,
-          java.nio.file.StandardOpenOption.CREATE,
+        // write-then-ATOMIC-rename: concurrent bench processes either
+        // see the old complete file or the new complete file, never a
+        // truncated/partial one (a short read here would fabricate a
+        // bogus weather_factor with no error)
+        val tmp = java.io.File.createTempFile("graft_calibration_", ".tmp",
+          f.getParentFile)
+        val ch = java.nio.channels.FileChannel.open(tmp.toPath,
           java.nio.file.StandardOpenOption.WRITE,
           java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
         try {
@@ -75,6 +80,9 @@ object Calibration {
             written += ch.write(buf)
           }
         } finally ch.close()
+        java.nio.file.Files.move(tmp.toPath, f.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
       true
     } catch { case _: Throwable => false } // no tmpfs → cpu-only anchor
