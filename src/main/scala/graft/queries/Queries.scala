@@ -113,6 +113,36 @@ object Queries {
     } else s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Round-robin-spread a deficiently-parallel scan before a CPU-heavy
+    * per-row kernel stage (r14, guide §2.5 "input skew"). A small
+    * single-file parquet table is ONE scan task no matter how many
+    * cores the session has (byte-range splits cannot cut inside a row
+    * group), so the kernel stage of every corpus entry — shingling,
+    * hashing, regex chains, vector math — ran single-threaded on the
+    * gate fixtures: x_edit_distance measured 10.6 s at sf0.1/local[32]
+    * with 31 cores idle. The CONDITION, not the call site, decides:
+    * the repartition fires only when the scan can reach
+    * defaultParallelism tasks neither by file count nor by byte
+    * splitting, so a real at-scale corpus (thousands of files) passes
+    * through untouched and the extra exchange is bounded by
+    * parallelism × maxPartitionBytes. Never applied where partitioning
+    * is semantics (seeded sampleBy, spark_partition_id digests).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession
+    val p = sess.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.isEmpty || files.length >= p) return df
+    val hconf = sess.sparkContext.hadoopConfiguration
+    val total = files.map { f =>
+      val path = new org.apache.hadoop.fs.Path(f)
+      path.getFileSystem(hconf).getFileStatus(path).getLen
+    }.sum
+    val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      sess.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    if (total >= p.toLong * maxPart) df else df.repartition(p)
+  }
+
   /** Normalize an events `ts` column to TimestampType (µs, UTC) from
     * whichever physical layout the file carries: raw nanos LONG
     * (TIMESTAMP(NANOS) under nanosAsLong — integer `div`, a double

@@ -133,7 +133,7 @@ object QueriesLLM {
     // DuckDB-expressible: the r6 oracle replicates sig → band → join →
     // est bit-for-bit, and the four graph consumers inherit it.
     graft.functions.GraftFunctions.register(s)
-    val sigArr = t(s, dir, "documents")
+    val sigArr = Queries.spread(t(s, dir, "documents")) // r14: see Queries.spread
       .select(col("doc_id"),
         graft.functions.GraftFunctions.minhashSigs(col("text")).as("sigs"))
       .filter(col("sigs").isNotNull)
@@ -215,7 +215,7 @@ object QueriesLLM {
     * string_agg of per-bit majorities in the oracle).
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
+    val toks = Queries.spread(t(s, dir, "documents")) // r14: see Queries.spread
       .filter(col("doc_id") % 25 === 0)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), hash64(col("tok")).as("h"))
@@ -402,7 +402,9 @@ object QueriesLLM {
     */
   def simhashAll(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    t(s, dir, "documents")
+    // spread (r14): the md5-per-token fingerprint kernel is the entry's
+    // dominant linear cost and ran inside the single-task scan stage
+    Queries.spread(t(s, dir, "documents"))
       .select(col("doc_id"),
         graft.functions.GraftFunctions.simhash60(col("text")).as("fp"))
   }
@@ -420,7 +422,8 @@ object QueriesLLM {
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         norm(col("embedding")).as("qn"))
-    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+    val c = Queries.spread(e) // r14: the N·Q dot-product fan-out runs on c's scan tasks
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
       norm(col("embedding")).as("cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id"))
@@ -450,7 +453,8 @@ object QueriesLLM {
     val q = e.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         norm(col("embedding")).as("qn"), col("label").as("true_label"))
-    val c = e.filter(col("vec_id") % 20 =!= 0)
+    val c = Queries.spread(e).filter(col("vec_id") % 20 =!= 0)
+      // r14: the brute-force contract's N·Q dot products run on c's scan tasks
       .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
         norm(col("embedding")).as("cn"), col("label").as("cand_label"))
     val wRank = Window.partitionBy(col("query_id"))
@@ -480,7 +484,7 @@ object QueriesLLM {
     * 6dp at output. Top collocations by support with a unique tie-break.
     */
   def collocations(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = Queries.spread(t(s, dir, "documents")) // r14: see Queries.spread
     val uni = docs.select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
     val bi = docs.select(explode(shingles(col("text"), 2)).as("bg"))
@@ -521,7 +525,7 @@ object QueriesLLM {
     val redacted = regexp_replace(
       regexp_replace(raw, "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
       " [0-9]+", " <NUM>")
-    t(s, dir, "documents")
+    Queries.spread(t(s, dir, "documents")) // r14: regex kernel in scan stage
       .filter(col("doc_id") % 25 === 0)
       .select(col("doc_id"),
         md5(redacted).as("redacted_md5"),
@@ -1435,7 +1439,7 @@ object QueriesLLM {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     // word-frequency table; symbols start as characters, space-joined
-    var vocab = t(s, dir, "documents")
+    var vocab = Queries.spread(t(s, dir, "documents")) // r14: see Queries.spread
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
@@ -1492,7 +1496,10 @@ object QueriesLLM {
         lit(" " + java.util.regex.Pattern.quote(pair) + "(?= )"),
         lit(java.util.regex.Matcher.quoteReplacement(" " + pair.replace(" ", "")))))
     }
-    t(s, dir, "documents")
+    // spread (r14): the per-word merge-chain regex cascade below is by
+    // far the heaviest per-row kernel in the registry — single-task on
+    // a single-file corpus it owned an 8.5 s sf1 wall
+    Queries.spread(t(s, dir, "documents"))
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .select(col("source"), length(col("w")).cast("long").as("n_chars"),
@@ -1746,20 +1753,57 @@ object QueriesLLM {
     * join and the plain inverted-index form.
     */
   def exactJaccardPairsPrefix(s: SparkSession, dir: String, tau: Double = 0.2): DataFrame = {
-    val d = t(s, dir, "documents")
+    // spread (r14): shingling + the posting explode ran in the
+    // single-task scan stage before the first exchange. The checkpoint
+    // pins the scan+shingle pass to run exactly ONCE — the dictionary
+    // build below references this lineage twice more (broadcast
+    // collect + posting join), and re-running the shingle kernel and
+    // the spread text exchange per reference measured 2.5× the whole
+    // query (JaccardFixProbe: 116 s vs 45.6 s same-session at sf1).
+    val d = Queries.spread(t(s, dir, "documents"))
       .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
       .localCheckpoint()
     val post = d.select(col("doc_id"), explode(col("sh")).as("s"))
-    // global shingle frequency — ONE corpus-wide count aggregation,
-    // broadcast-free (joined back by shingle key)
+    // global shingle frequency — ONE corpus-wide count aggregation
     val freq = post.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("df"), col("s"))
-    val prefix = post.join(freq, Seq("s"))
+    // r14 DICTIONARY ENCODING (JaccardDictProbe, r13 verdict item 4):
+    // map each distinct shingle to its dense 1-based rank in the global
+    // (df asc, shingle asc) order. That rank order IS the prefix
+    // filter's frequency order, so the per-doc window, the candidate
+    // join key, the positional filter, and the verify arrays all become
+    // 4-byte ints — every downstream exchange shrinks ~5× and the merge
+    // kernel compares ints instead of UTF8 strings. Probe (outputs
+    // pinned identical three ways before timing): sf1 79.4 → 26.6 s for
+    // the dict form alone, → 18.2 s with the post-verify dedup below.
+    // The global row_number window runs in one partition, but that is
+    // NOT a new scale limit: the dictionary is joined via broadcast
+    // two lines down, so "vocabulary fits one executor" is already the
+    // binding constraint — a parallel rank (sort + zipWithIndex) was
+    // probed and lost 2.5× to the extra lineage evaluations its RDD
+    // round-trip forces (JaccardFixProbe).
+    val dict = freq.select(col("s"),
+      row_number().over(Window.orderBy(col("df"), col("s"))).as("sid"))
+    // broadcast: the dictionary is VOCABULARY-sized (distinct shingles),
+    // orders of magnitude below the corpus; a corpus whose vocabulary
+    // outgrows broadcast drops the hint and takes the shuffle join
+    val posti = post.join(broadcast(dict), Seq("s"))
+      .select(col("doc_id"), col("sid"))
+      .localCheckpoint() // feeds the prefix window AND the verify arrays
+    // pin the per-doc window's parallelism the same way as the
+    // candidate join below: the posting rows are a few MB of ints, so
+    // AQE coalesces the doc_id exchange toward one partition and the
+    // row_number/count windows over ~10M sf1 rows run single-threaded
+    // (probed: AQE-on 18.3 s vs AQE-off 10.3 s for the whole query
+    // before this pin; the keyed repartition is AQE-exempt and is the
+    // exchange the window needs anyway)
+    val postiP = posti.repartition(
+      s.sparkContext.defaultParallelism, col("doc_id"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("sid"))
+    val prefix = postiP
       .withColumn("pos", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .filter(col("pos") <= floor(col("n") * (1.0 - tau)) + 1)
-      .select(col("doc_id"), col("s"), col("pos"), col("n"))
+      .select(col("doc_id"), col("sid"), col("pos"), col("n"))
     // PPJoin's two remaining EXACT cuts, applied inside the candidate
     // join's codegen (r12 verdict item 1). Both are NECESSARY conditions
     // for Jaccard ≥ τ, so pruning on them loses no qualifying pair; the
@@ -1782,29 +1826,42 @@ object QueriesLLM {
     val reqOverlap = (col("x.n") + col("y.n")) * (tau / (1.0 + tau)) - eps
     val maxOverlap = least(col("x.pos"), col("y.pos")) - 1 + lit(1) +
       least(col("x.n") - col("x.pos"), col("y.n") - col("y.pos"))
-    val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
+    // NO pre-verify distinct (r14, the probe's decisive cut): a pair
+    // surfaces once per shared PREFIX shingle passing the filters, and
+    // the dedup exchange of 87M duplicate-bearing candidate rows cost
+    // more than letting the (early-exiting, int-comparing) verify score
+    // each duplicate and deduping the ~1000× smaller verified output —
+    // every duplicate of a pair verifies to the same verdict, so the
+    // post-verify distinct returns exactly the old set (probe-pinned).
+    // pin the candidate join's parallelism (r14): AQE sizes the join's
+    // input exchange by its BYTES (a few MB of prefix rows) and
+    // coalesces it toward one partition — blind to the quadratic
+    // fan-out on the other side of the join (95M rows at sf1 landed in
+    // ONE task: 200 s vs the probe's 18 s). A user-specified keyed
+    // repartition is exempt from AQE coalescing and already satisfies
+    // the join's hash-clustering requirement, so the fan-out runs at
+    // defaultParallelism (scale-adaptive, not a tuned constant) with
+    // no extra exchange versus the unpinned plan.
+    val prefixP = prefix.repartition(
+      s.sparkContext.defaultParallelism, col("sid"))
+    val cand = prefixP.as("x").join(prefixP.as("y"),
+        col("x.sid") === col("y.sid") && col("x.doc_id") < col("y.doc_id") &&
           col("x.n") >= col("y.n") * tau - eps &&
           col("y.n") >= col("x.n") * tau - eps &&
           maxOverlap.cast("double") >= reqOverlap)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    verifyJaccard(d, cand, tau)
-  }
-
-  /** Shared exact-verification stage: join candidate pairs back to
-    * their shingle sets, compute the exact Jaccard, keep ≥ `tau`.
-    */
-  private def verifyJaccard(d: DataFrame, cand: DataFrame, tau: Double): DataFrame = {
-    // sets are distinct, so |a∪b| = |a|+|b|−|a∩b| and the ONLY array
-    // work per pair is the codegen sorted-merge intersection count —
-    // array_sort runs once per DOCUMENT, never per pair. The previous
-    // array_intersect/array_union verify was interpreted (fresh hash
-    // set per row) and owned the whole 15-minute sf1 wall of
-    // x_jaccard_pairs_prefix; the count is exact either way, so the
-    // oracle is untouched.
-    val ds = d.select(col("doc_id"), array_sort(col("sh")).as("sh"),
-      size(col("sh")).as("n"))
+    // exact verify on the dict-encoded sets: sets are distinct, so
+    // |a∪b| = |a|+|b|−|a∩b| and the ONLY per-pair array work is the
+    // codegen sorted-merge intersection count over INT arrays (the r13
+    // string form walked UTF8 comparisons; the r14 arrays sort by the
+    // dictionary rank — a bijection of the shingle sets, so the count
+    // is the same number).
+    // built from the SAME pinned repartition as the window: groupBy
+    // needs hash-by-doc_id clustering, so postiP's exchange is reused
+    // outright and the array build stays parallel under AQE
+    val ds = postiP.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("sid"))).as("sh"),
+        count(lit(1)).cast("int").as("n"))
     // `need` = a LOWER bound of the smallest keepable intersection
     // (i/(na+nb−i) ≥ τ ⟺ i ≥ τ/(1+τ)·(na+nb); eps rounds DOWN so the
     // early-exit kernel can only exit on pairs the ratio filter would
@@ -1825,6 +1882,7 @@ object QueriesLLM {
           col("sh_a"), col("sh_b"), need).as("i"))
       .filter(col("i").cast("double") / (col("na") + col("nb") - col("i")) >= tau)
       .select(col("doc_a"), col("doc_b"))
+      .distinct()
   }
 
   /** X6 scale path: same cluster assignment, edge set from the LSH
@@ -2047,7 +2105,17 @@ object QueriesLLM {
     val d = t(s, dir, "documents")
       .filter(col("doc_id") % 5 === 0 && col("doc_id") < EditSampleCap)
       .select(col("doc_id"), col("source"), substring(col("text"), 1, 80).as("prefix"))
-    val a = d.select(col("doc_id").as("doc_a"), col("source"), col("prefix").as("pa"))
+    // spread the probe side over the session's cores BEFORE the pair
+    // join (r14, guide §2.5 "input skew"): the sampled side is a few
+    // hundred KB read as ONE scan task, the source-key join broadcasts
+    // the other side, and the per-pair levenshtein fan-out then runs
+    // on a single core regardless of cluster size — measured 10.6 s at
+    // sf0.1/local[32] for ~100K 80×80 DP pairs, i.e. the whole
+    // quadratic kernel single-threaded. A round-robin repartition of
+    // the ~1000-row sample is microseconds and makes the fan-out
+    // parallelism track defaultParallelism at any scale.
+    val a = d.repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("doc_a"), col("source"), col("prefix").as("pa"))
     val b = d.select(col("doc_id").as("doc_b"), col("source"), col("prefix").as("pb"))
     a.join(b, Seq("source"))
       .filter(col("doc_a") < col("doc_b"))
@@ -2208,7 +2276,9 @@ object QueriesLLM {
   def qualityClassify(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     val stopArr = array(QualityStopwords.map(lit): _*)
-    t(s, dir, "documents")
+    // spread (r14): a map-only classifier is exactly one scan stage —
+    // single-task on a single-file corpus, 31 cores idle
+    Queries.spread(t(s, dir, "documents"))
       .select(col("doc_id"),
         size(toks).cast("long").as("n_tok"),
         size(filter(toks, x => length(x) <= 2)).cast("long").as("n_short"),
@@ -2432,7 +2502,7 @@ object QueriesLLM {
 
   /** X4: rule-based language ID vs the labeled lang column. */
   def langIdQuery(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    Queries.spread(t(s, dir, "documents")) // r14: classifier kernel in scan stage
       .select(col("lang"), langId(col("text")).as("predicted"))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
@@ -2450,7 +2520,7 @@ object QueriesLLM {
 
   /** X4: token counting — whitespace and BPE-ish regex tokenizations. */
   def tokenCount(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    Queries.spread(t(s, dir, "documents")) // r14: regex tokenizer in scan stage
       .groupBy(col("source"))
       .agg(
         sum(size(split(col("text"), " "))).as("ws_tokens"),
@@ -2462,7 +2532,7 @@ object QueriesLLM {
     * (winnowing-style rolling fingerprint).
     */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    Queries.spread(t(s, dir, "documents")) // r14: see Queries.spread
       .filter(col("doc_id") % 20 === 0)
       .select(col("doc_id"), explode(shingles(col("text"), 5)).as("sh"))
       .select(col("doc_id"), hash64(col("sh")).as("h"))
@@ -2481,7 +2551,7 @@ object QueriesLLM {
     // corpus size as a broadcast 1-row aggregate, not a driver-side
     // count(): no extra job, no driver sync — the plan stays one DAG
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs_total"))
-    val tokens = docs
+    val tokens = Queries.spread(docs) // r14: tokenizer explode in scan stage
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
     val tf = tokens.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
@@ -2511,7 +2581,7 @@ object QueriesLLM {
     * ulps between engines).
     */
   def lmScore(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
+    val toks = Queries.spread(t(s, dir, "documents")) // r14: see Queries.spread
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
     val total = toks.agg(count(lit(1)).cast("double").as("n_total"))
     val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
@@ -2576,7 +2646,7 @@ object QueriesLLM {
     * oracle compare is bitwise.
     */
   def repetition(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "documents")
+    val base = Queries.spread(t(s, dir, "documents")) // r14: see Queries.spread
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), col("words"),
         size(col("words")).cast("long").as("n_words"),
@@ -2585,7 +2655,7 @@ object QueriesLLM {
     // strings to the transform/element_at HOF build, zero interpreted
     // per-element dispatch; texts with <2 tokens yield an empty array,
     // which explode drops — the same rows the n_words>=2 filter kept
-    val top = t(s, dir, "documents")
+    val top = Queries.spread(t(s, dir, "documents"))
       .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bigram"))
       .groupBy(col("doc_id"), col("bigram"))
       .agg(count(lit(1)).as("c"))
@@ -2671,7 +2741,7 @@ object QueriesLLM {
   def chunkDedup(s: SparkSession, dir: String): DataFrame = {
     // chunks from the native word_chunks kernel: identical strings to
     // the transform+slice HOF build, zero interpreted dispatch
-    val ch = t(s, dir, "documents")
+    val ch = Queries.spread(t(s, dir, "documents")) // r14: chunk kernel in scan stage
       .select(col("doc_id"), posexplode(wordChunks(col("text"), 8)))
       .select(col("doc_id"), col("pos"), col("col").as("chunk"))
     val owner = ch.groupBy(col("chunk"))
@@ -2718,7 +2788,8 @@ object QueriesLLM {
     * linear in corpus tokens.
     */
   def dupNgramSpans(s: SparkSession, dir: String): DataFrame = {
-    val g = t(s, dir, "documents")
+    // spread (r14): the per-doc 8-gram hash fan-out is the linear cost
+    val g = Queries.spread(t(s, dir, "documents"))
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 8)
       .select(col("doc_id"),
