@@ -113,22 +113,56 @@ object Queries {
     } else s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Per-task input-byte targets for [[spread]]: how many COMPRESSED
+    * source bytes one task should own, given the kernel the call site
+    * feeds. The r14 lesson (verdict: x_repetition 1.06→2.72 s,
+    * x_simhash_near_dup 0.72→1.20 s at 32 cores): a round-robin
+    * exchange costs a fixed setup + a local sort + a full-row shuffle
+    * that SCALES WITH THE SESSION'S CORE COUNT, so "repartition to
+    * defaultParallelism whenever the scan is under-parallel" turns
+    * pure overhead on kernels whose single-task time is smaller than
+    * the exchange. The width must come from the DATA and the KERNEL,
+    * not from the core count: width = ceil(inputBytes / target),
+    * capped at defaultParallelism. The target is the call site's
+    * declaration of kernel weight per compressed input byte —
+    * measured, not guessed (RegistryBench min-of-3, sf0.1+sf1):
+    *  - [[SpreadHeavy]] (64 KB/task): quadratic or high-fan-out
+    *    kernels — pair-join DP (levenshtein), N·Q dot-product cross
+    *    joins, the BPE merge-chain regex cascade, AllPairs shingle
+    *    posting builds, 128-perm MinHash signatures. Single-task cost
+    *    is seconds even on the 584 KB sf0.1 fixture (x_edit_distance:
+    *    10.6 s), so near-full width pays at every scale.
+    *  - [[SpreadModerate]] (512 KB/task): per-token md5/regex kernels
+    *    (simhash60, 8-gram hash64 spans, rlike classifiers) — a few
+    *    hundred ms/MB; worth 2-way at sf0.1, ~12-way at sf1.
+    *  - [[SpreadLight]] (4 MB/task, the default): split/explode/count
+    *    shapes whose kernel is cheaper than any exchange below a few
+    *    MB — no-op at sf0.1 (exactly the r13 plan), 2-way at sf1.
+    */
+  val SpreadHeavy = 64L << 10
+  val SpreadModerate = 512L << 10
+  val SpreadLight = 4L << 20
+
   /** Round-robin-spread a deficiently-parallel scan before a CPU-heavy
-    * per-row kernel stage (r14, guide §2.5 "input skew"). A small
+    * per-row kernel stage (r14, guide §2.5 "input skew"; r15 width cap,
+    * guide §1.2 "exchange must cost less than it buys"). A small
     * single-file parquet table is ONE scan task no matter how many
     * cores the session has (byte-range splits cannot cut inside a row
     * group), so the kernel stage of every corpus entry — shingling,
     * hashing, regex chains, vector math — ran single-threaded on the
     * gate fixtures: x_edit_distance measured 10.6 s at sf0.1/local[32]
-    * with 31 cores idle. The CONDITION, not the call site, decides:
-    * the repartition fires only when the scan can reach
-    * defaultParallelism tasks neither by file count nor by byte
-    * splitting, so a real at-scale corpus (thousands of files) passes
-    * through untouched and the extra exchange is bounded by
-    * parallelism × maxPartitionBytes. Never applied where partitioning
+    * with 31 cores idle. The CONDITION, not the call site, decides
+    * WHETHER it fires: only when the scan can reach defaultParallelism
+    * tasks neither by file count nor by byte splitting, so a real
+    * at-scale corpus (thousands of files) passes through untouched.
+    * The call site's `targetBytes` (see [[SpreadHeavy]]) decides the
+    * WIDTH: ceil(inputBytes / targetBytes) capped at parallelism, so
+    * the exchange is sized to the kernel's work, not the core count —
+    * a width of ≤ 1 skips the repartition entirely (no Exchange in
+    * the plan at all, spec-pinned). Never applied where partitioning
     * is semantics (seeded sampleBy, spark_partition_id digests).
     */
-  def spread(df: DataFrame): DataFrame = {
+  def spread(df: DataFrame, targetBytes: Long = SpreadLight): DataFrame = {
     val sess = df.sparkSession
     val p = sess.sparkContext.defaultParallelism
     val files = df.inputFiles
@@ -140,7 +174,9 @@ object Queries {
     }.sum
     val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       sess.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
-    if (total >= p.toLong * maxPart) df else df.repartition(p)
+    if (total >= p.toLong * maxPart) return df
+    val width = math.min(p.toLong, (total + targetBytes - 1) / targetBytes).toInt
+    if (width <= 1) df else df.repartition(width)
   }
 
   /** Normalize an events `ts` column to TimestampType (µs, UTC) from

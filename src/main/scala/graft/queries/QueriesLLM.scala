@@ -133,7 +133,9 @@ object QueriesLLM {
     // DuckDB-expressible: the r6 oracle replicates sig → band → join →
     // est bit-for-bit, and the four graph consumers inherit it.
     graft.functions.GraftFunctions.register(s)
-    val sigArr = Queries.spread(t(s, dir, "documents")) // r14: see Queries.spread
+    // spread heavy (r15): 128-perm MinHash over every shingle is the
+    // one genuinely expensive linear kernel in the signature family
+    val sigArr = Queries.spread(t(s, dir, "documents"), Queries.SpreadHeavy)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.minhashSigs(col("text")).as("sigs"))
       .filter(col("sigs").isNotNull)
@@ -402,9 +404,10 @@ object QueriesLLM {
     */
   def simhashAll(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    // spread (r14): the md5-per-token fingerprint kernel is the entry's
-    // dominant linear cost and ran inside the single-task scan stage
-    Queries.spread(t(s, dir, "documents"))
+    // spread moderate (r15; was full-width r14, which REGRESSED the
+    // 32-core bench 0.72→1.20 s — the md5-per-token kernel is a few
+    // hundred ms/MB, cheaper than a core-count-wide exchange)
+    Queries.spread(t(s, dir, "documents"), Queries.SpreadModerate)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.simhash60(col("text")).as("fp"))
   }
@@ -422,18 +425,30 @@ object QueriesLLM {
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         norm(col("embedding")).as("qn"))
-    val c = Queries.spread(e) // r14: the N·Q dot-product fan-out runs on c's scan tasks
+    // spread heavy: the N·Q dot-product fan-out runs on c's scan tasks
+    val c = Queries.spread(e, Queries.SpreadHeavy)
       .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
       norm(col("embedding")).as("cn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("cand_id"))
+    // ranking via the bounded top-k aggregate (r15 — the r10 ivfSearch
+    // swap rolled out to the brute-force contract too): the row_number
+    // window shuffled the FULL N·Q/100 pair set through one exchange
+    // for a 3-row-per-query answer; the aggregate's partial (map-side)
+    // state is ≤ 3 pairs per query per partition, so the exchange
+    // carries ~3 rows per query instead of every pair (guide §2.3
+    // "aggregate before you shuffle"). The comparator IS the window's
+    // ordering (sim DESC over identical IEEE doubles, cand_id ASC on
+    // ties), so the emitted rows are identical and the same DuckDB
+    // oracle keeps checking them.
     q.crossJoin(c)
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
-      .select(col("query_id"), col("cand_id"), col("rnk"), Queries.fround(col("sim"), 4).as("cos_sim"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topKSim(3)(col("sim"), col("cand_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("cand_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        Queries.fround(col("col._1"), 4).as("cos_sim"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -453,19 +468,36 @@ object QueriesLLM {
     val q = e.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         norm(col("embedding")).as("qn"), col("label").as("true_label"))
-    val c = Queries.spread(e).filter(col("vec_id") % 20 =!= 0)
-      // r14: the brute-force contract's N·Q dot products run on c's scan tasks
+    val c = Queries.spread(e, Queries.SpreadHeavy).filter(col("vec_id") % 20 =!= 0)
+      // spread heavy: the brute-force contract's N·Q dot products run on c's scan tasks
       .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
         norm(col("embedding")).as("cn"), col("label").as("cand_label"))
-    val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("cand_id"))
     val wVote = Window.partitionBy(col("query_id"))
       .orderBy(col("votes").desc, col("cand_label"))
+    // top-5 via the bounded top-k aggregate (r15; guide §2.3): the
+    // row_number window shuffled ALL N·Q/20 scored pairs (19M rows at
+    // sf1 — the entry's 18.7 s wall was mostly that exchange + sort)
+    // to keep 5 per query; the aggregate's partial state is ≤ 5 pairs
+    // per query per partition, so the exchange carries ~5 rows per
+    // query. The candidate's label rides INSIDE the tie-break key:
+    // packed = cand_id·2¹⁶ + cand_label is strictly monotonic in
+    // cand_id (labels are small non-negative class ids — 0-9 in this
+    // schema, headroom to 2¹⁶), so ordering by (sim DESC, packed ASC)
+    // is exactly the window's (sim DESC, cand_id ASC) and the top-5
+    // SET — all the vote count consumes — is row-identical
+    // (oracle-pinned, plus the exact driver-side recompute spec).
     q.crossJoin(c)
-      .select(col("query_id"), col("true_label"), col("cand_id"), col("cand_label"),
+      .select(col("query_id"), col("true_label"),
+        (col("cand_id") * 65536L + col("cand_label")).as("packed"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
-      .withColumn("rnk", row_number().over(wRank))
-      .filter(col("rnk") <= 5)
+      .groupBy(col("query_id"), col("true_label"))
+      .agg(graft.functions.GraftFunctions.topKSim(5)(col("sim"), col("packed")).as("top"))
+      .select(col("query_id"), col("true_label"),
+        explode(col("top")).as("t"))
+      .select(col("query_id"), col("true_label"),
+        // back to the source column's INT — the packed ride-along must
+        // not widen the declared output schema
+        (col("t._2") % 65536L).cast("int").as("cand_label"))
       .groupBy(col("query_id"), col("true_label"), col("cand_label"))
       .agg(count(lit(1)).as("votes"))
       .withColumn("vr", row_number().over(wVote))
@@ -1496,10 +1528,10 @@ object QueriesLLM {
         lit(" " + java.util.regex.Pattern.quote(pair) + "(?= )"),
         lit(java.util.regex.Matcher.quoteReplacement(" " + pair.replace(" ", "")))))
     }
-    // spread (r14): the per-word merge-chain regex cascade below is by
-    // far the heaviest per-row kernel in the registry — single-task on
-    // a single-file corpus it owned an 8.5 s sf1 wall
-    Queries.spread(t(s, dir, "documents"))
+    // spread heavy (r14): the per-word merge-chain regex cascade below
+    // is by far the heaviest per-row kernel in the registry —
+    // single-task on a single-file corpus it owned an 8.5 s sf1 wall
+    Queries.spread(t(s, dir, "documents"), Queries.SpreadHeavy)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .select(col("source"), length(col("w")).cast("long").as("n_chars"),
@@ -1760,7 +1792,7 @@ object QueriesLLM {
     // collect + posting join), and re-running the shingle kernel and
     // the spread text exchange per reference measured 2.5× the whole
     // query (JaccardFixProbe: 116 s vs 45.6 s same-session at sf1).
-    val d = Queries.spread(t(s, dir, "documents"))
+    val d = Queries.spread(t(s, dir, "documents"), Queries.SpreadHeavy)
       .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
       .localCheckpoint()
     val post = d.select(col("doc_id"), explode(col("sh")).as("s"))
@@ -1775,14 +1807,38 @@ object QueriesLLM {
     // kernel compares ints instead of UTF8 strings. Probe (outputs
     // pinned identical three ways before timing): sf1 79.4 → 26.6 s for
     // the dict form alone, → 18.2 s with the post-verify dedup below.
-    // The global row_number window runs in one partition, but that is
-    // NOT a new scale limit: the dictionary is joined via broadcast
-    // two lines down, so "vocabulary fits one executor" is already the
-    // binding constraint — a parallel rank (sort + zipWithIndex) was
-    // probed and lost 2.5× to the extra lineage evaluations its RDD
-    // round-trip forces (JaccardFixProbe).
-    val dict = freq.select(col("s"),
-      row_number().over(Window.orderBy(col("df"), col("s"))).as("sid"))
+    //
+    // r15 SCALABLE RANK (verdict item 3): the r14 rank was ONE global
+    // row_number window — a 1-partition sort of the whole vocabulary,
+    // which at a 100 TB corpus (where the broadcast hint is dropped and
+    // the dict joins by shuffle) would be the real scale ceiling. The
+    // same rank now computes as range-sort + per-partition offset
+    // cumsum, all in DataFrame land: range-partition the vocabulary by
+    // (df, s) — every key in partition i sorts strictly before every
+    // key in partition i+1, and (df, s) is unique because s is
+    // distinct — rank locally inside each partition, then add the
+    // count of all earlier partitions (a P-row cumsum, broadcast
+    // back). Global rank = local rank + offset, bit-identical to the
+    // single-window form (spec-pinned), but the sort runs at
+    // defaultParallelism. The localCheckpoint pins spark_partition_id
+    // against recomputation AND keeps the two references below (count
+    // + rank) from re-evaluating the range exchange — the r14 probe's
+    // RDD zipWithIndex attempt lost 2.5× to exactly that lineage
+    // re-evaluation (JaccardFixProbe); checkpointing the
+    // vocabulary-sized frame costs one small materialization instead.
+    val byRange = freq
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("df"), col("s"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = byRange.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .select(col("pid"), coalesce(
+        sum(col("cnt")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    val dict = byRange
+      .withColumn("lrank",
+        row_number().over(Window.partitionBy(col("pid")).orderBy(col("df"), col("s"))))
+      .join(broadcast(offsets), Seq("pid"))
+      .select(col("s"), (col("off") + col("lrank")).cast("int").as("sid"))
     // broadcast: the dictionary is VOCABULARY-sized (distinct shingles),
     // orders of magnitude below the corpus; a corpus whose vocabulary
     // outgrows broadcast drops the hint and takes the shuffle join
@@ -2276,9 +2332,8 @@ object QueriesLLM {
   def qualityClassify(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     val stopArr = array(QualityStopwords.map(lit): _*)
-    // spread (r14): a map-only classifier is exactly one scan stage —
-    // single-task on a single-file corpus, 31 cores idle
-    Queries.spread(t(s, dir, "documents"))
+    // spread moderate (r15): per-token rlike HOFs, a few hundred ms/MB
+    Queries.spread(t(s, dir, "documents"), Queries.SpreadModerate)
       .select(col("doc_id"),
         size(toks).cast("long").as("n_tok"),
         size(filter(toks, x => length(x) <= 2)).cast("long").as("n_short"),
@@ -2502,7 +2557,7 @@ object QueriesLLM {
 
   /** X4: rule-based language ID vs the labeled lang column. */
   def langIdQuery(s: SparkSession, dir: String): DataFrame =
-    Queries.spread(t(s, dir, "documents")) // r14: classifier kernel in scan stage
+    Queries.spread(t(s, dir, "documents"), Queries.SpreadModerate) // regex classifier kernel
       .select(col("lang"), langId(col("text")).as("predicted"))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
@@ -2520,7 +2575,7 @@ object QueriesLLM {
 
   /** X4: token counting — whitespace and BPE-ish regex tokenizations. */
   def tokenCount(s: SparkSession, dir: String): DataFrame =
-    Queries.spread(t(s, dir, "documents")) // r14: regex tokenizer in scan stage
+    Queries.spread(t(s, dir, "documents"), Queries.SpreadModerate) // regex tokenizer kernel
       .groupBy(col("source"))
       .agg(
         sum(size(split(col("text"), " "))).as("ws_tokens"),
@@ -2646,23 +2701,42 @@ object QueriesLLM {
     * oracle compare is bitwise.
     */
   def repetition(s: SparkSession, dir: String): DataFrame = {
-    val base = Queries.spread(t(s, dir, "documents")) // r14: see Queries.spread
-      .select(col("doc_id"), split(col("text"), " ").as("words"))
-      .select(col("doc_id"), col("words"),
-        size(col("words")).cast("long").as("n_words"),
-        size(array_distinct(col("words"))).cast("long").as("n_distinct_words"))
-    // bigrams from the native word_shingles kernel (k=2): identical
-    // strings to the transform/element_at HOF build, zero interpreted
-    // per-element dispatch; texts with <2 tokens yield an empty array,
-    // which explode drops — the same rows the n_words>=2 filter kept
-    val top = Queries.spread(t(s, dir, "documents"))
-      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bigram"))
+    // ONE scan, ONE aggregation chain (r15; guide §1.2 "algorithm
+    // first"). r13 read the corpus twice — a per-doc word-stats branch
+    // joined with a bigram-count branch — and r14 added a full-width
+    // spread exchange to EACH branch, which regressed the 32-core
+    // bench 1.06→2.72 s. The per-doc scalars (n_words,
+    // n_distinct_words) ride THROUGH the bigram aggregation instead:
+    // they are constant within a doc, so max() over either grouping
+    // reproduces them exactly, and the join (plus its exchange and the
+    // second scan + shingle pass) disappears. Bigrams from the native
+    // word_shingles kernel (k=2): texts with <2 tokens yield an empty
+    // array, which explode drops — exactly the rows the old inner join
+    // dropped for having no bigram row, so the output set is identical
+    // (oracle-pinned).
+    // the per-doc scalars are computed in their OWN projection BELOW
+    // the explode: ExtractGenerator places every non-generator
+    // expression of an explode-select in the Project ABOVE Generate,
+    // i.e. it would re-evaluate array_distinct(split(text)) once per
+    // BIGRAM row (measured: 0.63 → 2.60 s min-of-3 when both sat in
+    // one select). Split into two selects, the outer list is plain
+    // attributes, which Generate passes through at zero cost.
+    val words = split(col("text"), " ")
+    Queries.spread(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        size(array_distinct(words)).cast("long").as("n_distinct_words"),
+        col("text"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        explode(shingles(col("text"), 2)).as("bigram"))
       .groupBy(col("doc_id"), col("bigram"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c"),
+        max(col("n_words")).as("n_words"),
+        max(col("n_distinct_words")).as("n_distinct_words"))
       .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
-    base.select(col("doc_id"), col("n_words"), col("n_distinct_words"))
-      .join(top, Seq("doc_id"))
+      .agg(max(col("n_words")).as("n_words"),
+        max(col("n_distinct_words")).as("n_distinct_words"),
+        max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
       // repetitive iff the single most frequent bigram covers >= 20% of
       // all bigram slots — integer cross-multiplication, no division
       .withColumn("repetitive", col("top_bigram_n") * 5 >= col("n_bigrams"))
@@ -2788,8 +2862,9 @@ object QueriesLLM {
     * linear in corpus tokens.
     */
   def dupNgramSpans(s: SparkSession, dir: String): DataFrame = {
-    // spread (r14): the per-doc 8-gram hash fan-out is the linear cost
-    val g = Queries.spread(t(s, dir, "documents"))
+    // spread moderate: the per-doc 8-gram hash fan-out is the linear
+    // cost (concat + md5 per token position ≈ 8× corpus bytes hashed)
+    val g = Queries.spread(t(s, dir, "documents"), Queries.SpreadModerate)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 8)
       .select(col("doc_id"),

@@ -750,6 +750,17 @@ object StreamingQueries {
     * lost or duplicated across batch boundaries mid-row-group).
     * The row count for the trigger sizing is footer metadata (the
     * fully-pruned count path), not a data scan.
+    *
+    * Batch count 8 → 4 (r15, verdict item 4): per-batch fixed cost
+    * (trigger planning + addBatch job + walCommit + the Complete-mode
+    * full-table memory-sink rewrite) owned the wall once state commit
+    * was fixed in r14 — StreamBatchProbe min-of-3 at sf0.1/32c:
+    * 8 batches 3.29 s, 4 batches 2.31 s, 2 batches 1.31 s at identical
+    * final output (Complete-mode aggregate; the oracle hash is
+    * batch-count-invariant). 4 keeps a REAL multi-batch tiling proof —
+    * 3 interior boundaries across the 4 source partitions, each batch
+    * still splitting mid-row-group — which 2 would weaken to a single
+    * boundary. Still scale-invariant (rows/4).
     */
   def runEventLogTumbling(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -757,7 +768,7 @@ object StreamingQueries {
     val total = spark.read.format("eventlog").load(path).count()
     val agg = spark.readStream.format("eventlog")
       .option("partitions", "4")
-      .option("maxRowsPerTrigger", math.max(1L, total / 8).toString)
+      .option("maxRowsPerTrigger", math.max(1L, total / 4).toString)
       .load(path)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
@@ -788,7 +799,9 @@ object StreamingQueries {
     val total = spark.read.format("eventlog").load(path).count()
     val agg = spark.readStream.format("eventlog")
       .option("partitions", "4")
-      .option("maxRowsPerTrigger", math.max(1L, total / 8).toString)
+      // rows/4 batches, same sizing (and the same rationale) as
+      // runEventLogTumbling — the filtered twin must tile identically
+      .option("maxRowsPerTrigger", math.max(1L, total / 4).toString)
       .option("skipWhere", "event_type IN ('click', 'purchase')")
       .load(path)
       .filter(col("event_type").isin("click", "purchase"))
@@ -954,9 +967,31 @@ object StreamingQueries {
     * the gate corpora's KB-scale state, not to the local core count —
     * it is deliberately NOT derived from `SPARK_GRAFT_CPUS`, so the
     * driver's low-core rerun measures the identical plan.
+    *
+    * Why a static default and not a derived one (r15, verdict item 7):
+    * the partition count is burned into the stream's checkpoint at
+    * query start, so it cannot track `numRowsTotal` observed later;
+    * and deriving it from pre-stream input size would couple the state
+    * LAYOUT to a scan-side estimate that says nothing about group
+    * cardinality. The contract is therefore: static default sized to
+    * the gate's state (measured below), env override sized to
+    * production state (rule of thumb: keep per-partition state in the
+    * 100 MB-1 GB range a single store instance handles well, i.e.
+    * partitions ≈ stateBytes / 256 MB). Default 8 → 4 this round:
+    * StreamBatchProbe min-of-3 on the eventlog stream at sf0.1/32c
+    * (4 batches, ~3.6 K windowed groups): 8 partitions 2.31 s,
+    * 4 partitions 1.87 s — per-batch store open+commit still scales
+    * with partition count at KB state, and 4 keeps every gate stream's
+    * state at ≤ ~1 K rows/partition. RocksDB + changelog was probed
+    * for this stream too and REJECTED: 3.95 s vs 3.29 s at 8 batches
+    * (2.13 vs 2.31 at 4) — the native store's per-partition open/close
+    * overhead exceeds what changelog IO saves at KB-scale state; the
+    * event-time dedup streams keep it because their per-bucket list
+    * state (×32 K buckets) is exactly the shape snapshot uploads
+    * punish (r14 measurement, 602 MB → deltas).
     */
   def streamStatePartitions: Int =
-    sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8").toInt
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4").toInt
 
   def runToBatch(spark: SparkSession, streamed: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete()): DataFrame = {

@@ -11,14 +11,23 @@ import org.apache.spark.sql.functions._
   * state-store IO, per-batch planning, shuffle, or source overhead.
   * Optional args switch the suspects one at a time:
   *
-  * {{{ sbt "runMain graft.tools.StreamBatchProbe <sfDir> [shufflePartitions] [checkpointBase]" }}}
+  * {{{ sbt "runMain graft.tools.StreamBatchProbe <sfDir> [shufflePartitions] [checkpointBase] [batches] [provider]" }}}
+  *
+  * r15 knobs: `batches` (default 8) sizes maxRowsPerTrigger = rows /
+  * batches — the fixed per-batch trigger overhead is the suspect the
+  * r14 verdict left on the table; `provider` = `rocksdb` switches the
+  * state store to RocksDB + changelog checkpointing (the event-time
+  * dedup entries' r14 win) so the HDFS-backed commit cost can be
+  * compared like-for-like.
   */
 object StreamBatchProbe {
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
-    val dir = args.headOption.getOrElse(sys.error("usage: StreamBatchProbe <sfDir> [shufflePartitions] [ckBase]"))
+    val dir = args.headOption.getOrElse(sys.error("usage: StreamBatchProbe <sfDir> [shufflePartitions] [ckBase] [batches] [provider]"))
     val shufflePartitions = args.lift(1).getOrElse("32")
-    val ckBase = args.lift(2)
+    val ckBase = args.lift(2).filter(_ != "-")
+    val batches = args.lift(3).map(_.toInt).getOrElse(8)
+    val rocksdb = args.lift(4).contains("rocksdb")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,13 +38,20 @@ object StreamBatchProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (rocksdb) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    }
+
     val path = s"$dir/events.parquet"
     val total = spark.read.format("eventlog").load(path).count()
 
     def runOnce(label: String): Double = {
       val agg = spark.readStream.format("eventlog")
         .option("partitions", "4")
-        .option("maxRowsPerTrigger", math.max(1L, total / 8).toString)
+        .option("maxRowsPerTrigger", math.max(1L, total / batches).toString)
         .load(path)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
@@ -52,7 +68,7 @@ object StreamBatchProbe {
       try q.processAllAvailable()
       finally q.stop()
       val wall = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[$label] wall ${wall}%6.2f s  (shufflePartitions=$shufflePartitions ck=${ckBase.getOrElse("tmp-default")})")
+      System.err.println(f"[$label] wall ${wall}%6.2f s  (shufflePartitions=$shufflePartitions batches=$batches rocksdb=$rocksdb ck=${ckBase.getOrElse("tmp-default")})")
       q.recentProgress.foreach { p =>
         val dm = p.durationMs
         val so = p.stateOperators.headOption
