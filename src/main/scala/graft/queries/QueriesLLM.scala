@@ -1799,8 +1799,9 @@ object QueriesLLM {
     // global shingle frequency — ONE corpus-wide count aggregation
     val freq = post.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // r14 DICTIONARY ENCODING (JaccardDictProbe, r13 verdict item 4):
-    // map each distinct shingle to its dense 1-based rank in the global
-    // (df asc, shingle asc) order. That rank order IS the prefix
+    // map each distinct shingle to its dense 1-based rank in a global
+    // df-ascending order (r14: (df, s); r15: (df, h32, s) — see below).
+    // That rank order IS the prefix
     // filter's frequency order, so the per-doc window, the candidate
     // join key, the positional filter, and the verify arrays all become
     // 4-byte ints — every downstream exchange shrinks ~5× and the merge
@@ -1812,33 +1813,79 @@ object QueriesLLM {
     // row_number window — a 1-partition sort of the whole vocabulary,
     // which at a 100 TB corpus (where the broadcast hint is dropped and
     // the dict joins by shuffle) would be the real scale ceiling. The
-    // same rank now computes as range-sort + per-partition offset
-    // cumsum, all in DataFrame land: range-partition the vocabulary by
-    // (df, s) — every key in partition i sorts strictly before every
-    // key in partition i+1, and (df, s) is unique because s is
-    // distinct — rank locally inside each partition, then add the
-    // count of all earlier partitions (a P-row cumsum, broadcast
-    // back). Global rank = local rank + offset, bit-identical to the
-    // single-window form (spec-pinned), but the sort runs at
-    // defaultParallelism. The localCheckpoint pins spark_partition_id
-    // against recomputation AND keeps the two references below (count
-    // + rank) from re-evaluating the range exchange — the r14 probe's
-    // RDD zipWithIndex attempt lost 2.5× to exactly that lineage
-    // re-evaluation (JaccardFixProbe); checkpointing the
-    // vocabulary-sized frame costs one small materialization instead.
-    val byRange = freq
-      .repartitionByRange(s.sparkContext.defaultParallelism, col("df"), col("s"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val offsets = byRange.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
-      .select(col("pid"), coalesce(
-        sum(col("cnt")).over(Window.orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
-    val dict = byRange
-      .withColumn("lrank",
-        row_number().over(Window.partitionBy(col("pid")).orderBy(col("df"), col("s"))))
-      .join(broadcast(offsets), Seq("pid"))
-      .select(col("s"), (col("off") + col("lrank")).cast("int").as("sid"))
+    // global order is now (df asc, h32 asc, s asc) where h32 =
+    // xxhash64(s) & 0xFFFFFFFF — ANY fixed total order with df as the
+    // leading key gives the prefix filter identical pruning power (df
+    // is the rarity signal; the AllPairs bound holds for every fixed
+    // global order), and the hash tie-break is what makes the order
+    // BUCKETABLE without a single-partition sort:
+    //  1. boundaries: approximate quantiles of the composite
+    //     x = min(df, 2³¹−1)·2³² + h32 (one aggregation; the cap keeps
+    //     the composite in a long — capped rows are the ultra-common
+    //     tail and still spread by h32). Collected as ≤ P−1 literals —
+    //     driver-side PARTITION METADATA of the same class as the
+    //     boundaries a range exchange samples internally.
+    //  2. pid = Σᵢ [x > bᵢ] — a LITERAL comparison chain, monotone
+    //     non-decreasing in the global order, so every bucket holds a
+    //     contiguous order range (ties never split: x equal ⇒ same
+    //     pid). Deterministic per row — no spark_partition_id, no
+    //     checkpoint, and the rank below is therefore independent of
+    //     WHERE the boundaries fall: boundaries move occupancy between
+    //     buckets, never a row's global rank.
+    //  3. offsets: bucket counts collected (≤ P rows) and attached as
+    //     a literal-array lookup; sid = offset[pid] + local
+    //     row_number over (pid | df, h32, s) = the exact global rank,
+    //     sorted at defaultParallelism.
+    // Two earlier r15 cuts are on the record because their failure
+    // modes are instructive (JaccardBisectProbe / JaccardPlanProbe):
+    // a range-exchange + spark_partition_id + localCheckpoint rank
+    // produced bit-identical sids BUT the checkpoint's REALISTIC size
+    // statistics (and, in the first cut, an offsets-join row estimate)
+    // replaced the parquet-derived underestimates the downstream plan
+    // was auto-broadcasting on — candidate join and both verify joins
+    // flipped BroadcastHashJoin → SortMergeJoin and the 95M-row sf1
+    // candidate set was exchanged and sorted twice: verify stage
+    // 162.9 s vs 6.55 s on byte-identical inputs. This form keeps the
+    // dict a pure projection over the freq aggregate (no join, no
+    // checkpoint), so the plan estimates — and every downstream join
+    // choice — are exactly the r14 form's, while the sort runs P-way.
+    // The price is that the boundary/count passes re-evaluate freq
+    // (explode over the checkpointed d + one aggregation, ~1.5 s at
+    // sf1) twice more during build; the r14 RDD zipWithIndex attempt
+    // lost 2.5× to lineage re-evaluation of the UNcheckpointed scan —
+    // from the checkpoint it is two cheap passes, measured below.
+    val p = s.sparkContext.defaultParallelism
+    // xxhash64, not the portable md5 hash64: sids are engine-internal
+    // (the oracle is the order-free all-pairs form), and this hash
+    // runs once per vocabulary row per build pass
+    val h32 = xxhash64(col("s")).bitwiseAND(lit(0xFFFFFFFFL))
+    val freqX = freq.withColumn("h32", h32)
+      .withColumn("x",
+        least(col("df"), lit(2147483647L)) * lit(4294967296L) + col("h32"))
+    val qs = (1 until p).map(i => i.toDouble / p)
+    val boundaries: Seq[Long] =
+      if (p <= 1) Seq.empty
+      else freqX.agg(expr(
+          s"percentile_approx(x, array(${qs.mkString(",")}), 10000)").as("b"))
+        .collect()(0).getAs[scala.collection.Seq[Long]]("b") match {
+          case null => Seq.empty
+          case bs => bs.toSeq.distinct.sorted
+        }
+    val pidCol: org.apache.spark.sql.Column =
+      if (boundaries.isEmpty) lit(0)
+      else boundaries.map(b =>
+        when(col("x") > lit(b), 1).otherwise(0)).reduce(_ + _)
+    val freqP = freqX.withColumn("pid", pidCol)
+    val counts = freqP.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val nBuckets = boundaries.length + 1
+    val offsets: Seq[Long] =
+      (0 until nBuckets).scanLeft(0L)((acc, pid) => acc + counts.getOrElse(pid, 0L)).init
+    val offCol = element_at(array(offsets.map(lit): _*), col("pid") + 1)
+    val dict = freqP
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("df"), col("h32"), col("s"))))
+      .select(col("s"), (offCol + col("lrank")).cast("int").as("sid"))
     // broadcast: the dictionary is VOCABULARY-sized (distinct shingles),
     // orders of magnitude below the corpus; a corpus whose vocabulary
     // outgrows broadcast drops the hint and takes the shuffle join
@@ -1870,7 +1917,8 @@ object QueriesLLM {
     //     τ ≤ min/max — one scalar predicate kills every size-skewed
     //     pair before it exists.
     //   positional filter: both docs' shingles sit in the SAME global
-    //     total order (df asc, shingle asc), so any shared shingle
+    //     total order (df asc, h32, s — any fixed total order works;
+    //     the bound needs only consistency), so any shared shingle
     //     other than the matched one lies strictly before it in BOTH
     //     lists or strictly after it in BOTH lists. Hence for a match
     //     at positions (pa, pb): overlap ≤ min(pa−1, pb−1) + 1 +
